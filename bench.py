@@ -1,0 +1,72 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
+"sf": ...}.
+
+Each query is fully materialized through the noop sink (executes the whole
+plan distributed, no driver collect).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "merged_series",
+    "corr_best_lag",
+    "corr_mapping",
+    "dtw_summary",
+    "dtw_mapping",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    import __spark_entry__ as entry_mod
+    from mapping_timeseries_spark.session import get_spark
+
+    spark = get_spark(
+        "bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+        extra_conf={"spark.driver.memory": "16g"},
+    )
+    try:
+        sf = float(os.path.basename(os.path.normpath(sf_dir)).replace("sf", ""))
+    except ValueError:
+        sf = -1.0
+
+    qs = entry_mod.queries()
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in qs:
+            continue
+        df = qs[name](spark, sf_dir)
+        t0 = time.time()
+        df.write.format("noop").mode("overwrite").save()
+        times[name] = round(time.time() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,154 @@
+"""Lagged-correlation analysis (SURVEY §2.4 A8, §2.5 W2, §2.9 D1/D6).
+
+The reference computes per-entity best-lag Pearson correlation inside a
+GROUPED_MAP pandas UDF: sort the group by month, slice ``txn[:-lag]`` vs
+``rev[lag:]`` for lag 0..max_lag, keep the best (mapping_engine.py:117-160,
+227-266). That is a positional (row-order) alignment, and SQL ``corr`` IS
+Pearson — so the whole UDF collapses to native, whole-stage-codegen'd
+DataFrame ops:
+
+    lead(revenue, lag) OVER (PARTITION BY cus_code ORDER BY month)
+    ... GROUP BY cus_code, lag ... corr(txn_amount, rev_lagged)
+    ... row_number() OVER (ORDER BY corr DESC, lag ASC) = 1
+
+Semantics matched to the reference exactly:
+
+- alignment is positional over month-sorted rows ('yyyy-MM' strings sort
+  chronologically), NOT calendar arithmetic — gaps in the month grid shift
+  positions, as in the numpy slicing (mapping_engine.py:140-141);
+- a lag is only considered if the aligned length ``n - lag >= 2``
+  (mapping_engine.py:136-137,144-146);
+- NaN correlations are skipped (scipy yields NaN on constant input;
+  non-ANSI Spark ``corr`` yields NaN/null there — filtered)
+  (mapping_engine.py:154);
+- strict ``>`` improvement keeps the SMALLEST winning lag on ties
+  -> ``ORDER BY corr DESC, lag ASC`` (mapping_engine.py:154-156);
+- entity with n < 2 rows -> (lag 0, corr 0.0) (mapping_engine.py:129-130);
+- entity with n >= 2 but no valid lag (all-NaN, e.g. constant series)
+  -> (lag 0, corr -1.0): the ``best_corr = -1`` init is returned untouched
+  (mapping_engine.py:132-133).
+
+Scale notes
+-----------
+ONE shuffle for the whole computation: the window exchange hash-partitions
+by cus_code; the lag-grid groupBy(cus_code, lag), the per-entity stats
+groupBy(cus_code), the best-lag row_number window and the final join are all
+satisfied by that partitioning (HashPartitioning(cus_code) satisfies
+ClusteredDistribution for every superset grouping), so Catalyst inserts no
+further exchanges and reuses the first one across both branches. Per-entity
+state is O(max_lag) aggregation buffers — no per-entity materialized series,
+so skew is bounded by months-per-entity, not entity count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .canonicalize import KEY, TIME
+
+__all__ = [
+    "lag_correlation_grid",
+    "best_lag_correlation",
+    "correlation_all_lags",
+]
+
+
+def _with_lagged_revenue(merged: DataFrame, max_lag: int) -> DataFrame:
+    """Project one lead-of-revenue column per lag over a single window."""
+    w = Window.partitionBy(KEY).orderBy(TIME)
+    lead_cols = [
+        (F.col("revenue") if lag == 0 else F.lead("revenue", lag).over(w)).alias(
+            f"__rev_lag_{lag}"
+        )
+        for lag in range(max_lag + 1)
+    ]
+    return merged.select(KEY, TIME, "txn_amount", "revenue", *lead_cols)
+
+
+def lag_correlation_grid(merged: DataFrame, max_lag: int = 6) -> DataFrame:
+    """Per (entity, lag) Pearson correlation over positionally-aligned pairs.
+
+    Output: ``cus_code, lag:int, corr:double, n_pairs:long`` — one row per
+    (entity, lag) with at least one aligned pair. This is the flat version
+    of the research notebook's ``all_lags`` array (02_corr_mapping.p:25-29).
+    """
+    windowed = _with_lagged_revenue(merged, max_lag)
+    pairs = windowed.select(
+        KEY,
+        F.col("txn_amount"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(lag).alias("lag"),
+                        F.col(f"__rev_lag_{lag}").alias("rev"),
+                    )
+                    for lag in range(max_lag + 1)
+                ]
+            )
+        ).alias("p"),
+    ).select(KEY, F.col("p.lag").alias("lag"), "txn_amount", F.col("p.rev").alias("rev"))
+    return pairs.groupBy(KEY, "lag").agg(
+        F.corr("txn_amount", "rev").alias("corr"),
+        F.count("rev").alias("n_pairs"),
+    )
+
+
+def _entity_stats(merged: DataFrame) -> DataFrame:
+    """Per-entity row count and means (UDF output fields num_months,
+    txn_mean, rev_mean — mapping_engine.py:257-264)."""
+    return merged.groupBy(KEY).agg(
+        F.count(F.lit(1)).alias("num_months"),
+        F.avg("txn_amount").alias("txn_mean"),
+        F.avg("revenue").alias("rev_mean"),
+    )
+
+
+def best_lag_correlation(merged: DataFrame, max_lag: int = 6) -> DataFrame:
+    """Per-entity optimal lag + best correlation, reference semantics.
+
+    Output: ``cus_code, optimal_lag:int, correlation:double,
+    num_months:long, txn_mean:double, rev_mean:double`` — the reference
+    correlation-UDF result schema (mapping_engine.py:232-239).
+    """
+    grid = lag_correlation_grid(merged, max_lag)
+    valid = grid.where(
+        (F.col("n_pairs") >= 2)
+        & F.col("corr").isNotNull()
+        & ~F.isnan(F.col("corr"))
+    )
+    w_best = Window.partitionBy(KEY).orderBy(F.col("corr").desc(), F.col("lag").asc())
+    best = (
+        valid.withColumn("__rn", F.row_number().over(w_best))
+        .where(F.col("__rn") == 1)
+        .select(KEY, F.col("lag").alias("__best_lag"), F.col("corr").alias("__best_corr"))
+    )
+    stats = _entity_stats(merged)
+    return stats.join(best, on=KEY, how="left").select(
+        KEY,
+        F.coalesce(F.col("__best_lag"), F.lit(0)).cast("int").alias("optimal_lag"),
+        F.coalesce(
+            F.col("__best_corr"),
+            F.when(F.col("num_months") >= 2, F.lit(-1.0)).otherwise(F.lit(0.0)),
+        ).alias("correlation"),
+        "num_months",
+        "txn_mean",
+        "rev_mean",
+    )
+
+
+def correlation_all_lags(merged: DataFrame, max_lag: int = 6) -> DataFrame:
+    """Research-notebook shape: best lag plus the full per-lag array
+    (02_corr_mapping.p:18-101, minus p-values — see functions/stats.py).
+
+    Output adds ``all_lags: array<struct<lag:int, corr:double>>`` sorted by
+    lag (array_sort on struct sorts by first field).
+    """
+    grid = lag_correlation_grid(merged, max_lag)
+    arrays = grid.groupBy(KEY).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("lag"), F.col("corr")))
+        ).alias("all_lags")
+    )
+    return best_lag_correlation(merged, max_lag).join(arrays, on=KEY, how="left")

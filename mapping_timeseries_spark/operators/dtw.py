@@ -1,0 +1,218 @@
+"""DTW alignment (SURVEY §2.9 D3/D4/D5) via ``groupBy().applyInPandas``.
+
+The one place per-group dynamic programming genuinely requires Python
+(SURVEY §7.3). Semantics match the reference's ``dtw_distance``
+(mapping_engine.py:162-216) and DTW UDF (mapping_engine.py:277-337):
+
+- optional z-score normalization; sigma==0 or NaN -> mean-centered only
+  (mapping_engine.py:109-115);
+- L1 point cost ``|txn[i]-rev[j]|`` on the (normalized) series;
+- accumulation ``cost + min(up, left, diag)`` with an optional Sakoe-Chiba
+  band ``j in [i-w, i+w]`` — cells outside stay +inf, and a band narrower
+  than |n-m| legitimately yields total_cost = inf (propagated, not "fixed";
+  SURVEY §7.4 risk 3);
+- backtracking from (n, m) picks the minimum of (up, left, diag) preferring
+  up, then left, then diag on exact ties (Python ``min`` takes the first
+  minimal candidate — mapping_engine.py:206-211), and stops at any edge
+  without appending edge cells;
+- per-group failure falls back to the identity path with cost 0.0
+  (mapping_engine.py:311-316).
+
+Implementation is NOT a transcription: each DP row is computed as a
+vectorized min-plus scan. With ``m[j] = cost[j] + min(prev[j], prev[j-1])``
+the row recurrence ``acc[j] = min(m[j], cost[j] + acc[j-1])`` unrolls to
+``acc[j] = C[j] + running_min(m - C)[j]`` where ``C = cumsum(cost)`` — one
+``np.minimum.accumulate`` per row instead of a Python inner loop (~50x on
+typical series). Values can differ from the sequential recurrence by float
+rounding in the last ulp; tests compare costs with tolerance.
+
+Scale notes
+-----------
+``applyInPandas`` shuffles once on the entity key; per-group state is
+O(n*m) for series of n,m months — bounded and small (years of months), so
+executor memory is safe regardless of entity count. Arrow batches move
+whole groups; output is one row per entity with the path as
+array<struct>, exploded downstream (reference mapping_engine.py:662-675).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .canonicalize import KEY, TIME
+
+__all__ = [
+    "zscore",
+    "dtw_align",
+    "dtw_per_entity",
+    "flatten_dtw_paths",
+    "build_dtw_mappings",
+]
+
+
+def zscore(arr: np.ndarray) -> np.ndarray:
+    """Z-score normalize; degenerate sigma -> mean-centering only
+    (mapping_engine.py:109-115)."""
+    mu = arr.mean()
+    sigma = arr.std()
+    if sigma == 0 or np.isnan(sigma):
+        return arr - mu
+    return (arr - mu) / sigma
+
+
+def _accumulate(
+    a: np.ndarray, b: np.ndarray, window: int | None
+) -> np.ndarray:
+    """Fill the (n+1, m+1) DTW accumulation matrix, banded, vectorized
+    per row (min-plus scan; see module docstring)."""
+    n, m = len(a), len(b)
+    acc = np.full((n + 1, m + 1), np.inf)
+    acc[0, 0] = 0.0
+    for i in range(1, n + 1):
+        lo = max(1, i - window) if window is not None else 1
+        hi = min(m + 1, i + window + 1) if window is not None else m + 1
+        if lo >= hi:
+            continue
+        cost = np.abs(a[i - 1] - b[lo - 1 : hi - 1])
+        best_prev = np.minimum(acc[i - 1, lo:hi], acc[i - 1, lo - 1 : hi - 1])
+        entered = cost + best_prev  # reach (i,j) from up/diag
+        c_sum = np.cumsum(cost)
+        # acc[i, j] = min over k<=j of entered[k] + (C[j] - C[k])
+        acc[i, lo:hi] = c_sum + np.minimum.accumulate(entered - c_sum)
+    return acc
+
+
+def dtw_align(
+    txn: np.ndarray,
+    rev: np.ndarray,
+    window: int | None = None,
+    normalize: bool = True,
+) -> tuple[float, list[tuple[int, int]]]:
+    """DTW total cost + alignment path, reference semantics
+    (mapping_engine.py:162-216). Returns (total_cost, [(i, j), ...])."""
+    a = zscore(txn.astype(np.float64)) if normalize else txn.astype(np.float64)
+    b = zscore(rev.astype(np.float64)) if normalize else rev.astype(np.float64)
+    n, m = len(a), len(b)
+    acc = _accumulate(a, b, window)
+
+    path: list[tuple[int, int]] = []
+    i, j = n, m
+    while i > 0 and j > 0:
+        path.append((i - 1, j - 1))
+        up, left, diag = acc[i - 1, j], acc[i, j - 1], acc[i - 1, j - 1]
+        # first minimal candidate wins: up, then left, then diag
+        if up <= left and up <= diag:
+            i -= 1
+        elif left <= diag:
+            j -= 1
+        else:
+            i -= 1
+            j -= 1
+    path.reverse()
+    return float(acc[n, m]), path
+
+
+def _dtw_result_schema(key_type: T.DataType) -> T.StructType:
+    """Reference result schema (mapping_engine.py:282-294), generic over the
+    key type (the reference hardcodes string keys; our fixtures use int64)."""
+    return T.StructType(
+        [
+            T.StructField(KEY, key_type, False),
+            T.StructField("total_cost", T.DoubleType(), False),
+            T.StructField("num_mappings", T.IntegerType(), False),
+            T.StructField(
+                "path",
+                T.ArrayType(
+                    T.StructType(
+                        [
+                            T.StructField("txn_idx", T.IntegerType(), False),
+                            T.StructField("rev_idx", T.IntegerType(), False),
+                            T.StructField("txn_month", T.StringType(), False),
+                            T.StructField("rev_month", T.StringType(), False),
+                            T.StructField("txn_amount", T.DoubleType(), False),
+                            T.StructField("revenue", T.DoubleType(), False),
+                        ]
+                    )
+                ),
+                False,
+            ),
+        ]
+    )
+
+
+def dtw_per_entity(
+    merged: DataFrame,
+    window_size: int | None = None,
+    normalize: bool = True,
+) -> DataFrame:
+    """One row per entity: total_cost, num_mappings, path array
+    (mapping_engine.py:296-335)."""
+    key_type = merged.schema[KEY].dataType
+    schema = _dtw_result_schema(key_type)
+
+    def align_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        key = pdf[KEY].iloc[0]
+        pdf = pdf.sort_values(TIME)
+        txn = pdf["txn_amount"].to_numpy()
+        rev = pdf["revenue"].to_numpy()
+        months = pdf[TIME].to_numpy()
+        try:
+            total, path = dtw_align(txn, rev, window=window_size, normalize=normalize)
+        except Exception:
+            # graceful per-group fallback (mapping_engine.py:313-316)
+            path = [(i, i) for i in range(min(len(txn), len(rev)))]
+            total = 0.0
+        detail = [
+            {
+                "txn_idx": int(ti),
+                "rev_idx": int(ri),
+                "txn_month": str(months[ti]),
+                "rev_month": str(months[ri]),
+                "txn_amount": float(txn[ti]),
+                "revenue": float(rev[ri]),
+            }
+            for ti, ri in path
+        ]
+        return pd.DataFrame(
+            [
+                {
+                    KEY: key,
+                    "total_cost": float(total),
+                    "num_mappings": len(path),
+                    "path": detail,
+                }
+            ]
+        )
+
+    return merged.groupBy(KEY).applyInPandas(align_group, schema)
+
+
+def flatten_dtw_paths(dtw_results: DataFrame) -> DataFrame:
+    """Explode paths into the flat mapping table (mapping_engine.py:662-675)."""
+    return dtw_results.select(
+        KEY, "total_cost", F.explode("path").alias("mapping")
+    ).select(
+        KEY,
+        F.col("mapping.txn_month").alias("time1"),
+        F.col("mapping.txn_amount").alias("value1"),
+        F.col("mapping.rev_month").alias("time2"),
+        F.col("mapping.revenue").alias("value2"),
+        F.lit(None).cast("int").alias("lag_offset"),
+        F.lit("dtw").alias("method"),
+        F.col("total_cost").alias("dtw_cost"),
+    )
+
+
+def build_dtw_mappings(
+    merged: DataFrame,
+    window_size: int | None = None,
+    normalize: bool = True,
+) -> DataFrame:
+    """DTW method end-to-end: per-entity alignment, then flatten."""
+    return flatten_dtw_paths(dtw_per_entity(merged, window_size, normalize))

@@ -1,0 +1,68 @@
+"""Lag join and mapping construction (SURVEY §2.3 J2/J3/J4).
+
+Given per-entity (optimal_lag, correlation), build the mapping table by
+joining table1 rows to table2 rows at ``month + optimal_lag``. The lag is a
+per-row column, so this is an equi-join on a *computed* key
+(``date_format(add_months(to_date(t.month), t.optimal_lag), 'yyyy-MM')``),
+exactly the reference's construction (mapping_engine.py:616-644) — Catalyst
+evaluates the projection and then plans a plain hash/sort-merge join; no
+range-join machinery needed because the lag is exact.
+
+Scale notes
+-----------
+The per-entity dimension (one row per entity: lag + correlation) is
+provably small relative to the fact tables, so it is broadcast — the same
+explicit hint the reference uses (mapping_engine.py:617,641), but we attach
+BOTH columns in one broadcast join instead of the reference's two separate
+joins (one for the lag, a second for the score), halving the passes.
+The t1-to-t2 join shuffles on (cus_code, shifted_month) — co-partitioned
+with the scan only if inputs are bucketed; at 100 TB this is the dominant
+shuffle and is skew-safe because keys are (entity, month) pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.dates import shift_month
+from .canonicalize import KEY, TIME
+
+__all__ = ["build_correlation_mappings"]
+
+
+def build_correlation_mappings(
+    table1: DataFrame,
+    table2: DataFrame,
+    correlations: DataFrame,
+    min_correlation: float = 0.3,
+) -> DataFrame:
+    """Mapping table for the correlation method.
+
+    Parameters mirror the reference's ``_apply_correlation_mapping``
+    (mapping_engine.py:593-646): canonical t1 (cus_code, month, txn_amount),
+    canonical t2 (cus_code, month, revenue), and the per-entity result of
+    :func:`best_lag_correlation`.
+
+    Output schema (README.md:165-178): ``cus_code, time1, value1, time2,
+    value2, lag_offset:int, method:'correlation', correlation:double``.
+    """
+    valid = correlations.where(F.col("correlation") >= min_correlation).select(
+        KEY, "optimal_lag", "correlation"
+    )
+    t1 = table1.join(F.broadcast(valid), on=KEY, how="inner").withColumn(
+        "__month2", shift_month(F.col(TIME), F.col("optimal_lag"))
+    )
+    t2 = table2.select(
+        F.col(KEY), F.col(TIME).alias("__month2"), F.col("revenue")
+    )
+    return t1.join(t2, on=[KEY, "__month2"], how="inner").select(
+        KEY,
+        F.col(TIME).alias("time1"),
+        F.col("txn_amount").alias("value1"),
+        F.col("__month2").alias("time2"),
+        F.col("revenue").alias("value2"),
+        F.col("optimal_lag").cast("int").alias("lag_offset"),
+        F.lit("correlation").alias("method"),
+        F.col("correlation"),
+    )

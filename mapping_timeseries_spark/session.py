@@ -1,0 +1,64 @@
+"""SparkSession construction and per-query session settings.
+
+The reference mutates a live session inside the engine constructor
+(mapping_engine.py:449-456). We instead set everything once at build time,
+and expose :func:`ensure_runtime_conf` for code paths that receive an
+externally-built session (e.g. the driver harness).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+#: Runtime-settable SQL confs the engine relies on.
+#:
+#: - AQE + partition coalescing (reference mapping_engine.py:451-452):
+#:   runtime re-planning, auto-broadcast, skew-join handling at scale.
+#: - Arrow (reference mapping_engine.py:453): vectorized JVM<->Python
+#:   transfer for the DTW ``applyInPandas`` path.
+#: - ``ansi.enabled=false``: Spark 4 defaults to ANSI mode, under which
+#:   ``corr`` on a zero-variance or single-point group raises
+#:   DIVIDE_BY_ZERO. The reference's scipy ``pearsonr`` yields NaN there
+#:   and the lag scan skips it (mapping_engine.py:152-158); non-ANSI
+#:   ``corr`` reproduces that (NaN/null, filtered downstream).
+RUNTIME_CONF: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.ansi.enabled": "false",
+}
+
+
+def ensure_runtime_conf(spark: SparkSession) -> SparkSession:
+    """Apply :data:`RUNTIME_CONF` to an existing session (idempotent)."""
+    for key, value in RUNTIME_CONF.items():
+        spark.conf.set(key, value)
+    return spark
+
+
+def get_spark(
+    app_name: str = "mapping_timeseries_spark",
+    master: str = "local[*]",
+    shuffle_partitions: int = 32,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build a session tuned for this engine.
+
+    ``shuffle_partitions=32`` matches local core count for tests; on a real
+    cluster callers pass a value sized to the data (or rely on AQE
+    coalescing from a higher initial number).
+    """
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+    )
+    for key, value in RUNTIME_CONF.items():
+        builder = builder.config(key, value)
+    for key, value in (extra_conf or {}).items():
+        builder = builder.config(key, value)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,94 @@
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from mapping_timeseries_spark.operators.canonicalize import VALUE1, VALUE2, canonicalize
+from mapping_timeseries_spark.operators.correlation import (
+    best_lag_correlation,
+    correlation_all_lags,
+    lag_correlation_grid,
+)
+from mapping_timeseries_spark.operators.merge import merge_series
+from mapping_timeseries_spark.sources.fixtures import synthetic_pair
+
+from .oracles import best_lag_oracle
+
+MAX_LAG = 6
+
+
+@pytest.fixture(scope="module")
+def merged(spark):
+    t1, t2 = synthetic_pair(spark, num_customers=30, num_months=24)
+    t1 = canonicalize(t1, "cus_code", "month", "txn_amount", VALUE1)
+    t2 = canonicalize(t2, "cus_code", "month", "revenue", VALUE2)
+    return merge_series(t1, t2).cache()
+
+
+def test_best_lag_matches_numpy_oracle(spark, merged):
+    result = {
+        r["cus_code"]: r
+        for r in best_lag_correlation(merged, MAX_LAG).collect()
+    }
+    groups = merged.orderBy("cus_code", "month").toPandas().groupby("cus_code")
+    assert len(result) == len(groups)
+    for cus, pdf in groups:
+        lag, corr = best_lag_oracle(
+            pdf["txn_amount"].to_numpy(), pdf["revenue"].to_numpy(), MAX_LAG
+        )
+        row = result[cus]
+        assert row["optimal_lag"] == lag, cus
+        assert row["correlation"] == pytest.approx(corr, abs=1e-9), cus
+        assert row["num_months"] == len(pdf)
+        assert row["txn_mean"] == pytest.approx(pdf["txn_amount"].mean())
+
+
+def test_simple_pattern_recovers_planted_lag(spark, merged):
+    # 'simple' family: revenue = 0.1 * txn shifted 1 month -> lag 1, high corr
+    simple = (
+        best_lag_correlation(merged, MAX_LAG)
+        .where(F.col("cus_code").isin([f"CUS_{i:04d}" for i in range(0, 30, 3)]))
+        .collect()
+    )
+    assert simple
+    for row in simple:
+        assert row["optimal_lag"] == 1, row
+        assert row["correlation"] >= 0.7, row
+
+
+def test_grid_lag_zero_equals_plain_corr(spark, merged):
+    grid = lag_correlation_grid(merged, MAX_LAG).where(F.col("lag") == 0)
+    plain = merged.groupBy("cus_code").agg(
+        F.corr("txn_amount", "revenue").alias("c"), F.count("*").alias("n")
+    )
+    joined = grid.join(plain, "cus_code").collect()
+    assert joined
+    for r in joined:
+        assert r["corr"] == pytest.approx(r["c"], abs=1e-12)
+        assert r["n_pairs"] == r["n"]
+
+
+def test_short_series_returns_zero(spark):
+    df = spark.createDataFrame(
+        [("A", "2024-01", 1.0, 2.0)],
+        "cus_code string, month string, txn_amount double, revenue double",
+    )
+    row = best_lag_correlation(df, MAX_LAG).collect()[0]
+    assert (row["optimal_lag"], row["correlation"]) == (0, 0.0)
+
+
+def test_constant_series_returns_minus_one(spark):
+    rows = [("A", f"2024-{m:02d}", 5.0, float(m)) for m in range(1, 7)]
+    df = spark.createDataFrame(
+        rows, "cus_code string, month string, txn_amount double, revenue double"
+    )
+    row = best_lag_correlation(df, MAX_LAG).collect()[0]
+    assert (row["optimal_lag"], row["correlation"]) == (0, -1.0)
+
+
+def test_all_lags_array_sorted_and_complete(spark, merged):
+    row = correlation_all_lags(merged, MAX_LAG).limit(1).collect()[0]
+    lags = [e["lag"] for e in row["all_lags"]]
+    assert lags == sorted(lags)
+    assert lags[0] == 0

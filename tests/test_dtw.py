@@ -1,0 +1,120 @@
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from mapping_timeseries_spark.operators.dtw import (
+    dtw_align,
+    dtw_per_entity,
+    flatten_dtw_paths,
+    zscore,
+)
+
+from .oracles import dtw_oracle
+
+
+def _path_cost(a, b, path, normalize):
+    from mapping_timeseries_spark.operators.dtw import zscore
+
+    az = zscore(a.astype(float)) if normalize else a.astype(float)
+    bz = zscore(b.astype(float)) if normalize else b.astype(float)
+    return sum(abs(az[i] - bz[j]) for i, j in path)
+
+
+@pytest.mark.parametrize("window", [None, 1, 3])
+@pytest.mark.parametrize("normalize", [True, False])
+def test_dtw_matches_sequential_oracle(window, normalize):
+    rng = np.random.default_rng(7)
+    for trial in range(20):
+        n = int(rng.integers(2, 30))
+        m = n if window is not None else int(rng.integers(2, 30))
+        a = rng.uniform(0, 100, n)
+        b = rng.uniform(0, 100, b_len := m)
+        cost, path = dtw_align(a, b, window=window, normalize=normalize)
+        ocost, opath = dtw_oracle(a, b, window=window, normalize=normalize)
+        if np.isinf(ocost):
+            assert np.isinf(cost)
+            continue
+        assert cost == pytest.approx(ocost, rel=1e-9), (trial, window)
+        if path != opath:
+            # Degenerate optimum: two equal-cost paths whose tie resolves
+            # differently under last-ulp float noise. Accept iff mine is a
+            # valid alternate optimum of the same total cost.
+            assert path[0] == (0, 0) and path[-1] == (n - 1, b_len - 1)
+            for (i0, j0), (i1, j1) in zip(path, path[1:]):
+                assert (i1 - i0, j1 - j0) in {(0, 1), (1, 0), (1, 1)}
+            assert _path_cost(a, b, path, normalize) == pytest.approx(
+                ocost, rel=1e-9
+            ), (trial, window)
+
+
+def test_path_invariants():
+    rng = np.random.default_rng(3)
+    a = rng.uniform(0, 10, 15)
+    b = rng.uniform(0, 10, 12)
+    cost, path = dtw_align(a, b)
+    assert cost >= 0
+    assert path[-1] == (14, 11)
+    for (i0, j0), (i1, j1) in zip(path, path[1:]):
+        assert (i1 - i0, j1 - j0) in {(0, 1), (1, 0), (1, 1)}
+
+
+def test_band_respected():
+    rng = np.random.default_rng(4)
+    a = rng.uniform(0, 10, 20)
+    b = rng.uniform(0, 10, 20)
+    _, path = dtw_align(a, b, window=2)
+    assert all(abs(i - j) <= 2 for i, j in path)
+
+
+def test_band_narrower_than_length_gap_gives_inf():
+    # |n - m| > window -> corner unreachable; inf propagates (SURVEY §7.4)
+    a = np.arange(10.0)
+    b = np.arange(3.0)
+    cost, _ = dtw_align(a, b, window=2)
+    assert np.isinf(cost)
+
+
+def test_identical_series_zero_cost():
+    a = np.array([1.0, 5.0, 3.0, 8.0])
+    cost, path = dtw_align(a, a.copy())
+    assert cost == pytest.approx(0.0)
+    assert path == [(i, i) for i in range(4)]
+
+
+def test_zscore_constant_series_mean_centers():
+    out = zscore(np.array([4.0, 4.0, 4.0]))
+    assert np.allclose(out, 0.0)
+
+
+def test_single_point_series():
+    cost, path = dtw_align(np.array([1.0]), np.array([2.0]))
+    assert path == [(0, 0)]
+    assert np.isfinite(cost)
+
+
+def test_per_entity_spark(spark):
+    rows = []
+    rng = np.random.default_rng(11)
+    for cus in ["A", "B", "C"]:
+        vals = rng.uniform(100, 1000, 12)
+        for i in range(12):
+            rows.append((cus, f"2024-{i+1:02d}", float(vals[i]), float(vals[i]) * 0.1))
+    df = spark.createDataFrame(
+        rows, "cus_code string, month string, txn_amount double, revenue double"
+    )
+    results = dtw_per_entity(df).collect()
+    assert len(results) == 3
+    for r in results:
+        assert r["num_mappings"] == len(r["path"])
+        # proportional series -> identical after z-score -> diagonal path
+        assert r["total_cost"] == pytest.approx(0.0, abs=1e-9)
+        assert [(p["txn_idx"], p["rev_idx"]) for p in r["path"]] == [
+            (i, i) for i in range(12)
+        ]
+    flat = flatten_dtw_paths(dtw_per_entity(df))
+    assert flat.count() == 36
+    assert flat.columns == [
+        "cus_code", "time1", "value1", "time2", "value2",
+        "lag_offset", "method", "dtw_cost",
+    ]

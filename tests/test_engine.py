@@ -1,0 +1,102 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapping_timeseries_spark import MappingConfig, map_tables, map_tables_simple
+from mapping_timeseries_spark.sources.fixtures import synthetic_pair
+
+MAPPING_COLS = {
+    "cus_code", "time1", "value1", "time2", "value2",
+    "lag_offset", "method", "processed_at",
+}
+
+
+@pytest.fixture(scope="module")
+def pair(spark):
+    t1, t2 = synthetic_pair(spark, num_customers=12, num_months=18)
+    return t1.cache(), t2.cache()
+
+
+def test_correlation_method(spark, pair):
+    t1, t2 = pair
+    out = map_tables(
+        t1, t2, "cus_code", "month", "txn_amount", "revenue",
+        MappingConfig(method="correlation"),
+    )
+    assert set(out.columns) == MAPPING_COLS | {"correlation"}
+    rows = out.collect()
+    assert rows
+    assert all(r["method"] == "correlation" for r in rows)
+    assert all(r["correlation"] >= 0.3 for r in rows)
+
+
+def test_dtw_method(spark, pair):
+    t1, t2 = pair
+    out = map_tables(
+        t1, t2, "cus_code", "month", "txn_amount", "revenue",
+        MappingConfig(method="dtw", window_size=3),
+    )
+    assert set(out.columns) == MAPPING_COLS | {"dtw_cost"}
+    assert out.count() > 0
+
+
+def test_auto_method_routes_both(spark, pair):
+    t1, t2 = pair
+    out = map_tables(
+        t1, t2, "cus_code", "month", "txn_amount", "revenue",
+        MappingConfig(method="auto"),
+    )
+    methods = {r["method"] for r in out.select("method").distinct().collect()}
+    # synthetic data plants both simple (corr) and irregular (dtw) families
+    assert methods == {"correlation", "dtw"}
+
+
+def test_missing_column_raises(spark, pair):
+    t1, t2 = pair
+    with pytest.raises(ValueError, match="missing required columns"):
+        map_tables(
+            t1.drop("txn_amount"), t2, "cus_code", "month", "txn_amount", "revenue"
+        )
+
+
+def test_renamed_columns_work(spark, pair):
+    t1, t2 = pair
+    out = map_tables_simple(
+        spark,
+        t1.withColumnRenamed("cus_code", "entity").withColumnRenamed(
+            "txn_amount", "amount"
+        ),
+        t2.withColumnRenamed("cus_code", "entity"),
+        key_col="entity",
+        time_col="month",
+        value1_col="amount",
+        value2_col="revenue",
+        method="correlation",
+    )
+    assert out.count() > 0
+    # Hold-out: renamed run equals canonical run
+    base = map_tables(
+        t1, t2, "cus_code", "month", "txn_amount", "revenue",
+        MappingConfig(method="correlation"),
+    )
+    # reference test only checks it runs; we additionally check row parity
+    assert out.count() == base.count()
+
+
+def test_single_entity(spark):
+    t1, t2 = synthetic_pair(spark, num_customers=1, num_months=12)
+    out = map_tables(
+        t1, t2, "cus_code", "month", "txn_amount", "revenue",
+        MappingConfig(method="correlation"),
+    )
+    assert out.select("cus_code").distinct().count() <= 1
+
+
+def test_config_validation():
+    with pytest.raises(ValueError):
+        MappingConfig(method="bogus")
+    with pytest.raises(ValueError):
+        MappingConfig(min_correlation=1.5)
+    with pytest.raises(ValueError):
+        MappingConfig(max_lag=0)

@@ -1,0 +1,101 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs each ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
+DuckDB over the same parquet tables, then compares row count, column names,
+and an order-insensitive value hash (rows sorted, columns sorted by name,
+values stringified with float canonicalization).
+
+Usage: python tools/compare_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+
+def canon(v) -> str:
+    if v is None or (isinstance(v, float) and math.isnan(v)):
+        return "NULL"
+    if isinstance(v, float):
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return f"{v:.10g}"
+    if isinstance(v, bool):
+        return str(int(v))
+    return str(v)
+
+
+def frame_hash(df: pd.DataFrame) -> str:
+    import hashlib
+
+    cols = sorted(df.columns)
+    rows = sorted(
+        ",".join(canon(row[c]) for c in cols) for _, row in df.iterrows()
+    )
+    return hashlib.sha256("\n".join(rows).encode()).hexdigest()[:16]
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entry_mod
+    from mapping_timeseries_spark.session import get_spark
+    from mapping_timeseries_spark.sources.readers import TPCH_TABLES
+
+    spark = get_spark("oracle-compare")
+    con = duckdb.connect()
+    for t in TPCH_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        sdf = fn(spark, sf_dir).toPandas()
+        t_spark = time.time() - t0
+        if name not in oracles:
+            print(f"{name}: rows-only check, {len(sdf)} rows ({t_spark:.1f}s)")
+            continue
+        ddf = con.execute(oracles[name]).df()
+        ok_rows = len(sdf) == len(ddf)
+        ok_cols = sorted(sdf.columns) == sorted(ddf.columns)
+        h1, h2 = frame_hash(sdf), frame_hash(ddf)
+        ok_hash = h1 == h2
+        status = "OK" if (ok_rows and ok_cols and ok_hash) else "FAIL"
+        if status == "FAIL":
+            failures += 1
+        print(
+            f"{name}: {status} rows {len(sdf)}/{len(ddf)} "
+            f"cols={'ok' if ok_cols else sorted(sdf.columns)+sorted(ddf.columns)} "
+            f"hash {h1}/{h2} ({t_spark:.1f}s)"
+        )
+        if not ok_hash and ok_rows and ok_cols:
+            cols = sorted(sdf.columns)
+            a = sdf[cols].copy()
+            b = ddf[cols].copy()
+            a["__h"] = [",".join(canon(v) for v in r) for r in a.itertuples(index=False)]
+            b["__h"] = [",".join(canon(v) for v in r) for r in b.itertuples(index=False)]
+            only_a = set(a["__h"]) - set(b["__h"])
+            only_b = set(b["__h"]) - set(a["__h"])
+            for x in list(only_a)[:3]:
+                print("  spark-only:", x)
+            for x in list(only_b)[:3]:
+                print("  duck-only: ", x)
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
