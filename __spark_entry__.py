@@ -22,7 +22,7 @@ from mapping_timeseries_spark.operators.correlation import (
     best_lag_correlation,
     lag_correlation_grid,
 )
-from mapping_timeseries_spark.operators.dtw import dtw_per_entity, flatten_dtw_paths
+from mapping_timeseries_spark.operators.dtw import build_dtw_mappings, dtw_summary
 from mapping_timeseries_spark.operators.lag_join import build_correlation_mappings
 from mapping_timeseries_spark.operators.merge import merge_series
 from mapping_timeseries_spark.session import ensure_runtime_conf
@@ -107,7 +107,7 @@ def q_dtw_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     via applyInPandas is not SQL-expressible; pytest holds the numpy oracle).
     """
     ensure_runtime_conf(spark)
-    res = dtw_per_entity(_merged(spark, sf_dir), window_size=None, normalize=True)
+    res = dtw_summary(_merged(spark, sf_dir), window_size=None, normalize=True)
     return res.select(
         "cus_code",
         F.round("total_cost", 6).alias("total_cost"),
@@ -118,8 +118,7 @@ def q_dtw_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dtw_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D3+F2: DTW mapping table (exploded alignment paths; rows-only)."""
     ensure_runtime_conf(spark)
-    res = dtw_per_entity(_merged(spark, sf_dir), window_size=None, normalize=True)
-    flat = flatten_dtw_paths(res)
+    flat = build_dtw_mappings(_merged(spark, sf_dir), window_size=None, normalize=True)
     return flat.select(
         "cus_code",
         "time1",

@@ -53,6 +53,8 @@ __all__ = [
     "dtw_per_entity",
     "flatten_dtw_paths",
     "build_dtw_mappings",
+    "dtw_pairs",
+    "dtw_summary",
 ]
 
 
@@ -214,5 +216,239 @@ def build_dtw_mappings(
     window_size: int | None = None,
     normalize: bool = True,
 ) -> DataFrame:
-    """DTW method end-to-end: per-entity alignment, then flatten."""
-    return flatten_dtw_paths(dtw_per_entity(merged, window_size, normalize))
+    """DTW method end-to-end: flat mapping rows (fast batched path)."""
+    pairs = dtw_pairs(merged, window_size, normalize)
+    return pairs.select(
+        KEY,
+        F.col("txn_month").alias("time1"),
+        F.col("txn_amount").alias("value1"),
+        F.col("rev_month").alias("time2"),
+        F.col("revenue").alias("value2"),
+        F.lit(None).cast("int").alias("lag_offset"),
+        F.lit("dtw").alias("method"),
+        F.col("total_cost").alias("dtw_cost"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Batched fast path
+# ---------------------------------------------------------------------------
+#
+# ``applyInPandas`` pays per-group overhead (a pandas frame + Arrow batch
+# per entity). With millions of entities whose series are tiny, that
+# dominates. The batched path instead:
+#
+#   1. groupBy(entity).agg(array_sort(collect_list(struct(month,txn,rev))))
+#      — ONE aggregation shuffle, series arrive as arrays;
+#   2. mapInPandas over the series table — each Arrow batch carries
+#      thousands of entities; entities are bucketed by series length and
+#      the DP runs vectorized ACROSS the whole bucket (acc tensor of shape
+#      (E, n+1, n+1), row loop shared, np.minimum.accumulate per row);
+#      backtracking advances all entities in lockstep with boolean masks.
+#
+# Same reference semantics as dtw_align (same formulas, same tie rules);
+# the per-group error fallback of the reference (mapping_engine.py:313-316)
+# becomes a per-bucket retry through the scalar path.
+
+
+def _series_table(merged: DataFrame) -> DataFrame:
+    """Per-entity month-sorted series as three aligned arrays."""
+    s = F.array_sort(
+        F.collect_list(F.struct(F.col(TIME), F.col("txn_amount"), F.col("revenue")))
+    )
+    return merged.groupBy(KEY).agg(
+        F.transform(s, lambda x: x[TIME]).alias("months"),
+        F.transform(s, lambda x: x["txn_amount"]).alias("txn"),
+        F.transform(s, lambda x: x["revenue"]).alias("rev"),
+    )
+
+
+def _zscore_rows(x: np.ndarray) -> np.ndarray:
+    """Row-wise z-score with the reference's sigma==0 -> mean-center rule."""
+    mu = x.mean(axis=1, keepdims=True)
+    sd = x.std(axis=1, keepdims=True)
+    centered = x - mu
+    safe = np.where((sd == 0) | np.isnan(sd), 1.0, sd)
+    return centered / safe
+
+
+def _batched_accumulate(
+    a: np.ndarray, b: np.ndarray, window: int | None
+) -> np.ndarray:
+    """(E, n) x (E, n) -> acc tensor (E, n+1, n+1); same recurrence as
+    :func:`_accumulate`, vectorized across entities."""
+    e, n = a.shape
+    acc = np.full((e, n + 1, n + 1), np.inf)
+    acc[:, 0, 0] = 0.0
+    for i in range(1, n + 1):
+        lo = max(1, i - window) if window is not None else 1
+        hi = min(n + 1, i + window + 1) if window is not None else n + 1
+        if lo >= hi:
+            continue
+        cost = np.abs(a[:, i - 1 : i] - b[:, lo - 1 : hi - 1])
+        best_prev = np.minimum(acc[:, i - 1, lo:hi], acc[:, i - 1, lo - 1 : hi - 1])
+        entered = cost + best_prev
+        c_sum = np.cumsum(cost, axis=1)
+        acc[:, i, lo:hi] = c_sum + np.minimum.accumulate(entered - c_sum, axis=1)
+    return acc
+
+
+def _batched_backtrack(acc: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Lockstep backtrack for all entities.
+
+    Returns (paths, lengths): paths is (E, 2n, 2) int32 in *backward* order
+    (first entry = (n-1, n-1)); lengths gives the valid prefix per entity.
+    Tie preference up > left > diag, matching dtw_align.
+    """
+    e, n1, _ = acc.shape
+    n = n1 - 1
+    max_steps = 2 * n
+    paths = np.zeros((e, max_steps, 2), dtype=np.int32)
+    lengths = np.zeros(e, dtype=np.int32)
+    i = np.full(e, n, dtype=np.int64)
+    j = np.full(e, n, dtype=np.int64)
+    idx = np.arange(e)
+    for _ in range(max_steps):
+        active = (i > 0) & (j > 0)
+        if not active.any():
+            break
+        ai, ii, jj = idx[active], i[active], j[active]
+        paths[ai, lengths[ai], 0] = ii - 1
+        paths[ai, lengths[ai], 1] = jj - 1
+        lengths[ai] += 1
+        up = acc[ai, ii - 1, jj]
+        left = acc[ai, ii, jj - 1]
+        diag = acc[ai, ii - 1, jj - 1]
+        up_w = (up <= left) & (up <= diag)
+        left_w = ~up_w & (left <= diag)
+        diag_w = ~up_w & ~left_w
+        di = np.where(up_w | diag_w, 1, 0)
+        dj = np.where(left_w | diag_w, 1, 0)
+        i[ai] -= di
+        j[ai] -= dj
+    return paths, lengths
+
+
+_PAIR_FIELDS = [
+    T.StructField("txn_idx", T.IntegerType(), False),
+    T.StructField("rev_idx", T.IntegerType(), False),
+    T.StructField("txn_month", T.StringType(), False),
+    T.StructField("rev_month", T.StringType(), False),
+    T.StructField("txn_amount", T.DoubleType(), False),
+    T.StructField("revenue", T.DoubleType(), False),
+    T.StructField("total_cost", T.DoubleType(), False),
+    T.StructField("num_mappings", T.IntegerType(), False),
+]
+
+_SUMMARY_FIELDS = [
+    T.StructField("total_cost", T.DoubleType(), False),
+    T.StructField("num_mappings", T.IntegerType(), False),
+]
+
+#: Cap on entities processed per vectorized bucket: bounds the acc tensor
+#: at chunk*(n+1)^2*8 bytes (~57 MB for 1024 entities of 84 months).
+_CHUNK = 1024
+
+
+def _bucket_results(
+    keys: np.ndarray,
+    months: list,
+    txn: list,
+    rev: list,
+    window: int | None,
+    normalize: bool,
+    emit_pairs: bool,
+):
+    """Run the vectorized DP for one same-length bucket; yield column dicts."""
+    a = np.stack(txn).astype(np.float64)
+    b = np.stack(rev).astype(np.float64)
+    if normalize:
+        a = _zscore_rows(a)
+        b = _zscore_rows(b)
+    acc = _batched_accumulate(a, b, window)
+    n = a.shape[1]
+    total = acc[:, n, n]
+    paths, lengths = _batched_backtrack(acc)
+
+    if not emit_pairs:
+        yield {
+            KEY: keys,
+            "total_cost": total,
+            "num_mappings": lengths.astype(np.int32),
+        }
+        return
+
+    month_mat = np.stack(months)
+    txn_mat = np.stack(txn).astype(np.float64)
+    rev_mat = np.stack(rev).astype(np.float64)
+    e = len(keys)
+    # reverse each backward path prefix into forward order, then flatten
+    fwd = [paths[k, : lengths[k]][::-1] for k in range(e)]
+    flat = np.concatenate(fwd) if fwd else np.zeros((0, 2), dtype=np.int32)
+    reps = lengths
+    row_entity = np.repeat(np.arange(e), reps)
+    ti, ri = flat[:, 0], flat[:, 1]
+    yield {
+        KEY: keys[row_entity],
+        "txn_idx": ti.astype(np.int32),
+        "rev_idx": ri.astype(np.int32),
+        "txn_month": month_mat[row_entity, ti],
+        "rev_month": month_mat[row_entity, ri],
+        "txn_amount": txn_mat[row_entity, ti],
+        "revenue": rev_mat[row_entity, ri],
+        "total_cost": total[row_entity],
+        "num_mappings": reps[row_entity].astype(np.int32),
+    }
+
+
+def _dtw_batched(
+    merged: DataFrame,
+    window_size: int | None,
+    normalize: bool,
+    emit_pairs: bool,
+) -> DataFrame:
+    key_type = merged.schema[KEY].dataType
+    fields = _PAIR_FIELDS if emit_pairs else _SUMMARY_FIELDS
+    schema = T.StructType([T.StructField(KEY, key_type, False), *fields])
+
+    def run(batches):
+        for pdf in batches:
+            buckets: dict[int, list[int]] = {}
+            for pos, arr in enumerate(pdf["txn"]):
+                buckets.setdefault(len(arr), []).append(pos)
+            for n, rows in buckets.items():
+                for at in range(0, len(rows), _CHUNK):
+                    chunk = rows[at : at + _CHUNK]
+                    keys = pdf[KEY].to_numpy()[chunk]
+                    months = [np.asarray(pdf["months"].iloc[r]) for r in chunk]
+                    txn = [np.asarray(pdf["txn"].iloc[r]) for r in chunk]
+                    rev = [np.asarray(pdf["rev"].iloc[r]) for r in chunk]
+                    for cols in _bucket_results(
+                        keys, months, txn, rev, window_size, normalize, emit_pairs
+                    ):
+                        yield pd.DataFrame(cols)
+
+    return _series_table(merged).mapInPandas(run, schema)
+
+
+def dtw_pairs(
+    merged: DataFrame,
+    window_size: int | None = None,
+    normalize: bool = True,
+) -> DataFrame:
+    """Flat alignment pairs, one row per path step (batched fast path).
+
+    Columns: cus_code, txn_idx, rev_idx, txn_month, rev_month, txn_amount,
+    revenue, total_cost, num_mappings. Equivalent to exploding
+    :func:`dtw_per_entity`'s path, at a fraction of the overhead.
+    """
+    return _dtw_batched(merged, window_size, normalize, emit_pairs=True)
+
+
+def dtw_summary(
+    merged: DataFrame,
+    window_size: int | None = None,
+    normalize: bool = True,
+) -> DataFrame:
+    """Per-entity (total_cost, num_mappings) without materializing paths."""
+    return _dtw_batched(merged, window_size, normalize, emit_pairs=False)

@@ -5,7 +5,9 @@ import pytest
 
 from mapping_timeseries_spark.operators.dtw import (
     dtw_align,
+    dtw_pairs,
     dtw_per_entity,
+    dtw_summary,
     flatten_dtw_paths,
     zscore,
 )
@@ -91,6 +93,45 @@ def test_single_point_series():
     cost, path = dtw_align(np.array([1.0]), np.array([2.0]))
     assert path == [(0, 0)]
     assert np.isfinite(cost)
+
+
+@pytest.mark.parametrize("window", [None, 3])
+def test_batched_path_matches_per_entity(spark, window):
+    # the mapInPandas batched DP must agree with the applyInPandas scalar
+    # path on cost and alignment pairs, across mixed series lengths
+    rng = np.random.default_rng(5)
+    rows = []
+    for c in range(20):
+        n = int(rng.integers(2, 30))
+        vals = rng.uniform(10, 1000, n)
+        revs = rng.uniform(10, 1000, n)
+        for i in range(n):
+            rows.append((f"C{c:03d}", f"20{i//12+10}-{i%12+1:02d}",
+                         float(vals[i]), float(revs[i])))
+    df = spark.createDataFrame(
+        rows, "cus_code string, month string, txn_amount double, revenue double"
+    )
+    slow = {
+        r["cus_code"]: r
+        for r in dtw_per_entity(df, window_size=window).collect()
+    }
+    fast_sum = {r["cus_code"]: r for r in dtw_summary(df, window_size=window).collect()}
+    assert set(slow) == set(fast_sum)
+    for cus, s in slow.items():
+        f = fast_sum[cus]
+        if np.isinf(s["total_cost"]):
+            assert np.isinf(f["total_cost"])
+        else:
+            assert f["total_cost"] == pytest.approx(s["total_cost"], rel=1e-9)
+        assert f["num_mappings"] == s["num_mappings"]
+
+    fast_pairs = dtw_pairs(df, window_size=window).toPandas()
+    for cus, s in slow.items():
+        got = fast_pairs[fast_pairs.cus_code == cus].sort_values(
+            ["txn_idx", "rev_idx"]
+        )
+        want = sorted((p["txn_idx"], p["rev_idx"]) for p in s["path"])
+        assert list(zip(got.txn_idx, got.rev_idx)) == want, cus
 
 
 def test_per_entity_spark(spark):
