@@ -22,15 +22,27 @@ from mapping_timeseries_spark.operators.correlation import (
     best_lag_correlation,
     lag_correlation_grid,
 )
+from mapping_timeseries_spark import MappingConfig, map_tables
 from mapping_timeseries_spark.operators.dtw import build_dtw_mappings, dtw_summary
 from mapping_timeseries_spark.operators.lag_join import build_correlation_mappings
 from mapping_timeseries_spark.operators.merge import merge_series
+from mapping_timeseries_spark.operators.quality import (
+    alignment_coverage,
+    duplicate_stats,
+    profile_columns,
+    qa_invariants,
+)
+from mapping_timeseries_spark.operators.recommend import (
+    compare_methods,
+    recommendation_table,
+)
 from mapping_timeseries_spark.session import ensure_runtime_conf
 from mapping_timeseries_spark.sources.fixtures import (
     SQL_MERGED,
     monthly_revenue,
     monthly_spend,
 )
+from mapping_timeseries_spark.sources.readers import read_table
 
 MAX_LAG = 6
 MIN_CORRELATION = 0.3
@@ -131,6 +143,115 @@ def q_dtw_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_qa_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QA suite (05_prod_dev QualityChecker) as one single-pass row over the
+    flagship mapping: coverage, duplicates, lag stats, ratio stats,
+    temporal violations."""
+    ensure_runtime_conf(spark)
+    t1 = monthly_spend(spark, sf_dir)
+    t2 = monthly_revenue(spark, sf_dir)
+    corr = best_lag_correlation(merge_series(t1, t2), MAX_LAG)
+    mapped = build_correlation_mappings(t1, t2, corr, MIN_CORRELATION)
+    qa = qa_invariants(mapped, t1)
+    return qa.select(
+        F.col("total_entities").cast("bigint").alias("total_entities"),
+        F.col("mapped_entities").cast("bigint").alias("mapped_entities"),
+        F.col("total_mappings").cast("bigint").alias("total_mappings"),
+        F.col("duplicates").cast("bigint").alias("duplicates"),
+        "min_lag",
+        "max_lag",
+        F.round("avg_lag", 6).alias("avg_lag"),
+        F.round("min_ratio", 6).alias("min_ratio"),
+        F.round("max_ratio", 6).alias("max_ratio"),
+        F.round("avg_ratio", 6).alias("avg_ratio"),
+        F.round("std_ratio", 6).alias("std_ratio"),
+        F.col("temporal_violations").cast("bigint").alias("temporal_violations"),
+    )
+
+
+def q_alignment_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 full-outer alignment diagnosis between the two series tables."""
+    ensure_runtime_conf(spark)
+    cov = alignment_coverage(monthly_spend(spark, sf_dir), monthly_revenue(spark, sf_dir))
+    return cov.select(
+        F.col("total_cells").cast("bigint").alias("total_cells"),
+        F.col("matched").cast("bigint").alias("matched"),
+        F.col("table1_only").cast("bigint").alias("table1_only"),
+        F.col("table2_only").cast("bigint").alias("table2_only"),
+    )
+
+
+def q_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 one-pass null/negative/min/max profile over lineitem measures."""
+    ensure_runtime_conf(spark)
+    li = read_table(spark, sf_dir, "lineitem")
+    prof = profile_columns(li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"])
+    return prof.select(
+        "column",
+        F.col("total_rows").cast("bigint").alias("total_rows"),
+        F.col("null_count").cast("bigint").alias("null_count"),
+        F.col("negative_count").cast("bigint").alias("negative_count"),
+        "min_value",
+        "max_value",
+    )
+
+
+def q_duplicate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 duplicate detection on the (entity, month) key of t1."""
+    ensure_runtime_conf(spark)
+    stats = duplicate_stats(monthly_spend(spark, sf_dir), ["cus_code", "month"])
+    return stats.select(
+        F.col("total_rows").cast("bigint").alias("total_rows"),
+        F.col("distinct_rows").cast("bigint").alias("distinct_rows"),
+        F.col("duplicates").cast("bigint").alias("duplicates"),
+    )
+
+
+def q_recommendation_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Routing model (04_comparision.py:243-287); rows-only (needs DTW)."""
+    ensure_runtime_conf(spark)
+    merged = merge_series(monthly_spend(spark, sf_dir), monthly_revenue(spark, sf_dir))
+    corr = best_lag_correlation(merged, MAX_LAG)
+    dtw = dtw_summary(merged)
+    rec = recommendation_table(compare_methods(corr, dtw))
+    return rec.select(
+        "cus_code",
+        F.round("correlation", 6).alias("correlation"),
+        F.col("optimal_lag").cast("int").alias("optimal_lag"),
+        F.round("total_cost", 6).alias("total_cost"),
+        "recommended_method",
+        "confidence",
+        "reason",
+    )
+
+
+def q_auto_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Auto mode: correlation >= 0.7 entities via lag join, rest via DTW,
+    unioned by name (rows-only: DTW side not SQL-expressible)."""
+    ensure_runtime_conf(spark)
+    out = map_tables(
+        monthly_spend(spark, sf_dir),
+        monthly_revenue(spark, sf_dir),
+        "cus_code",
+        "month",
+        "txn_amount",
+        "revenue",
+        MappingConfig(method="auto"),
+        stamp_processed_at=False,
+    )
+    return out.select(
+        "cus_code",
+        "time1",
+        F.round("value1", 6).alias("value1"),
+        "time2",
+        F.round("value2", 6).alias("value2"),
+        "lag_offset",
+        "method",
+        F.round("correlation", 6).alias("correlation"),
+        F.round("dtw_cost", 6).alias("dtw_cost"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle SQL
 # ---------------------------------------------------------------------------
@@ -209,27 +330,97 @@ SELECT cus_code, optimal_lag, round(correlation, 6) AS correlation,
 FROM best
 """
 
-ORACLE_MAPPING = f"""
+def _sql_mapping_ctes() -> str:
+    """Full WITH chain ending in a ``mapping`` CTE (the flagship output,
+    unrounded) — shared by the mapping oracle and the QA oracle."""
+    from mapping_timeseries_spark.sources.fixtures import SQL_T1, SQL_T2
+
+    return f"""
 {SQL_MERGED_CTE},
 {_sql_best(MAX_LAG)[1:]},
-t1 AS ({{sql_t1}}),
-t2 AS ({{sql_t2}}),
+t1 AS ({SQL_T1}),
+t2 AS ({SQL_T2}),
 valid AS (SELECT * FROM best WHERE correlation >= {MIN_CORRELATION}),
 shifted AS (
   SELECT t1.cus_code, t1.month, t1.txn_amount, v.optimal_lag, v.correlation,
          strftime(strptime(t1.month || '-01', '%Y-%m-%d')
                   + to_months(v.optimal_lag), '%Y-%m') AS month2
   FROM t1 JOIN valid v ON t1.cus_code = v.cus_code
+),
+mapping AS (
+  SELECT s.cus_code,
+         s.month AS time1,
+         s.txn_amount AS value1,
+         s.month2 AS time2,
+         t2.revenue AS value2,
+         CAST(s.optimal_lag AS INT) AS lag_offset,
+         'correlation' AS method,
+         s.correlation
+  FROM shifted s JOIN t2 ON s.cus_code = t2.cus_code AND s.month2 = t2.month
+)"""
+
+
+ORACLE_MAPPING = f"""
+{_sql_mapping_ctes()}
+SELECT cus_code, time1, round(value1, 6) AS value1,
+       time2, round(value2, 6) AS value2,
+       lag_offset, method, round(correlation, 6) AS correlation
+FROM mapping
+"""
+
+ORACLE_QA = f"""
+{_sql_mapping_ctes()}
+SELECT
+  (SELECT count(DISTINCT cus_code) FROM t1) AS total_entities,
+  count(DISTINCT m.cus_code) AS mapped_entities,
+  count(*) AS total_mappings,
+  count(*) - count(DISTINCT (m.cus_code, m.time1, m.time2)) AS duplicates,
+  min(m.lag_offset) AS min_lag,
+  max(m.lag_offset) AS max_lag,
+  round(avg(m.lag_offset), 6) AS avg_lag,
+  round(min(CASE WHEN m.value1 > 0 THEN m.value2 / m.value1 END), 6) AS min_ratio,
+  round(max(CASE WHEN m.value1 > 0 THEN m.value2 / m.value1 END), 6) AS max_ratio,
+  round(avg(CASE WHEN m.value1 > 0 THEN m.value2 / m.value1 END), 6) AS avg_ratio,
+  round(stddev(CASE WHEN m.value1 > 0 THEN m.value2 / m.value1 END), 6) AS std_ratio,
+  CAST(sum(CASE WHEN strptime(m.time2 || '-01', '%Y-%m-%d')
+                   < strptime(m.time1 || '-01', '%Y-%m-%d')
+           THEN 1 ELSE 0 END) AS BIGINT) AS temporal_violations
+FROM mapping m
+"""
+
+ORACLE_ALIGNMENT = f"""
+WITH t1 AS ({{sql_t1}}), t2 AS ({{sql_t2}}),
+aligned AS (
+  SELECT COALESCE(t1.cus_code, t2.cus_code) AS cus_code,
+         t1.month AS m1, t2.month AS m2
+  FROM t1 FULL OUTER JOIN t2
+    ON t1.cus_code = t2.cus_code AND t1.month = t2.month
 )
-SELECT s.cus_code,
-       s.month AS time1,
-       round(s.txn_amount, 6) AS value1,
-       s.month2 AS time2,
-       round(t2.revenue, 6) AS value2,
-       CAST(s.optimal_lag AS INT) AS lag_offset,
-       'correlation' AS method,
-       round(s.correlation, 6) AS correlation
-FROM shifted s JOIN t2 ON s.cus_code = t2.cus_code AND s.month2 = t2.month
+SELECT count(*) AS total_cells,
+       CAST(sum(CASE WHEN m1 IS NOT NULL AND m2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS matched,
+       CAST(sum(CASE WHEN m1 IS NOT NULL AND m2 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS table1_only,
+       CAST(sum(CASE WHEN m1 IS NULL AND m2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS table2_only
+FROM aligned
+"""
+
+_PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+ORACLE_PROFILE = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS column, count(*) AS total_rows,
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_count,
+       CAST(sum(CASE WHEN {c} < 0 THEN 1 ELSE 0 END) AS BIGINT) AS negative_count,
+       CAST(min({c}) AS DOUBLE) AS min_value,
+       CAST(max({c}) AS DOUBLE) AS max_value
+FROM lineitem"""
+    for c in _PROFILE_COLS
+)
+
+ORACLE_DUPSTATS = f"""
+WITH t1 AS ({{sql_t1}})
+SELECT count(*) AS total_rows,
+       (SELECT count(*) FROM (SELECT DISTINCT cus_code, month FROM t1)) AS distinct_rows,
+       count(*) - (SELECT count(*) FROM (SELECT DISTINCT cus_code, month FROM t1)) AS duplicates
+FROM t1
 """
 
 
@@ -251,6 +442,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corr_mapping": q_corr_mapping,
         "dtw_summary": q_dtw_summary,
         "dtw_mapping": q_dtw_mapping,
+        "qa_invariants": q_qa_invariants,
+        "alignment_coverage": q_alignment_coverage,
+        "profile_lineitem": q_profile_lineitem,
+        "duplicate_stats": q_duplicate_stats,
+        "recommendation_table": q_recommendation_table,
+        "auto_mapping": q_auto_mapping,
     }
 
 
@@ -261,5 +458,9 @@ def oracle_sql() -> dict[str, str]:
         "merged_series": ORACLE_MERGED,
         "corr_lag_grid": ORACLE_GRID,
         "corr_best_lag": ORACLE_BEST,
-        "corr_mapping": ORACLE_MAPPING.format(sql_t1=SQL_T1, sql_t2=SQL_T2),
+        "corr_mapping": ORACLE_MAPPING,
+        "qa_invariants": ORACLE_QA,
+        "alignment_coverage": ORACLE_ALIGNMENT.format(sql_t1=SQL_T1, sql_t2=SQL_T2),
+        "profile_lineitem": ORACLE_PROFILE,
+        "duplicate_stats": ORACLE_DUPSTATS.format(sql_t1=SQL_T1),
     }

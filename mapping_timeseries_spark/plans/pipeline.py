@@ -1,0 +1,158 @@
+"""Production pipeline shell (SURVEY §3.2, 05_prod_dev.py:769-982).
+
+validate -> route (saved recommendations, lag-1 fallback) -> map -> QA ->
+partitioned write -> run metadata. Differences from the reference, by
+design:
+
+- single-pass validation/QA (operators/quality.py) instead of an action
+  per metric;
+- segment routing computed once (operators/recommend.route_entities)
+  instead of three filtered frames each forced with .count();
+- stats collected via ``observe`` on the one write, not extra counts;
+- results unioned by NAME (reference uses positional union,
+  05_prod_dev.py:417-421 — a silent-corruption hazard the engine rejects).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, Observation
+from pyspark.sql import functions as F
+
+from ..config import MappingConfig
+from ..operators.canonicalize import KEY, VALUE1, VALUE2, canonicalize
+from ..operators.correlation import best_lag_correlation
+from ..operators.dtw import build_dtw_mappings
+from ..operators.lag_join import build_correlation_mappings
+from ..operators.merge import merge_series
+from ..operators.quality import qa_report
+from ..operators.recommend import route_entities
+from ..sources.writers import write_partitioned, write_run_metadata
+
+__all__ = ["PipelineResult", "run_pipeline"]
+
+
+@dataclass
+class PipelineResult:
+    mapped: DataFrame
+    qa: dict[str, Any]
+    stats: dict[str, Any] = field(default_factory=dict)
+
+
+def _mappings_for_route(
+    t1: DataFrame,
+    t2: DataFrame,
+    merged: DataFrame,
+    routed: DataFrame,
+    cfg: MappingConfig,
+) -> DataFrame:
+    """Build per-route mappings and union by name.
+
+    Correlation-routed and fallback entities carry their (model or default)
+    lag; DTW-routed entities run the aligner. The routed lag join reuses
+    build_correlation_mappings by shaping routed rows as a correlations
+    frame with a passing score.
+    """
+    corr_like = routed.where(F.col("route").isin("correlation", "default")).select(
+        KEY,
+        "optimal_lag",
+        # routed lags are applied unconditionally (the model already
+        # decided); inject a sentinel score above any threshold
+        F.lit(1.0).alias("correlation"),
+    )
+    corr_part = build_correlation_mappings(t1, t2, corr_like, min_correlation=0.0)
+    corr_part = corr_part.drop("correlation").join(
+        routed.select(KEY, F.col("route")), on=KEY, how="left"
+    ).select(
+        KEY,
+        "time1",
+        "value1",
+        "time2",
+        "value2",
+        "lag_offset",
+        F.when(F.col("route") == "default", "correlation_default")
+        .otherwise("correlation")
+        .alias("method"),
+    )
+
+    dtw_keys = routed.where(F.col("route") == "dtw").select(KEY)
+    dtw_part = build_dtw_mappings(
+        merged.join(dtw_keys, on=KEY, how="left_semi"),
+        cfg.window_size,
+        cfg.normalize,
+    ).select(KEY, "time1", "value1", "time2", "value2", "lag_offset", "method")
+
+    return corr_part.unionByName(dtw_part)
+
+
+def run_pipeline(
+    spark,
+    table1: DataFrame,
+    table2: DataFrame,
+    recommendations: DataFrame | None,
+    key_col: str,
+    time_col: str,
+    value1_col: str,
+    value2_col: str,
+    output_path: str | None = None,
+    config: MappingConfig | None = None,
+    run_id: str | None = None,
+) -> PipelineResult:
+    """End-to-end production run. With ``recommendations=None`` the model
+    is trained inline (best-lag correlation over the merged frame), which
+    is the research-flow bootstrap."""
+    cfg = config or MappingConfig()
+    run_id = run_id or uuid.uuid4().hex[:12]
+    t_start = time.time()
+
+    t1 = canonicalize(table1, key_col, time_col, value1_col, VALUE1, "table1")
+    t2 = canonicalize(table2, key_col, time_col, value2_col, VALUE2, "table2")
+    merged = merge_series(t1, t2)
+
+    if recommendations is None:
+        corr = best_lag_correlation(merged, cfg.max_lag)
+        mapped = build_correlation_mappings(t1, t2, corr, cfg.min_correlation).select(
+            KEY, "time1", "value1", "time2", "value2", "lag_offset", "method"
+        )
+    else:
+        routed = route_entities(t1.select(KEY).distinct(), recommendations)
+        mapped = _mappings_for_route(t1, t2, merged, routed, cfg)
+
+    mapped = mapped.withColumn("pipeline_run_id", F.lit(run_id)).withColumn(
+        "processed_at", F.current_timestamp()
+    )
+
+    obs = Observation("pipeline")
+    mapped = mapped.observe(
+        obs, F.count(F.lit(1)).alias("total_mappings")
+    )
+
+    if output_path:
+        write_partitioned(mapped, os.path.join(output_path, "mappings"), "time1")
+        total_mappings = obs.get["total_mappings"]
+    else:
+        total_mappings = mapped.count()
+
+    qa = qa_report(mapped, t1)
+    duration = time.time() - t_start
+    stats = {
+        "pipeline_run_id": run_id,
+        "total_mappings": total_mappings,
+        "duration_seconds": round(duration, 3),
+        "qa_passed": qa["passed"],
+        # SLA gates (05_prod_dev.py:703-745)
+        "sla_coverage_ok": qa["checks"]["coverage"]["coverage_pct"] >= 80,
+        "sla_duration_ok": duration <= 30 * 60,
+        "sla_nonempty_ok": total_mappings > 0,
+    }
+    if output_path:
+        write_run_metadata(
+            os.path.join(output_path, f"run_{run_id}.json"),
+            {"stats": stats, "qa": qa},
+        )
+    return PipelineResult(mapped=mapped, qa=qa, stats=stats)

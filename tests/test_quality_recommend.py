@@ -1,0 +1,153 @@
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapping_timeseries_spark import MappingConfig
+from mapping_timeseries_spark.operators.canonicalize import VALUE1, VALUE2, canonicalize
+from mapping_timeseries_spark.operators.correlation import best_lag_correlation
+from mapping_timeseries_spark.operators.dtw import dtw_summary
+from mapping_timeseries_spark.operators.merge import merge_series
+from mapping_timeseries_spark.operators.quality import (
+    alignment_coverage,
+    duplicate_stats,
+    profile_columns,
+    qa_report,
+)
+from mapping_timeseries_spark.operators.recommend import (
+    compare_methods,
+    recommendation_table,
+    route_entities,
+)
+from mapping_timeseries_spark.plans.pipeline import run_pipeline
+from mapping_timeseries_spark.sources.fixtures import synthetic_pair
+
+
+@pytest.fixture(scope="module")
+def pair(spark):
+    t1, t2 = synthetic_pair(spark, num_customers=15, num_months=18)
+    return t1.cache(), t2.cache()
+
+
+def test_profile_columns(spark):
+    df = spark.createDataFrame(
+        [(1.0, None), (-2.0, 3.0), (None, -4.0)], "a double, b double"
+    )
+    rows = {r["column"]: r for r in profile_columns(df, ["a", "b"]).collect()}
+    assert rows["a"]["total_rows"] == 3
+    assert rows["a"]["null_count"] == 1
+    assert rows["a"]["negative_count"] == 1
+    assert rows["b"]["null_count"] == 1
+    assert rows["b"]["min_value"] == -4.0
+
+
+def test_alignment_coverage(spark):
+    t1 = spark.createDataFrame(
+        [("A", "2024-01", 1.0), ("A", "2024-02", 1.0)],
+        "cus_code string, month string, txn_amount double",
+    )
+    t2 = spark.createDataFrame(
+        [("A", "2024-02", 2.0), ("A", "2024-03", 2.0)],
+        "cus_code string, month string, revenue double",
+    )
+    row = alignment_coverage(t1, t2).collect()[0]
+    assert (row["total_cells"], row["matched"]) == (3, 1)
+    assert (row["table1_only"], row["table2_only"]) == (1, 1)
+
+
+def test_duplicate_stats(spark):
+    df = spark.createDataFrame(
+        [("A", "2024-01"), ("A", "2024-01"), ("A", "2024-02")],
+        "cus_code string, month string",
+    )
+    row = duplicate_stats(df, ["cus_code", "month"]).collect()[0]
+    assert (row["total_rows"], row["distinct_rows"], row["duplicates"]) == (3, 2, 1)
+
+
+def test_recommendation_thresholds(spark):
+    comp = spark.createDataFrame(
+        [
+            ("HI", 0.9, 1, 3.0, 10, 0.3),   # high corr, low lag -> Correlation/High
+            ("EI", 0.6, 1, 8.0, 10, 0.8),   # -> Either / Medium
+            ("DT", 0.2, 5, 12.0, 10, 1.2),  # -> DTW / Medium
+            ("CX", 0.1, 5, 30.0, 10, 3.0),  # -> Complex / Low
+        ],
+        "cus_code string, correlation double, optimal_lag int, total_cost double,"
+        " num_mappings int, avg_distance double",
+    )
+    rec = {r["cus_code"]: r for r in recommendation_table(comp).collect()}
+    assert rec["HI"]["recommended_method"] == "Correlation"
+    assert rec["HI"]["confidence"] == "High"
+    assert rec["EI"]["recommended_method"].startswith("Either")
+    assert rec["DT"]["recommended_method"] == "DTW"
+    assert rec["CX"]["recommended_method"] == "Complex - Manual Review"
+    assert rec["CX"]["confidence"] == "Low"
+
+
+def test_route_entities_fallback(spark):
+    entities = spark.createDataFrame([("A",), ("B",), ("C",)], "cus_code string")
+    recs = spark.createDataFrame(
+        [("A", "Correlation", 2), ("B", "DTW", 0)],
+        "cus_code string, recommended_method string, optimal_lag int",
+    )
+    routed = {r["cus_code"]: r for r in route_entities(entities, recs).collect()}
+    assert routed["A"]["route"] == "correlation" and routed["A"]["optimal_lag"] == 2
+    assert routed["B"]["route"] == "dtw"
+    # unseen entity -> default route with lag 1 (05_prod_dev.py:409-411)
+    assert routed["C"]["route"] == "default" and routed["C"]["optimal_lag"] == 1
+
+
+def test_qa_report_gates(spark, pair):
+    t1, t2 = pair
+    t1c = canonicalize(t1, "cus_code", "month", "txn_amount", VALUE1)
+    t2c = canonicalize(t2, "cus_code", "month", "revenue", VALUE2)
+    merged = merge_series(t1c, t2c)
+    from mapping_timeseries_spark.operators.lag_join import (
+        build_correlation_mappings,
+    )
+
+    corr = best_lag_correlation(merged, 6)
+    mapped = build_correlation_mappings(t1c, t2c, corr, 0.3)
+    report = qa_report(mapped, t1c)
+    assert set(report["checks"]) == {
+        "coverage", "duplicates", "lag", "ratio", "temporal",
+    }
+    assert report["checks"]["duplicates"]["duplicates"] == 0
+    assert report["checks"]["temporal"]["violations"] == 0
+    assert report["checks"]["lag"]["max_lag"] <= 6
+
+
+def test_pipeline_end_to_end(spark, pair, tmp_path):
+    t1, t2 = pair
+    merged = merge_series(
+        canonicalize(t1, "cus_code", "month", "txn_amount", VALUE1),
+        canonicalize(t2, "cus_code", "month", "revenue", VALUE2),
+    )
+    recs = recommendation_table(
+        compare_methods(best_lag_correlation(merged, 6), dtw_summary(merged))
+    )
+    out = str(tmp_path / "run")
+    result = run_pipeline(
+        spark, t1, t2, recs,
+        "cus_code", "month", "txn_amount", "revenue",
+        output_path=out, config=MappingConfig(), run_id="testrun",
+    )
+    assert result.stats["total_mappings"] > 0
+    assert result.stats["sla_nonempty_ok"]
+    assert os.path.exists(os.path.join(out, "run_testrun.json"))
+    written = spark.read.parquet(os.path.join(out, "mappings"))
+    assert written.count() == result.stats["total_mappings"]
+    methods = {r["method"] for r in written.select("method").distinct().collect()}
+    assert methods <= {"correlation", "correlation_default", "dtw"}
+
+
+def test_pipeline_without_model_trains_inline(spark, pair):
+    t1, t2 = pair
+    result = run_pipeline(
+        spark, t1, t2, None,
+        "cus_code", "month", "txn_amount", "revenue",
+    )
+    assert result.stats["total_mappings"] > 0
+    assert result.qa["checks"]["coverage"]["mapped_customers"] > 0
