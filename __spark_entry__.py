@@ -36,13 +36,24 @@ from mapping_timeseries_spark.operators.recommend import (
     compare_methods,
     recommendation_table,
 )
+from mapping_timeseries_spark.operators.relational import (
+    anti_join,
+    conditional_agg,
+    distinct_counts,
+    group_quantiles,
+    month_arithmetic,
+    segment_case,
+    series_window_features,
+    top_k,
+    union_by_name,
+)
 from mapping_timeseries_spark.session import ensure_runtime_conf
 from mapping_timeseries_spark.sources.fixtures import (
     SQL_MERGED,
     monthly_revenue,
     monthly_spend,
 )
-from mapping_timeseries_spark.sources.readers import read_table
+from mapping_timeseries_spark.sources.readers import read_incremental, read_table
 
 MAX_LAG = 6
 MIN_CORRELATION = 0.3
@@ -252,6 +263,158 @@ def q_auto_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9 CASE segmentation + A2 grouped aggregation over customers."""
+    ensure_runtime_conf(spark)
+    seg = segment_case(read_table(spark, sf_dir, "customer"))
+    return seg.select(
+        "tier",
+        "c_mktsegment",
+        F.col("n_customers").cast("bigint").alias("n_customers"),
+        F.round("avg_acctbal", 6).alias("avg_acctbal"),
+    )
+
+
+def q_topk_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1 top-k: 20 most active customers by order count (deterministic
+    tie-break on key; TakeOrderedAndProject, no global sort)."""
+    ensure_runtime_conf(spark)
+    orders = read_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("o_totalprice").alias("total_spend"),
+    )
+    top = top_k(
+        per_cust, None, [F.col("n_orders").desc(), F.col("o_custkey").asc()], 20
+    )
+    return top.select(
+        "o_custkey",
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+        F.round("total_spend", 6).alias("total_spend"),
+    )
+
+
+def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 conditional aggregation buckets per order priority."""
+    ensure_runtime_conf(spark)
+    agg = conditional_agg(read_table(spark, sf_dir, "orders"))
+    return agg.select(
+        "o_orderpriority",
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+        F.col("n_finished").cast("bigint").alias("n_finished"),
+        F.col("n_open").cast("bigint").alias("n_open"),
+        F.col("n_large").cast("bigint").alias("n_large"),
+    )
+
+
+def q_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 exact distinct counts per order month."""
+    ensure_runtime_conf(spark)
+    dc = distinct_counts(read_table(spark, sf_dir, "orders"))
+    return dc.select(
+        "order_month",
+        F.col("n_customers").cast("bigint").alias("n_customers"),
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+    )
+
+
+def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 exact percentiles (linear interpolation) per return flag."""
+    ensure_runtime_conf(spark)
+    qs = group_quantiles(read_table(spark, sf_dir, "lineitem"))
+    return qs.select(
+        "l_returnflag",
+        F.round("p25", 6).alias("p25"),
+        F.round("p50", 6).alias("p50"),
+        F.round("p75", 6).alias("p75"),
+        F.col("n").cast("bigint").alias("n"),
+    )
+
+
+def q_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2 union-by-name of differently-shaped aggregates (missing cols null)."""
+    ensure_runtime_conf(spark)
+    u = union_by_name(
+        read_table(spark, sf_dir, "orders"), read_table(spark, sf_dir, "lineitem")
+    )
+    return u.select(
+        "group_key",
+        F.col("n").cast("bigint").alias("n"),
+        F.round("avg_total", 6).alias("avg_total"),
+        F.round("avg_price", 6).alias("avg_price"),
+    )
+
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers with no orders."""
+    ensure_runtime_conf(spark)
+    a = anti_join(
+        read_table(spark, sf_dir, "customer"), read_table(spark, sf_dir, "orders")
+    )
+    return a.select("c_custkey", "c_mktsegment", F.round("c_acctbal", 6).alias("c_acctbal"))
+
+
+def q_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 lag/lead/row_number windows over the entity series."""
+    ensure_runtime_conf(spark)
+    feats = series_window_features(monthly_spend(spark, sf_dir))
+    return feats.select(
+        "cus_code",
+        "month",
+        F.round("txn_amount", 6).alias("txn_amount"),
+        F.round("prev_amount", 6).alias("prev_amount"),
+        F.round("next_amount", 6).alias("next_amount"),
+        F.col("month_pos").cast("int").alias("month_pos"),
+        F.col("amount_rank").cast("int").alias("amount_rank"),
+    )
+
+
+def q_month_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 to_date/add_months/date_format round trip on distinct months."""
+    ensure_runtime_conf(spark)
+    return month_arithmetic(read_table(spark, sf_dir, "orders"))
+
+
+SQL_SURFACE_QUERY = """
+SELECT l_returnflag,
+       COUNT(*) AS n_items,
+       COUNT(DISTINCT l_orderkey) AS n_orders,
+       ROUND(AVG(l_extendedprice / NULLIF(l_quantity, 0)), 6) AS avg_unit_price
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def q_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9/S8: the SQL surface — temp view + spark.sql aggregate with
+    NULLIF, COUNT DISTINCT (05_prod_dev.py:1034-1045 pattern)."""
+    ensure_runtime_conf(spark)
+    read_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(SQL_SURFACE_QUERY)
+
+
+def q_incremental_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 date-range incremental scan (predicate pushed to parquet),
+    aggregated per ship month."""
+    ensure_runtime_conf(spark)
+    import os as _os
+
+    inc = read_incremental(
+        spark,
+        _os.path.join(sf_dir, "lineitem.parquet"),
+        "l_shipdate",
+        "1996-01-01",
+        "1996-12-31",
+    )
+    return (
+        inc.groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 6).alias("sum_price"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle SQL
 # ---------------------------------------------------------------------------
@@ -424,6 +587,107 @@ FROM t1
 """
 
 
+ORACLE_SEGMENTATION = """
+SELECT CASE WHEN c_acctbal >= 7500 THEN 'platinum'
+            WHEN c_acctbal >= 5000 THEN 'gold'
+            WHEN c_acctbal >= 0 THEN 'standard'
+            ELSE 'delinquent' END AS tier,
+       c_mktsegment,
+       count(*) AS n_customers,
+       round(avg(c_acctbal), 6) AS avg_acctbal
+FROM customer
+GROUP BY 1, 2
+"""
+
+ORACLE_TOPK = """
+SELECT o_custkey, count(*) AS n_orders,
+       round(sum(o_totalprice), 6) AS total_spend
+FROM orders
+GROUP BY o_custkey
+ORDER BY n_orders DESC, o_custkey ASC
+LIMIT 20
+"""
+
+ORACLE_CONDITIONAL = """
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+       CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+       CAST(sum(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS BIGINT) AS n_large
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+ORACLE_DISTINCT = """
+SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+       count(DISTINCT o_custkey) AS n_customers,
+       count(DISTINCT o_orderkey) AS n_orders
+FROM orders
+GROUP BY 1
+"""
+
+ORACLE_QUANTILES = """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+       round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+       round(quantile_cont(l_extendedprice, 0.75), 6) AS p75,
+       count(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+ORACLE_UNION = """
+SELECT o_orderpriority AS group_key, count(*) AS n,
+       round(avg(o_totalprice), 6) AS avg_total,
+       CAST(NULL AS DOUBLE) AS avg_price
+FROM orders GROUP BY 1
+UNION ALL
+SELECT l_returnflag AS group_key, count(*) AS n,
+       CAST(NULL AS DOUBLE) AS avg_total,
+       round(avg(l_extendedprice), 6) AS avg_price
+FROM lineitem GROUP BY 1
+"""
+
+ORACLE_ANTI = """
+SELECT c_custkey, c_mktsegment, round(c_acctbal, 6) AS c_acctbal
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+ORACLE_WINDOW = """
+WITH t1 AS ({sql_t1})
+SELECT cus_code, month,
+       round(txn_amount, 6) AS txn_amount,
+       round(lag(txn_amount, 1) OVER w_time, 6) AS prev_amount,
+       round(lead(txn_amount, 1) OVER w_time, 6) AS next_amount,
+       CAST(row_number() OVER w_time AS INT) AS month_pos,
+       CAST(row_number() OVER (PARTITION BY cus_code
+                               ORDER BY txn_amount DESC, month ASC) AS INT)
+         AS amount_rank
+FROM t1
+WINDOW w_time AS (PARTITION BY cus_code ORDER BY month)
+"""
+
+ORACLE_MONTH_ARITH = """
+WITH months AS (SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS month FROM orders)
+SELECT month,
+       strftime(strptime(month || '-01', '%Y-%m-%d') + to_months(3), '%Y-%m') AS plus3,
+       strftime(strptime(month || '-01', '%Y-%m-%d') - to_months(1), '%Y-%m') AS minus1,
+       CAST(year(strptime(month || '-01', '%Y-%m-%d')) AS INT) AS yr,
+       CAST(month(strptime(month || '-01', '%Y-%m-%d')) AS INT) AS mo
+FROM months
+"""
+
+ORACLE_INCREMENTAL = """
+SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+       count(*) AS n_items,
+       round(sum(l_extendedprice), 6) AS sum_price
+FROM lineitem
+WHERE l_shipdate BETWEEN '1996-01-01' AND '1996-12-31'
+GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -448,6 +712,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_stats": q_duplicate_stats,
         "recommendation_table": q_recommendation_table,
         "auto_mapping": q_auto_mapping,
+        "segmentation": q_segmentation,
+        "topk_customers": q_topk_customers,
+        "conditional_agg": q_conditional_agg,
+        "distinct_counts": q_distinct_counts,
+        "quantiles": q_quantiles,
+        "union_by_name": q_union_by_name,
+        "anti_join_customers": q_anti_join,
+        "window_funcs": q_window_funcs,
+        "month_arithmetic": q_month_arithmetic,
+        "sql_surface": q_sql_surface,
+        "incremental_scan": q_incremental_scan,
     }
 
 
@@ -463,4 +738,15 @@ def oracle_sql() -> dict[str, str]:
         "alignment_coverage": ORACLE_ALIGNMENT.format(sql_t1=SQL_T1, sql_t2=SQL_T2),
         "profile_lineitem": ORACLE_PROFILE,
         "duplicate_stats": ORACLE_DUPSTATS.format(sql_t1=SQL_T1),
+        "segmentation": ORACLE_SEGMENTATION,
+        "topk_customers": ORACLE_TOPK,
+        "conditional_agg": ORACLE_CONDITIONAL,
+        "distinct_counts": ORACLE_DISTINCT,
+        "quantiles": ORACLE_QUANTILES,
+        "union_by_name": ORACLE_UNION,
+        "anti_join_customers": ORACLE_ANTI,
+        "window_funcs": ORACLE_WINDOW.format(sql_t1=SQL_T1),
+        "month_arithmetic": ORACLE_MONTH_ARITH,
+        "sql_surface": SQL_SURFACE_QUERY,
+        "incremental_scan": ORACLE_INCREMENTAL,
     }

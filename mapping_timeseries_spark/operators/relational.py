@@ -1,0 +1,163 @@
+"""Relational-layer operators (SURVEY §2.2-2.8) as composable functions.
+
+Each function is a thin, Catalyst-friendly DataFrame composition — the
+point is coverage of the reference's relational surface (CASE
+segmentation, top-k, conditional aggregation, distinct counts, quantiles,
+unions by name, semi/anti joins, window functions, date arithmetic) with
+DuckDB-checkable semantics. Reference sites cited per function.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "segment_case",
+    "top_k",
+    "conditional_agg",
+    "distinct_counts",
+    "group_quantiles",
+    "union_by_name",
+    "anti_join",
+    "semi_join",
+    "series_window_features",
+    "month_arithmetic",
+]
+
+
+def segment_case(customers: DataFrame) -> DataFrame:
+    """P9 CASE-WHEN segmentation + A2 grouped agg
+    (04_comparision.py:250-287 pattern, applied to customer balances)."""
+    tier = (
+        F.when(F.col("c_acctbal") >= 7500, "platinum")
+        .when(F.col("c_acctbal") >= 5000, "gold")
+        .when(F.col("c_acctbal") >= 0, "standard")
+        .otherwise("delinquent")
+    )
+    return (
+        customers.withColumn("tier", tier)
+        .groupBy("tier", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.avg("c_acctbal").alias("avg_acctbal"),
+        )
+    )
+
+
+def top_k(df: DataFrame, measure, order_cols: list, k: int = 20) -> DataFrame:
+    """O1/O3 global top-k: orderBy + limit — Catalyst plans
+    TakeOrderedAndProject (no full sort at scale)."""
+    return df.orderBy(*order_cols).limit(k)
+
+
+def conditional_agg(orders: DataFrame) -> DataFrame:
+    """A3 conditional aggregation buckets (01_setup.oy:255-258 pattern)."""
+    return orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum((F.col("o_orderstatus") == "F").cast("bigint")).alias("n_finished"),
+        F.sum((F.col("o_orderstatus") == "O").cast("bigint")).alias("n_open"),
+        F.sum(
+            F.when(F.col("o_totalprice") > 200000, 1).otherwise(0)
+        ).alias("n_large"),
+    )
+
+
+def distinct_counts(orders: DataFrame) -> DataFrame:
+    """A4 exact distinct counts per group (05_prod_dev.py:113-114).
+
+    At 100 TB prefer ``approx_count_distinct`` (HLL, no per-group hash set);
+    exact is kept here because the oracle compares exact values.
+    """
+    return orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("order_month")
+    ).agg(
+        F.count_distinct("o_custkey").alias("n_customers"),
+        F.count_distinct("o_orderkey").alias("n_orders"),
+    )
+
+
+def group_quantiles(lineitem: DataFrame) -> DataFrame:
+    """A6/A7 quantiles per group. Exact ``percentile`` (linear
+    interpolation, matches DuckDB quantile_cont); swap to
+    ``percentile_approx`` at scale (documented trade: driver-side exact
+    percentile needs a per-group sort)."""
+    return lineitem.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", 0.25).alias("p25"),
+        F.percentile("l_extendedprice", 0.5).alias("p50"),
+        F.percentile("l_extendedprice", 0.75).alias("p75"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def union_by_name(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """U2 union-by-name with missing columns (mapping_engine.py:743-746):
+    two differently-shaped aggregates align by name, absent columns null.
+    The engine standardizes on unionByName — the reference's positional
+    union (05_prod_dev.py:417-421) silently corrupts on column reorder."""
+    a = orders.groupBy(F.col("o_orderpriority").alias("group_key")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("o_totalprice").alias("avg_total"),
+    )
+    b = lineitem.groupBy(F.col("l_returnflag").alias("group_key")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("l_extendedprice").alias("avg_price"),
+    )
+    return a.unionByName(b, allowMissingColumns=True)
+
+
+def semi_join(customers: DataFrame, orders: DataFrame) -> DataFrame:
+    """J6 left-semi: customers having orders (mapping_engine.py:711-715
+    expressed as a proper semi-join instead of inner-on-deduped-keys)."""
+    return customers.join(
+        orders.select(F.col("o_custkey").alias("c_custkey")),
+        on="c_custkey",
+        how="left_semi",
+    )
+
+
+def anti_join(customers: DataFrame, orders: DataFrame) -> DataFrame:
+    """Left-anti: customers with no orders — the explicit form of the
+    reference's recommended_method IS NULL branch (05_prod_dev.py:377-379).
+    """
+    return customers.join(
+        orders.select(F.col("o_custkey").alias("c_custkey")),
+        on="c_custkey",
+        how="left_anti",
+    )
+
+
+def series_window_features(t1: DataFrame) -> DataFrame:
+    """W1: the window functions the reference imports but never calls
+    (mapping_engine.py:23-26), made real over the entity series — previous/
+    next month values, position, and within-entity value rank."""
+    w_time = Window.partitionBy("cus_code").orderBy("month")
+    w_rank = Window.partitionBy("cus_code").orderBy(
+        F.col("txn_amount").desc(), F.col("month").asc()
+    )
+    return t1.select(
+        "cus_code",
+        "month",
+        "txn_amount",
+        F.lag("txn_amount", 1).over(w_time).alias("prev_amount"),
+        F.lead("txn_amount", 1).over(w_time).alias("next_amount"),
+        F.row_number().over(w_time).alias("month_pos"),
+        F.row_number().over(w_rank).alias("amount_rank"),
+    )
+
+
+def month_arithmetic(orders: DataFrame) -> DataFrame:
+    """F1 date-function round trip on distinct order months: the exact
+    to_date / add_months / date_format chain the lag join hinges on
+    (mapping_engine.py:626-627)."""
+    months = orders.select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    ).distinct()
+    d = F.to_date("month")
+    return months.select(
+        "month",
+        F.date_format(F.add_months(d, 3), "yyyy-MM").alias("plus3"),
+        F.date_format(F.add_months(d, -1), "yyyy-MM").alias("minus1"),
+        F.year(d).cast("int").alias("yr"),
+        F.month(d).cast("int").alias("mo"),
+    )
