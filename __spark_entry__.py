@@ -36,6 +36,14 @@ from mapping_timeseries_spark.operators.recommend import (
     compare_methods,
     recommendation_table,
 )
+from mapping_timeseries_spark.operators.sessionize import (
+    dedup_events,
+    parse_props,
+    session_agg_native,
+    sessionize_batch,
+    sliding_agg,
+    tumbling_agg,
+)
 from mapping_timeseries_spark.operators.relational import (
     anti_join,
     conditional_agg,
@@ -415,6 +423,74 @@ def q_incremental_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time window agg per event type."""
+    ensure_runtime_conf(spark)
+    t = tumbling_agg(read_table(spark, sf_dir, "events"))
+    return t.select(
+        "window_start",
+        "event_type",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.round("sum_value", 6).alias("sum_value"),
+    )
+
+
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1-hour/30-minute window aggregation."""
+    ensure_runtime_conf(spark)
+    s = sliding_agg(read_table(spark, sf_dir, "events"))
+    return s.select(
+        "window_start",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.round("sum_value", 6).alias("sum_value"),
+    )
+
+
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window (10-minute gap) per user."""
+    ensure_runtime_conf(spark)
+    s = session_agg_native(read_table(spark, sf_dir, "events"))
+    return s.select(
+        "user_id",
+        "session_start",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.round("sum_value", 6).alias("sum_value"),
+    )
+
+
+def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based batch sessionization (lag + cumulative sum)."""
+    ensure_runtime_conf(spark)
+    s = sessionize_batch(read_table(spark, sf_dir, "events"))
+    return s.select(
+        "user_id",
+        F.col("session_id").cast("bigint").alias("session_id"),
+        "session_start",
+        "session_end",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.round("sum_value", 6).alias("sum_value"),
+    )
+
+
+def q_event_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic first-event dedup per (user, event_type)."""
+    ensure_runtime_conf(spark)
+    d = dedup_events(read_table(spark, sf_dir, "events"))
+    return d.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        F.round("value", 6).alias("value"),
+    )
+
+
+def q_parse_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON payload extraction (get_json_object) from the props column."""
+    ensure_runtime_conf(spark)
+    return parse_props(read_table(spark, sf_dir, "events"))
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle SQL
 # ---------------------------------------------------------------------------
@@ -688,6 +764,76 @@ GROUP BY 1
 """
 
 
+ORACLE_TUMBLING = """
+SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, count(*) AS n_events, round(sum(value), 6) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+ORACLE_SLIDING = """
+WITH assigned AS (
+  SELECT time_bucket(INTERVAL '30 minutes', ts) AS ws, value FROM events
+  UNION ALL
+  SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes', value
+  FROM events
+)
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+       count(*) AS n_events, round(sum(value), 6) AS sum_value
+FROM assigned GROUP BY 1
+"""
+
+_SQL_SESSIONS = """
+seq AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w >= INTERVAL '10 minutes'
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts, value,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM seq
+)
+"""
+
+ORACLE_SESSION_WINDOW = f"""
+WITH {_SQL_SESSIONS}
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       count(*) AS n_events, round(sum(value), 6) AS sum_value
+FROM sess GROUP BY user_id, sid
+"""
+
+ORACLE_SESSIONIZE = f"""
+WITH {_SQL_SESSIONS}
+SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+       count(*) AS n_events, round(sum(value), 6) AS sum_value
+FROM sess GROUP BY user_id, sid
+"""
+
+ORACLE_EVENT_DEDUP = """
+SELECT event_id, user_id, event_type,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+       round(value, 6) AS value
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts, event_id) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+ORACLE_PARSE_PROPS = """
+SELECT event_id, user_id, event_type,
+       CAST(json_extract_string(props, '$.k') AS INT) AS prop_k
+FROM events
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -723,6 +869,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "month_arithmetic": q_month_arithmetic,
         "sql_surface": q_sql_surface,
         "incremental_scan": q_incremental_scan,
+        "tumbling_window": q_tumbling_window,
+        "sliding_window": q_sliding_window,
+        "session_window": q_session_window,
+        "sessionize_batch": q_sessionize_batch,
+        "event_dedup": q_event_dedup,
+        "parse_props": q_parse_props,
     }
 
 
@@ -749,4 +901,10 @@ def oracle_sql() -> dict[str, str]:
         "month_arithmetic": ORACLE_MONTH_ARITH,
         "sql_surface": SQL_SURFACE_QUERY,
         "incremental_scan": ORACLE_INCREMENTAL,
+        "tumbling_window": ORACLE_TUMBLING,
+        "sliding_window": ORACLE_SLIDING,
+        "session_window": ORACLE_SESSION_WINDOW,
+        "sessionize_batch": ORACLE_SESSIONIZE,
+        "event_dedup": ORACLE_EVENT_DEDUP,
+        "parse_props": ORACLE_PARSE_PROPS,
     }

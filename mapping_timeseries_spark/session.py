@@ -26,6 +26,11 @@ RUNTIME_CONF: dict[str, str] = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.ansi.enabled": "false",
+    # pandas-written parquet carries TIMESTAMP(NANOS), which the Spark
+    # reader rejects outright; read as long and convert in the reader
+    # (readers.read_table) — microsecond truncation matches DuckDB's
+    # handling of the same files.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
 

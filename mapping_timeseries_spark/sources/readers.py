@@ -27,9 +27,26 @@ TPCH_TABLES = (
 )
 
 
+#: Columns stored as TIMESTAMP(NANOS) in pandas-written parquet; read as
+#: long (legacy conf in session.RUNTIME_CONF) and converted here. Floor
+#: division to microseconds matches DuckDB's truncation of the same files.
+_NANO_TS_COLS = {"events": ["ts"]}
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one fixture table (S2)."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    from ..session import ensure_runtime_conf
+
+    ensure_runtime_conf(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for col in _NANO_TS_COLS.get(name, []):
+        if dict(df.dtypes).get(col) == "bigint":
+            # integer DIV: float division would lose microsecond precision
+            # (nanosecond epochs exceed double's 53-bit mantissa)
+            df = df.withColumn(
+                col, F.timestamp_micros(F.expr(f"`{col}` DIV 1000"))
+            )
+    return df
 
 
 def read_incremental(

@@ -1,0 +1,95 @@
+"""Structured Streaming surface (SURVEY §2.10 north-star).
+
+Streaming twins of the batch event operators: the transformations are the
+SAME builder functions from operators/sessionize.py applied to a streaming
+DataFrame — batch/stream parity by construction — plus the streaming-only
+pieces: watermarks (late-data drop), watermarked dedup, and append-mode
+session windows.
+
+Local test harness: read the events parquet with ``readStream`` (schema
+from the batch read), process with ``trigger(availableNow=True)`` into a
+memory sink — exercised in tests/test_streaming.py.
+
+Scale notes
+-----------
+All operators are incremental with bounded state: windowed aggs keep one
+buffer per open (window, key) and the watermark evicts closed windows;
+dedup state is bounded by the watermark horizon. At 100 TB/day the state
+store partitions by the grouping key across executors (RocksDB state store
+recommended in session conf for large key spaces).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.sessionize import session_agg_native, sliding_agg, tumbling_agg
+
+__all__ = [
+    "read_events_stream",
+    "stream_tumbling_agg",
+    "stream_sliding_agg",
+    "stream_session_agg",
+    "stream_dedup",
+    "run_to_memory",
+]
+
+DEFAULT_WATERMARK = "2 hours"
+
+
+def read_events_stream(
+    spark: SparkSession, path: str, schema=None
+) -> DataFrame:
+    """File-source stream over an events parquet directory/file."""
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def stream_tumbling_agg(
+    events: DataFrame, duration: str = "1 hour", watermark: str = DEFAULT_WATERMARK
+) -> DataFrame:
+    """Watermarked tumbling aggregation: late events beyond the watermark
+    are dropped; closed windows emit finalized rows in append mode."""
+    return tumbling_agg(events.withWatermark("ts", watermark), duration)
+
+
+def stream_sliding_agg(
+    events: DataFrame,
+    duration: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    return sliding_agg(events.withWatermark("ts", watermark), duration, slide)
+
+
+def stream_session_agg(
+    events: DataFrame, gap: str = "10 minutes", watermark: str = DEFAULT_WATERMARK
+) -> DataFrame:
+    """Streaming session windows: sessions close after ``gap`` inactivity
+    once the watermark passes."""
+    return session_agg_native(events.withWatermark("ts", watermark), gap)
+
+
+def stream_dedup(events: DataFrame, watermark: str = DEFAULT_WATERMARK) -> DataFrame:
+    """Streaming dedup on (user_id, event_type, ts) within the watermark
+    horizon (state evicted past it)."""
+    return events.withWatermark("ts", watermark).dropDuplicates(
+        ["user_id", "event_type", "ts"]
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str, output_mode: str) -> DataFrame:
+    """Drain a stream into a memory sink with availableNow trigger; returns
+    the materialized result table. Test/debug helper — production sinks are
+    files/Kafka via the same writeStream."""
+    query = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return stream_df.sparkSession.table(name)

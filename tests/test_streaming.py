@@ -1,0 +1,79 @@
+from __future__ import annotations
+
+import pytest
+
+from mapping_timeseries_spark.operators.sessionize import (
+    session_agg_native,
+    tumbling_agg,
+)
+from mapping_timeseries_spark.sources.readers import read_table
+from mapping_timeseries_spark.streaming.windows import (
+    read_events_stream,
+    run_to_memory,
+    stream_dedup,
+    stream_session_agg,
+    stream_tumbling_agg,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_batch(spark):
+    return read_table(spark, SF_DIR, "events").cache()
+
+
+@pytest.fixture(scope="module")
+def stream_dir(tmp_path_factory):
+    # file-source streams read directories; stage the fixture into one
+    import shutil
+
+    d = tmp_path_factory.mktemp("events_stream")
+    shutil.copy(f"{SF_DIR}/events.parquet", d / "part-0.parquet")
+    return str(d)
+
+
+def _stream_events(spark, stream_dir):
+    # stream the raw parquet, then apply the same nano->micro conversion the
+    # batch reader does (schema comes from the raw file: ts is bigint nanos)
+    from pyspark.sql import functions as F
+
+    raw = read_events_stream(spark, stream_dir)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def _as_sorted_rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_stream_tumbling_matches_batch(spark, events_batch, stream_dir):
+    stream = _stream_events(spark, stream_dir)
+    out = run_to_memory(
+        stream_tumbling_agg(stream), "t_tumble", output_mode="append"
+    )
+    batch = tumbling_agg(events_batch)
+    cols = ["window_start", "event_type", "n_events"]
+    # append mode emits only watermark-closed windows; with availableNow over
+    # a finite file the final watermark closes all but the last windows
+    got = _as_sorted_rows(out, cols)
+    want = _as_sorted_rows(batch, cols)
+    assert got
+    assert set(got) <= set(want)
+    assert len(got) >= len(want) - 150  # open tail windows per type
+
+
+def test_stream_session_matches_batch(spark, events_batch, stream_dir):
+    stream = _stream_events(spark, stream_dir)
+    out = run_to_memory(
+        stream_session_agg(stream), "t_sess", output_mode="complete"
+    )
+    batch = session_agg_native(events_batch)
+    cols = ["user_id", "session_start", "n_events"]
+    assert _as_sorted_rows(out, cols) == _as_sorted_rows(batch, cols)
+
+
+def test_stream_dedup_bounded(spark, events_batch, stream_dir):
+    stream = _stream_events(spark, stream_dir)
+    out = run_to_memory(stream_dedup(stream), "t_dedup", output_mode="append")
+    # fixture events are unique per (user, type, ts) -> dedup is identity
+    assert out.count() == events_batch.count()
