@@ -36,6 +36,29 @@ from mapping_timeseries_spark.operators.recommend import (
     compare_methods,
     recommendation_table,
 )
+from mapping_timeseries_spark.operators.dedup import (
+    content_hash_dedup,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_dups,
+)
+from mapping_timeseries_spark.operators.multimodal import (
+    attach_binary_payload,
+    extract_features,
+)
+from mapping_timeseries_spark.operators.similarity import (
+    ann_bucketed_topk,
+    cosine_topk,
+    embedding_near_dups,
+)
+from mapping_timeseries_spark.operators.textstats import (
+    doc_fingerprints,
+    lang_distribution,
+    lang_marker_scores,
+    quality_score,
+    text_stats,
+)
 from mapping_timeseries_spark.operators.sessionize import (
     dedup_events,
     parse_props,
@@ -491,6 +514,180 @@ def q_parse_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parse_props(read_table(spark, sf_dir, "events"))
 
 
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact text dedup: deterministic keeper + copy count per distinct text."""
+    ensure_runtime_conf(spark)
+    d = exact_dedup(read_table(spark, sf_dir, "documents"))
+    return d.select(
+        "keeper_doc_id", F.col("n_copies").cast("bigint").alias("n_copies")
+    )
+
+
+def q_content_hash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on sha2(text): shuffle digests, not documents."""
+    ensure_runtime_conf(spark)
+    d = content_hash_dedup(read_table(spark, sf_dir, "documents"))
+    return d.select(
+        "content_sha",
+        "keeper_doc_id",
+        F.col("n_copies").cast("bigint").alias("n_copies"),
+    )
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-bigram Jaccard near-dup pairs (J >= 0.5) via inverted-
+    index self-join."""
+    ensure_runtime_conf(spark)
+    p = ngram_jaccard_pairs(read_table(spark, sf_dir, "documents"), threshold=0.5)
+    return p.select(
+        "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidates, Jaccard-verified (rows-only: xxhash64 has no
+    DuckDB twin; recall vs the exact operator is asserted in pytest)."""
+    ensure_runtime_conf(spark)
+    p = minhash_lsh_pairs(read_table(spark, sf_dir, "documents"), threshold=0.5)
+    return p.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (rows-only: xxhash64-based fingerprints)."""
+    ensure_runtime_conf(spark)
+    p = simhash_near_dups(read_table(spark, sf_dir, "documents"))
+    return p.select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token statistics."""
+    ensure_runtime_conf(spark)
+    s = text_stats(read_table(spark, sf_dir, "documents"))
+    return s.select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("n_unique_tokens").cast("bigint").alias("n_unique_tokens"),
+        F.round("avg_token_len", 6).alias("avg_token_len"),
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+    )
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score per document."""
+    ensure_runtime_conf(spark)
+    s = quality_score(read_table(spark, sf_dir, "documents"))
+    return s.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("n_unique_tokens").cast("bigint").alias("n_unique_tokens"),
+        F.round("quality_score", 6).alias("quality_score"),
+    )
+
+
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language scores + argmax prediction."""
+    ensure_runtime_conf(spark)
+    s = lang_marker_scores(read_table(spark, sf_dir, "documents"))
+    return s.select(
+        "doc_id",
+        "actual_lang",
+        F.col("score_en").cast("bigint").alias("score_en"),
+        F.col("score_de").cast("bigint").alias("score_de"),
+        F.col("score_fr").cast("bigint").alias("score_fr"),
+        F.col("score_es").cast("bigint").alias("score_es"),
+        "predicted_lang",
+    )
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash content fingerprints."""
+    ensure_runtime_conf(spark)
+    fp = doc_fingerprints(read_table(spark, sf_dir, "documents"))
+    return fp.select(
+        "doc_id",
+        F.col("fingerprint").cast("bigint").alias("fingerprint"),
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+    )
+
+
+def q_lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus language distribution."""
+    ensure_runtime_conf(spark)
+    d = lang_distribution(read_table(spark, sf_dir, "documents"))
+    return d.select(
+        "lang",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.round("share", 6).alias("share"),
+    )
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-5 for the first 20 vectors as queries."""
+    ensure_runtime_conf(spark)
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 20)
+    t = cosine_topk(emb, queries_df, k=5)
+    return t.select(
+        "query_id",
+        "vec_id",
+        F.col("label").cast("int").alias("label"),
+        "similarity",
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed approximate top-5 (same queries as cosine_topk)."""
+    ensure_runtime_conf(spark)
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 20)
+    t = ann_bucketed_topk(emb, queries_df, k=5, bits=6)
+    return t.select(
+        "query_id",
+        "vec_id",
+        F.col("label").cast("int").alias("label"),
+        "similarity",
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (>= 0.95), sign-LSH bucketed."""
+    ensure_runtime_conf(spark)
+    # synthetic vectors peak near cosine 0.5; 0.4 exercises the operator
+    nd = embedding_near_dups(read_table(spark, sf_dir, "embeddings"), 0.4, bits=4)
+    return nd.select("vec_a", "vec_b", "similarity")
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload + typed metadata plumbing (flattened for the oracle)."""
+    ensure_runtime_conf(spark)
+    m = attach_binary_payload(read_table(spark, sf_dir, "documents"))
+    return m.select(
+        "doc_id",
+        F.col("meta.mime").alias("mime"),
+        F.col("meta.n_bytes").cast("bigint").alias("n_bytes"),
+        F.col("meta.lang").alias("lang"),
+    )
+
+
+def q_multimodal_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads (rows-only:
+    mapInPandas stub decoder)."""
+    ensure_runtime_conf(spark)
+    m = attach_binary_payload(read_table(spark, sf_dir, "documents"))
+    feats = extract_features(m)
+    return feats.select(
+        "doc_id",
+        F.col("n_bytes").cast("bigint").alias("n_bytes"),
+        F.col("head_sum").cast("bigint").alias("head_sum"),
+        F.round("byte_mean", 6).alias("byte_mean"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle SQL
 # ---------------------------------------------------------------------------
@@ -834,6 +1031,193 @@ FROM events
 """
 
 
+ORACLE_EXACT_DEDUP = """
+SELECT min(doc_id) AS keeper_doc_id, count(*) AS n_copies
+FROM documents GROUP BY text
+"""
+
+ORACLE_HASH_DEDUP = """
+SELECT sha256(text) AS content_sha, min(doc_id) AS keeper_doc_id,
+       count(*) AS n_copies
+FROM documents GROUP BY sha256(text)
+"""
+
+_SQL_SHINGLES = r"""
+shingled AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(t)),
+             i -> list_extract(t, i) || ' ' || list_extract(t, i + 1)))
+           AS shingles
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        FROM documents)
+),
+inv AS (
+  SELECT doc_id, len(shingles) AS n_shingles, unnest(shingles) AS shingle
+  FROM shingled
+)
+"""
+
+ORACLE_NGRAM_JACCARD = f"""
+WITH {_SQL_SHINGLES}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(count(*) * 1.0
+             / (any_value(a.n_shingles) + any_value(b.n_shingles) - count(*)),
+             6) AS jaccard
+FROM inv a JOIN inv b
+  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING count(*) * 1.0
+       / (any_value(a.n_shingles) + any_value(b.n_shingles) - count(*)) >= 0.5
+"""
+
+_SQL_TOKENS = r"string_split_regex(trim(text), '\s+')"
+
+_STOPWORD_LIST = "('the','a','of','and','to','in','is','it','for','on')"
+
+ORACLE_TEXT_STATS = f"""
+SELECT doc_id, lang,
+       length(text) AS n_chars,
+       len(t) AS n_tokens,
+       len(list_distinct(t)) AS n_unique_tokens,
+       round(list_sum(list_transform(t, x -> length(x))) * 1.0 / len(t), 6)
+         AS avg_token_len,
+       round(len(list_filter(t, x -> lower(x) IN {_STOPWORD_LIST})) * 1.0
+             / len(t), 6) AS stopword_ratio,
+       round(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) * 1.0
+             / greatest(length(text), 1), 6) AS punct_ratio
+FROM (SELECT doc_id, lang, text, {_SQL_TOKENS} AS t FROM documents)
+"""
+
+ORACLE_QUALITY = f"""
+SELECT doc_id,
+       len(t) AS n_tokens,
+       len(list_distinct(t)) AS n_unique_tokens,
+       round(least(
+         (CASE WHEN len(t) BETWEEN 10 AND 1000 THEN 0.4 ELSE 0.0 END)
+         + least(len(list_distinct(t)) * 1.0 / greatest(len(t), 1), 0.5) * 0.6
+         + (CASE WHEN len(list_filter(t, x -> lower(x) IN {_STOPWORD_LIST})) > 0
+                 THEN 0.1 ELSE 0.0 END),
+         1.0), 6) AS quality_score
+FROM (SELECT doc_id, text, {_SQL_TOKENS} AS t FROM documents)
+"""
+
+_LANG_MARKER_SQL = {
+    "en": "('the','a','of','and','is')",
+    "de": "('der','die','das','und','ist')",
+    "fr": "('le','la','les','et','est')",
+    "es": "('el','la','los','y','es')",
+}
+
+ORACLE_LANGID = f"""
+WITH scored AS (
+  SELECT doc_id, lang AS actual_lang,
+         len(list_filter(t, x -> lower(x) IN {_LANG_MARKER_SQL['en']})) AS score_en,
+         len(list_filter(t, x -> lower(x) IN {_LANG_MARKER_SQL['de']})) AS score_de,
+         len(list_filter(t, x -> lower(x) IN {_LANG_MARKER_SQL['fr']})) AS score_fr,
+         len(list_filter(t, x -> lower(x) IN {_LANG_MARKER_SQL['es']})) AS score_es
+  FROM (SELECT doc_id, lang, {_SQL_TOKENS} AS t FROM documents)
+)
+SELECT doc_id, actual_lang, score_en, score_de, score_fr, score_es,
+       CASE
+         WHEN greatest(score_en, score_de, score_fr, score_es) < 1 THEN 'unknown'
+         WHEN score_en >= greatest(score_de, score_fr, score_es) THEN 'en'
+         WHEN score_de >= greatest(score_fr, score_es) THEN 'de'
+         WHEN score_fr >= score_es THEN 'fr'
+         ELSE 'es'
+       END AS predicted_lang
+FROM scored
+"""
+
+ORACLE_FINGERPRINT = """
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+         (acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint,
+       length(text) AS n_chars
+FROM documents
+"""
+
+ORACLE_LANG_DIST = """
+SELECT lang, count(*) AS n_docs,
+       round(count(*) * 1.0 / (SELECT count(*) FROM documents), 6) AS share
+FROM documents GROUP BY lang
+"""
+
+_SQL_COSINE = """
+list_dot_product(a.v, b.v)
+/ (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+"""
+
+ORACLE_COSINE_TOPK = f"""
+WITH vecs AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS vec_id, b.label,
+         round({_SQL_COSINE}, 6) AS similarity
+  FROM vecs a JOIN vecs b ON a.vec_id < 20 AND a.vec_id != b.vec_id
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY similarity DESC, vec_id ASC) AS INT) AS rank
+  FROM pairs
+)
+SELECT query_id, vec_id, label, similarity, rank FROM ranked WHERE rank <= 5
+"""
+
+
+def _sql_sign_bucket(expr: str, bits: int) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN list_extract({expr}, {i + 1}) >= 0 THEN {2**i} ELSE 0 END)"
+        for i in range(bits)
+    )
+    return f"({terms})"
+
+
+ORACLE_ANN_TOPK = f"""
+WITH vecs AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v,
+         {_sql_sign_bucket('embedding::DOUBLE[]', 6)} AS bucket
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS vec_id, b.label,
+         round({_SQL_COSINE}, 6) AS similarity
+  FROM vecs a JOIN vecs b
+    ON a.bucket = b.bucket AND a.vec_id < 20 AND a.vec_id != b.vec_id
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY similarity DESC, vec_id ASC) AS INT) AS rank
+  FROM pairs
+)
+SELECT query_id, vec_id, label, similarity, rank FROM ranked WHERE rank <= 5
+"""
+
+ORACLE_EMB_NEARDUP = f"""
+WITH vecs AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+           x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
+                                          embedding::DOUBLE[]))) AS v,
+         {_sql_sign_bucket('embedding::DOUBLE[]', 4)} AS bucket
+  FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_dot_product(a.v, b.v), 6) AS similarity
+FROM vecs a JOIN vecs b
+  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v), 6) >= 0.4
+"""
+
+ORACLE_MULTIMODAL_META = """
+SELECT doc_id, 'text/plain' AS mime,
+       octet_length(encode(text)) AS n_bytes, lang
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -875,6 +1259,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_batch": q_sessionize_batch,
         "event_dedup": q_event_dedup,
         "parse_props": q_parse_props,
+        "exact_dedup": q_exact_dedup,
+        "content_hash_dedup": q_content_hash_dedup,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_dedup": q_minhash_dedup,
+        "simhash_dedup": q_simhash_dedup,
+        "text_stats": q_text_stats,
+        "quality_score": q_quality_score,
+        "langid": q_langid,
+        "doc_fingerprint": q_doc_fingerprint,
+        "lang_distribution": q_lang_distribution,
+        "cosine_topk": q_cosine_topk,
+        "ann_topk": q_ann_topk,
+        "embedding_near_dups": q_embedding_near_dups,
+        "multimodal_meta": q_multimodal_meta,
+        "multimodal_extract": q_multimodal_extract,
     }
 
 
@@ -907,4 +1306,16 @@ def oracle_sql() -> dict[str, str]:
         "sessionize_batch": ORACLE_SESSIONIZE,
         "event_dedup": ORACLE_EVENT_DEDUP,
         "parse_props": ORACLE_PARSE_PROPS,
+        "exact_dedup": ORACLE_EXACT_DEDUP,
+        "content_hash_dedup": ORACLE_HASH_DEDUP,
+        "ngram_jaccard": ORACLE_NGRAM_JACCARD,
+        "text_stats": ORACLE_TEXT_STATS,
+        "quality_score": ORACLE_QUALITY,
+        "langid": ORACLE_LANGID,
+        "doc_fingerprint": ORACLE_FINGERPRINT,
+        "lang_distribution": ORACLE_LANG_DIST,
+        "cosine_topk": ORACLE_COSINE_TOPK,
+        "ann_topk": ORACLE_ANN_TOPK,
+        "embedding_near_dups": ORACLE_EMB_NEARDUP,
+        "multimodal_meta": ORACLE_MULTIMODAL_META,
     }

@@ -1,0 +1,134 @@
+"""Text expression helpers for the LLM-data-pipeline operators
+(SURVEY §2.11): tokenization, shingling, hashing, quality heuristics.
+
+Everything here is a JVM-side Column expression (no Python UDFs) — token
+counting, shingles, rolling hashes and ratio features all stay inside
+whole-stage codegen, which is what makes the document operators viable at
+100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Small function-word list for stopword-ratio features.
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
+
+#: Modulus for the polynomial rolling hash (fits acc*31+c in int64).
+FP_MOD = 1_000_000_007
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization of trimmed text."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def word_shingles(text: Column | str, n: int = 2) -> Column:
+    """Adjacent word n-gram shingles (distinct), as strings."""
+    t = tokens(text)
+    idx = F.sequence(F.lit(0), F.size(t) - n)
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(t, i + j + 1) for j in range(n)])
+    )
+    return F.array_distinct(grams)
+
+
+def char_shingles(text: Column | str, n: int = 3) -> Column:
+    """Character n-gram shingles (distinct)."""
+    s = F.trim(text)
+    idx = F.sequence(F.lit(1), F.greatest(F.length(s) - n + 1, F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: F.substring(s, i, n)))
+
+
+def avg_token_length(text: Column | str) -> Column:
+    t = tokens(text)
+    total = F.aggregate(
+        F.transform(t, F.length), F.lit(0), lambda acc, x: acc + x
+    )
+    return total.cast("double") / F.size(t)
+
+
+def stopword_ratio(text: Column | str) -> Column:
+    t = tokens(text)
+    hits = F.size(
+        F.filter(t, lambda x: F.lower(x).isin(*STOPWORDS))
+    )
+    return hits.cast("double") / F.size(t)
+
+
+def punct_ratio(text: Column | str) -> Column:
+    """Fraction of non-alphanumeric, non-space characters."""
+    s = F.col(text) if isinstance(text, str) else text
+    stripped = F.regexp_replace(s, r"[A-Za-z0-9\s]", "")
+    return F.length(stripped).cast("double") / F.greatest(
+        F.length(s), F.lit(1)
+    )
+
+
+def rolling_fingerprint(text: Column | str) -> Column:
+    """Polynomial rolling hash over characters: acc = (acc*31 + code) % M.
+
+    A deterministic document fingerprint expressible in both Spark and
+    ANSI-ish SQL (the DuckDB oracle mirrors it with list_reduce), unlike
+    xxhash64/sha2 whose cross-engine outputs differ or are string-typed.
+    """
+    chars = F.filter(
+        F.split(F.col(text) if isinstance(text, str) else text, ""),
+        lambda x: x != "",
+    )
+    codes = F.transform(chars, F.ascii)
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("bigint"),
+        lambda acc, c: (acc * 31 + c) % FP_MOD,
+    )
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
+    """MinHash signature: per seed i, min over shingles of
+    xxhash64(shingle, i). JVM-side, no UDF; 64-bit hash space.
+
+    Returns array<bigint> of length ``num_hashes``.
+    """
+    return F.array(
+        *[
+            F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, F.lit(i))))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def simhash64(tokens_col: Column) -> Column:
+    """64-bit SimHash over token hashes: bit b of the output is 1 when the
+    majority of token hashes have bit b set. Pure expression: per-bit
+    popcount via aggregate over the token array."""
+    hashes = F.transform(tokens_col, lambda x: F.xxhash64(x))
+    n = F.size(hashes)
+    bits = []
+    for b in range(64):
+        ones = F.size(
+            F.filter(hashes, lambda h: F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1)
+        )
+        bits.append(
+            F.when(ones * 2 >= n, F.lit(1).cast("bigint")).otherwise(
+                F.lit(0).cast("bigint")
+            )
+            * F.lit(2 ** b if b < 63 else -(2 ** 63)).cast("bigint")
+        )
+    # bit 63 contributes the sign bit: adding -(2^63) sets it in two's
+    # complement arithmetic without overflow
+    out = bits[0]
+    for piece in bits[1:]:
+        out = out + piece
+    return out
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit fingerprints (popcount of XOR)."""
+    x = a.bitwiseXOR(b)
+    return F.bit_count(x)

@@ -1,0 +1,124 @@
+"""Text analysis operators (SURVEY §2.11): token statistics, quality
+scoring, language scoring, document fingerprinting.
+
+All pure JVM-side expressions over the ``documents`` table — no Python in
+the hot path; each has a DuckDB oracle twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    STOPWORDS,
+    avg_token_length,
+    punct_ratio,
+    rolling_fingerprint,
+    stopword_ratio,
+    token_count,
+    tokens,
+)
+
+__all__ = [
+    "text_stats",
+    "quality_score",
+    "lang_marker_scores",
+    "doc_fingerprints",
+    "lang_distribution",
+]
+
+#: Function-word markers per language for the n-gram/marker heuristic.
+#: Real language ID would use char-trigram profiles; the marker-count
+#: formulation is deterministic and SQL-expressible (oracle parity).
+LANG_MARKERS = {
+    "en": ("the", "a", "of", "and", "is"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "les", "et", "est"),
+    "es": ("el", "la", "los", "y", "es"),
+}
+
+
+def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document token statistics: counts, distinct tokens, average
+    token length, stopword and punctuation ratios."""
+    t = F.col(text_col)
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.length(t).alias("n_chars"),
+        token_count(t).alias("n_tokens"),
+        F.size(F.array_distinct(tokens(t))).alias("n_unique_tokens"),
+        avg_token_length(t).alias("avg_token_len"),
+        stopword_ratio(t).alias("stopword_ratio"),
+        punct_ratio(t).alias("punct_ratio"),
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic document quality score in [0, 1]: length band, lexical
+    diversity, and stopword presence — the CASE-based scoring shape used
+    for pretraining-data filtering."""
+    stats = text_stats(docs, text_col)
+    length_ok = F.when(
+        F.col("n_tokens").between(10, 1000), F.lit(0.4)
+    ).otherwise(F.lit(0.0))
+    diversity = (
+        F.least(
+            F.col("n_unique_tokens") / F.greatest(F.col("n_tokens"), F.lit(1)),
+            F.lit(0.5),
+        )
+        * 0.6
+    )
+    stop_bonus = F.when(F.col("stopword_ratio") > 0, F.lit(0.1)).otherwise(
+        F.lit(0.0)
+    )
+    return stats.select(
+        "doc_id",
+        "n_tokens",
+        "n_unique_tokens",
+        F.least(length_ok + diversity + stop_bonus, F.lit(1.0)).alias(
+            "quality_score"
+        ),
+    )
+
+
+def lang_marker_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-word language scores + argmax prediction with deterministic
+    tie order (marker-count heuristic; see LANG_MARKERS)."""
+    t = tokens(F.col(text_col))
+    scores = {
+        lang: F.size(F.filter(t, lambda x: F.lower(x).isin(*markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+    score_cols = [scores[lang].alias(f"score_{lang}") for lang in LANG_MARKERS]
+    scored = docs.select("doc_id", F.col("lang").alias("actual_lang"), *score_cols)
+    # argmax with fixed tie order en > de > fr > es; all-zero -> 'unknown'
+    langs = list(LANG_MARKERS)
+    best = F.lit("unknown")
+    best_score = F.lit(0)
+    for lang in reversed(langs):
+        s = F.col(f"score_{lang}")
+        best = F.when(s >= F.greatest(best_score, F.lit(1)), F.lit(lang)).otherwise(best)
+        best_score = F.greatest(best_score, s)
+    return scored.withColumn("predicted_lang", best)
+
+
+def doc_fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic rolling-hash fingerprint per document (dedup-grade
+    content identity that both engines can compute)."""
+    return docs.select(
+        "doc_id",
+        rolling_fingerprint(text_col).alias("fingerprint"),
+        F.length(text_col).alias("n_chars"),
+    )
+
+
+def lang_distribution(docs: DataFrame) -> DataFrame:
+    """Corpus language distribution with share of total."""
+    total = docs.count()
+    return (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn("share", F.col("n_docs") / F.lit(total))
+    )

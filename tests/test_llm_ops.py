@@ -1,0 +1,153 @@
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from mapping_timeseries_spark.operators.dedup import (
+    content_hash_dedup,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_dups,
+)
+from mapping_timeseries_spark.operators.multimodal import (
+    attach_binary_payload,
+    decode_stub,
+    extract_features,
+)
+from mapping_timeseries_spark.operators.similarity import (
+    ann_bucketed_topk,
+    cosine_topk,
+    embedding_near_dups,
+)
+from mapping_timeseries_spark.operators.textstats import quality_score, text_stats
+
+WORDS = [
+    "data", "table", "row", "batch", "query", "spark", "join", "merge",
+    "scan", "filter", "sort", "hash", "agg", "window", "stream", "value",
+]
+
+
+@pytest.fixture(scope="module")
+def noisy_docs(spark):
+    """Corpus with planted near-duplicates: each base doc gets a mutated
+    twin (a few words substituted) and an unrelated doc."""
+    rng = np.random.default_rng(17)
+    rows = []
+    doc_id = 0
+    for base in range(30):
+        words = list(rng.choice(WORDS, 40))
+        rows.append((doc_id, " ".join(words), "en")); doc_id += 1
+        twin = list(words)
+        for _ in range(3):  # ~7% token mutation -> Jaccard stays high
+            twin[int(rng.integers(0, 40))] = str(rng.choice(WORDS))
+        rows.append((doc_id, " ".join(twin), "en")); doc_id += 1
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_exact_dedup_with_real_duplicates(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "x y z")], "doc_id long, text string"
+    )
+    rows = {r["keeper_doc_id"]: r["n_copies"] for r in exact_dedup(docs).collect()}
+    assert rows == {1: 2, 3: 1}
+    hashed = {r["keeper_doc_id"]: r["n_copies"] for r in content_hash_dedup(docs).collect()}
+    assert hashed == {1: 2, 3: 1}
+
+
+def test_minhash_recall_vs_exact(spark, noisy_docs):
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_jaccard_pairs(noisy_docs, threshold=0.5).collect()
+    }
+    approx = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(noisy_docs, threshold=0.5).collect()
+    }
+    assert exact, "planted twins must register as near-dups"
+    # LSH candidates are Jaccard-verified -> no false positives
+    assert approx <= exact
+    # S-curve with r=4,b=8 at J>=0.5: expect high recall on planted twins
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.8, (recall, len(exact))
+
+
+def test_simhash_finds_planted_twins(spark, noisy_docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in simhash_near_dups(noisy_docs, max_hamming=16, prefix_bits=4).collect()
+    }
+    twins = {(i, i + 1) for i in range(0, 60, 2)}
+    # most mutated twins should land within hamming 16 and share the prefix
+    assert len(pairs & twins) >= len(twins) * 0.5, len(pairs & twins)
+
+
+def test_ann_recall_vs_exact(spark):
+    # clustered corpus: true nearest neighbors are same-cluster (cosine
+    # ~0.99), whose sign buckets agree with high probability — the regime
+    # sign-LSH is designed for (random-gaussian neighbors at cosine ~0.5
+    # would only sign-agree ~(1 - acos(.5)/pi)^bits ≈ 0.19)
+    rng = np.random.default_rng(23)
+    centers = rng.standard_normal((20, 16)) * 3
+    vecs = []
+    for i in range(200):
+        c = centers[i % 20]
+        vecs.append((int(i), [float(x) for x in c + rng.standard_normal(16) * 0.1],
+                     int(i % 20)))
+    emb = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<double>, label int"
+    )
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = cosine_topk(emb, queries, k=3)
+    approx = ann_bucketed_topk(emb, queries, k=3, bits=4)
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    assert e and a
+    recall = len(a & e) / len(e)
+    assert recall >= 0.9, recall
+
+
+def test_embedding_near_dups_finds_planted(spark):
+    rng = np.random.default_rng(29)
+    base = rng.standard_normal(16)
+    near = base + rng.standard_normal(16) * 0.01
+    far = rng.standard_normal(16)
+    emb = spark.createDataFrame(
+        [
+            (0, [float(x) for x in base], 0),
+            (1, [float(x) for x in near], 0),
+            (2, [float(x) for x in far], 1),
+        ],
+        "vec_id long, embedding array<double>, label int",
+    )
+    pairs = embedding_near_dups(emb, threshold=0.95, bits=4).collect()
+    assert [(p["vec_a"], p["vec_b"]) for p in pairs] == [(0, 1)]
+
+
+def test_text_stats_values(spark):
+    docs = spark.createDataFrame(
+        [(1, "the cat sat", "en")], "doc_id long, text string, lang string"
+    )
+    r = text_stats(docs).collect()[0]
+    assert r["n_tokens"] == 3
+    assert r["n_unique_tokens"] == 3
+    assert r["avg_token_len"] == pytest.approx((3 + 3 + 3) / 3)
+    assert r["stopword_ratio"] == pytest.approx(1 / 3)
+    q = quality_score(docs).collect()[0]
+    assert 0.0 <= q["quality_score"] <= 1.0
+
+
+def test_multimodal_stub_pipeline(spark):
+    docs = spark.createDataFrame(
+        [(1, "hello", "en"), (2, "worlds", "en")],
+        "doc_id long, text string, lang string",
+    )
+    media = attach_binary_payload(docs)
+    assert dict(media.dtypes)["payload"] == "binary"
+    feats = {r["doc_id"]: r for r in extract_features(media).collect()}
+    assert feats[1]["n_bytes"] == 5
+    assert feats[2]["n_bytes"] == 6
+    assert feats[1]["head_sum"] == sum(b"hello")
+    with pytest.raises(NotImplementedError):
+        decode_stub(None)
