@@ -22,6 +22,15 @@ HEADLINE = [
     "corr_mapping",
     "dtw_summary",
     "dtw_mapping",
+    "auto_mapping",
+    "qa_invariants",
+    "sessionize_batch",
+    "tumbling_window",
+    "exact_dedup",
+    "minhash_dedup",
+    "text_stats",
+    "cosine_topk",
+    "embedding_near_dups",
 ]
 
 
@@ -42,6 +51,10 @@ def main() -> None:
         sf = float(os.path.basename(os.path.normpath(sf_dir)).replace("sf", ""))
     except ValueError:
         sf = -1.0
+
+    # warmup: absorb JVM/codegen startup so per-query numbers are stable
+    spark.range(1000).selectExpr("sum(id)").collect()
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
     qs = entry_mod.queries()
     times: dict[str, float] = {}

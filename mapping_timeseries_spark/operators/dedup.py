@@ -24,7 +24,6 @@ from pyspark.sql import functions as F
 from ..functions.text import (
     hamming64,
     minhash_signature,
-    simhash64,
     tokens,
     word_shingles,
 )
@@ -34,6 +33,7 @@ __all__ = [
     "content_hash_dedup",
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",
+    "simhash_fingerprints",
     "simhash_near_dups",
 ]
 
@@ -57,10 +57,49 @@ def content_hash_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _ensure_parallel(df: DataFrame) -> DataFrame:
+    """Spread a low-partition scan across cores before expression-heavy
+    per-row work (shingling, 32-seed hashing). A small local parquet file
+    arrives as ONE partition, serializing everything downstream; on a real
+    cluster the scan is already wide and this is a no-op."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _shingled(docs: DataFrame, text_col: str, n: int) -> DataFrame:
-    return docs.select(
+    return _ensure_parallel(docs).select(
         "doc_id", word_shingles(F.col(text_col), n).alias("shingles")
     ).withColumn("n_shingles", F.size("shingles"))
+
+
+def _verify_jaccard(
+    candidates: DataFrame, sh: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact Jaccard for candidate (doc_a, doc_b) pairs via
+    array_intersect against the persisted shingle sets."""
+    sets_a = sh.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shingles").alias("__sh_a"),
+        F.col("n_shingles").alias("__na"),
+    )
+    sets_b = sh.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shingles").alias("__sh_b"),
+        F.col("n_shingles").alias("__nb"),
+    )
+    return (
+        candidates.join(sets_a, "doc_a")
+        .join(sets_b, "doc_b")
+        .withColumn("__common", F.size(F.array_intersect("__sh_a", "__sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("__common") / (F.col("__na") + F.col("__nb") - F.col("__common")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
 
 
 def ngram_jaccard_pairs(
@@ -69,38 +108,44 @@ def ngram_jaccard_pairs(
     n: int = 2,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """Exact word-n-gram Jaccard similarity for all pairs sharing at least
-    one shingle; emits pairs with J >= threshold (doc_a < doc_b).
+    """Exact word-n-gram Jaccard pairs with J >= threshold (doc_a < doc_b).
 
-    Inverted-index self-join: explode shingles, join on shingle, count
-    common shingles per pair, then J = common / (|A| + |B| - common).
-    Exact but pair-quadratic in dense corpora — the LSH variant below is
-    the 100 TB path; this is its verifier and the DuckDB oracle twin.
+    Prefix-filtered similarity self-join (AllPairs/PPJoin family): order
+    each document's shingles by ascending global document frequency and
+    index only the first floor((1-t)*|A|)+1 of them — two sets with
+    J >= t MUST share a prefix shingle under a consistent global order, so
+    joining prefixes loses no pairs while the join runs over the RAREST
+    shingles (frequent shingles, which drive the quadratic fan-out of a
+    naive inverted-index join, never enter the index). Candidates are then
+    verified with exact array_intersect Jaccard.
+
+    Result is algorithm-independent (exactly all pairs with J >= t), so
+    the DuckDB oracle can stay the naive formulation.
     """
-    sh = _shingled(docs, text_col, n)
+    from pyspark.sql import Window
+
+    sh = _shingled(docs, text_col, n).persist()
     inv = sh.select("doc_id", "n_shingles", F.explode("shingles").alias("shingle"))
-    a = inv.alias("a")
-    b = inv.alias("b")
-    pairs = (
-        a.join(
-            b,
+    freq = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    w = Window.partitionBy("doc_id").orderBy(F.col("__df").asc(), F.col("shingle").asc())
+    prefix_len = F.floor((1 - threshold) * F.col("n_shingles")) + 1
+    prefix = (
+        inv.join(freq, "shingle")
+        .withColumn("__pos", F.row_number().over(w))
+        .where(F.col("__pos") <= prefix_len)
+        .select("doc_id", "shingle")
+    ).persist()
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.n_shingles").alias("na"),
-            F.col("b.n_shingles").alias("nb"),
-        )
-        .agg(F.count(F.lit(1)).alias("common"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
     )
-    jaccard = F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
-    return (
-        pairs.withColumn("jaccard", jaccard)
-        .where(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
-    )
+    return _verify_jaccard(cand, sh, threshold)
 
 
 def minhash_lsh_pairs(
@@ -127,7 +172,7 @@ def minhash_lsh_pairs(
     recall measured against the exact operator in pytest.
     """
     rows_per_band = num_hashes // bands
-    sh = _shingled(docs, text_col, n)
+    sh = _shingled(docs, text_col, n).persist()
     signed = sh.withColumn("sig", minhash_signature(F.col("shingles"), num_hashes))
     banded = signed.select(
         "doc_id",
@@ -147,7 +192,9 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket")
+    ).select("doc_id", "bb.band", "bb.bucket").persist()
+    # persisted: the self-join would otherwise recompute the full
+    # signature pipeline once per side
     cand = (
         banded.alias("x")
         .join(
@@ -161,30 +208,33 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    # verify candidates with exact Jaccard (shingle sets re-joined by id)
-    sets_a = sh.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("shingles").alias("sh_a"),
-        F.col("n_shingles").alias("na"),
-    )
-    sets_b = sh.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("shingles").alias("sh_b"),
-        F.col("n_shingles").alias("nb"),
-    )
-    verified = (
-        cand.join(sets_a, "doc_a")
-        .join(sets_b, "doc_b")
-        .withColumn(
-            "common", F.size(F.array_intersect("sh_a", "sh_b"))
-        )
-        .withColumn(
-            "jaccard",
-            F.col("common") / (F.col("na") + F.col("nb") - F.col("common")),
-        )
-        .where(F.col("jaccard") >= threshold)
-    )
-    return verified.select("doc_a", "doc_b", "jaccard")
+    return _verify_jaccard(cand, sh, threshold)
+
+
+def simhash_fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per document via explode + one hash aggregation.
+
+    Exploding tokens and summing each bit of xxhash64(token) in 64
+    aggregate buffers is one shuffle and stays in codegen — far cheaper
+    than the per-row array formulation (functions.text.simhash64), which
+    re-walks the token array 64 times per document. Bit b of the result is
+    set when at least half the token hashes have bit b set (same majority
+    rule as simhash64).
+    """
+    tok = _ensure_parallel(docs).select(
+        "doc_id", F.explode(tokens(F.col(text_col))).alias("tk")
+    ).withColumn("h", F.xxhash64("tk"))
+    aggs = [F.count(F.lit(1)).alias("__n")] + [
+        F.sum(F.shiftright("h", b).bitwiseAND(F.lit(1))).alias(f"__b{b}")
+        for b in range(64)
+    ]
+    per_doc = tok.groupBy("doc_id").agg(*aggs)
+    fingerprint = None
+    for b in range(64):
+        bit = (F.col(f"__b{b}") * 2 >= F.col("__n")).cast("bigint")
+        term = bit * F.lit(2**b if b < 63 else -(2**63)).cast("bigint")
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return per_doc.select("doc_id", fingerprint.alias("fingerprint"))
 
 
 def simhash_near_dups(
@@ -203,9 +253,9 @@ def simhash_near_dups(
     SimHash-blocking recall trade; multiple rotated tables fix it at
     scale).
     """
-    fp = docs.select(
-        "doc_id", simhash64(tokens(F.col(text_col))).alias("fingerprint")
-    ).withColumn("block", F.shiftrightunsigned("fingerprint", 64 - prefix_bits))
+    fp = simhash_fingerprints(docs, text_col).withColumn(
+        "block", F.shiftrightunsigned("fingerprint", 64 - prefix_bits)
+    ).persist()
     a = fp.alias("a")
     b = fp.alias("b")
     return (
