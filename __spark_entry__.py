@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from mapping_timeseries_spark.operators.correlation import (
     best_lag_correlation,
     lag_correlation_grid,
+    lag_grid_with_pvalues,
 )
 from mapping_timeseries_spark import MappingConfig, map_tables
 from mapping_timeseries_spark.operators.dtw import build_dtw_mappings, dtw_summary
@@ -182,6 +183,22 @@ def q_dtw_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lag_offset",
         "method",
         F.round("dtw_cost", 6).alias("dtw_cost"),
+    )
+
+
+def q_corr_pvalues(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2: lag grid with two-sided Pearson p-values (rows-only: no
+    Student-t CDF in DuckDB; pytest pins the betainc implementation against
+    closed-form/quadrature oracles)."""
+    ensure_runtime_conf(spark)
+    g = lag_grid_with_pvalues(_merged(spark, sf_dir), MAX_LAG)
+    corr = F.when(F.isnan("corr"), F.lit(None)).otherwise(F.col("corr"))
+    return g.select(
+        "cus_code",
+        F.col("lag").cast("int").alias("lag"),
+        F.round(corr, 6).alias("corr"),
+        F.col("n_pairs").cast("bigint").alias("n_pairs"),
+        F.round("pvalue", 6).alias("pvalue"),
     )
 
 
@@ -1234,6 +1251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corr_lag_grid": q_corr_lag_grid,
         "corr_best_lag": q_corr_best_lag,
         "corr_mapping": q_corr_mapping,
+        "corr_pvalues": q_corr_pvalues,
         "dtw_summary": q_dtw_summary,
         "dtw_mapping": q_dtw_mapping,
         "qa_invariants": q_qa_invariants,

@@ -51,6 +51,7 @@ __all__ = [
     "lag_correlation_grid",
     "best_lag_correlation",
     "correlation_all_lags",
+    "lag_grid_with_pvalues",
 ]
 
 
@@ -135,6 +136,19 @@ def best_lag_correlation(merged: DataFrame, max_lag: int = 6) -> DataFrame:
         "num_months",
         "txn_mean",
         "rev_mean",
+    )
+
+
+def lag_grid_with_pvalues(merged: DataFrame, max_lag: int = 6) -> DataFrame:
+    """Research-notebook grid with two-sided p-values
+    (02_corr_mapping.p:60-91 computes them via scipy.stats.pearsonr; here
+    derived from (corr, n_pairs) — functions/stats.py). The pandas UDF
+    touches only the (entity, lag) grid, never the fact rows."""
+    from ..functions.stats import with_pvalue
+
+    grid = lag_correlation_grid(merged, max_lag)
+    return grid.withColumn(
+        "pvalue", with_pvalue(F.col("corr"), F.col("n_pairs").cast("double"))
     )
 
 

@@ -19,6 +19,7 @@ def test_oracle_keys_subset_of_queries():
     rows_only = set(q) - set(o)
     assert rows_only == {
         # per-group DP (applyInPandas) — not SQL-expressible
+        "corr_pvalues",
         "dtw_summary",
         "dtw_mapping",
         "recommendation_table",
