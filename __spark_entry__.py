@@ -59,6 +59,7 @@ from mapping_timeseries_spark.operators.textstats import (
     lang_marker_scores,
     quality_score,
     text_stats,
+    token_counts,
 )
 from mapping_timeseries_spark.operators.sessionize import (
     dedup_events,
@@ -70,6 +71,9 @@ from mapping_timeseries_spark.operators.sessionize import (
 )
 from mapping_timeseries_spark.operators.relational import (
     anti_join,
+    join_distinct_dim,
+    sample_fraction,
+    summary_stats,
     conditional_agg,
     distinct_counts,
     group_quantiles,
@@ -529,6 +533,53 @@ def q_parse_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON payload extraction (get_json_object) from the props column."""
     ensure_runtime_conf(spark)
     return parse_props(read_table(spark, sf_dir, "events"))
+
+
+def q_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 summary()/describe equivalent as one native aggregation."""
+    ensure_runtime_conf(spark)
+    s = summary_stats(read_table(spark, sf_dir, "lineitem"), ["l_quantity", "l_extendedprice"])
+    return s.select(
+        "column",
+        "count",
+        F.round("mean", 6).alias("mean"),
+        F.round("stddev", 6).alias("stddev"),
+        "min",
+        F.round("p25", 6).alias("p25"),
+        F.round("p50", 6).alias("p50"),
+        F.round("p75", 6).alias("p75"),
+        "max",
+    )
+
+
+def q_join_distinct_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 join through a deduplicated dimension projection."""
+    ensure_runtime_conf(spark)
+    j = join_distinct_dim(read_table(spark, sf_dir, "lineitem"), read_table(spark, sf_dir, "orders"))
+    return j.select(
+        "o_orderpriority",
+        F.col("n_items").cast("bigint").alias("n_items"),
+        F.round("sum_qty", 6).alias("sum_qty"),
+    )
+
+
+def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P11 seeded Bernoulli sample (rows-only: engine-specific sequence)."""
+    ensure_runtime_conf(spark)
+    s = sample_fraction(read_table(spark, sf_dir, "orders"), 0.1, seed=42)
+    return s.select("o_orderkey", "o_custkey", F.round("o_totalprice", 6).alias("o_totalprice"))
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish regex token counting per document."""
+    ensure_runtime_conf(spark)
+    t = token_counts(read_table(spark, sf_dir, "documents"))
+    return t.select(
+        "doc_id",
+        F.col("ws_tokens").cast("bigint").alias("ws_tokens"),
+        F.col("bpe_ish_tokens").cast("bigint").alias("bpe_ish_tokens"),
+        F.round("chars_per_token", 6).alias("chars_per_token"),
+    )
 
 
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1048,6 +1099,34 @@ FROM events
 """
 
 
+ORACLE_SUMMARY = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS column, count({c}) AS count,
+       round(avg({c}), 6) AS mean, round(stddev({c}), 6) AS stddev,
+       CAST(min({c}) AS DOUBLE) AS min,
+       round(quantile_cont({c}, 0.25), 6) AS p25,
+       round(quantile_cont({c}, 0.5), 6) AS p50,
+       round(quantile_cont({c}, 0.75), 6) AS p75,
+       CAST(max({c}) AS DOUBLE) AS max
+FROM lineitem"""
+    for c in ["l_quantity", "l_extendedprice"]
+)
+
+ORACLE_JOIN_DIM = """
+SELECT o_orderpriority, count(*) AS n_items, round(sum(l_quantity), 6) AS sum_qty
+FROM lineitem l JOIN (SELECT DISTINCT o_orderkey, o_orderpriority FROM orders) o
+  ON l.l_orderkey = o.o_orderkey
+GROUP BY o_orderpriority
+"""
+
+ORACLE_TOKEN_COUNTS = r"""
+SELECT doc_id,
+       len(string_split_regex(trim(text), '\s+')) AS ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe_ish_tokens,
+       round(length(text) * 1.0 / greatest(len(string_split_regex(trim(text), '\s+')), 1), 6)
+         AS chars_per_token
+FROM documents
+"""
+
 ORACLE_EXACT_DEDUP = """
 SELECT min(doc_id) AS keeper_doc_id, count(*) AS n_copies
 FROM documents GROUP BY text
@@ -1277,6 +1356,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_batch": q_sessionize_batch,
         "event_dedup": q_event_dedup,
         "parse_props": q_parse_props,
+        "summary_stats": q_summary_stats,
+        "join_distinct_dim": q_join_distinct_dim,
+        "sample": q_sample,
+        "token_counts": q_token_counts,
         "exact_dedup": q_exact_dedup,
         "content_hash_dedup": q_content_hash_dedup,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1324,6 +1407,9 @@ def oracle_sql() -> dict[str, str]:
         "sessionize_batch": ORACLE_SESSIONIZE,
         "event_dedup": ORACLE_EVENT_DEDUP,
         "parse_props": ORACLE_PARSE_PROPS,
+        "summary_stats": ORACLE_SUMMARY,
+        "join_distinct_dim": ORACLE_JOIN_DIM,
+        "token_counts": ORACLE_TOKEN_COUNTS,
         "exact_dedup": ORACLE_EXACT_DEDUP,
         "content_hash_dedup": ORACLE_HASH_DEDUP,
         "ngram_jaccard": ORACLE_NGRAM_JACCARD,

@@ -146,6 +146,53 @@ def series_window_features(t1: DataFrame) -> DataFrame:
     )
 
 
+def summary_stats(df: DataFrame, cols: list[str]) -> DataFrame:
+    """A7 ``df.summary()`` equivalent as a single native aggregation (the
+    built-in returns stringly-typed rows; this keeps doubles and uses exact
+    interpolated percentiles). One row per column."""
+    aggs = []
+    for c in cols:
+        aggs.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.count(c).cast("bigint").alias("count"),
+                F.avg(c).alias("mean"),
+                F.stddev(c).alias("stddev"),
+                F.min(c).cast("double").alias("min"),
+                F.percentile(c, 0.25).alias("p25"),
+                F.percentile(c, 0.5).alias("p50"),
+                F.percentile(c, 0.75).alias("p75"),
+                F.max(c).cast("double").alias("max"),
+            )
+        )
+    wide = df.agg(*[a.alias(f"__s{i}") for i, a in enumerate(aggs)])
+    return wide.select(
+        F.explode(F.array(*[F.col(f"__s{i}") for i in range(len(cols))])).alias("s")
+    ).select("s.*")
+
+
+def join_distinct_dim(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
+    """J7 join with a deduplicated dimension (04_comparision.py:236-240
+    pattern): attach the order priority to line items through a distinct
+    projection of the dimension table, then aggregate."""
+    dim = orders.select("o_orderkey", "o_orderpriority").distinct()
+    return (
+        lineitem.join(dim, lineitem.l_orderkey == dim.o_orderkey, "inner")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("l_quantity").alias("sum_qty"),
+        )
+    )
+
+
+def sample_fraction(df: DataFrame, fraction: float = 0.1, seed: int = 42) -> DataFrame:
+    """P11 Bernoulli sampling (databricks_intro_tutorial.py:477-480).
+    Seeded => reproducible within Spark, but the sampling sequence is
+    engine-specific, so the driver check is rows-only."""
+    return df.sample(fraction=fraction, seed=seed)
+
+
 def month_arithmetic(orders: DataFrame) -> DataFrame:
     """F1 date-function round trip on distinct order months: the exact
     to_date / add_months / date_format chain the lag join hinges on

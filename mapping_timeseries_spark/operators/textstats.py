@@ -114,6 +114,28 @@ def doc_fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+#: Simplified byte-pair-style pre-tokenizer: letter runs, digit runs, and
+#: single non-alphanumeric marks — the word/number/punct split BPE
+#: tokenizers apply before merges. Same regex class semantics in Java
+#: (Spark) and RE2 (DuckDB), so the count is oracle-checkable.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count + BPE-ish regex token count per document."""
+    t = F.col(text_col)
+    return docs.select(
+        "doc_id",
+        token_count(t).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(t, F.lit(BPE_ISH_PATTERN), 0)).alias(
+            "bpe_ish_tokens"
+        ),
+        (F.length(t) / F.greatest(token_count(t), F.lit(1))).alias(
+            "chars_per_token"
+        ),
+    )
+
+
 def lang_distribution(docs: DataFrame) -> DataFrame:
     """Corpus language distribution with share of total."""
     total = docs.count()

@@ -27,6 +27,8 @@ def test_oracle_keys_subset_of_queries():
         # xxhash64-based sketches — no DuckDB twin; pytest measures recall
         "minhash_dedup",
         "simhash_dedup",
+        # engine-specific sampling sequence
+        "sample",
         # mapInPandas stub decoder
         "multimodal_extract",
     }

@@ -1,0 +1,53 @@
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from mapping_timeseries_spark.sources.readers import read_incremental
+from mapping_timeseries_spark.sources.writers import (
+    create_view,
+    save_as_table,
+    write_overwrite,
+    write_partitioned,
+    write_run_metadata,
+)
+
+
+def test_write_overwrite_roundtrip(spark, tmp_path):
+    df = spark.range(10).withColumn("v", F.col("id") * 2.0)
+    path = str(tmp_path / "plain")
+    write_overwrite(df, path)
+    write_overwrite(df, path)  # overwrite mode: second write replaces
+    assert spark.read.parquet(path).count() == 10
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, f"2024-{(i % 3) + 1:02d}", float(i)) for i in range(30)],
+        "id long, month string, v double",
+    )
+    path = str(tmp_path / "bymonth")
+    write_partitioned(df, path, "month")
+    assert any(e.startswith("month=") for e in os.listdir(path))
+    pruned = read_incremental(spark, path, "month", "2024-02", "2024-02")
+    assert pruned.count() == 10
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+
+
+def test_save_as_table_and_view(spark, tmp_path):
+    df = spark.range(5).withColumn("v", F.col("id") + 1)
+    save_as_table(df, "t_saved", path=str(tmp_path / "tbl"))
+    assert spark.table("t_saved").count() == 5
+    create_view(spark, "v_doubled", "SELECT id, v * 2 AS v2 FROM t_saved")
+    assert spark.table("v_doubled").where(F.col("v2") > 0).count() == 5
+    spark.sql("DROP TABLE t_saved")
+
+
+def test_run_metadata(tmp_path):
+    p = str(tmp_path / "meta" / "run.json")
+    write_run_metadata(p, {"a": 1, "when": "2026-08-13"})
+    import json
+
+    assert json.load(open(p))["a"] == 1
