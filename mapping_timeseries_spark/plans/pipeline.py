@@ -34,7 +34,7 @@ from ..operators.quality import qa_report
 from ..operators.recommend import route_entities
 from ..sources.writers import write_partitioned, write_run_metadata
 
-__all__ = ["PipelineResult", "run_pipeline"]
+__all__ = ["PipelineResult", "run_pipeline", "run_incremental"]
 
 
 @dataclass
@@ -156,3 +156,38 @@ def run_pipeline(
             {"stats": stats, "qa": qa},
         )
     return PipelineResult(mapped=mapped, qa=qa, stats=stats)
+
+
+def run_incremental(
+    spark,
+    table1_path: str,
+    table2_path: str,
+    recommendations: DataFrame | None,
+    key_col: str,
+    time_col: str,
+    value1_col: str,
+    value2_col: str,
+    start: str,
+    end: str,
+    **kwargs,
+) -> PipelineResult:
+    """Incremental date-range run (05_prod_dev.py:1054-1101): re-run the
+    batch pipeline over only the [start, end] slice of both inputs.
+
+    The range predicate lands in the parquet scan (min/max row-group skip;
+    partition pruning when the inputs are partitioned by the time column),
+    so an incremental month touches O(selected months) of input — the
+    reference's approach, minus its unused checkpoint path.
+
+    Correlation lags reach up to max_lag months back, so the model
+    (``recommendations``) should come from a full-history training run;
+    the incremental slice only *applies* it.
+    """
+    from ..sources.readers import read_incremental
+
+    t1 = read_incremental(spark, table1_path, time_col, start, end)
+    t2 = read_incremental(spark, table2_path, time_col, start, end)
+    return run_pipeline(
+        spark, t1, t2, recommendations,
+        key_col, time_col, value1_col, value2_col, **kwargs,
+    )

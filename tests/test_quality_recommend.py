@@ -143,6 +143,32 @@ def test_pipeline_end_to_end(spark, pair, tmp_path):
     assert methods <= {"correlation", "correlation_default", "dtw"}
 
 
+def test_incremental_pipeline_date_slice(spark, pair, tmp_path):
+    from mapping_timeseries_spark.plans.pipeline import run_incremental
+
+    t1, t2 = pair
+    p1, p2 = str(tmp_path / "t1"), str(tmp_path / "t2")
+    t1.write.parquet(p1)
+    t2.write.parquet(p2)
+    result = run_incremental(
+        spark, p1, p2, None,
+        "cus_code", "month", "txn_amount", "revenue",
+        start="2023-04", end="2023-09",
+    )
+    months = {
+        r["time1"]
+        for r in result.mapped.select("time1").distinct().collect()
+    }
+    assert months
+    assert all("2023-04" <= m <= "2023-09" for m in months)
+    # lag join can only land inside the slice too (t2 also sliced)
+    months2 = {
+        r["time2"]
+        for r in result.mapped.select("time2").distinct().collect()
+    }
+    assert all("2023-04" <= m <= "2023-09" for m in months2)
+
+
 def test_pipeline_without_model_trains_inline(spark, pair):
     t1, t2 = pair
     result = run_pipeline(
