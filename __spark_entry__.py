@@ -145,10 +145,17 @@ def q_corr_best_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_corr_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: correlation-lag mapping table (J2 lag join included)."""
     ensure_runtime_conf(spark)
-    t1 = monthly_spend(spark, sf_dir)
-    t2 = monthly_revenue(spark, sf_dir)
-    corr = best_lag_correlation(merge_series(t1, t2), MAX_LAG)
-    mappings = build_correlation_mappings(t1, t2, corr, MIN_CORRELATION)
+    mappings = map_tables(
+        monthly_spend(spark, sf_dir),
+        monthly_revenue(spark, sf_dir),
+        "cus_code",
+        "month",
+        "txn_amount",
+        "revenue",
+        MappingConfig(method="correlation", max_lag=MAX_LAG,
+                      min_correlation=MIN_CORRELATION),
+        stamp_processed_at=False,
+    )
     return mappings.select(
         "cus_code",
         "time1",

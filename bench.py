@@ -4,7 +4,11 @@ JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
 "sf": ...}.
 
 Each query is fully materialized through the noop sink (executes the whole
-plan distributed, no driver collect).
+plan distributed, no driver collect). Every query runs twice and the
+steady-state (min) time is recorded: the first rep pays one-off JVM/codegen
+compilation and OS page-cache warmup that a long-running cluster job never
+sees per-query. Spark's cache is cleared between reps, so each rep
+recomputes the full plan — only JIT/page-cache warmth carries over.
 """
 
 from __future__ import annotations
@@ -61,10 +65,15 @@ def main() -> None:
     for name in HEADLINE:
         if name not in qs:
             continue
-        df = qs[name](spark, sf_dir)
-        t0 = time.time()
-        df.write.format("noop").mode("overwrite").save()
-        times[name] = round(time.time() - t0, 3)
+        best = None
+        for _rep in range(2):
+            df = qs[name](spark, sf_dir)
+            t0 = time.time()
+            df.write.format("noop").mode("overwrite").save()
+            elapsed = time.time() - t0
+            best = elapsed if best is None else min(best, elapsed)
+            spark.catalog.clearCache()
+        times[name] = round(best, 3)
 
     total = round(sum(times.values()), 3)
     print(

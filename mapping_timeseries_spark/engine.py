@@ -50,6 +50,14 @@ def map_tables(
     cfg = config or MappingConfig()
     t1 = canonicalize(table1, key_col, time_col, value1_col, VALUE1, "table1")
     t2 = canonicalize(table2, key_col, time_col, value2_col, VALUE2, "table2")
+    if cfg.cache_intermediate and cfg.method != "dtw":
+        # correlation/auto consume each canonical series twice: once through
+        # the merged frame feeding the correlation grid, once as a side of
+        # the lag join. Persisting the (entity, month) aggregates — tiny
+        # relative to the raw fact tables they derive from — turns two full
+        # upstream scans into one. (DTW consumes only the merged frame.)
+        t1 = t1.persist()
+        t2 = t2.persist()
     merged = merge_series(t1, t2)
 
     if cfg.method == "correlation":
