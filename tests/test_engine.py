@@ -100,3 +100,21 @@ def test_config_validation():
         MappingConfig(min_correlation=1.5)
     with pytest.raises(ValueError):
         MappingConfig(max_lag=0)
+
+
+def test_empty_input_union_identity(spark):
+    """SURVEY §2.7 U3: the reference builds an explicit empty DataFrame with
+    the mapping schema as the union identity (mapping_engine.py:732-742).
+    Our engine needs no sentinel frame — every method, including auto's
+    unionByName of its two segments, is well-defined on zero-row input and
+    yields an empty mapping table with the full schema."""
+    t1, t2 = synthetic_pair(spark, num_customers=3, num_months=12)
+    empty1 = t1.where(F.lit(False))
+    empty2 = t2.where(F.lit(False))
+    for method in ("correlation", "dtw", "auto"):
+        out = map_tables(
+            empty1, empty2, "cus_code", "month", "txn_amount", "revenue",
+            MappingConfig(method=method),
+        )
+        assert out.count() == 0
+        assert MAPPING_COLS <= set(out.columns)
