@@ -52,6 +52,7 @@ from mapping_timeseries_spark.operators.similarity import (
     ann_bucketed_topk,
     cosine_topk,
     embedding_near_dups,
+    ivf_topk,
 )
 from mapping_timeseries_spark.operators.textstats import (
     doc_fingerprints,
@@ -729,6 +730,22 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-5 (nlist=16 deterministic seed centroids,
+    nprobe=3), same query set as cosine_topk."""
+    ensure_runtime_conf(spark)
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 20)
+    t = ivf_topk(emb, queries_df, k=5, nlist=16, nprobe=3)
+    return t.select(
+        "query_id",
+        "vec_id",
+        F.col("label").cast("int").alias("label"),
+        "similarity",
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (>= 0.95), sign-LSH bucketed."""
     ensure_runtime_conf(spark)
@@ -1298,6 +1315,44 @@ ranked AS (
 SELECT query_id, vec_id, label, similarity, rank FROM ranked WHERE rank <= 5
 """
 
+ORACLE_IVF_TOPK = """
+WITH vecs AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+),
+cents AS (
+  SELECT vec_id AS centroid_id, v AS cv FROM vecs ORDER BY vec_id LIMIT 16
+),
+assigned AS (
+  SELECT vecs.vec_id, vecs.label, vecs.v, cents.centroid_id,
+         row_number() OVER (
+           PARTITION BY vecs.vec_id
+           ORDER BY round(list_dot_product(vecs.v, cents.cv)
+                    / (sqrt(list_dot_product(vecs.v, vecs.v))
+                       * sqrt(list_dot_product(cents.cv, cents.cv))), 6) DESC,
+                    cents.centroid_id ASC) AS pr
+  FROM vecs CROSS JOIN cents
+),
+corpus AS (SELECT centroid_id, vec_id, label, v FROM assigned WHERE pr = 1),
+probes AS (
+  SELECT centroid_id, vec_id AS query_id, v AS qv
+  FROM assigned WHERE pr <= 3 AND vec_id < 20
+),
+pairs AS (
+  SELECT p.query_id, c.vec_id, c.label,
+         round(list_dot_product(p.qv, c.v)
+               / (sqrt(list_dot_product(p.qv, p.qv))
+                  * sqrt(list_dot_product(c.v, c.v))), 6) AS similarity
+  FROM probes p JOIN corpus c USING (centroid_id)
+  WHERE p.query_id != c.vec_id
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY similarity DESC, vec_id ASC) AS INT) AS rank
+  FROM pairs
+)
+SELECT query_id, vec_id, label, similarity, rank FROM ranked WHERE rank <= 5
+"""
+
 ORACLE_EMB_NEARDUP = f"""
 WITH vecs AS (
   SELECT vec_id,
@@ -1379,6 +1434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_distribution": q_lang_distribution,
         "cosine_topk": q_cosine_topk,
         "ann_topk": q_ann_topk,
+        "ivf_topk": q_ivf_topk,
         "embedding_near_dups": q_embedding_near_dups,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_extract": q_multimodal_extract,
@@ -1427,6 +1483,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_distribution": ORACLE_LANG_DIST,
         "cosine_topk": ORACLE_COSINE_TOPK,
         "ann_topk": ORACLE_ANN_TOPK,
+        "ivf_topk": ORACLE_IVF_TOPK,
         "embedding_near_dups": ORACLE_EMB_NEARDUP,
         "multimodal_meta": ORACLE_MULTIMODAL_META,
     }

@@ -34,6 +34,7 @@ HEADLINE = [
     "minhash_dedup",
     "text_stats",
     "cosine_topk",
+    "ivf_topk",
     "embedding_near_dups",
 ]
 

@@ -20,7 +20,8 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["cosine", "with_unit_norm", "cosine_topk", "ann_bucketed_topk",
-           "embedding_near_dups"]
+           "embedding_near_dups", "ivf_seed_centroids", "ivf_assign",
+           "ivf_refine_centroids", "ivf_topk"]
 
 
 def _as_double(vec: Column) -> Column:
@@ -178,4 +179,163 @@ def embedding_near_dups(
             F.col("b.vec_id").alias("vec_b"),
             "similarity",
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) approximate search
+# ---------------------------------------------------------------------------
+#
+# The second ANN family alongside sign-LSH: partition the corpus into nlist
+# inverted lists by nearest coarse centroid; a query scans only its nprobe
+# nearest lists. At scale the corpus is written partitioned/bucketed by
+# centroid_id, so a probe is a partition-pruned scan; the centroid table
+# (nlist rows) is always broadcast — the only shuffle in the whole index
+# build is the one groupBy in Lloyd refinement.
+#
+# Seeding is deterministic (lowest-vec_id vectors = k-means with zero Lloyd
+# iterations), which keeps the full pipeline reproducible across engines —
+# the driver hash-compares ivf_topk against a DuckDB twin. Real deployments
+# run ivf_refine_centroids (Lloyd steps as pure DataFrame ops) before
+# freezing the index; refinement is pinned by pytest (recall vs brute force)
+# rather than SQL, since iteration count is a tuning knob.
+
+
+def ivf_seed_centroids(
+    embeddings: DataFrame, nlist: int = 16, vec_col: str = "embedding"
+) -> DataFrame:
+    """Deterministic coarse-quantizer seeds: the ``nlist`` lowest-vec_id
+    vectors. vec_id order is uncorrelated with vector values, so this is a
+    uniform sample of the corpus (k-means|| replaced by a reproducible
+    choice). Output: (centroid_id, cv:array<double>)."""
+    return (
+        embeddings.orderBy("vec_id")
+        .limit(nlist)
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            _as_double(F.col(vec_col)).alias("cv"),
+        )
+    )
+
+
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    nprobe: int = 1,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Rank centroids per vector by cosine (rounded to 6dp, centroid_id
+    tie-break — engine-portable ordering) and keep the top ``nprobe``.
+
+    nprobe=1 builds the inverted lists (each corpus vector in exactly one
+    list); nprobe>1 is the query-side multi-probe. The centroid side is
+    broadcast (nlist rows), so assignment is a map-only pass over the
+    corpus — no shuffle."""
+    v = vectors.select(
+        "vec_id",
+        *(["label"] if "label" in vectors.columns else []),
+        _as_double(F.col(vec_col)).alias("v"),
+    )
+    sims = (
+        v.crossJoin(F.broadcast(centroids))
+        .withColumn(
+            "__csim",
+            F.round(
+                _dot(F.col("v"), F.col("cv"))
+                / (_norm(F.col("v")) * _norm(F.col("cv"))),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("__csim").desc(), F.col("centroid_id").asc()
+    )
+    return (
+        sims.withColumn("__pr", F.row_number().over(w))
+        .where(F.col("__pr") <= nprobe)
+        .drop("cv", "__csim", "__pr")
+    )
+
+
+def ivf_refine_centroids(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    iterations: int = 2,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd refinement as pure DataFrame ops: assign each vector to its
+    nearest centroid, recompute each centroid as the element-wise mean of
+    its list, repeat. One broadcast join + one groupBy per iteration;
+    empty lists keep their previous centroid (left join + coalesce). The
+    result is deterministic given the seeds."""
+    for _ in range(iterations):
+        assigned = ivf_assign(embeddings, centroids, nprobe=1, vec_col=vec_col)
+        means = (
+            assigned.select("centroid_id", F.posexplode("v").alias("pos", "x"))
+            .groupBy("centroid_id", "pos")
+            .agg(F.avg("x").alias("mx"))
+            .groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("pos"), F.col("mx")))
+                    ),
+                    lambda s: s["mx"],
+                ).alias("new_cv")
+            )
+        )
+        centroids = (
+            centroids.join(F.broadcast(means), on="centroid_id", how="left")
+            .select(
+                "centroid_id",
+                F.coalesce(F.col("new_cv"), F.col("cv")).alias("cv"),
+            )
+        )
+    return centroids
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 3,
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: exact cosine, restricted to the query's
+    ``nprobe`` nearest inverted lists. Same output shape as
+    :func:`cosine_topk`; recall grows with nprobe (nprobe=nlist is exact).
+
+    Pass refined ``centroids`` to search a learned index; default is the
+    deterministic seed quantizer."""
+    cents = centroids if centroids is not None else ivf_seed_centroids(
+        embeddings, nlist, vec_col
+    )
+    corpus = ivf_assign(embeddings, cents, nprobe=1, vec_col=vec_col)
+    probes = ivf_assign(queries, cents, nprobe=nprobe, vec_col=vec_col).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        "centroid_id",
+    )
+    pairs = (
+        F.broadcast(probes)
+        .join(corpus, on="centroid_id")
+        .where(F.col("query_id") != F.col("vec_id"))
+        .withColumn(
+            "similarity",
+            F.round(
+                _dot(F.col("qv"), F.col("v"))
+                / (_norm(F.col("qv")) * _norm(F.col("v"))),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("similarity").desc(), F.col("vec_id").asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "label", "similarity", "rank")
     )

@@ -151,3 +151,80 @@ def test_multimodal_stub_pipeline(spark):
     assert feats[1]["head_sum"] == sum(b"hello")
     with pytest.raises(NotImplementedError):
         decode_stub(None)
+
+
+def _clustered_embeddings(spark, n=200, n_centers=10, dim=16, seed=31):
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((n_centers, dim)) * 3
+    vecs = [
+        (int(i),
+         [float(x) for x in centers[i % n_centers]
+          + rng.standard_normal(dim) * 0.1],
+         int(i % n_centers))
+        for i in range(n)
+    ]
+    return spark.createDataFrame(
+        vecs, "vec_id long, embedding array<double>, label int"
+    )
+
+
+def test_ivf_recall_vs_exact(spark):
+    from mapping_timeseries_spark.operators.similarity import ivf_topk
+
+    emb = _clustered_embeddings(spark)
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = cosine_topk(emb, queries, k=3)
+    approx = ivf_topk(emb, queries, k=3, nlist=16, nprobe=4)
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    assert e and a
+    recall = len(a & e) / len(e)
+    # a query's true neighbors share its cluster; with nprobe=4 the home
+    # list is probed, so same-cluster candidates are found
+    assert recall >= 0.9, recall
+
+
+def test_ivf_full_probe_is_exact(spark):
+    from mapping_timeseries_spark.operators.similarity import ivf_topk
+
+    emb = _clustered_embeddings(spark, n=80, n_centers=5)
+    queries = emb.where(F.col("vec_id") < 5)
+    exact = {
+        (r["query_id"], r["vec_id"], r["rank"])
+        for r in cosine_topk(emb, queries, k=3).collect()
+    }
+    # nprobe == nlist scans every inverted list -> identical to brute force
+    full = {
+        (r["query_id"], r["vec_id"], r["rank"])
+        for r in ivf_topk(emb, queries, k=3, nlist=8, nprobe=8).collect()
+    }
+    assert full == exact
+
+
+def test_ivf_lloyd_refinement_improves_recall(spark):
+    from mapping_timeseries_spark.operators.similarity import (
+        ivf_refine_centroids,
+        ivf_seed_centroids,
+        ivf_topk,
+    )
+
+    emb = _clustered_embeddings(spark, n=300, n_centers=10, seed=37)
+    queries = emb.where(F.col("vec_id") < 15)
+    exact = {(r["query_id"], r["vec_id"])
+             for r in cosine_topk(emb, queries, k=3).collect()}
+
+    seeds = ivf_seed_centroids(emb, nlist=10)
+    refined = ivf_refine_centroids(emb, seeds, iterations=2)
+    assert refined.count() == 10  # empty lists keep their previous centroid
+
+    def recall(cents):
+        a = {(r["query_id"], r["vec_id"])
+             for r in ivf_topk(emb, queries, k=3, nprobe=2,
+                               centroids=cents).collect()}
+        return len(a & exact) / len(exact)
+
+    r_seed, r_refined = recall(seeds), recall(refined)
+    # Lloyd steps move centroids toward true cluster means; recall at a
+    # fixed small nprobe must not degrade and normally improves
+    assert r_refined >= r_seed, (r_seed, r_refined)
+    assert r_refined >= 0.9, r_refined
