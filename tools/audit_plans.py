@@ -1,0 +1,65 @@
+"""Physical-plan audit for the headline queries (evidence for SCALE.md).
+
+For each named query, builds the DataFrame at the given sf_dir and
+summarizes ``explain("formatted")``: exchange count (total / broadcast),
+whole-stage-codegen spans, ``PushedFilters`` lines (filter pushdown
+reaching the parquet reader), and ``ReadSchema`` lines (column pruning —
+a scan reading all columns for a narrow projection is a bug).
+
+Usage: python tools/audit_plans.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import sys
+
+DEFAULT_QUERIES = [
+    "corr_best_lag",
+    "corr_mapping",
+    "auto_mapping",
+    "qa_invariants",
+    "minhash_dedup",
+    "cosine_topk",
+    "ivf_topk",
+    "embedding_near_dups",
+]
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    names = sys.argv[2:] or DEFAULT_QUERIES
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entry_mod
+    from mapping_timeseries_spark.session import get_spark
+
+    spark = get_spark("audit_plans")
+    qs = entry_mod.queries()
+    for name in names:
+        if name not in qs:
+            print(f"=== {name}: not in queries()")
+            continue
+        df = qs[name](spark, sf_dir)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        exchanges = plan.count("Exchange")
+        broadcasts = plan.count("BroadcastExchange")
+        codegen = plan.count("WholeStageCodegen")
+        print(
+            f"=== {name}: Exchange={exchanges} (broadcast={broadcasts}) "
+            f"WholeStageCodegen={codegen}"
+        )
+        for line in plan.splitlines():
+            stripped = line.strip()
+            if "PushedFilters" in stripped or "ReadSchema" in stripped:
+                print("   ", stripped[:160])
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
