@@ -621,10 +621,16 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH candidates, Jaccard-verified (rows-only: xxhash64 has no
-    DuckDB twin; recall vs the exact operator is asserted in pytest)."""
+    """MinHash-LSH candidates, Jaccard-verified. Runs the engine-portable
+    hash variant (md5-derived universal hashing) so the ENTIRE
+    signature->band->bucket-join->verify pipeline hash-compares against a
+    DuckDB twin generated from the same coefficients. The xxhash64 scale
+    variant (portable=False) shares every other code path and is pinned by
+    pytest recall tests."""
     ensure_runtime_conf(spark)
-    p = minhash_lsh_pairs(read_table(spark, sf_dir, "documents"), threshold=0.5)
+    p = minhash_lsh_pairs(
+        read_table(spark, sf_dir, "documents"), threshold=0.5, portable=True
+    )
     return p.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
 
 
@@ -1190,6 +1196,67 @@ HAVING count(*) * 1.0
        / (any_value(a.n_shingles) + any_value(b.n_shingles) - count(*)) >= 0.5
 """
 
+def _build_minhash_oracle(num_hashes: int = 32, bands: int = 8,
+                          threshold: float = 0.5) -> str:
+    """DuckDB twin of minhash_lsh_pairs(portable=True), generated from the
+    SAME universal-hash coefficients the Spark expression uses — identical
+    integer arithmetic on both engines, so candidate sets match exactly."""
+    from mapping_timeseries_spark.functions.text import (
+        MINHASH_PRIME,
+        minhash_coeffs,
+    )
+
+    coeffs = minhash_coeffs(num_hashes)
+    rows_per_band = num_hashes // bands
+    sig_cols = ",\n         ".join(
+        f"MIN(({a} * h + {b}) % {MINHASH_PRIME}) AS s{i}"
+        for i, (a, b) in enumerate(coeffs)
+    )
+    band_selects = "\n  UNION ALL ".join(
+        "SELECT doc_id, {band} AS band, concat_ws(',', {cols}) AS bucket FROM sig".format(
+            band=band,
+            cols=", ".join(
+                f"s{band * rows_per_band + r}" for r in range(rows_per_band)
+            ),
+        )
+        for band in range(bands)
+    )
+    return f"""
+WITH {_SQL_SHINGLES},
+hashed AS (
+  SELECT doc_id,
+         (('0x' || substring(md5(shingle), 1, 15))::BIGINT % {MINHASH_PRIME}) AS h
+  FROM inv
+),
+sig AS (
+  SELECT doc_id,
+         {sig_cols}
+  FROM hashed GROUP BY doc_id
+),
+banded AS (
+  {band_selects}
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM banded x JOIN banded y
+    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(count(*) * 1.0
+             / (any_value(a.n_shingles) + any_value(b.n_shingles) - count(*)),
+             6) AS jaccard
+FROM inv a
+JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+JOIN cand c ON c.doc_a = a.doc_id AND c.doc_b = b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING count(*) * 1.0
+       / (any_value(a.n_shingles) + any_value(b.n_shingles) - count(*))
+       >= {threshold}
+"""
+
+
+ORACLE_MINHASH = _build_minhash_oracle()
+
 _SQL_TOKENS = r"string_split_regex(trim(text), '\s+')"
 
 _STOPWORD_LIST = "('the','a','of','and','to','in','is','it','for','on')"
@@ -1476,6 +1543,7 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": ORACLE_EXACT_DEDUP,
         "content_hash_dedup": ORACLE_HASH_DEDUP,
         "ngram_jaccard": ORACLE_NGRAM_JACCARD,
+        "minhash_dedup": ORACLE_MINHASH,
         "text_stats": ORACLE_TEXT_STATS,
         "quality_score": ORACLE_QUALITY,
         "langid": ORACLE_LANGID,

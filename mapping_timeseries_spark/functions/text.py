@@ -103,6 +103,69 @@ def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
     )
 
 
+#: Mersenne prime 2^31-1: universal-hash modulus small enough that
+#: a*h + b stays under 2^62 (no int64 overflow on either engine).
+MINHASH_PRIME = 2_147_483_647
+
+
+def minhash_coeffs(num_hashes: int = 32, seed: int = 20260813) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the universal-hash permutations
+    h_i(x) = (a_i*x + b_i) mod p. The DuckDB oracle SQL is generated from
+    the SAME list, so both engines evaluate identical arithmetic."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, MINHASH_PRIME), rng.randrange(0, MINHASH_PRIME))
+        for _ in range(num_hashes)
+    ]
+
+
+def portable_hash64(s: Column) -> Column:
+    """First 60 bits of md5(s) as a non-negative bigint — identical in
+    Spark (``conv(substr(md5(s),1,15),16,10)``) and DuckDB
+    (``('0x' || substring(md5(s),1,15))::BIGINT``). Slower than xxhash64
+    (full md5 per value) but engine-portable, which is what makes the
+    MinHash pipeline oracle-checkable end-to-end."""
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
+
+
+def minhash_signature_portable(
+    shingles: Column, num_hashes: int = 32, seed: int = 20260813
+) -> Column:
+    """Engine-portable MinHash signature: md5-derived base hash reduced
+    mod p, permuted by ``num_hashes`` universal hashes. Still a pure
+    JVM-side expression.
+
+    Shaped as ONE ``aggregate`` over the shingle array with an
+    array-of-minima accumulator (``zip_with`` against a literal
+    coefficient array), so each shingle is md5-hashed exactly once — the
+    naive ``array(array_min(transform(...)) per seed)`` form re-evaluates
+    the base-hash lambda per seed (Catalyst inlines it), costing
+    num_hashes md5 passes instead of one (~5x wall on the documents
+    bench)."""
+    coeffs = minhash_coeffs(num_hashes, seed)
+    ab = F.array(
+        *[
+            F.struct(
+                F.lit(a).cast("long").alias("a"), F.lit(b).cast("long").alias("b")
+            )
+            for a, b in coeffs
+        ]
+    )
+    base = F.transform(shingles, lambda s: portable_hash64(s) % MINHASH_PRIME)
+    init = F.array_repeat(F.lit(MINHASH_PRIME).cast("long"), num_hashes)
+    return F.aggregate(
+        base,
+        init,
+        lambda acc, h: F.zip_with(
+            acc,
+            ab,
+            lambda m, c: F.least(m, (h * c["a"] + c["b"]) % MINHASH_PRIME),
+        ),
+    )
+
+
 def simhash64(tokens_col: Column) -> Column:
     """64-bit SimHash over token hashes: bit b of the output is 1 when the
     majority of token hashes have bit b set. Pure expression: per-bit

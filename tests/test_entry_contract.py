@@ -24,8 +24,8 @@ def test_oracle_keys_subset_of_queries():
         "dtw_mapping",
         "recommendation_table",
         "auto_mapping",
-        # xxhash64-based sketches — no DuckDB twin; pytest measures recall
-        "minhash_dedup",
+        # xxhash64-based sketch — no DuckDB twin; pytest measures recall
+        # (minhash_dedup runs the portable-hash variant and IS oracle'd)
         "simhash_dedup",
         # engine-specific sampling sequence
         "sample",
