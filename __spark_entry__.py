@@ -635,9 +635,13 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (rows-only: xxhash64-based fingerprints)."""
+    """SimHash near-dup pairs. Runs the engine-portable 60-bit variant
+    (md5-derived token hashes), so fingerprint -> prefix-block ->
+    Hamming-join hash-compares against the DuckDB twin bit for bit. The
+    64-bit xxhash64 variant shares every other code path and is pinned by
+    pytest (planted-twin recall)."""
     ensure_runtime_conf(spark)
-    p = simhash_near_dups(read_table(spark, sf_dir, "documents"))
+    p = simhash_near_dups(read_table(spark, sf_dir, "documents"), portable=True)
     return p.select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
 
 
@@ -1257,6 +1261,38 @@ HAVING count(*) * 1.0
 
 ORACLE_MINHASH = _build_minhash_oracle()
 
+# DuckDB twin of simhash_near_dups(portable=True): 60-bit md5-derived
+# token hashes, per-bit majority vote, top-12-bit blocking, Hamming <= 8.
+ORACLE_SIMHASH = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tk
+  FROM documents
+),
+hashed AS (
+  SELECT doc_id, ('0x' || substring(md5(tk), 1, 15))::BIGINT AS h FROM tok
+),
+bits AS (
+  SELECT doc_id, bit_idx,
+         SUM((h >> bit_idx) & 1) AS ones, COUNT(*) AS n
+  FROM hashed CROSS JOIN (SELECT unnest(range(60)) AS bit_idx) bs
+  GROUP BY doc_id, bit_idx
+),
+fp AS (
+  SELECT doc_id,
+         SUM(CASE WHEN ones * 2 >= n THEN (1::BIGINT << bit_idx)
+                  ELSE 0::BIGINT END) AS fingerprint
+  FROM bits GROUP BY doc_id
+),
+blocked AS (
+  SELECT doc_id, fingerprint, fingerprint >> 48 AS block FROM fp
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.fingerprint, b.fingerprint)) AS INT) AS hamming
+FROM blocked a JOIN blocked b
+  ON a.block = b.block AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.fingerprint, b.fingerprint)) <= 8
+"""
+
 _SQL_TOKENS = r"string_split_regex(trim(text), '\s+')"
 
 _STOPWORD_LIST = "('the','a','of','and','to','in','is','it','for','on')"
@@ -1544,6 +1580,7 @@ def oracle_sql() -> dict[str, str]:
         "content_hash_dedup": ORACLE_HASH_DEDUP,
         "ngram_jaccard": ORACLE_NGRAM_JACCARD,
         "minhash_dedup": ORACLE_MINHASH,
+        "simhash_dedup": ORACLE_SIMHASH,
         "text_stats": ORACLE_TEXT_STATS,
         "quality_score": ORACLE_QUALITY,
         "langid": ORACLE_LANGID,

@@ -25,6 +25,7 @@ from ..functions.text import (
     hamming64,
     minhash_signature,
     minhash_signature_portable,
+    portable_hash64,
     tokens,
     word_shingles,
 )
@@ -239,28 +240,43 @@ def minhash_lsh_pairs(
     return _verify_jaccard(cand, sh, threshold)
 
 
-def simhash_fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """64-bit SimHash per document via explode + one hash aggregation.
+def simhash_fingerprints(
+    docs: DataFrame, text_col: str = "text", portable: bool = False
+) -> DataFrame:
+    """SimHash per document via explode + one hash aggregation.
 
-    Exploding tokens and summing each bit of xxhash64(token) in 64
+    Exploding tokens and summing each bit of the token hash in per-bit
     aggregate buffers is one shuffle and stays in codegen — far cheaper
     than the per-row array formulation (functions.text.simhash64), which
     re-walks the token array 64 times per document. Bit b of the result is
     set when at least half the token hashes have bit b set (same majority
     rule as simhash64).
+
+    ``portable=False``: 64-bit fingerprints from xxhash64 (rows-only at
+    the driver gate). ``portable=True``: 60-bit fingerprints from the
+    md5-derived engine-portable hash (functions.text.portable_hash64) —
+    bit-identical in DuckDB, so the whole fingerprint->block->Hamming
+    pipeline hash-verifies end-to-end.
     """
+    nbits = 60 if portable else 64
     tok = _ensure_parallel(docs).select(
         "doc_id", F.explode(tokens(F.col(text_col))).alias("tk")
-    ).withColumn("h", F.xxhash64("tk"))
+    ).withColumn(
+        "h", portable_hash64(F.col("tk")) if portable else F.xxhash64("tk")
+    )
     aggs = [F.count(F.lit(1)).alias("__n")] + [
         F.sum(F.shiftright("h", b).bitwiseAND(F.lit(1))).alias(f"__b{b}")
-        for b in range(64)
+        for b in range(nbits)
     ]
     per_doc = tok.groupBy("doc_id").agg(*aggs)
     fingerprint = None
-    for b in range(64):
+    for b in range(nbits):
         bit = (F.col(f"__b{b}") * 2 >= F.col("__n")).cast("bigint")
-        term = bit * F.lit(2**b if b < 63 else -(2**63)).cast("bigint")
+        # bit 63 (non-portable only) contributes the two's-complement sign
+        # bit: adding -(2^63) sets it without int64 overflow
+        term = bit * F.lit(2**b if b < nbits - 1 or portable else -(2**63)).cast(
+            "bigint"
+        )
         fingerprint = term if fingerprint is None else fingerprint + term
     return per_doc.select("doc_id", fingerprint.alias("fingerprint"))
 
@@ -270,9 +286,11 @@ def simhash_near_dups(
     text_col: str = "text",
     max_hamming: int = 8,
     prefix_bits: int = 12,
+    portable: bool = False,
 ) -> DataFrame:
-    """SimHash near-dup pairs: 64-bit token-majority fingerprints, paired
-    when Hamming distance <= max_hamming.
+    """SimHash near-dup pairs: token-majority fingerprints (64-bit, or
+    60-bit portable — see :func:`simhash_fingerprints`), paired when
+    Hamming distance <= max_hamming.
 
     Blocking: candidates must share the top ``prefix_bits`` of the
     fingerprint (single-probe multi-index blocking) — bounds the self-join
@@ -281,8 +299,9 @@ def simhash_near_dups(
     SimHash-blocking recall trade; multiple rotated tables fix it at
     scale).
     """
-    fp = simhash_fingerprints(docs, text_col).withColumn(
-        "block", F.shiftrightunsigned("fingerprint", 64 - prefix_bits)
+    nbits = 60 if portable else 64
+    fp = simhash_fingerprints(docs, text_col, portable=portable).withColumn(
+        "block", F.shiftrightunsigned("fingerprint", nbits - prefix_bits)
     ).persist()
     a = fp.alias("a")
     b = fp.alias("b")

@@ -24,9 +24,8 @@ def test_oracle_keys_subset_of_queries():
         "dtw_mapping",
         "recommendation_table",
         "auto_mapping",
-        # xxhash64-based sketch — no DuckDB twin; pytest measures recall
-        # (minhash_dedup runs the portable-hash variant and IS oracle'd)
-        "simhash_dedup",
+        # (minhash_dedup and simhash_dedup run portable-hash variants and
+        # ARE oracle'd; the xxhash64 variants are pinned by pytest recall)
         # engine-specific sampling sequence
         "sample",
         # mapInPandas stub decoder
