@@ -132,7 +132,10 @@ def q_corr_lag_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_corr_best_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W2 argmax: per-entity optimal lag + best correlation (UDF-free)."""
     ensure_runtime_conf(spark)
-    best = best_lag_correlation(_merged(spark, sf_dir), MAX_LAG)
+    # mean_lattice_scale=10000: txn/rev are 4-dp money, so the lattice-exact
+    # mean is deterministic and bit-identical to the DuckDB twin (float avg()
+    # diverged by 1 ulp on 5/1402 entities in round 1).
+    best = best_lag_correlation(_merged(spark, sf_dir), MAX_LAG, mean_lattice_scale=10000)
     return best.select(
         "cus_code",
         F.col("optimal_lag").cast("int").alias("optimal_lag"),
@@ -819,8 +822,14 @@ def _sql_best(max_lag: int) -> str:
     return f"""
 {_sql_grid(max_lag)},
 stats AS (
+  -- lattice-exact means (portable: integer sum is order-independent,
+  -- double division is IEEE-identical across engines) — mirrors
+  -- correlation._lattice_mean with scale 10000 (4-dp money lattice)
   SELECT cus_code, count(*) AS num_months,
-         avg(txn_amount) AS txn_mean, avg(revenue) AS rev_mean
+         CAST(SUM(CAST(ROUND(txn_amount * 10000) AS BIGINT)) AS DOUBLE)
+           / CAST(COUNT(txn_amount) * 10000 AS DOUBLE) AS txn_mean,
+         CAST(SUM(CAST(ROUND(revenue * 10000) AS BIGINT)) AS DOUBLE)
+           / CAST(COUNT(revenue) * 10000 AS DOUBLE) AS rev_mean
   FROM merged GROUP BY cus_code
 ),
 ranked AS (

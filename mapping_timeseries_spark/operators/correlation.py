@@ -96,22 +96,51 @@ def lag_correlation_grid(merged: DataFrame, max_lag: int = 6) -> DataFrame:
     )
 
 
-def _entity_stats(merged: DataFrame) -> DataFrame:
+def _lattice_mean(col: str, scale: int):
+    """Order-independent mean for values on a 1/scale money lattice.
+
+    ``avg(double)`` is summation-order-dependent: on a cluster the partial
+    sums combine in partition order, so the last few bits of the mean vary
+    run to run (and diverge from any other engine). For money columns the
+    row values sit within float error of a 1/scale lattice point, so
+    ``round(x*scale)`` recovers the exact integer; the integer sum is
+    associative/deterministic and the final double division is IEEE-exact
+    and engine-portable. (Diagnosed round 1: 5/1402 entities differed from
+    the DuckDB oracle by 1 ulp in the 6th decimal of the float mean.)
+    """
+    micros = F.round(F.col(col) * F.lit(scale)).cast("bigint")
+    return F.sum(micros).cast("double") / (F.count(col) * F.lit(scale)).cast("double")
+
+
+def _entity_stats(merged: DataFrame, mean_lattice_scale: int | None = None) -> DataFrame:
     """Per-entity row count and means (UDF output fields num_months,
-    txn_mean, rev_mean — mapping_engine.py:257-264)."""
+    txn_mean, rev_mean — mapping_engine.py:257-264).
+
+    ``mean_lattice_scale``: when the value columns are money on a 1/scale
+    lattice (e.g. 10000 for 4-dp amounts), computes the deterministic
+    lattice-exact mean instead of float ``avg`` — see ``_lattice_mean``.
+    """
+    if mean_lattice_scale is None:
+        txn_mean, rev_mean = F.avg("txn_amount"), F.avg("revenue")
+    else:
+        txn_mean = _lattice_mean("txn_amount", mean_lattice_scale)
+        rev_mean = _lattice_mean("revenue", mean_lattice_scale)
     return merged.groupBy(KEY).agg(
         F.count(F.lit(1)).alias("num_months"),
-        F.avg("txn_amount").alias("txn_mean"),
-        F.avg("revenue").alias("rev_mean"),
+        txn_mean.alias("txn_mean"),
+        rev_mean.alias("rev_mean"),
     )
 
 
-def best_lag_correlation(merged: DataFrame, max_lag: int = 6) -> DataFrame:
+def best_lag_correlation(
+    merged: DataFrame, max_lag: int = 6, mean_lattice_scale: int | None = None
+) -> DataFrame:
     """Per-entity optimal lag + best correlation, reference semantics.
 
     Output: ``cus_code, optimal_lag:int, correlation:double,
     num_months:long, txn_mean:double, rev_mean:double`` — the reference
     correlation-UDF result schema (mapping_engine.py:232-239).
+    ``mean_lattice_scale`` — see ``_entity_stats``.
     """
     grid = lag_correlation_grid(merged, max_lag)
     valid = grid.where(
@@ -125,7 +154,7 @@ def best_lag_correlation(merged: DataFrame, max_lag: int = 6) -> DataFrame:
         .where(F.col("__rn") == 1)
         .select(KEY, F.col("lag").alias("__best_lag"), F.col("corr").alias("__best_corr"))
     )
-    stats = _entity_stats(merged)
+    stats = _entity_stats(merged, mean_lattice_scale)
     return stats.join(best, on=KEY, how="left").select(
         KEY,
         F.coalesce(F.col("__best_lag"), F.lit(0)).cast("int").alias("optimal_lag"),
