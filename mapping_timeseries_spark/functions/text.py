@@ -29,13 +29,20 @@ def token_count(text: Column | str) -> Column:
 
 
 def word_shingles(text: Column | str, n: int = 2) -> Column:
-    """Adjacent word n-gram shingles (distinct), as strings."""
+    """Adjacent word n-gram shingles (distinct), as strings.
+
+    Docs with fewer than ``n`` tokens yield an empty array — without the
+    guard, ``sequence(0, size-n)`` descends (0..-1) and the transform
+    evaluates ``element_at(t, 0)``, which raises INVALID_INDEX_OF_ZERO.
+    """
     t = tokens(text)
     idx = F.sequence(F.lit(0), F.size(t) - n)
     grams = F.transform(
         idx, lambda i: F.concat_ws(" ", *[F.element_at(t, i + j + 1) for j in range(n)])
     )
-    return F.array_distinct(grams)
+    return F.when(F.size(t) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 def char_shingles(text: Column | str, n: int = 3) -> Column:

@@ -130,7 +130,17 @@ def ngram_jaccard_pairs(
     inv = sh.select("doc_id", "n_shingles", F.explode("shingles").alias("shingle"))
     freq = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
     w = Window.partitionBy("doc_id").orderBy(F.col("__df").asc(), F.col("shingle").asc())
-    prefix_len = F.floor((1 - threshold) * F.col("n_shingles")) + 1
+    # Required bound: |A| - ceil(t*|A|) + 1. Computed so float error can
+    # only LENGTHEN the prefix (extra candidates), never shorten it (lost
+    # pairs): the 1e-9 nudge absorbs representation error in t*n (~1e-13
+    # even at thousands of shingles) without crossing a true integer —
+    # floor((1-t)*n)+1 evaluated naively yields e.g. 0 for t=0.8, n=5
+    # because (1-0.8)*5 < 1 in floats, one short of the exact bound 2.
+    prefix_len = (
+        F.col("n_shingles")
+        - F.ceil(F.lit(threshold) * F.col("n_shingles") - F.lit(1e-9))
+        + 1
+    )
     prefix = (
         inv.join(freq, "shingle")
         .withColumn("__pos", F.row_number().over(w))

@@ -10,14 +10,19 @@ range-join machinery needed because the lag is exact.
 
 Scale notes
 -----------
-The per-entity dimension (one row per entity: lag + correlation) is
-provably small relative to the fact tables, so it is broadcast — the same
-explicit hint the reference uses (mapping_engine.py:617,641), but we attach
-BOTH columns in one broadcast join instead of the reference's two separate
-joins (one for the lag, a second for the score), halving the passes.
-The t1-to-t2 join shuffles on (cus_code, shifted_month) — co-partitioned
-with the scan only if inputs are bucketed; at 100 TB this is the dominant
-shuffle and is skew-safe because keys are (entity, month) pairs.
+The per-entity dimension (one row per entity: lag + correlation) is small
+*relative* to the fact tables, but broadcast cost is absolute: at the
+100 TB north star (~10^10 entities) forcing a broadcast would OOM the
+driver. So no explicit hint here — AQE measures the actual exchange size
+at runtime and converts to broadcast exactly when the dim fits under
+``spark.sql.autoBroadcastJoinThreshold`` (verified in tools/audit_plans.py:
+sf0.1 plan shows AQE's BroadcastHashJoin; with the threshold at -1 it
+stays a sort-merge join). The reference's two hinted joins
+(mapping_engine.py:617,641) are also fused into ONE join attaching both
+columns, halving the passes. The t1-to-t2 join shuffles on
+(cus_code, shifted_month) — co-partitioned with the scan only if inputs
+are bucketed; at 100 TB this is the dominant shuffle and is skew-safe
+because keys are (entity, month) pairs.
 """
 
 from __future__ import annotations
@@ -50,7 +55,7 @@ def build_correlation_mappings(
     valid = correlations.where(F.col("correlation") >= min_correlation).select(
         KEY, "optimal_lag", "correlation"
     )
-    t1 = table1.join(F.broadcast(valid), on=KEY, how="inner").withColumn(
+    t1 = table1.join(valid, on=KEY, how="inner").withColumn(
         "__month2", shift_month(F.col(TIME), F.col("optimal_lag"))
     )
     t2 = table2.select(
