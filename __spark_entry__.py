@@ -134,15 +134,21 @@ def q_corr_best_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_runtime_conf(spark)
     # mean_lattice_scale=10000: txn/rev are 4-dp money, so the lattice-exact
     # mean is deterministic and bit-identical to the DuckDB twin (float avg()
-    # diverged by 1 ulp on 5/1402 entities in round 1).
-    best = best_lag_correlation(_merged(spark, sf_dir), MAX_LAG, mean_lattice_scale=10000)
+    # diverged by 1 ulp on 5/1402 entities in round 1). mean_round_dp=6:
+    # round to 6 dp with integer half-up arithmetic INSIDE the aggregate —
+    # F.round(double, 6) is not engine-portable on exact 5e-7 midpoints
+    # (Spark HALF_UPs the shortest-decimal repr, DuckDB rounds the binary
+    # double; diverged on 1/1402 rows in round 2).
+    best = best_lag_correlation(
+        _merged(spark, sf_dir), MAX_LAG, mean_lattice_scale=10000, mean_round_dp=6
+    )
     return best.select(
         "cus_code",
         F.col("optimal_lag").cast("int").alias("optimal_lag"),
         F.round("correlation", 6).alias("correlation"),
         F.col("num_months").cast("bigint").alias("num_months"),
-        F.round("txn_mean", 6).alias("txn_mean"),
-        F.round("rev_mean", 6).alias("rev_mean"),
+        F.col("txn_mean").alias("txn_mean"),
+        F.col("rev_mean").alias("rev_mean"),
     )
 
 
@@ -822,14 +828,21 @@ def _sql_best(max_lag: int) -> str:
     return f"""
 {_sql_grid(max_lag)},
 stats AS (
-  -- lattice-exact means (portable: integer sum is order-independent,
-  -- double division is IEEE-identical across engines) — mirrors
-  -- correlation._lattice_mean with scale 10000 (4-dp money lattice)
+  -- lattice-exact means rounded to 6 dp with pure-integer half-up
+  -- arithmetic (portable: integer sum is order-independent; round(dbl,6)
+  -- is NOT portable on exact 5e-7 midpoints) — mirrors
+  -- correlation._lattice_mean_rounded(scale=10000, dp=6):
+  --   S = sum(round(x*10000)::bigint), N = count,
+  --   mean6 = floor((200*S + N) / (2*N)) / 1e6, floor via a - a % b
   SELECT cus_code, count(*) AS num_months,
-         CAST(SUM(CAST(ROUND(txn_amount * 10000) AS BIGINT)) AS DOUBLE)
-           / CAST(COUNT(txn_amount) * 10000 AS DOUBLE) AS txn_mean,
-         CAST(SUM(CAST(ROUND(revenue * 10000) AS BIGINT)) AS DOUBLE)
-           / CAST(COUNT(revenue) * 10000 AS DOUBLE) AS rev_mean
+         CAST((200*SUM(CAST(ROUND(txn_amount * 10000) AS BIGINT)) + COUNT(txn_amount))
+              - (200*SUM(CAST(ROUND(txn_amount * 10000) AS BIGINT)) + COUNT(txn_amount))
+                % (2*COUNT(txn_amount)) AS DOUBLE)
+           / CAST(2*COUNT(txn_amount) AS DOUBLE) / 1000000.0 AS txn_mean,
+         CAST((200*SUM(CAST(ROUND(revenue * 10000) AS BIGINT)) + COUNT(revenue))
+              - (200*SUM(CAST(ROUND(revenue * 10000) AS BIGINT)) + COUNT(revenue))
+                % (2*COUNT(revenue)) AS DOUBLE)
+           / CAST(2*COUNT(revenue) AS DOUBLE) / 1000000.0 AS rev_mean
   FROM merged GROUP BY cus_code
 ),
 ranked AS (
@@ -873,7 +886,7 @@ ORACLE_BEST = f"""
 {_sql_best(MAX_LAG)[1:]}
 SELECT cus_code, optimal_lag, round(correlation, 6) AS correlation,
        CAST(num_months AS BIGINT) AS num_months,
-       round(txn_mean, 6) AS txn_mean, round(rev_mean, 6) AS rev_mean
+       txn_mean, rev_mean
 FROM best
 """
 

@@ -107,24 +107,80 @@ def _lattice_mean(col: str, scale: int):
     associative/deterministic and the final double division is IEEE-exact
     and engine-portable. (Diagnosed round 1: 5/1402 entities differed from
     the DuckDB oracle by 1 ulp in the 6th decimal of the float mean.)
+
+    Validity bound: requires ``|x * scale| < 2^53`` per row (double
+    ``round`` loses integer exactness beyond that) AND the inputs actually
+    on the 1/scale lattice — off-lattice values are silently snapped to the
+    nearest lattice point, corrupting the mean. Callers own the
+    precondition; :func:`lattice_residual` gives a testable check.
     """
     micros = F.round(F.col(col) * F.lit(scale)).cast("bigint")
     return F.sum(micros).cast("double") / (F.count(col) * F.lit(scale)).cast("double")
 
 
-def _entity_stats(merged: DataFrame, mean_lattice_scale: int | None = None) -> DataFrame:
+def lattice_residual(df: DataFrame, col: str, scale: int):
+    """Max |x*scale - round(x*scale)| over ``df[col]`` — a debug/test probe
+    for the :func:`_lattice_mean` precondition (should be ~0, certainly
+    < 0.5, for genuine 1/scale-lattice data). Returns a 1-row DataFrame."""
+    x = F.col(col) * F.lit(scale)
+    return df.select(F.max(F.abs(x - F.round(x))).alias("max_lattice_residual"))
+
+
+def _lattice_mean_rounded(col: str, scale: int, dp: int):
+    """Half-up ``dp``-decimal mean for 1/scale-lattice values, engine-portable.
+
+    ``round(mean, dp)`` on a double is NOT portable when the exact mean sits
+    on a 5e-{dp+1} midpoint: Spark's ``F.round`` HALF_UPs the shortest
+    decimal representation while DuckDB rounds the binary double (observed:
+    one entity's 6-dp mean differing in the last digit between engines).
+    The exact mean is the rational S/(scale*N) with
+    ``S = sum(round(x*scale)::bigint)`` and ``N = count``; its half-up
+    rounding to ``dp`` decimals is the pure-integer expression
+
+        floor((2*S*m + N) / (2*N)) / 10^dp      where m = 10^dp / scale
+
+    (requires ``scale`` to divide ``10^dp``). Implemented with the mod
+    identity ``floor(a/b)*b = a - a % b`` so no float division happens until
+    the quotient is exactly divisible — every intermediate stays a bigint
+    well under 2^53, and the final two double divisions are the same IEEE
+    ops in any engine. Same magnitude bound as :func:`_lattice_mean`.
+    """
+    if 10**dp % scale != 0:
+        raise ValueError(f"scale {scale} must divide 10^{dp}")
+    m = 10**dp // scale
+    s = F.sum(F.round(F.col(col) * F.lit(scale)).cast("bigint"))
+    n = F.count(col)
+    numer = F.lit(2 * m) * s + n
+    denom = F.lit(2) * n
+    quot = (numer - numer % denom).cast("double") / denom.cast("double")
+    return quot / F.lit(float(10**dp))
+
+
+def _entity_stats(
+    merged: DataFrame,
+    mean_lattice_scale: int | None = None,
+    mean_round_dp: int | None = None,
+) -> DataFrame:
     """Per-entity row count and means (UDF output fields num_months,
     txn_mean, rev_mean — mapping_engine.py:257-264).
 
     ``mean_lattice_scale``: when the value columns are money on a 1/scale
     lattice (e.g. 10000 for 4-dp amounts), computes the deterministic
     lattice-exact mean instead of float ``avg`` — see ``_lattice_mean``.
+    ``mean_round_dp``: additionally round the lattice mean to this many
+    decimals with portable integer half-up arithmetic (requires
+    ``mean_lattice_scale``) — see ``_lattice_mean_rounded``.
     """
     if mean_lattice_scale is None:
+        if mean_round_dp is not None:
+            raise ValueError("mean_round_dp requires mean_lattice_scale")
         txn_mean, rev_mean = F.avg("txn_amount"), F.avg("revenue")
-    else:
+    elif mean_round_dp is None:
         txn_mean = _lattice_mean("txn_amount", mean_lattice_scale)
         rev_mean = _lattice_mean("revenue", mean_lattice_scale)
+    else:
+        txn_mean = _lattice_mean_rounded("txn_amount", mean_lattice_scale, mean_round_dp)
+        rev_mean = _lattice_mean_rounded("revenue", mean_lattice_scale, mean_round_dp)
     return merged.groupBy(KEY).agg(
         F.count(F.lit(1)).alias("num_months"),
         txn_mean.alias("txn_mean"),
@@ -133,14 +189,17 @@ def _entity_stats(merged: DataFrame, mean_lattice_scale: int | None = None) -> D
 
 
 def best_lag_correlation(
-    merged: DataFrame, max_lag: int = 6, mean_lattice_scale: int | None = None
+    merged: DataFrame,
+    max_lag: int = 6,
+    mean_lattice_scale: int | None = None,
+    mean_round_dp: int | None = None,
 ) -> DataFrame:
     """Per-entity optimal lag + best correlation, reference semantics.
 
     Output: ``cus_code, optimal_lag:int, correlation:double,
     num_months:long, txn_mean:double, rev_mean:double`` — the reference
     correlation-UDF result schema (mapping_engine.py:232-239).
-    ``mean_lattice_scale`` — see ``_entity_stats``.
+    ``mean_lattice_scale`` / ``mean_round_dp`` — see ``_entity_stats``.
     """
     grid = lag_correlation_grid(merged, max_lag)
     valid = grid.where(
@@ -154,7 +213,7 @@ def best_lag_correlation(
         .where(F.col("__rn") == 1)
         .select(KEY, F.col("lag").alias("__best_lag"), F.col("corr").alias("__best_corr"))
     )
-    stats = _entity_stats(merged, mean_lattice_scale)
+    stats = _entity_stats(merged, mean_lattice_scale, mean_round_dp)
     return stats.join(best, on=KEY, how="left").select(
         KEY,
         F.coalesce(F.col("__best_lag"), F.lit(0)).cast("int").alias("optimal_lag"),

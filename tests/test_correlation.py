@@ -87,6 +87,37 @@ def test_constant_series_returns_minus_one(spark):
     assert (row["optimal_lag"], row["correlation"]) == (0, -1.0)
 
 
+def test_lattice_mean_rounded_half_up_on_midpoint(spark):
+    # Two 4-dp values whose exact mean 66797.4792125 sits on the 5e-7
+    # midpoint: portable integer half-up must emit ...479213 (HALF_UP), the
+    # value plain round(avg, 6) gives only on engines that round the
+    # shortest-decimal repr (Spark) but not ones rounding the binary double
+    # (DuckDB) — the round-2 corr_best_lag divergence.
+    # 7x .4792 + 1x .4793 -> S=5343798337 micros over N=8:
+    # exact mean 5343798337/80000 = 66797.4792125, a true 6-dp midpoint.
+    rows = [
+        ("A", f"2024-{m:02d}", 66797.4792, 66797.4792) for m in range(1, 8)
+    ] + [("A", "2024-08", 66797.4793, 66797.4793)]
+    df = spark.createDataFrame(
+        rows, "cus_code string, month string, txn_amount double, revenue double"
+    )
+    row = best_lag_correlation(
+        df, MAX_LAG, mean_lattice_scale=10000, mean_round_dp=6
+    ).collect()[0]
+    assert row["txn_mean"] == 66797.479213
+    assert row["rev_mean"] == 66797.479213
+
+
+def test_lattice_residual_probe(spark):
+    from mapping_timeseries_spark.operators.correlation import lattice_residual
+
+    df = spark.createDataFrame(
+        [("A", 1.2345), ("B", 2.0001)], "cus_code string, txn_amount double"
+    )
+    res = lattice_residual(df, "txn_amount", 10000).collect()[0]
+    assert res["max_lattice_residual"] < 1e-6
+
+
 def test_all_lags_array_sorted_and_complete(spark, merged):
     row = correlation_all_lags(merged, MAX_LAG).limit(1).collect()[0]
     lags = [e["lag"] for e in row["all_lags"]]
