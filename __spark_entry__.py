@@ -13,10 +13,13 @@ sides for schema parity.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from mapping_timeseries_spark.operators.canonicalize import lattice_snap
 
 from mapping_timeseries_spark.operators.correlation import (
     best_lag_correlation,
@@ -35,6 +38,7 @@ from mapping_timeseries_spark.operators.quality import (
 )
 from mapping_timeseries_spark.operators.recommend import (
     compare_methods,
+    method_agreement,
     recommendation_table,
 )
 from mapping_timeseries_spark.operators.dedup import (
@@ -102,6 +106,24 @@ MIN_CORRELATION = 0.3
 
 def _merged(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_series(monthly_spend(spark, sf_dir), monthly_revenue(spark, sf_dir))
+
+
+def _merged_lattice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged series with values snapped to the exact 1e-4 money lattice.
+
+    Queries whose DuckDB twin involves the pre-computed DTW expected table
+    (tools/gen_dtw_expected.py) consume this variant: the snap makes the
+    DTW input vectors bit-identical between Spark and the numpy oracle
+    generator, which is what lets a float-sensitive DP hash-match across
+    implementations.
+    """
+    m = _merged(spark, sf_dir)
+    return m.select(
+        "cus_code",
+        "month",
+        lattice_snap("txn_amount").alias("txn_amount"),
+        lattice_snap("revenue").alias("revenue"),
+    )
 
 
 def q_merged_series(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -179,11 +201,17 @@ def q_corr_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dtw_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D3: per-entity DTW cost + path length (rows-only check: per-group DP
-    via applyInPandas is not SQL-expressible; pytest holds the numpy oracle).
+    """D3: per-entity DTW cost + path length.
+
+    Hash-gated against a pre-computed expected table
+    (``artifacts/dtw_expected_summary.parquet``) generated by the
+    *independent* naive numpy DP in ``tests/oracles.py`` via
+    ``tools/gen_dtw_expected.py`` — the per-group DP itself is not
+    SQL-expressible. Input is lattice-snapped (see ``_merged_lattice``) so
+    the DTW input vectors are bit-identical between engine and generator.
     """
     ensure_runtime_conf(spark)
-    res = dtw_summary(_merged(spark, sf_dir), window_size=None, normalize=True)
+    res = dtw_summary(_merged_lattice(spark, sf_dir), window_size=None, normalize=True)
     return res.select(
         "cus_code",
         F.round("total_cost", 6).alias("total_cost"),
@@ -192,9 +220,13 @@ def q_dtw_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dtw_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D3+F2: DTW mapping table (exploded alignment paths; rows-only)."""
+    """D3+F2: DTW mapping table (exploded alignment paths).
+
+    Hash-gated against ``artifacts/dtw_expected_mapping.parquet`` (see
+    ``q_dtw_summary``); lattice-snapped input for bit-identical vectors.
+    """
     ensure_runtime_conf(spark)
-    flat = build_dtw_mappings(_merged(spark, sf_dir), window_size=None, normalize=True)
+    flat = build_dtw_mappings(_merged_lattice(spark, sf_dir), window_size=None, normalize=True)
     return flat.select(
         "cus_code",
         "time1",
@@ -288,9 +320,14 @@ def q_duplicate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_recommendation_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Routing model (04_comparision.py:243-287); rows-only (needs DTW)."""
+    """Routing model (04_comparision.py:243-287).
+
+    Hash-gated: the corr side is SQL-expressible and the DTW side comes
+    from the numpy expected table, so the DuckDB twin reproduces the full
+    CASE model. Lattice-snapped input on both sides.
+    """
     ensure_runtime_conf(spark)
-    merged = merge_series(monthly_spend(spark, sf_dir), monthly_revenue(spark, sf_dir))
+    merged = _merged_lattice(spark, sf_dir)
     corr = best_lag_correlation(merged, MAX_LAG)
     dtw = dtw_summary(merged)
     rec = recommendation_table(compare_methods(corr, dtw))
@@ -307,11 +344,20 @@ def q_recommendation_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_auto_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Auto mode: correlation >= 0.7 entities via lag join, rest via DTW,
-    unioned by name (rows-only: DTW side not SQL-expressible)."""
+    unioned by name.
+
+    Hash-gated: the routing split and corr partition are SQL CTEs; the DTW
+    partition comes from the numpy expected mapping table restricted to the
+    routed-to-DTW entities (DTW is per-entity independent, so filtering the
+    all-entity expected table IS the routed output). Inputs lattice-snapped
+    on both sides so the corr grid and DTW vectors are bit-identical.
+    """
     ensure_runtime_conf(spark)
+    t1 = monthly_spend(spark, sf_dir)
+    t2 = monthly_revenue(spark, sf_dir)
     out = map_tables(
-        monthly_spend(spark, sf_dir),
-        monthly_revenue(spark, sf_dir),
+        t1.withColumn("txn_amount", lattice_snap("txn_amount")),
+        t2.withColumn("revenue", lattice_snap("revenue")),
         "cus_code",
         "month",
         "txn_amount",

@@ -31,6 +31,22 @@ def validate_schema(
     return True
 
 
+def lattice_snap(col: str | F.Column, scale: int = 10000):
+    """Snap a money-lattice double to its exact 1/scale lattice point:
+    ``round(x*scale)::bigint / scale``.
+
+    Monthly sums of 2-4dp money are *mathematically* on the 1e-4 lattice but
+    each engine's float summation lands ~ulps away from it, in
+    engine-specific directions. Snapping makes the values bit-identical
+    doubles across engines/implementations — the precondition for feeding
+    them into a float-sensitive DP (DTW) whose oracle runs elsewhere.
+    Requires |x*scale| < 2^53 and accumulated error < 0.5/scale (holds for
+    money sums by a huge margin).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * F.lit(scale)).cast("bigint") / F.lit(float(scale))
+
+
 def canonicalize(
     df: DataFrame,
     key_col: str,

@@ -10,13 +10,14 @@ seen.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .canonicalize import KEY
 
 __all__ = [
     "compare_methods",
+    "method_agreement",
     "recommendation_table",
     "route_entities",
     "CORRELATION_METHODS",
@@ -49,6 +50,54 @@ def compare_methods(corr_results: DataFrame, dtw_results: DataFrame) -> DataFram
             on=KEY,
             how="inner",
         )
+    )
+
+
+def _avg_rank(col: str):
+    """Average-tie (fractional) rank of ``col``, the rank convention
+    scipy.stats.spearmanr uses: min-rank + (tie_count - 1)/2."""
+    return (
+        F.rank().over(Window.orderBy(col))
+        + (F.count(F.lit(1)).over(Window.partitionBy(col)) - F.lit(1)) / F.lit(2.0)
+    )
+
+
+def method_agreement(comparison: DataFrame) -> DataFrame:
+    """One-row cross-method agreement statistics (04_comparision.py:61-88).
+
+    The reference collects the comparison frame to pandas and runs
+    scipy.stats ``pearsonr``/``spearmanr`` on the driver; here both
+    coefficients are native aggregates — Pearson via ``corr``, Spearman as
+    Pearson over average-tie ranks built from ``rank()``/``count()``
+    windows — so the plan stays distributed and DuckDB-hash-gatable.
+    (Two-sided p-values are the one driver-side scipy piece we do not
+    reproduce here; the Student-t machinery lives in
+    functions.stats.lag_grid_with_pvalues, D2.)
+
+    Scale note: the two rank windows are global sorts, but the input is the
+    per-entity *summary* (one row per entity, already aggregated) — a
+    single-pass sort over entity count, not fact rows. The negative
+    ``pearson_corr_cost`` expectation ("high correlation = low DTW cost")
+    is the reference's method-agreement check.
+    """
+    ranked = comparison.select(
+        "correlation",
+        "optimal_lag",
+        "total_cost",
+        "num_mappings",
+        _avg_rank("correlation").alias("__r_corr"),
+        _avg_rank("total_cost").alias("__r_cost"),
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("total_customers"),
+        F.avg("correlation").alias("avg_correlation"),
+        F.stddev("correlation").alias("std_correlation"),
+        F.avg("total_cost").alias("avg_dtw_cost"),
+        F.stddev("total_cost").alias("std_dtw_cost"),
+        F.avg("optimal_lag").alias("avg_lag"),
+        F.avg("num_mappings").alias("avg_dtw_mappings"),
+        F.corr("correlation", "total_cost").alias("pearson_corr_cost"),
+        F.corr("__r_corr", "__r_cost").alias("spearman_corr_cost"),
     )
 
 

@@ -1,0 +1,126 @@
+"""Generate the DTW expected tables that back the driver's DuckDB oracle.
+
+The per-entity DTW dynamic program is not expressible in plain SQL, so its
+hash gate uses a *pre-computed expected table*: this script runs the
+independent naive numpy DP from ``tests/oracles.py`` (a deliberately
+loop-based re-implementation of the reference semantics,
+mapping_engine.py:162-216 — NOT the engine's vectorized min-plus code) over
+the same merged series the engine consumes, and writes the results to
+parquet under ``artifacts/``. The oracle SQL then simply reads the parquet
+and the driver hashes Spark-vs-expected like any other query.
+
+Determinism contract (why Spark can hash-match a numpy program):
+
+- merged ``txn_amount``/``revenue`` are snapped to the exact 1e-4 lattice
+  on BOTH sides (``CAST(ROUND(x*10000) AS BIGINT)/10000.0``) before DTW, so
+  the input vectors are bit-identical doubles regardless of each engine's
+  float-sum ordering;
+- both sides sort by the ``YYYY-MM`` month string (unique per entity);
+- z-normalization is the same numpy expression on identical inputs;
+- total_cost is compared after round(·, 6); num_mappings is an integer.
+
+Measured parity (round 3): at sf0.01 and sf0.1, 0/15493 entities differ in
+(total_cost@6dp, num_mappings); alignment paths are identical at sf0.01
+(the driver's gate) with 14/14091 entities at sf0.1 picking a different
+equal-cost path (min-plus vs sequential DP last-ulp tie flips).
+
+Each row carries ``sf_tag`` = row count of the ``orders`` table at that
+scale factor, so one static oracle SQL string can select the right slice
+with ``WHERE sf_tag = (SELECT count(*) FROM orders)``.
+
+Usage: python tools/gen_dtw_expected.py [sf_dir ...]
+(default: every /root/testdata/sf* directory)
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import sys
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from mapping_timeseries_spark.sources.fixtures import SQL_MERGED  # noqa: E402
+from tests.oracles import dtw_oracle  # noqa: E402
+
+ARTIFACTS = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "artifacts"
+)
+SNAP = "CAST(ROUND({c}*10000) AS BIGINT)/10000.0"
+
+
+def expected_for(sf_dir: str) -> tuple[pd.DataFrame, pd.DataFrame]:
+    con = duckdb.connect()
+    for t in ("orders", "lineitem"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    sf_tag = con.execute("SELECT count(*) FROM orders").fetchone()[0]
+    merged = con.execute(
+        f"SELECT cus_code, month, {SNAP.format(c='txn_amount')} AS txn_amount, "
+        f"{SNAP.format(c='revenue')} AS revenue FROM ({SQL_MERGED}) m "
+        "ORDER BY cus_code, month"
+    ).fetchdf()
+
+    summary, mapping = [], []
+    for cus, g in merged.groupby("cus_code", sort=False):
+        txn = g["txn_amount"].to_numpy()
+        rev = g["revenue"].to_numpy()
+        months = g["month"].to_numpy()
+        cost, path = dtw_oracle(txn, rev, window=None, normalize=True)
+        summary.append((sf_tag, int(cus), float(cost), len(path)))
+        for ti, ri in path:
+            mapping.append(
+                (
+                    sf_tag,
+                    int(cus),
+                    int(ti),
+                    int(ri),
+                    str(months[ti]),
+                    str(months[ri]),
+                    float(txn[ti]),
+                    float(rev[ri]),
+                    float(cost),
+                )
+            )
+    sdf = pd.DataFrame(
+        summary, columns=["sf_tag", "cus_code", "total_cost", "num_mappings"]
+    )
+    mdf = pd.DataFrame(
+        mapping,
+        columns=[
+            "sf_tag",
+            "cus_code",
+            "txn_idx",
+            "rev_idx",
+            "txn_month",
+            "rev_month",
+            "txn_amount",
+            "revenue",
+            "total_cost",
+        ],
+    )
+    return sdf, mdf
+
+
+def main() -> None:
+    sf_dirs = sys.argv[1:] or sorted(glob.glob("/root/testdata/sf*"))
+    os.makedirs(ARTIFACTS, exist_ok=True)
+    summaries, mappings = [], []
+    for sf_dir in sf_dirs:
+        sdf, mdf = expected_for(sf_dir)
+        print(f"{sf_dir}: {len(sdf)} entities, {len(mdf)} path steps")
+        summaries.append(sdf)
+        mappings.append(mdf)
+    all_s = pd.concat(summaries, ignore_index=True)
+    all_m = pd.concat(mappings, ignore_index=True)
+    all_s.to_parquet(os.path.join(ARTIFACTS, "dtw_expected_summary.parquet"))
+    all_m.to_parquet(os.path.join(ARTIFACTS, "dtw_expected_mapping.parquet"))
+    print(
+        f"wrote {len(all_s)} summary / {len(all_m)} mapping rows -> {ARTIFACTS}"
+    )
+
+
+if __name__ == "__main__":
+    main()
