@@ -22,6 +22,10 @@ from pyspark.sql import SparkSession
 #:   and the lag scan skips it (mapping_engine.py:152-158); non-ANSI
 #:   ``corr`` reproduces that (NaN/null, filtered downstream).
 RUNTIME_CONF: dict[str, str] = {
+    # UTC so NTZ->LTZ normalization in readers.read_table is a pure
+    # relabeling (no wall-clock shift, no DST edge) in ANY session,
+    # including the driver harness's externally-built one.
+    "spark.sql.session.timeZone": "UTC",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",

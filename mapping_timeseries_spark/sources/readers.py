@@ -27,10 +27,31 @@ TPCH_TABLES = (
 )
 
 
-#: Columns stored as TIMESTAMP(NANOS) in pandas-written parquet; read as
-#: long (legacy conf in session.RUNTIME_CONF) and converted here. Floor
-#: division to microseconds matches DuckDB's truncation of the same files.
-_NANO_TS_COLS = {"events": ["ts"]}
+#: Timestamp columns whose physical parquet type varies by writer:
+#: pandas-written TIMESTAMP(NANOS) arrives as long (legacy conf in
+#: session.RUNTIME_CONF; floor-divided to micros, matching DuckDB's
+#: truncation), tz-naive TIMESTAMP(MICROS) arrives as TIMESTAMP_NTZ under
+#: Spark 4's inferTimestampNTZ. Both are normalized to TIMESTAMP here so
+#: downstream time arithmetic (unix_micros, window, session_window) sees
+#: one type; session tz is pinned to UTC (RUNTIME_CONF) so the NTZ cast
+#: preserves wall-clock values exactly.
+_TS_COLS = {"events": ["ts"]}
+
+
+def normalize_ts(df: DataFrame, col: str) -> DataFrame:
+    """Normalize one physical-type-variant timestamp column to TIMESTAMP.
+
+    Works on batch and streaming DataFrames alike (pure column expressions,
+    dispatched on the analyzed dtype).
+    """
+    dtype = dict(df.dtypes).get(col)
+    if dtype == "bigint":
+        # integer DIV: float division would lose microsecond precision
+        # (nanosecond epochs exceed double's 53-bit mantissa)
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` DIV 1000")))
+    if dtype == "timestamp_ntz":
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -39,13 +60,8 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     ensure_runtime_conf(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    for col in _NANO_TS_COLS.get(name, []):
-        if dict(df.dtypes).get(col) == "bigint":
-            # integer DIV: float division would lose microsecond precision
-            # (nanosecond epochs exceed double's 53-bit mantissa)
-            df = df.withColumn(
-                col, F.timestamp_micros(F.expr(f"`{col}` DIV 1000"))
-            )
+    for col in _TS_COLS.get(name, []):
+        df = normalize_ts(df, col)
     return df
 
 

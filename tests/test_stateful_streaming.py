@@ -33,8 +33,9 @@ def test_stateful_sessionizer_matches_batch(spark, events_batch, tmp_path_factor
         .option("maxFilesPerTrigger", 1)
         .parquet(str(d))
     )
-    if dict(stream.dtypes)["ts"] == "bigint":  # pandas wrote nanos again
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    from mapping_timeseries_spark.sources.readers import normalize_ts
+
+    stream = normalize_ts(stream, "ts")  # writer-dependent raw ts type
     sessions = stream_sessionize_stateful(stream, gap_minutes=10)
     q = (
         sessions.writeStream.format("memory")

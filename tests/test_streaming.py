@@ -34,12 +34,13 @@ def stream_dir(tmp_path_factory):
 
 
 def _stream_events(spark, stream_dir):
-    # stream the raw parquet, then apply the same nano->micro conversion the
-    # batch reader does (schema comes from the raw file: ts is bigint nanos)
-    from pyspark.sql import functions as F
+    # stream the raw parquet, then apply the same ts normalization the batch
+    # reader does (raw physical type varies by data-gen writer: bigint nanos
+    # or tz-naive micros)
+    from mapping_timeseries_spark.sources.readers import normalize_ts
 
     raw = read_events_stream(spark, stream_dir)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return normalize_ts(raw, "ts")
 
 
 def _as_sorted_rows(df, cols):
