@@ -78,6 +78,7 @@ from mapping_timeseries_spark.operators.relational import (
     anti_join,
     join_distinct_dim,
     sample_fraction,
+    sample_portable,
     summary_stats,
     conditional_agg,
     distinct_counts,
@@ -98,6 +99,11 @@ from mapping_timeseries_spark.sources.readers import read_incremental, read_tabl
 
 MAX_LAG = 6
 MIN_CORRELATION = 0.3
+
+#: Pre-computed expected tables for the non-SQL-expressible DTW DP
+#: (tools/gen_dtw_expected.py; see q_dtw_summary). Absolute path so the
+#: DuckDB oracle resolves it regardless of the driver's cwd.
+ARTIFACTS = os.path.join(os.path.dirname(os.path.abspath(__file__)), "artifacts")
 
 # ---------------------------------------------------------------------------
 # Spark-side query builders
@@ -378,6 +384,41 @@ def q_auto_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-method agreement statistics (04_comparision.py:61-88): one row
+    of Pearson + Spearman agreement between the correlation and DTW
+    summaries, as native aggregates (no toPandas/scipy).
+
+    Hash-gated: corr side is SQL-expressible, DTW side comes from the numpy
+    expected table. Inputs to the ranks/means are pre-rounded to 6 dp on
+    BOTH engines so tie groups (avg-rank Spearman) are identical; output
+    stats rounded to 6 dp as usual.
+    """
+    ensure_runtime_conf(spark)
+    merged = _merged_lattice(spark, sf_dir)
+    corr = best_lag_correlation(merged, MAX_LAG)
+    dtw = dtw_summary(merged)
+    comp = compare_methods(corr, dtw).select(
+        "cus_code",
+        F.round("correlation", 6).alias("correlation"),
+        "optimal_lag",
+        F.round("total_cost", 6).alias("total_cost"),
+        "num_mappings",
+    )
+    agree = method_agreement(comp)
+    return agree.select(
+        F.col("total_customers").cast("bigint").alias("total_customers"),
+        F.round("avg_correlation", 6).alias("avg_correlation"),
+        F.round("std_correlation", 6).alias("std_correlation"),
+        F.round("avg_dtw_cost", 6).alias("avg_dtw_cost"),
+        F.round("std_dtw_cost", 6).alias("std_dtw_cost"),
+        F.round("avg_lag", 6).alias("avg_lag"),
+        F.round("avg_dtw_mappings", 6).alias("avg_dtw_mappings"),
+        F.round("pearson_corr_cost", 6).alias("pearson_corr_cost"),
+        F.round("spearman_corr_cost", 6).alias("spearman_corr_cost"),
+    )
+
+
 def q_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P9 CASE segmentation + A2 grouped aggregation over customers."""
     ensure_runtime_conf(spark)
@@ -631,6 +672,19 @@ def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_runtime_conf(spark)
     s = sample_fraction(read_table(spark, sf_dir, "orders"), 0.1, seed=42)
     return s.select("o_orderkey", "o_custkey", F.round("o_totalprice", 6).alias("o_totalprice"))
+
+
+def q_sample_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P11 hash-gated sampling twin: 1-in-10 systematic sample by portable
+    md5 key hash (see operators.relational.sample_portable); q_sample keeps
+    the engine-RNG ``sample()`` API surface."""
+    ensure_runtime_conf(spark)
+    s = sample_portable(read_table(spark, sf_dir, "orders"), "o_orderkey", 10)
+    return s.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round("o_totalprice", 6).alias("o_totalprice"),
+    )
 
 
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -911,6 +965,100 @@ best AS (
 
 SQL_MERGED_CTE = f"WITH merged AS ({SQL_MERGED})"
 
+#: 1e-4-lattice snap (DuckDB side of operators.canonicalize.lattice_snap).
+_SQL_SNAP = "CAST(ROUND({c}*10000) AS BIGINT)/10000.0"
+
+#: Lattice-snapped merged CTE — twin of ``_merged_lattice``; every oracle
+#: that joins against the numpy DTW expected tables starts here so the
+#: corr grid and DTW vectors are bit-identical doubles on both engines.
+SQL_MERGED_LATTICE_CTE = f"""WITH merged AS (
+  SELECT cus_code, month,
+         {_SQL_SNAP.format(c='txn_amount')} AS txn_amount,
+         {_SQL_SNAP.format(c='revenue')} AS revenue
+  FROM ({SQL_MERGED}) raw
+)"""
+
+#: DTW expected tables (tools/gen_dtw_expected.py): the numpy-DP oracle
+#: for the non-SQL-expressible per-entity dynamic program, selected per
+#: scale factor via the orders row count stamped at generation time.
+_SQL_DTW_SUMMARY_EXPECTED = f"""
+  SELECT cus_code, total_cost, num_mappings
+  FROM read_parquet('{ARTIFACTS}/dtw_expected_summary.parquet')
+  WHERE sf_tag = (SELECT count(*) FROM orders)
+"""
+
+ORACLE_DTW_SUMMARY = f"""
+SELECT cus_code, round(total_cost, 6) AS total_cost,
+       CAST(num_mappings AS INT) AS num_mappings
+FROM ({_SQL_DTW_SUMMARY_EXPECTED}) e
+"""
+
+ORACLE_DTW_MAPPING = f"""
+SELECT cus_code, txn_month AS time1, round(txn_amount, 6) AS value1,
+       rev_month AS time2, round(revenue, 6) AS value2,
+       CAST(NULL AS INT) AS lag_offset, 'dtw' AS method,
+       round(total_cost, 6) AS dtw_cost
+FROM read_parquet('{ARTIFACTS}/dtw_expected_mapping.parquet')
+WHERE sf_tag = (SELECT count(*) FROM orders)
+"""
+
+# Routing-model thresholds/strings are the reference's verbatim
+# (04_comparision.py:243-287) — mirrors operators.recommend.recommendation_table.
+ORACLE_RECOMMEND = f"""
+{SQL_MERGED_LATTICE_CTE},
+{_sql_best(MAX_LAG)[1:]},
+dtw AS ({_SQL_DTW_SUMMARY_EXPECTED})
+SELECT b.cus_code,
+       round(b.correlation, 6) AS correlation,
+       CAST(b.optimal_lag AS INT) AS optimal_lag,
+       round(d.total_cost, 6) AS total_cost,
+       CASE WHEN b.correlation >= 0.7 AND b.optimal_lag <= 2 THEN 'Correlation'
+            WHEN b.correlation >= 0.5 AND d.total_cost <= 10
+              THEN 'Either (prefer Correlation for simplicity)'
+            WHEN d.total_cost <= 15 THEN 'DTW'
+            ELSE 'Complex - Manual Review' END AS recommended_method,
+       CASE WHEN b.correlation >= 0.8 OR d.total_cost <= 5 THEN 'High'
+            WHEN b.correlation >= 0.5 OR d.total_cost <= 15 THEN 'Medium'
+            ELSE 'Low' END AS confidence,
+       CASE WHEN b.correlation >= 0.7 THEN 'High correlation with simple lag pattern'
+            WHEN d.total_cost <= 10 THEN 'Low DTW cost indicates good alignment'
+            WHEN b.correlation < 0.3 AND d.total_cost > 20
+              THEN 'Both methods show poor fit - investigate data quality'
+            ELSE 'Moderate fit - consider business context' END AS reason
+FROM best b JOIN dtw d ON b.cus_code = d.cus_code
+"""
+
+# Avg-tie (fractional) ranks — scipy.spearmanr's convention; ranks are
+# taken over 6dp-rounded inputs on BOTH engines so tie groups coincide.
+ORACLE_AGREEMENT = f"""
+{SQL_MERGED_LATTICE_CTE},
+{_sql_best(MAX_LAG)[1:]},
+dtw AS ({_SQL_DTW_SUMMARY_EXPECTED}),
+comp AS (
+  SELECT b.cus_code, round(b.correlation, 6) AS correlation, b.optimal_lag,
+         round(d.total_cost, 6) AS total_cost, d.num_mappings
+  FROM best b JOIN dtw d ON b.cus_code = d.cus_code
+),
+comp_ranked AS (
+  SELECT *,
+         rank() OVER (ORDER BY correlation)
+           + (count(*) OVER (PARTITION BY correlation) - 1) / 2.0 AS r_corr,
+         rank() OVER (ORDER BY total_cost)
+           + (count(*) OVER (PARTITION BY total_cost) - 1) / 2.0 AS r_cost
+  FROM comp
+)
+SELECT count(*) AS total_customers,
+       round(avg(correlation), 6) AS avg_correlation,
+       round(stddev(correlation), 6) AS std_correlation,
+       round(avg(total_cost), 6) AS avg_dtw_cost,
+       round(stddev(total_cost), 6) AS std_dtw_cost,
+       round(avg(optimal_lag), 6) AS avg_lag,
+       round(avg(num_mappings), 6) AS avg_dtw_mappings,
+       round(corr(correlation, total_cost), 6) AS pearson_corr_cost,
+       round(corr(r_corr, r_cost), 6) AS spearman_corr_cost
+FROM comp_ranked
+"""
+
 ORACLE_MERGED = f"""
 {SQL_MERGED_CTE}
 SELECT cus_code, month,
@@ -936,17 +1084,31 @@ SELECT cus_code, optimal_lag, round(correlation, 6) AS correlation,
 FROM best
 """
 
-def _sql_mapping_ctes() -> str:
+def _sql_mapping_ctes(lattice: bool = False, min_corr: float = MIN_CORRELATION) -> str:
     """Full WITH chain ending in a ``mapping`` CTE (the flagship output,
-    unrounded) — shared by the mapping oracle and the QA oracle."""
+    unrounded) — shared by the mapping oracle, the QA oracle, and (with
+    ``lattice=True, min_corr=0.7``) the corr partition of the auto-mode
+    oracle, whose inputs must be snapped to the 1e-4 lattice to line up
+    with the DTW expected tables."""
     from mapping_timeseries_spark.sources.fixtures import SQL_T1, SQL_T2
 
+    merged_cte = SQL_MERGED_LATTICE_CTE if lattice else SQL_MERGED_CTE
+    t1_body, t2_body = SQL_T1, SQL_T2
+    if lattice:
+        t1_body = (
+            f"SELECT cus_code, month, {_SQL_SNAP.format(c='txn_amount')} "
+            f"AS txn_amount FROM ({SQL_T1}) raw"
+        )
+        t2_body = (
+            f"SELECT cus_code, month, {_SQL_SNAP.format(c='revenue')} "
+            f"AS revenue FROM ({SQL_T2}) raw"
+        )
     return f"""
-{SQL_MERGED_CTE},
+{merged_cte},
 {_sql_best(MAX_LAG)[1:]},
-t1 AS ({SQL_T1}),
-t2 AS ({SQL_T2}),
-valid AS (SELECT * FROM best WHERE correlation >= {MIN_CORRELATION}),
+t1 AS ({t1_body}),
+t2 AS ({t2_body}),
+valid AS (SELECT * FROM best WHERE correlation >= {min_corr}),
 shifted AS (
   SELECT t1.cus_code, t1.month, t1.txn_amount, v.optimal_lag, v.correlation,
          strftime(strptime(t1.month || '-01', '%Y-%m-%d')
@@ -992,6 +1154,40 @@ SELECT
                    < strptime(m.time1 || '-01', '%Y-%m-%d')
            THEN 1 ELSE 0 END) AS BIGINT) AS temporal_violations
 FROM mapping m
+"""
+
+# Auto-mode twin (engine.map_tables method='auto'): entities with best
+# correlation >= 0.7 (config.AUTO_SIMPLE_THRESHOLD) take the lag-join corr
+# path; the rest take DTW. DTW is per-entity independent, so the expected
+# mapping table restricted to the routed-to-DTW keys IS the routed output.
+ORACLE_AUTO = f"""
+{_sql_mapping_ctes(lattice=True, min_corr=0.7)},
+dtw_keys AS (SELECT cus_code FROM best WHERE correlation < 0.7),
+dtw_part AS (
+  SELECT e.cus_code, e.txn_month AS time1, e.txn_amount AS value1,
+         e.rev_month AS time2, e.revenue AS value2,
+         CAST(NULL AS INT) AS lag_offset, 'dtw' AS method,
+         CAST(NULL AS DOUBLE) AS correlation, e.total_cost AS dtw_cost
+  FROM read_parquet('{ARTIFACTS}/dtw_expected_mapping.parquet') e
+  JOIN dtw_keys k ON e.cus_code = k.cus_code
+  WHERE e.sf_tag = (SELECT count(*) FROM orders)
+)
+SELECT cus_code, time1, round(value1, 6) AS value1,
+       time2, round(value2, 6) AS value2, lag_offset, method,
+       round(correlation, 6) AS correlation, round(dtw_cost, 6) AS dtw_cost
+FROM (
+  SELECT cus_code, time1, value1, time2, value2, lag_offset, method,
+         correlation, CAST(NULL AS DOUBLE) AS dtw_cost
+  FROM mapping
+  UNION ALL
+  SELECT * FROM dtw_part
+) unioned
+"""
+
+ORACLE_SAMPLE_PORTABLE = """
+SELECT o_orderkey, o_custkey, round(o_totalprice, 6) AS o_totalprice
+FROM orders
+WHERE ('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 10 = 0
 """
 
 ORACLE_ALIGNMENT = f"""
@@ -1572,6 +1768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_stats": q_duplicate_stats,
         "recommendation_table": q_recommendation_table,
         "auto_mapping": q_auto_mapping,
+        "method_agreement": q_method_agreement,
         "segmentation": q_segmentation,
         "topk_customers": q_topk_customers,
         "conditional_agg": q_conditional_agg,
@@ -1592,6 +1789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "summary_stats": q_summary_stats,
         "join_distinct_dim": q_join_distinct_dim,
         "sample": q_sample,
+        "sample_portable": q_sample_portable,
         "token_counts": q_token_counts,
         "exact_dedup": q_exact_dedup,
         "content_hash_dedup": q_content_hash_dedup,
@@ -1620,6 +1818,11 @@ def oracle_sql() -> dict[str, str]:
         "corr_lag_grid": ORACLE_GRID,
         "corr_best_lag": ORACLE_BEST,
         "corr_mapping": ORACLE_MAPPING,
+        "dtw_summary": ORACLE_DTW_SUMMARY,
+        "dtw_mapping": ORACLE_DTW_MAPPING,
+        "recommendation_table": ORACLE_RECOMMEND,
+        "auto_mapping": ORACLE_AUTO,
+        "method_agreement": ORACLE_AGREEMENT,
         "qa_invariants": ORACLE_QA,
         "alignment_coverage": ORACLE_ALIGNMENT.format(sql_t1=SQL_T1, sql_t2=SQL_T2),
         "profile_lineitem": ORACLE_PROFILE,
@@ -1643,6 +1846,7 @@ def oracle_sql() -> dict[str, str]:
         "parse_props": ORACLE_PARSE_PROPS,
         "summary_stats": ORACLE_SUMMARY,
         "join_distinct_dim": ORACLE_JOIN_DIM,
+        "sample_portable": ORACLE_SAMPLE_PORTABLE,
         "token_counts": ORACLE_TOKEN_COUNTS,
         "exact_dedup": ORACLE_EXACT_DEDUP,
         "content_hash_dedup": ORACLE_HASH_DEDUP,

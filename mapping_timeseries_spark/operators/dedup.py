@@ -63,9 +63,17 @@ def _ensure_parallel(df: DataFrame) -> DataFrame:
     """Spread a low-partition scan across cores before expression-heavy
     per-row work (shingling, 32-seed hashing). A small local parquet file
     arrives as ONE partition, serializing everything downstream; on a real
-    cluster the scan is already wide and this is a no-op."""
+    cluster the scan is already wide and this is a no-op.
+
+    The probe is file-count metadata (public ``inputFiles`` API — driver
+    catalog lookup only, no job, no plan->RDD conversion, unlike the
+    ``df.rdd.getNumPartitions()`` it replaces). A many-core cluster
+    reading few huge files still splits them by maxPartitionBytes, so the
+    repartition there is redundant-but-harmless; at 100 TB the input is
+    thousands of files and this branch never fires."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    n_files = len(df.inputFiles())
+    if 0 < n_files < target:
         return df.repartition(target)
     return df
 

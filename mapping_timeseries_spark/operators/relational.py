@@ -193,6 +193,23 @@ def sample_fraction(df: DataFrame, fraction: float = 0.1, seed: int = 42) -> Dat
     return df.sample(fraction=fraction, seed=seed)
 
 
+def sample_portable(df: DataFrame, key_col: str, one_in: int = 10) -> DataFrame:
+    """P11 hash-gated twin of :func:`sample_fraction`: deterministic 1-in-k
+    systematic sample by portable md5 hash of the key.
+
+    ``sample()`` keeps API fidelity with the reference but its RNG sequence
+    is engine-private; this variant selects rows where
+    ``portable_hash64(key) % k = 0`` — the same integer arithmetic runs in
+    DuckDB, so the selected set is engine-reproducible (and, unlike a
+    seeded RNG, stable under repartitioning — at scale the sample doesn't
+    change when the input split layout does)."""
+    from ..functions.text import portable_hash64
+
+    return df.where(
+        portable_hash64(F.col(key_col).cast("string")) % F.lit(one_in) == 0
+    )
+
+
 def month_arithmetic(orders: DataFrame) -> DataFrame:
     """F1 date-function round trip on distinct order months: the exact
     to_date / add_months / date_format chain the lag join hinges on

@@ -16,17 +16,14 @@ def test_oracle_keys_subset_of_queries():
     o = entry_mod.oracle_sql()
     assert set(o) <= set(q)
     # every non-oracle query is one of the documented non-SQL-expressible ops
+    # (the DTW family is hash-gated via the numpy expected tables under
+    # artifacts/ since round 3; sampling has the hash-gated sample_portable
+    # twin alongside the rows-only engine-RNG sample)
     rows_only = set(q) - set(o)
     assert rows_only == {
-        # per-group DP (applyInPandas) — not SQL-expressible
+        # no Student-t CDF in DuckDB; pytest pins the betainc implementation
         "corr_pvalues",
-        "dtw_summary",
-        "dtw_mapping",
-        "recommendation_table",
-        "auto_mapping",
-        # (minhash_dedup and simhash_dedup run portable-hash variants and
-        # ARE oracle'd; the xxhash64 variants are pinned by pytest recall)
-        # engine-specific sampling sequence
+        # engine-specific sampling sequence (see sample_portable)
         "sample",
         # mapInPandas stub decoder
         "multimodal_extract",
