@@ -36,6 +36,7 @@ from mapping_timeseries_spark.operators.quality import (
     profile_columns,
     qa_invariants,
 )
+from mapping_timeseries_spark.operators.monitoring import create_monitoring_view
 from mapping_timeseries_spark.operators.recommend import (
     compare_methods,
     method_agreement,
@@ -284,6 +285,52 @@ def q_qa_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("avg_ratio", 6).alias("avg_ratio"),
         F.round("std_ratio", 6).alias("std_ratio"),
         F.col("temporal_violations").cast("bigint").alias("temporal_violations"),
+    )
+
+
+def q_monitoring_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monitoring dashboard view (05_prod_dev.py:1252-1266) over the
+    flagship mapping, registered with CREATE-OR-REPLACE semantics and read
+    back through the catalog (S8).
+
+    ``processed_at`` is pinned to a constant so the view output is
+    deterministic/hash-gatable; the value means use the lattice-integer
+    form (correlation._lattice_mean) so a global avg over ~45k money
+    values is engine-portable — plain double avg diverges in final ulps
+    between engines, which round(.,6) cannot always absorb.
+    """
+    ensure_runtime_conf(spark)
+    mappings = map_tables(
+        monthly_spend(spark, sf_dir),
+        monthly_revenue(spark, sf_dir),
+        "cus_code",
+        "month",
+        "txn_amount",
+        "revenue",
+        MappingConfig(method="correlation", max_lag=MAX_LAG,
+                      min_correlation=MIN_CORRELATION),
+        stamp_processed_at=False,
+    ).withColumn(
+        "processed_at", F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+    )
+    view = create_monitoring_view(
+        mappings, "mapping_monitoring_q", value_lattice_scale=10000
+    )
+    v = spark.table(view)
+    return v.select(
+        F.date_format("process_date", "yyyy-MM-dd").alias("process_date"),
+        "method",
+        F.col("total_mappings").cast("bigint").alias("total_mappings"),
+        F.col("unique_customers").cast("bigint").alias("unique_customers"),
+        F.round("avg_revenue", 6).alias("avg_revenue"),
+        F.round("avg_transaction", 6).alias("avg_transaction"),
+        F.round("avg_conversion_rate", 6).alias("avg_conversion_rate"),
+        F.date_format("first_processed", "yyyy-MM-dd HH:mm:ss").alias(
+            "first_processed"
+        ),
+        F.date_format("last_processed", "yyyy-MM-dd HH:mm:ss").alias(
+            "last_processed"
+        ),
     )
 
 
@@ -1184,6 +1231,26 @@ FROM (
 ) unioned
 """
 
+# Monitoring view twin: constant processed_at, lattice-integer value means
+# mirroring correlation._lattice_mean (sum of round(x*1e4)::bigint, one
+# double division) — identical IEEE ops on both engines.
+ORACLE_MONITORING = f"""
+{_sql_mapping_ctes()}
+SELECT '2026-01-01' AS process_date,
+       method,
+       count(*) AS total_mappings,
+       count(DISTINCT cus_code) AS unique_customers,
+       round(CAST(SUM(CAST(ROUND(value2 * 10000) AS BIGINT)) AS DOUBLE)
+             / CAST(COUNT(value2) * 10000 AS DOUBLE), 6) AS avg_revenue,
+       round(CAST(SUM(CAST(ROUND(value1 * 10000) AS BIGINT)) AS DOUBLE)
+             / CAST(COUNT(value1) * 10000 AS DOUBLE), 6) AS avg_transaction,
+       round(avg(value2 / NULLIF(value1, 0)), 6) AS avg_conversion_rate,
+       '2026-01-01 00:00:00' AS first_processed,
+       '2026-01-01 00:00:00' AS last_processed
+FROM mapping
+GROUP BY method
+"""
+
 ORACLE_SAMPLE_PORTABLE = """
 SELECT o_orderkey, o_custkey, round(o_totalprice, 6) AS o_totalprice
 FROM orders
@@ -1769,6 +1836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recommendation_table": q_recommendation_table,
         "auto_mapping": q_auto_mapping,
         "method_agreement": q_method_agreement,
+        "monitoring_view": q_monitoring_view,
         "segmentation": q_segmentation,
         "topk_customers": q_topk_customers,
         "conditional_agg": q_conditional_agg,
@@ -1823,6 +1891,7 @@ def oracle_sql() -> dict[str, str]:
         "recommendation_table": ORACLE_RECOMMEND,
         "auto_mapping": ORACLE_AUTO,
         "method_agreement": ORACLE_AGREEMENT,
+        "monitoring_view": ORACLE_MONITORING,
         "qa_invariants": ORACLE_QA,
         "alignment_coverage": ORACLE_ALIGNMENT.format(sql_t1=SQL_T1, sql_t2=SQL_T2),
         "profile_lineitem": ORACLE_PROFILE,

@@ -30,6 +30,7 @@ from ..operators.correlation import best_lag_correlation
 from ..operators.dtw import build_dtw_mappings
 from ..operators.lag_join import build_correlation_mappings
 from ..operators.merge import merge_series
+from ..operators.monitoring import Alert, check_sla
 from ..operators.quality import qa_report
 from ..operators.recommend import route_entities
 from ..sources.writers import write_partitioned, write_run_metadata
@@ -42,6 +43,7 @@ class PipelineResult:
     mapped: DataFrame
     qa: dict[str, Any]
     stats: dict[str, Any] = field(default_factory=dict)
+    alerts: list[Alert] = field(default_factory=list)
 
 
 def _mappings_for_route(
@@ -102,12 +104,59 @@ def run_pipeline(
     output_path: str | None = None,
     config: MappingConfig | None = None,
     run_id: str | None = None,
+    on_alert: Any = None,
 ) -> PipelineResult:
     """End-to-end production run. With ``recommendations=None`` the model
     is trained inline (best-lag correlation over the merged frame), which
-    is the research-flow bootstrap."""
+    is the research-flow bootstrap.
+
+    SLA gates (operators.monitoring.check_sla) run on the stats and the
+    resulting alerts are returned on the result (and pushed to ``on_alert``
+    if given). On ANY exception the failure path (05_prod_dev.py:963-982)
+    emits a CRITICAL alert and writes ``error_{run_id}.log`` under
+    ``output_path``, then re-raises — a library surfaces the error, unlike
+    the reference's swallow-and-return-False.
+    """
     cfg = config or MappingConfig()
     run_id = run_id or uuid.uuid4().hex[:12]
+    try:
+        return _run_pipeline_body(
+            spark, table1, table2, recommendations, key_col, time_col,
+            value1_col, value2_col, output_path, cfg, run_id, on_alert,
+        )
+    except Exception as exc:  # noqa: BLE001 — failure path mirrors reference
+        import traceback
+
+        alert = Alert(
+            "CRITICAL",
+            f"Pipeline Failed - {run_id}",
+            f"Error: {exc}\n\n{traceback.format_exc()}",
+        )
+        if on_alert is not None:
+            on_alert(alert)
+        if output_path:
+            os.makedirs(output_path, exist_ok=True)
+            with open(
+                os.path.join(output_path, f"error_{run_id}.log"), "w"
+            ) as fh:
+                fh.write(alert.message)
+        raise
+
+
+def _run_pipeline_body(
+    spark,
+    table1: DataFrame,
+    table2: DataFrame,
+    recommendations: DataFrame | None,
+    key_col: str,
+    time_col: str,
+    value1_col: str,
+    value2_col: str,
+    output_path: str | None,
+    cfg: MappingConfig,
+    run_id: str,
+    on_alert: Any,
+) -> PipelineResult:
     t_start = time.time()
 
     t1 = canonicalize(table1, key_col, time_col, value1_col, VALUE1, "table1")
@@ -140,22 +189,38 @@ def run_pipeline(
 
     qa = qa_report(mapped, t1)
     duration = time.time() - t_start
+
+    # SLA gates (05_prod_dev.py:703-745) via the structured monitor
+    sla_met, alerts = check_sla(
+        {
+            "coverage_pct": qa["checks"]["coverage"]["coverage_pct"],
+            "duration_seconds": duration,
+            "total_mappings": total_mappings,
+        }
+    )
+    if on_alert is not None:
+        for alert in alerts:
+            on_alert(alert)
     stats = {
         "pipeline_run_id": run_id,
         "total_mappings": total_mappings,
         "duration_seconds": round(duration, 3),
         "qa_passed": qa["passed"],
-        # SLA gates (05_prod_dev.py:703-745)
-        "sla_coverage_ok": qa["checks"]["coverage"]["coverage_pct"] >= 80,
-        "sla_duration_ok": duration <= 30 * 60,
-        "sla_nonempty_ok": total_mappings > 0,
+        "sla_met": sla_met,
+        "sla_coverage_ok": not any(a.subject.endswith("Low Coverage") for a in alerts),
+        "sla_duration_ok": not any(
+            a.subject.endswith("Long Processing Time") for a in alerts
+        ),
+        "sla_nonempty_ok": not any(
+            a.subject.endswith("No Mappings Generated") for a in alerts
+        ),
     }
     if output_path:
         write_run_metadata(
             os.path.join(output_path, f"run_{run_id}.json"),
             {"stats": stats, "qa": qa},
         )
-    return PipelineResult(mapped=mapped, qa=qa, stats=stats)
+    return PipelineResult(mapped=mapped, qa=qa, stats=stats, alerts=alerts)
 
 
 def run_incremental(

@@ -177,3 +177,96 @@ def test_pipeline_without_model_trains_inline(spark, pair):
     )
     assert result.stats["total_mappings"] > 0
     assert result.qa["checks"]["coverage"]["mapped_customers"] > 0
+
+
+# ---------------------------------------------------------------------------
+# Monitoring: SLA gates, dashboard view, failure path (05_prod_dev.py
+# 690-745, 963-982, 1252-1266)
+# ---------------------------------------------------------------------------
+
+
+def test_check_sla_gates():
+    from mapping_timeseries_spark.operators.monitoring import check_sla
+
+    ok, alerts = check_sla(
+        {"coverage_pct": 95.0, "duration_seconds": 60.0, "total_mappings": 10}
+    )
+    assert ok and alerts == []
+
+    ok, alerts = check_sla(
+        {"coverage_pct": 50.0, "duration_seconds": 3600.0, "total_mappings": 0}
+    )
+    assert not ok
+    assert [a.severity for a in alerts] == ["ERROR", "WARNING", "CRITICAL"]
+    assert any("Low Coverage" in a.subject for a in alerts)
+    assert any("Long Processing Time" in a.subject for a in alerts)
+    assert any("No Mappings" in a.subject for a in alerts)
+
+
+def test_monitoring_view_roundtrip(spark):
+    from mapping_timeseries_spark.operators.monitoring import (
+        create_monitoring_view,
+        monitoring_summary,
+    )
+
+    mapped = spark.createDataFrame(
+        [
+            ("A", "2024-01", 100.0, "2024-02", 10.0, "correlation"),
+            ("A", "2024-02", 200.0, "2024-03", 30.0, "correlation"),
+            ("B", "2024-01", 0.0, "2024-01", 5.0, "dtw"),
+        ],
+        "cus_code string, time1 string, value1 double, time2 string, "
+        "value2 double, method string",
+    ).withColumn("processed_at", F.to_timestamp(F.lit("2026-01-01 00:00:00")))
+
+    rows = {r["method"]: r for r in monitoring_summary(mapped).collect()}
+    corr = rows["correlation"]
+    assert corr["total_mappings"] == 2
+    assert corr["unique_customers"] == 1
+    assert corr["avg_revenue"] == pytest.approx(20.0)
+    assert corr["avg_transaction"] == pytest.approx(150.0)
+    # conversion: (10/100 + 30/200) / 2 = 0.125
+    assert corr["avg_conversion_rate"] == pytest.approx(0.125)
+    # value1=0 -> NULLIF guards the ratio; avg over zero non-null ratios
+    assert rows["dtw"]["avg_conversion_rate"] is None
+
+    # CREATE OR REPLACE semantics: re-registering swaps the content
+    create_monitoring_view(mapped, "t_monitoring")
+    assert spark.table("t_monitoring").count() == 2
+    create_monitoring_view(mapped.where(F.col("method") == "dtw"), "t_monitoring")
+    assert spark.table("t_monitoring").count() == 1
+
+
+def test_pipeline_failure_path(spark, pair, tmp_path):
+    from pyspark.sql.utils import AnalysisException
+
+    t1, t2 = pair
+    out = str(tmp_path / "failrun")
+    seen = []
+    # a recommendations frame missing required columns blows up routing
+    bad_recs = spark.createDataFrame([(1,)], "nonsense int")
+    with pytest.raises(Exception) as excinfo:
+        run_pipeline(
+            spark, t1, t2, bad_recs,
+            "cus_code", "month", "txn_amount", "revenue",
+            output_path=out, run_id="failrun", on_alert=seen.append,
+        )
+    assert excinfo.type is not None
+    # CRITICAL alert emitted and error log written (05_prod_dev.py:963-982)
+    assert len(seen) == 1
+    assert seen[0].severity == "CRITICAL"
+    assert "failrun" in seen[0].subject
+    log = os.path.join(out, "error_failrun.log")
+    assert os.path.exists(log)
+    assert "Error:" in open(log).read()
+
+
+def test_pipeline_alerts_on_result(spark, pair):
+    t1, t2 = pair
+    result = run_pipeline(
+        spark, t1, t2, None,
+        "cus_code", "month", "txn_amount", "revenue",
+    )
+    # healthy synthetic pair: all SLA gates green, no alerts
+    assert result.stats["sla_met"]
+    assert result.alerts == []
