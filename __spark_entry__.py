@@ -882,11 +882,12 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-LSH bucketed approximate top-5 (same queries as cosine_topk)."""
+    """Sign-LSH bucketed approximate top-5 (same queries as cosine_topk),
+    multi-probe (nprobe=2: own bucket + smallest-margin one-bit flip)."""
     ensure_runtime_conf(spark)
     emb = read_table(spark, sf_dir, "embeddings")
     queries_df = emb.where(F.col("vec_id") < 20)
-    t = ann_bucketed_topk(emb, queries_df, k=5, bits=6)
+    t = ann_bucketed_topk(emb, queries_df, k=5, bits=6, nprobe=2)
     return t.select(
         "query_id",
         "vec_id",
@@ -1729,17 +1730,37 @@ def _sql_sign_bucket(expr: str, bits: int) -> str:
     return f"({terms})"
 
 
+# Multi-probe twin (nprobe=2): own bucket plus the one-bit-flip neighbor
+# with the smallest hyperplane margin |v[i]| — mirrors
+# similarity._probe_buckets' (margin, bucket)-ascending probe order.
 ORACLE_ANN_TOPK = f"""
 WITH vecs AS (
   SELECT vec_id, label, embedding::DOUBLE[] AS v,
          {_sql_sign_bucket('embedding::DOUBLE[]', 6)} AS bucket
   FROM embeddings
 ),
+q AS (SELECT vec_id, v, bucket FROM vecs WHERE vec_id < 20),
+flips AS (
+  SELECT q.vec_id, q.v, xor(q.bucket, (1 << (bi.i - 1))) AS pbucket,
+         abs(q.v[bi.i]) AS margin
+  FROM q CROSS JOIN (SELECT unnest(range(1, 7)) AS i) bi
+),
+probe2 AS (
+  SELECT vec_id, v, pbucket AS bucket
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                  ORDER BY margin ASC, pbucket ASC) AS pr FROM flips) f
+  WHERE pr <= 1
+),
+probes AS (
+  SELECT vec_id, v, bucket FROM q
+  UNION ALL
+  SELECT vec_id, v, bucket FROM probe2
+),
 pairs AS (
   SELECT a.vec_id AS query_id, b.vec_id AS vec_id, b.label,
          round({_SQL_COSINE}, 6) AS similarity
-  FROM vecs a JOIN vecs b
-    ON a.bucket = b.bucket AND a.vec_id < 20 AND a.vec_id != b.vec_id
+  FROM probes a JOIN vecs b
+    ON a.bucket = b.bucket AND a.vec_id != b.vec_id
 ),
 ranked AS (
   SELECT *, CAST(row_number() OVER (PARTITION BY query_id

@@ -108,21 +108,50 @@ def _sign_bucket(vec: Column, bits: int) -> Column:
     return out
 
 
+def _probe_buckets(vec: Column, bits: int, nprobe: int) -> Column:
+    """Multi-probe bucket list: the vector's own sign bucket first, then
+    the ``nprobe - 1`` one-bit-flip neighbor buckets whose hyperplane
+    margin ``|v[i]|`` is smallest — the borders most likely to hide true
+    neighbors get probed first (standard multi-probe LSH probing order,
+    cf. Lv et al., VLDB'07). Pure expression: per query this is a sort of
+    ``bits`` structs, negligible next to the candidate scan."""
+    own = _sign_bucket(vec, bits)
+    if nprobe <= 1:
+        return F.array(own)
+    flips = F.array(
+        *[
+            F.struct(
+                F.abs(F.element_at(vec, i + 1)).alias("margin"),
+                own.bitwiseXOR(F.lit(2**i).cast("bigint")).alias("bucket"),
+            )
+            for i in range(bits)
+        ]
+    )
+    near = F.slice(F.array_sort(flips), 1, nprobe - 1)
+    return F.concat(F.array(own), F.transform(near, lambda s: s["bucket"]))
+
+
 def ann_bucketed_topk(
     embeddings: DataFrame,
     queries: DataFrame,
     k: int = 5,
     bits: int = 6,
     vec_col: str = "embedding",
+    nprobe: int = 1,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's sign-LSH
-    bucket. Same output shape as :func:`cosine_topk`; recall < 1 by
-    construction (bucket-border misses), measured against the exact
-    operator in pytest."""
+    bucket plus ``nprobe - 1`` one-bit-flip probe buckets. Same output
+    shape as :func:`cosine_topk`; recall < 1 by construction
+    (bucket-border misses shrink as nprobe grows), measured against the
+    exact operator in pytest. Scan cost scales ~linearly with nprobe; each
+    candidate lives in exactly one bucket, so probed buckets are disjoint
+    and no dedup is needed."""
     q = queries.select(
         F.col("vec_id").alias("query_id"),
         _as_double(F.col(vec_col)).alias("qv"),
-    ).withColumn("bucket", _sign_bucket(F.col("qv"), bits))
+    ).withColumn(
+        "bucket", F.explode(_probe_buckets(F.col("qv"), bits, nprobe))
+    )
     c = embeddings.select(
         "vec_id", "label", _as_double(F.col(vec_col)).alias("cv")
     ).withColumn("bucket", _sign_bucket(F.col("cv"), bits))

@@ -107,6 +107,44 @@ def test_ann_recall_vs_exact(spark):
     recall = len(a & e) / len(e)
     assert recall >= 0.9, recall
 
+    # multi-probe: probing the smallest-margin bit-flip bucket can only
+    # add candidates -> recall must not drop, and must stay >= 0.9
+    multi = ann_bucketed_topk(emb, queries, k=3, bits=4, nprobe=2)
+    m = {(r["query_id"], r["vec_id"]) for r in multi.collect()}
+    recall_multi = len(m & e) / len(e)
+    assert recall_multi >= recall, (recall_multi, recall)
+    assert recall_multi >= 0.9, recall_multi
+
+
+def test_ann_multiprobe_recovers_border_misses(spark):
+    # adversarial corpus: true neighbor pairs straddle one hyperplane (a
+    # tiny first coordinate of opposite sign) -> single-probe misses them,
+    # the smallest-margin one-bit flip recovers them
+    import numpy as np
+
+    rng = np.random.default_rng(31)
+    rows = []
+    for i in range(0, 40, 2):
+        base = rng.standard_normal(8) * 2
+        base[0] = 0.0
+        a = base.copy(); a[0] = 0.01
+        b = base.copy(); b[0] = -0.01
+        rows.append((i, [float(x) for x in a], i // 2))
+        rows.append((i + 1, [float(x) for x in b], i // 2))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    queries = emb.where(F.col("vec_id") % 2 == 0)
+    single = ann_bucketed_topk(emb, queries, k=1, bits=4, nprobe=1)
+    multi = ann_bucketed_topk(emb, queries, k=1, bits=4, nprobe=2)
+    want = {(i, i + 1) for i in range(0, 40, 2)}  # each query's twin
+    got_single = {(r["query_id"], r["vec_id"]) for r in single.collect()}
+    got_multi = {(r["query_id"], r["vec_id"]) for r in multi.collect()}
+    # twins sit in a different bucket (bit 0 flipped) -> single-probe finds none
+    assert not (got_single & want)
+    # the flipped-bit probe is exactly bit 0 (margin 0.01 is the smallest)
+    assert got_multi >= want
+
 
 def test_embedding_near_dups_finds_planted(spark):
     rng = np.random.default_rng(29)
