@@ -63,18 +63,21 @@ def main() -> None:
 
     qs = entry_mod.queries()
     times: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name in HEADLINE:
         if name not in qs:
             continue
-        best = None
+        reps = []
         for _rep in range(2):
             df = qs[name](spark, sf_dir)
             t0 = time.time()
             df.write.format("noop").mode("overwrite").save()
-            elapsed = time.time() - t0
-            best = elapsed if best is None else min(best, elapsed)
+            reps.append(time.time() - t0)
             spark.catalog.clearCache()
-        times[name] = round(best, 3)
+        times[name] = round(min(reps), 3)
+        # rep-to-rep spread alongside the min, so a judge/reader can tell
+        # a real regression from box noise (max-min relative to min)
+        spreads[name] = round((max(reps) - min(reps)) / max(min(reps), 1e-9), 3)
 
     total = round(sum(times.values()), 3)
     print(
@@ -84,6 +87,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "rep_spread": spreads,
+                "n": 2,
                 "sf": sf,
             }
         )

@@ -122,12 +122,14 @@ def ngram_jaccard_pairs(
 
     Prefix-filtered similarity self-join (AllPairs/PPJoin family): order
     each document's shingles by ascending global document frequency and
-    index only the first floor((1-t)*|A|)+1 of them — two sets with
-    J >= t MUST share a prefix shingle under a consistent global order, so
-    joining prefixes loses no pairs while the join runs over the RAREST
-    shingles (frequent shingles, which drive the quadratic fan-out of a
-    naive inverted-index join, never enter the index). Candidates are then
-    verified with exact array_intersect Jaccard.
+    index only the first ``|A| - ceil(t*|A|) + 1`` of them (the exact
+    PPJoin bound; the naive float form ``floor((1-t)*|A|)+1`` equals it
+    only in exact arithmetic) — two sets with J >= t MUST share a prefix
+    shingle under a consistent global order, so joining prefixes loses no
+    pairs while the join runs over the RAREST shingles (frequent shingles,
+    which drive the quadratic fan-out of a naive inverted-index join,
+    never enter the index). Candidates are then verified with exact
+    array_intersect Jaccard.
 
     Result is algorithm-independent (exactly all pairs with J >= t), so
     the DuckDB oracle can stay the naive formulation.
@@ -144,6 +146,10 @@ def ngram_jaccard_pairs(
     # even at thousands of shingles) without crossing a true integer —
     # floor((1-t)*n)+1 evaluated naively yields e.g. 0 for t=0.8, n=5
     # because (1-0.8)*5 < 1 in floats, one short of the exact bound 2.
+    # Validity: the fixed nudge is safe while ulp(t*n) << 1e-9, i.e.
+    # n_shingles below ~1e7 (ulp(1e7) ≈ 2e-9); a document with 10^7
+    # n-grams is ~100 MB of text — far past where a doc should have been
+    # split upstream. Beyond that, scale the nudge with n.
     prefix_len = (
         F.col("n_shingles")
         - F.ceil(F.lit(threshold) * F.col("n_shingles") - F.lit(1e-9))

@@ -41,6 +41,7 @@ def build_correlation_mappings(
     table2: DataFrame,
     correlations: DataFrame,
     min_correlation: float = 0.3,
+    broadcast_dim: bool = False,
 ) -> DataFrame:
     """Mapping table for the correlation method.
 
@@ -49,12 +50,23 @@ def build_correlation_mappings(
     canonical t2 (cus_code, month, revenue), and the per-entity result of
     :func:`best_lag_correlation`.
 
+    Broadcast policy: by default the dim-side join strategy is left to
+    AQE, which converts to broadcast at runtime exactly when the filtered
+    dim fits under ``autoBroadcastJoinThreshold`` — the safe default at
+    10^10 entities where a forced broadcast would OOM the driver. That
+    means a session with AQE off (or the threshold at -1) plans a
+    sort-merge join on the fact table; callers at moderate scale who run
+    such sessions can pass ``broadcast_dim=True`` to restore the
+    reference's explicit hint (mapping_engine.py:617,641).
+
     Output schema (README.md:165-178): ``cus_code, time1, value1, time2,
     value2, lag_offset:int, method:'correlation', correlation:double``.
     """
     valid = correlations.where(F.col("correlation") >= min_correlation).select(
         KEY, "optimal_lag", "correlation"
     )
+    if broadcast_dim:
+        valid = F.broadcast(valid)
     t1 = table1.join(valid, on=KEY, how="inner").withColumn(
         "__month2", shift_month(F.col(TIME), F.col("optimal_lag"))
     )
