@@ -247,11 +247,18 @@ def q_dtw_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_corr_pvalues(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D2: lag grid with two-sided Pearson p-values (rows-only: no
-    Student-t CDF in DuckDB; pytest pins the betainc implementation against
-    closed-form/quadrature oracles)."""
+    """D2: lag grid with two-sided Pearson p-values.
+
+    Hash-gated since r3: DuckDB has no Student-t CDF, so the p column
+    joins a pre-computed expected table built by an INDEPENDENT Student-t
+    tail quadrature (``tools/gen_pvalue_expected.py`` — Gauss-Legendre,
+    not the engine's betainc continued fraction; measured agreement
+    <= 3.2e-13). The corr/n_pairs columns stay SQL CTEs. Lattice-snapped
+    input so numpy corrcoef and the engines' corr see identical doubles;
+    pytest additionally pins betainc against closed forms.
+    """
     ensure_runtime_conf(spark)
-    g = lag_grid_with_pvalues(_merged(spark, sf_dir), MAX_LAG)
+    g = lag_grid_with_pvalues(_merged_lattice(spark, sf_dir), MAX_LAG)
     corr = F.when(F.isnan("corr"), F.lit(None)).otherwise(F.col("corr"))
     return g.select(
         "cus_code",
@@ -1048,6 +1055,21 @@ SELECT cus_code, txn_month AS time1, round(txn_amount, 6) AS value1,
        round(total_cost, 6) AS dtw_cost
 FROM read_parquet('{ARTIFACTS}/dtw_expected_mapping.parquet')
 WHERE sf_tag = (SELECT count(*) FROM orders)
+"""
+
+# p-value twin: grid CTEs (already hash-proven) + quadrature expected
+# table for the one non-SQL column (see tools/gen_pvalue_expected.py).
+ORACLE_PVALUES = f"""
+{SQL_MERGED_LATTICE_CTE},
+{_sql_grid(MAX_LAG)[1:]},
+pv AS (
+  SELECT cus_code, lag, pvalue
+  FROM read_parquet('{ARTIFACTS}/pvalue_expected.parquet')
+  WHERE sf_tag = (SELECT count(*) FROM orders)
+)
+SELECT g.cus_code, CAST(g.lag AS INT) AS lag, round(g.corr, 6) AS corr,
+       CAST(g.n_pairs AS BIGINT) AS n_pairs, round(pv.pvalue, 6) AS pvalue
+FROM grid g LEFT JOIN pv ON g.cus_code = pv.cus_code AND g.lag = pv.lag
 """
 
 # Routing-model thresholds/strings are the reference's verbatim
@@ -1907,6 +1929,7 @@ def oracle_sql() -> dict[str, str]:
         "corr_lag_grid": ORACLE_GRID,
         "corr_best_lag": ORACLE_BEST,
         "corr_mapping": ORACLE_MAPPING,
+        "corr_pvalues": ORACLE_PVALUES,
         "dtw_summary": ORACLE_DTW_SUMMARY,
         "dtw_mapping": ORACLE_DTW_MAPPING,
         "recommendation_table": ORACLE_RECOMMEND,

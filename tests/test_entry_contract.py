@@ -21,8 +21,6 @@ def test_oracle_keys_subset_of_queries():
     # twin alongside the rows-only engine-RNG sample)
     rows_only = set(q) - set(o)
     assert rows_only == {
-        # no Student-t CDF in DuckDB; pytest pins the betainc implementation
-        "corr_pvalues",
         # engine-specific sampling sequence (see sample_portable)
         "sample",
         # mapInPandas stub decoder
