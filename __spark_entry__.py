@@ -44,6 +44,7 @@ from mapping_timeseries_spark.operators.recommend import (
 )
 from mapping_timeseries_spark.operators.dedup import (
     content_hash_dedup,
+    dedup_clusters,
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -795,6 +796,22 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_table(spark, sf_dir, "documents"), threshold=0.5, portable=True
     )
     return p.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the MinHash near-dup pairs -> per-doc
+    cluster id + canonical keeper (the final step of a corpus dedup
+    pipeline). Hash-gated against a DuckDB recursive-CTE twin over the
+    same portable-hash pair set."""
+    ensure_runtime_conf(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, threshold=0.5, portable=True)
+    cl = dedup_clusters(docs, pairs)
+    return cl.select(
+        "doc_id",
+        F.col("cluster_id").cast("bigint").alias("cluster_id"),
+        F.col("is_keeper").cast("int").alias("is_keeper"),
+    )
 
 
 def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1615,6 +1632,30 @@ HAVING count(*) * 1.0
 
 ORACLE_MINHASH = _build_minhash_oracle()
 
+# Connected-components twin: min reachable doc_id per vertex via a
+# recursive CTE over the symmetrized minhash pair graph (nested WITH —
+# DuckDB allows a CTE body to carry its own WITH chain). Mirrors
+# dedup.dedup_clusters' fixpoint exactly: cluster_id = min id in
+# component, singletons included from the documents table.
+ORACLE_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE pairs AS (
+  {_build_minhash_oracle()}
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(id, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+)
+SELECT id AS doc_id, min(lbl) AS cluster_id,
+       CAST(CASE WHEN id = min(lbl) THEN 1 ELSE 0 END AS INT) AS is_keeper
+FROM reach GROUP BY id
+"""
+
 # DuckDB twin of simhash_near_dups(portable=True): 60-bit md5-derived
 # token hashes, per-bit majority vote, top-12-bit blocking, Hamming <= 8.
 ORACLE_SIMHASH = r"""
@@ -1906,6 +1947,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "content_hash_dedup": q_content_hash_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_dedup": q_minhash_dedup,
+        "dedup_clusters": q_dedup_clusters,
         "simhash_dedup": q_simhash_dedup,
         "text_stats": q_text_stats,
         "quality_score": q_quality_score,
@@ -1965,6 +2007,7 @@ def oracle_sql() -> dict[str, str]:
         "content_hash_dedup": ORACLE_HASH_DEDUP,
         "ngram_jaccard": ORACLE_NGRAM_JACCARD,
         "minhash_dedup": ORACLE_MINHASH,
+        "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
         "simhash_dedup": ORACLE_SIMHASH,
         "text_stats": ORACLE_TEXT_STATS,
         "quality_score": ORACLE_QUALITY,

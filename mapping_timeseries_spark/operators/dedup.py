@@ -37,6 +37,7 @@ __all__ = [
     "minhash_lsh_pairs",
     "simhash_fingerprints",
     "simhash_near_dups",
+    "dedup_clusters",
 ]
 
 
@@ -343,4 +344,84 @@ def simhash_near_dups(
             ),
         )
         .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    doc_id_col: str = "doc_id",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Connected components over near-duplicate pairs: the step a dedup
+    pipeline ends with — collapse pairwise matches (from any of the
+    pair-producing operators above) into clusters and pick one canonical
+    keeper per cluster.
+
+    Output: ``(doc_id, cluster_id, is_keeper:int)`` for EVERY document in
+    ``docs`` (unmatched docs are their own singleton cluster);
+    ``cluster_id`` is the minimum doc_id in the component, keeper =
+    (doc_id == cluster_id) — deterministic, so the whole operator is
+    oracle-checkable against a recursive-CTE twin.
+
+    Scale design: iterative min-label propagation over the symmetrized
+    pair graph — per iteration ONE aggregation shuffle (neighbor-min) and
+    one label join; converges in O(component diameter) rounds, and
+    near-dup components are shallow (mutual near-copies), so 2-4 rounds in
+    practice with ``max_iters`` as the safety bound. The per-round
+    convergence probe reads a single-row aggregate; iterative algorithms
+    are the documented exception to the no-driver-action rule (same as
+    ivf_refine_centroids' Lloyd loop). At extreme scale swap in
+    large-star/small-star (Kiveris et al.) — same join primitives,
+    fewer rounds on deep graphs.
+    """
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    edges = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    labels = (
+        docs.select(F.col(doc_id_col).alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        nbr_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        # localCheckpoint (not persist): each round's plan would otherwise
+        # NEST the previous round's joins — lineage depth grows linearly
+        # and analysis/codegen cost superlinearly (measured: driver OOM at
+        # ~11 rounds on a path graph). Checkpointing truncates the lineage
+        # so every round plans against materialized partitions. On a
+        # cluster with flaky executors use reliable checkpoint()
+        # (setCheckpointDir) — same shape, storage-backed.
+        new_labels = (
+            labels.join(nbr_min, labels.id == nbr_min.src, "left")
+            .select(
+                F.col("id"),
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", "label")
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("id").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        (F.col("id") == F.col("label")).cast("int").alias("is_keeper"),
     )

@@ -266,3 +266,36 @@ def test_ivf_lloyd_refinement_improves_recall(spark):
     # fixed small nprobe must not degrade and normally improves
     assert r_refined >= r_seed, (r_seed, r_refined)
     assert r_refined >= 0.9, r_refined
+
+
+def test_dedup_clusters_components_and_singletons(spark):
+    from mapping_timeseries_spark.operators.dedup import dedup_clusters
+
+    docs = spark.createDataFrame([(i,) for i in range(7)], "doc_id long")
+    # components: {0,1,2} (path), {4,5}; singletons: 3, 6
+    pairs = spark.createDataFrame(
+        [(1, 2), (0, 1), (4, 5)], "doc_a long, doc_b long"
+    )
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["is_keeper"])
+        for r in dedup_clusters(docs, pairs).collect()
+    }
+    assert got == {
+        0: (0, 1), 1: (0, 0), 2: (0, 0),
+        3: (3, 1),
+        4: (4, 1), 5: (4, 0),
+        6: (6, 1),
+    }
+
+
+def test_dedup_clusters_long_chain_converges(spark):
+    from mapping_timeseries_spark.operators.dedup import dedup_clusters
+
+    n = 12  # path graph: worst case for plain propagation (diameter n-1)
+    docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    rows = dedup_clusters(docs, pairs).collect()
+    assert all(r["cluster_id"] == 0 for r in rows)
+    assert sum(r["is_keeper"] for r in rows) == 1
