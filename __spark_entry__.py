@@ -81,6 +81,7 @@ from mapping_timeseries_spark.operators.relational import (
     join_distinct_dim,
     sample_fraction,
     sample_portable,
+    sample_stratified,
     summary_stats,
     conditional_agg,
     distinct_counts,
@@ -742,6 +743,16 @@ def q_sample_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quota sample of the documents corpus (data-mixing
+    primitive): 20 smallest-hash docs per lang, deterministic."""
+    ensure_runtime_conf(spark)
+    s = sample_stratified(
+        read_table(spark, sf_dir, "documents"), "lang", "doc_id", 20
+    )
+    return s.select("doc_id", "lang")
+
+
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace + BPE-ish regex token counting per document."""
     ensure_runtime_conf(spark)
@@ -1295,6 +1306,17 @@ ORACLE_SAMPLE_PORTABLE = """
 SELECT o_orderkey, o_custkey, round(o_totalprice, 6) AS o_totalprice
 FROM orders
 WHERE ('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 10 = 0
+"""
+
+ORACLE_SAMPLE_STRATIFIED = """
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT ASC,
+                    doc_id ASC) AS rk
+  FROM documents
+) ranked WHERE rk <= 20
 """
 
 ORACLE_ALIGNMENT = f"""
@@ -1942,6 +1964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_distinct_dim": q_join_distinct_dim,
         "sample": q_sample,
         "sample_portable": q_sample_portable,
+        "sample_stratified": q_sample_stratified,
         "token_counts": q_token_counts,
         "exact_dedup": q_exact_dedup,
         "content_hash_dedup": q_content_hash_dedup,
@@ -2002,6 +2025,7 @@ def oracle_sql() -> dict[str, str]:
         "summary_stats": ORACLE_SUMMARY,
         "join_distinct_dim": ORACLE_JOIN_DIM,
         "sample_portable": ORACLE_SAMPLE_PORTABLE,
+        "sample_stratified": ORACLE_SAMPLE_STRATIFIED,
         "token_counts": ORACLE_TOKEN_COUNTS,
         "exact_dedup": ORACLE_EXACT_DEDUP,
         "content_hash_dedup": ORACLE_HASH_DEDUP,

@@ -210,6 +210,32 @@ def sample_portable(df: DataFrame, key_col: str, one_in: int = 10) -> DataFrame:
     )
 
 
+def sample_stratified(
+    df: DataFrame, stratum_col: str, key_col: str, per_stratum_k: int = 20
+) -> DataFrame:
+    """Per-stratum quota sample: the ``k`` rows of each stratum with the
+    smallest portable md5 key hash — the data-mixing primitive a training
+    pipeline uses to draw balanced per-language/per-source subsets.
+
+    Hash-ranking makes the draw uniform-ish, deterministic, engine-
+    reproducible, and stable under repartitioning AND under corpus growth
+    (a row's rank only changes if new rows hash below it — so refreshing
+    the corpus mostly preserves the sample, unlike seeded RNG). Plan: one
+    shuffle on the stratum key for the rank window; at scale strata are
+    many and the window partitions are balanced by construction (hash
+    order is uncorrelated with stratum size).
+    """
+    from ..functions.text import portable_hash64
+
+    h = portable_hash64(F.col(key_col).cast("string"))
+    w = Window.partitionBy(stratum_col).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= per_stratum_k)
+        .drop("__rk")
+    )
+
+
 def month_arithmetic(orders: DataFrame) -> DataFrame:
     """F1 date-function round trip on distinct order months: the exact
     to_date / add_months / date_format chain the lag join hinges on

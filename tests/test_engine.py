@@ -118,3 +118,27 @@ def test_empty_input_union_identity(spark):
         )
         assert out.count() == 0
         assert MAPPING_COLS <= set(out.columns)
+
+
+def test_sample_stratified_quota_and_determinism(spark):
+    from pyspark.sql import functions as F
+
+    from mapping_timeseries_spark.operators.relational import sample_stratified
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 3 else "de") for i in range(200)],
+        "doc_id long, lang string",
+    )
+    s = sample_stratified(df, "lang", "doc_id", 10)
+    counts = {r["lang"]: r["n"] for r in s.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {"en": 10, "de": 10}
+    # deterministic: identical draw on re-run and under repartitioning
+    ids1 = sorted(r["doc_id"] for r in s.collect())
+    ids2 = sorted(
+        r["doc_id"]
+        for r in sample_stratified(df.repartition(7), "lang", "doc_id", 10).collect()
+    )
+    assert ids1 == ids2
+    # small stratum: quota caps at stratum size
+    tiny = sample_stratified(df.where(F.col("doc_id") < 4), "lang", "doc_id", 10)
+    assert tiny.count() == 4
