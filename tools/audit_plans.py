@@ -20,10 +20,14 @@ DEFAULT_QUERIES = [
     "corr_mapping",
     "auto_mapping",
     "qa_invariants",
+    "method_agreement",
+    "monitoring_view",
     "minhash_dedup",
     "cosine_topk",
+    "ann_topk",
     "ivf_topk",
     "embedding_near_dups",
+    "sample_stratified",
 ]
 
 
