@@ -43,6 +43,39 @@ def save_as_table(
     writer.saveAsTable(table)
 
 
+def save_bucketed(
+    df: DataFrame,
+    table: str,
+    num_buckets: int = 64,
+    bucket_cols: tuple[str, ...] = ("cus_code",),
+    sort_cols: tuple[str, ...] | None = None,
+    path: str | None = None,
+) -> None:
+    """S7 scale path: bucketed (+ optionally sorted) catalog table.
+
+    Two tables bucketed identically on the join key join with ZERO
+    shuffle — the scan IS the co-location (pytest asserts the joint plan
+    has no Exchange). At 100 TB this is the difference between re-shuffling
+    the fact tables every run and paying one bucketing write once: store
+    the canonical (entity, month) series bucketed by entity and
+    ``merge_series`` plus every downstream per-entity groupBy reads
+    pre-partitioned data. ``sortBy`` within buckets additionally lets the
+    sort-merge join skip its sort. Size ``num_buckets`` so a bucket fits
+    an executor's memory at the target scale (100 TB / 64k buckets ≈
+    1.5 GB; here 64 for local fixtures).
+    """
+    writer = (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(num_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    if path:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
+
+
 def create_view(spark: SparkSession, name: str, sql: str) -> None:
     """S8: SQL view over results (05_prod_dev.py:1252-1266)."""
     spark.sql(f"CREATE OR REPLACE TEMP VIEW {name} AS {sql}")

@@ -51,3 +51,41 @@ def test_run_metadata(tmp_path):
     import json
 
     assert json.load(open(p))["a"] == 1
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    from mapping_timeseries_spark.sources.writers import save_bucketed
+
+    t1 = spark.createDataFrame(
+        [(i % 20, f"2024-{(i % 12) + 1:02d}", float(i)) for i in range(200)],
+        "cus_code long, month string, txn_amount double",
+    )
+    t2 = spark.createDataFrame(
+        [(i % 20, f"2024-{(i % 12) + 1:02d}", float(i) / 10) for i in range(200)],
+        "cus_code long, month string, revenue double",
+    )
+    save_bucketed(t1, "t1_bucketed", num_buckets=8, bucket_cols=("cus_code",),
+                  sort_cols=("cus_code", "month"), path=str(tmp_path / "b1"))
+    save_bucketed(t2, "t2_bucketed", num_buckets=8, bucket_cols=("cus_code",),
+                  sort_cols=("cus_code", "month"), path=str(tmp_path / "b2"))
+    a = spark.table("t1_bucketed")
+    b = spark.table("t2_bucketed")
+    # co-located join: force the sort-merge path (no broadcast) and check
+    # the plan carries NO shuffle — the bucketing IS the partitioning
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = a.join(b, on=["cus_code"], how="inner")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert joined.count() > 0
+        # sanity: the same join over unbucketed parquet DOES shuffle
+        t1.write.mode("overwrite").parquet(str(tmp_path / "p1"))
+        t2.write.mode("overwrite").parquet(str(tmp_path / "p2"))
+        u = spark.read.parquet(str(tmp_path / "p1")).join(
+            spark.read.parquet(str(tmp_path / "p2")), on=["cus_code"]
+        )
+        uplan = u._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" in uplan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
