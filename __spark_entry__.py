@@ -440,6 +440,47 @@ def q_auto_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_production_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full production routing path (05_prod_dev.py:358-451): train the
+    recommendation model, route every table1 entity — model route, with
+    the lag-1 'correlation_default' fallback for entities the model has
+    never seen, manual-review entities excluded — and build the routed
+    mapping table.
+
+    Hash-gated: model + routing + corr/default parts are SQL CTEs over
+    the lattice-snapped series; the DTW-routed part comes from the numpy
+    expected mapping table (per-entity independent => filtering IS the
+    routed output).
+    """
+    ensure_runtime_conf(spark)
+    from mapping_timeseries_spark.plans.pipeline import _mappings_for_route
+    from mapping_timeseries_spark.operators.recommend import route_entities
+
+    t1 = monthly_spend(spark, sf_dir).withColumn(
+        "txn_amount", lattice_snap("txn_amount")
+    )
+    t2 = monthly_revenue(spark, sf_dir).withColumn(
+        "revenue", lattice_snap("revenue")
+    )
+    merged = _merged_lattice(spark, sf_dir)
+    corr = best_lag_correlation(merged, MAX_LAG)
+    dtw = dtw_summary(merged)
+    recs = recommendation_table(compare_methods(corr, dtw))
+    routed = route_entities(t1.select("cus_code").distinct(), recs)
+    mapped = _mappings_for_route(
+        t1, t2, merged, routed, MappingConfig(max_lag=MAX_LAG)
+    )
+    return mapped.select(
+        "cus_code",
+        "time1",
+        F.round("value1", 6).alias("value1"),
+        "time2",
+        F.round("value2", 6).alias("value2"),
+        F.col("lag_offset").cast("int").alias("lag_offset"),
+        "method",
+    )
+
+
 def q_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-method agreement statistics (04_comparision.py:61-88): one row
     of Pearson + Spearman agreement between the correlation and DTW
@@ -1124,6 +1165,68 @@ SELECT b.cus_code,
               THEN 'Both methods show poor fit - investigate data quality'
             ELSE 'Moderate fit - consider business context' END AS reason
 FROM best b JOIN dtw d ON b.cus_code = d.cus_code
+"""
+
+# Production routing twin (05_prod_dev.py:358-451): model -> route (with
+# lag-1 default fallback and manual-review exclusion) -> routed mapping.
+# Mirrors plans.pipeline._mappings_for_route / recommend.route_entities.
+ORACLE_PRODUCTION = f"""
+{SQL_MERGED_LATTICE_CTE},
+{_sql_best(MAX_LAG)[1:]},
+dtw AS ({_SQL_DTW_SUMMARY_EXPECTED}),
+recs AS (
+  SELECT b.cus_code, b.optimal_lag, b.correlation, d.total_cost,
+         CASE WHEN b.correlation >= 0.7 AND b.optimal_lag <= 2 THEN 'Correlation'
+              WHEN b.correlation >= 0.5 AND d.total_cost <= 10
+                THEN 'Either (prefer Correlation for simplicity)'
+              WHEN d.total_cost <= 15 THEN 'DTW'
+              ELSE 'Complex - Manual Review' END AS recommended_method
+  FROM best b JOIN dtw d ON b.cus_code = d.cus_code
+),
+t1 AS (SELECT cus_code, month, {_SQL_SNAP.format(c='txn_amount')} AS txn_amount
+       FROM ({{sql_t1}}) raw1),
+t2 AS (SELECT cus_code, month, {_SQL_SNAP.format(c='revenue')} AS revenue
+       FROM ({{sql_t2}}) raw2),
+routed AS (
+  SELECT e.cus_code,
+         CASE WHEN r.recommended_method IN
+                   ('Correlation', 'Either (prefer Correlation for simplicity)')
+                THEN 'correlation'
+              WHEN r.recommended_method = 'DTW' THEN 'dtw'
+              WHEN r.recommended_method IS NULL THEN 'default'
+              ELSE 'manual_review' END AS route,
+         CAST(CASE WHEN r.recommended_method IS NULL THEN 1
+                   ELSE r.optimal_lag END AS INT) AS optimal_lag
+  FROM (SELECT DISTINCT cus_code FROM t1) e
+  LEFT JOIN recs r ON e.cus_code = r.cus_code
+),
+shifted AS (
+  SELECT t1.cus_code, t1.month, t1.txn_amount, c.optimal_lag, c.route,
+         strftime(strptime(t1.month || '-01', '%Y-%m-%d')
+                  + to_months(c.optimal_lag), '%Y-%m') AS month2
+  FROM t1 JOIN routed c
+    ON t1.cus_code = c.cus_code AND c.route IN ('correlation', 'default')
+),
+corr_part AS (
+  SELECT s.cus_code, s.month AS time1, s.txn_amount AS value1,
+         s.month2 AS time2, t2.revenue AS value2,
+         CAST(s.optimal_lag AS INT) AS lag_offset,
+         CASE WHEN s.route = 'default' THEN 'correlation_default'
+              ELSE 'correlation' END AS method
+  FROM shifted s JOIN t2 ON s.cus_code = t2.cus_code AND s.month2 = t2.month
+),
+dtw_part AS (
+  SELECT e.cus_code, e.txn_month AS time1, e.txn_amount AS value1,
+         e.rev_month AS time2, e.revenue AS value2,
+         CAST(NULL AS INT) AS lag_offset, 'dtw' AS method
+  FROM read_parquet('{ARTIFACTS}/dtw_expected_mapping.parquet') e
+  JOIN (SELECT cus_code FROM routed WHERE route = 'dtw') k
+    ON e.cus_code = k.cus_code
+  WHERE e.sf_tag = (SELECT count(*) FROM orders)
+)
+SELECT cus_code, time1, round(value1, 6) AS value1,
+       time2, round(value2, 6) AS value2, lag_offset, method
+FROM (SELECT * FROM corr_part UNION ALL SELECT * FROM dtw_part) unioned
 """
 
 # Avg-tie (fractional) ranks — scipy.spearmanr's convention; ranks are
@@ -1941,6 +2044,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_stats": q_duplicate_stats,
         "recommendation_table": q_recommendation_table,
         "auto_mapping": q_auto_mapping,
+        "production_mapping": q_production_mapping,
         "method_agreement": q_method_agreement,
         "monitoring_view": q_monitoring_view,
         "segmentation": q_segmentation,
@@ -1999,6 +2103,7 @@ def oracle_sql() -> dict[str, str]:
         "dtw_mapping": ORACLE_DTW_MAPPING,
         "recommendation_table": ORACLE_RECOMMEND,
         "auto_mapping": ORACLE_AUTO,
+        "production_mapping": ORACLE_PRODUCTION.format(sql_t1=SQL_T1, sql_t2=SQL_T2),
         "method_agreement": ORACLE_AGREEMENT,
         "monitoring_view": ORACLE_MONITORING,
         "qa_invariants": ORACLE_QA,

@@ -51,7 +51,9 @@ class Alert:
 
 
 def monitoring_summary(
-    mapped: DataFrame, value_lattice_scale: int | None = None
+    mapped: DataFrame,
+    value_lattice_scale: int | None = None,
+    exact_distinct: bool = True,
 ) -> DataFrame:
     """Monitoring dashboard aggregation (05_prod_dev.py:1252-1266).
 
@@ -62,6 +64,10 @@ def monitoring_summary(
     ``value_lattice_scale`` switches the value means to the
     order-independent lattice-integer form (see correlation._lattice_mean)
     — the oracle-gated driver query uses it; plain ``avg`` otherwise.
+    ``exact_distinct=False`` uses ``approx_count_distinct`` (HLL) for the
+    customer count — required on streaming frames (exact distinct needs
+    unbounded per-key state) and the right call for dashboard counts at
+    10^10 entities anyway.
     """
     if value_lattice_scale:
         avg_rev = _lattice_mean("value2", value_lattice_scale)
@@ -69,12 +75,17 @@ def monitoring_summary(
     else:
         avg_rev = F.avg("value2")
         avg_txn = F.avg("value1")
+    uniq = (
+        F.countDistinct(KEY)
+        if exact_distinct
+        else F.approx_count_distinct(KEY)
+    )
     return mapped.groupBy(
         F.to_date("processed_at").alias("process_date"),
         "method",
     ).agg(
         F.count(F.lit(1)).alias("total_mappings"),
-        F.countDistinct(KEY).alias("unique_customers"),
+        uniq.alias("unique_customers"),
         avg_rev.alias("avg_revenue"),
         avg_txn.alias("avg_transaction"),
         F.avg(F.col("value2") / F.nullif(F.col("value1"), F.lit(0))).alias(

@@ -32,6 +32,7 @@ __all__ = [
     "stream_sliding_agg",
     "stream_session_agg",
     "stream_dedup",
+    "stream_monitoring_summary",
     "run_to_memory",
 ]
 
@@ -78,6 +79,23 @@ def stream_dedup(events: DataFrame, watermark: str = DEFAULT_WATERMARK) -> DataF
     return events.withWatermark("ts", watermark).dropDuplicates(
         ["user_id", "event_type", "ts"]
     )
+
+
+def stream_monitoring_summary(mapped: DataFrame) -> DataFrame:
+    """Streaming monitoring dashboard: the SAME monitoring_summary builder
+    (operators/monitoring.py, 05_prod_dev.py:1252-1266) over a streaming
+    mapping frame — batch/stream parity by construction.
+
+    The grouping key (process_date, method) is a small, slowly-growing
+    space, so run in complete/update output mode: the dashboard reads the
+    latest snapshot and state is one aggregate buffer per (day, method) —
+    bounded, no watermark needed (a day's bucket simply stops changing
+    once its mappings stop arriving). The one streaming divergence:
+    unique_customers is approx_count_distinct — exact distinct needs
+    unbounded per-key state on a stream (Spark rejects it)."""
+    from ..operators.monitoring import monitoring_summary
+
+    return monitoring_summary(mapped, exact_distinct=False)
 
 
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str) -> DataFrame:

@@ -78,3 +78,36 @@ def test_stream_dedup_bounded(spark, events_batch, stream_dir):
     out = run_to_memory(stream_dedup(stream), "t_dedup", output_mode="append")
     # fixture events are unique per (user, type, ts) -> dedup is identity
     assert out.count() == events_batch.count()
+
+
+def test_stream_monitoring_matches_batch(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from mapping_timeseries_spark.operators.monitoring import monitoring_summary
+    from mapping_timeseries_spark.streaming.windows import (
+        run_to_memory,
+        stream_monitoring_summary,
+    )
+
+    mapped = spark.createDataFrame(
+        [
+            ("A", "2024-01", 100.0, "2024-02", 10.0, "correlation"),
+            ("A", "2024-02", 200.0, "2024-03", 30.0, "correlation"),
+            ("B", "2024-01", 50.0, "2024-01", 5.0, "dtw"),
+        ],
+        "cus_code string, time1 string, value1 double, time2 string, "
+        "value2 double, method string",
+    ).withColumn("processed_at", F.to_timestamp(F.lit("2026-01-01 00:00:00")))
+    d = str(tmp_path / "mapped_stream")
+    mapped.write.parquet(d)
+
+    stream = spark.readStream.schema(spark.read.parquet(d).schema).parquet(d)
+    out = run_to_memory(
+        stream_monitoring_summary(stream), "t_monitoring_stream", "complete"
+    )
+    cols = ["method", "total_mappings", "unique_customers", "avg_revenue"]
+    got = sorted(tuple(r[c] for c in cols) for r in out.collect())
+    want = sorted(
+        tuple(r[c] for c in cols) for r in monitoring_summary(mapped).collect()
+    )
+    assert got == want
