@@ -69,3 +69,47 @@ def test_best_lag_fuzz_adversarial(spark):
         lag, corr = best_lag_oracle(txn, rev, 6)
         assert got[cus]["optimal_lag"] == lag, cus
         assert got[cus]["correlation"] == pytest.approx(corr, abs=1e-9), cus
+
+
+def _union_find_components(n_docs, pairs):
+    parent = list(range(n_docs))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # min doc id per component
+    return {x: min(y for y in range(n_docs) if find(y) == find(x))
+            for x in range(n_docs)}
+
+
+def test_dedup_clusters_fuzz_vs_union_find(spark):
+    """Random pair graphs (dense, sparse, self-loop-free) in one Spark
+    pass each vs a pure-python union-find oracle."""
+    from mapping_timeseries_spark.operators.dedup import dedup_clusters
+
+    rng = np.random.default_rng(43)
+    for trial, (n_docs, n_pairs) in enumerate([(30, 50), (40, 12), (25, 0)]):
+        pairs = set()
+        while len(pairs) < n_pairs:
+            a, b = rng.integers(0, n_docs, 2)
+            if a != b:
+                pairs.add((int(min(a, b)), int(max(a, b))))
+        docs = spark.createDataFrame([(i,) for i in range(n_docs)], "doc_id long")
+        pdf = spark.createDataFrame(
+            list(pairs) or [(0, 0)], "doc_a long, doc_b long"
+        )
+        if not pairs:  # empty-pairs edge: every doc its own cluster
+            pdf = pdf.where("doc_a != doc_a")
+        got = {
+            r["doc_id"]: r["cluster_id"]
+            for r in dedup_clusters(docs, pdf).collect()
+        }
+        want = _union_find_components(n_docs, pairs)
+        assert got == want, (trial, got, want)
