@@ -111,3 +111,39 @@ def test_stream_monitoring_matches_batch(spark, tmp_path):
         tuple(r[c] for c in cols) for r in monitoring_summary(mapped).collect()
     )
     assert got == want
+
+
+def test_stream_file_sink_with_checkpoint(spark, stream_dir, tmp_path):
+    # production sink shape: parquet writeStream + checkpointLocation
+    # (exactly-once via checkpoint + file-sink manifest), availableNow
+    stream = _stream_events(spark, stream_dir)
+    out_dir = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        stream_tumbling_agg(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    written = spark.read.parquet(out_dir)
+    assert written.count() > 0
+    assert set(written.columns) == {
+        "window_start", "event_type", "n_events", "sum_value"
+    }
+    # restart with the same checkpoint: no new data -> no duplicate rows
+    n1 = written.count()
+    q2 = (
+        stream_tumbling_agg(_stream_events(spark, stream_dir))
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+    assert spark.read.parquet(out_dir).count() == n1
