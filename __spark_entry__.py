@@ -323,17 +323,20 @@ def q_monitoring_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         "processed_at", F.to_timestamp(F.lit("2026-01-01 00:00:00"))
     )
     view = create_monitoring_view(
-        mappings, "mapping_monitoring_q", value_lattice_scale=10000
+        mappings, "mapping_monitoring_q",
+        value_lattice_scale=10000, value_round_dp=6,
     )
     v = spark.table(view)
+    # avg_* come pre-rounded from the lattice half-up form — re-rounding
+    # with F.round would reintroduce the midpoint divergence it avoids
     return v.select(
         F.date_format("process_date", "yyyy-MM-dd").alias("process_date"),
         "method",
         F.col("total_mappings").cast("bigint").alias("total_mappings"),
         F.col("unique_customers").cast("bigint").alias("unique_customers"),
-        F.round("avg_revenue", 6).alias("avg_revenue"),
-        F.round("avg_transaction", 6).alias("avg_transaction"),
-        F.round("avg_conversion_rate", 6).alias("avg_conversion_rate"),
+        F.col("avg_revenue"),
+        F.col("avg_transaction"),
+        F.col("avg_conversion_rate"),
         F.date_format("first_processed", "yyyy-MM-dd HH:mm:ss").alias(
             "first_processed"
         ),
@@ -502,15 +505,17 @@ def q_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("total_cost", 6).alias("total_cost"),
         "num_mappings",
     )
-    agree = method_agreement(comp)
+    agree = method_agreement(comp, lattice_dp=6)
+    # the four avg_* are bit-exact pre-rounded lattice means; only the
+    # stddev/corr floats still need the final round
     return agree.select(
         F.col("total_customers").cast("bigint").alias("total_customers"),
-        F.round("avg_correlation", 6).alias("avg_correlation"),
+        F.col("avg_correlation"),
         F.round("std_correlation", 6).alias("std_correlation"),
-        F.round("avg_dtw_cost", 6).alias("avg_dtw_cost"),
+        F.col("avg_dtw_cost"),
         F.round("std_dtw_cost", 6).alias("std_dtw_cost"),
-        F.round("avg_lag", 6).alias("avg_lag"),
-        F.round("avg_dtw_mappings", 6).alias("avg_dtw_mappings"),
+        F.col("avg_lag"),
+        F.col("avg_dtw_mappings"),
         F.round("pearson_corr_cost", 6).alias("pearson_corr_cost"),
         F.round("spearman_corr_cost", 6).alias("spearman_corr_cost"),
     )
@@ -1092,6 +1097,32 @@ SQL_MERGED_CTE = f"WITH merged AS ({SQL_MERGED})"
 #: 1e-4-lattice snap (DuckDB side of operators.canonicalize.lattice_snap).
 _SQL_SNAP = "CAST(ROUND({c}*10000) AS BIGINT)/10000.0"
 
+
+def _sql_lattice_mean6(expr: str, scale: int) -> str:
+    """DuckDB twin of correlation._lattice_mean_rounded(scale, dp=6):
+    half-up 6-dp mean of 1/scale-lattice values in pure-integer arithmetic
+    (identical IEEE ops to the Spark expression; NULLIF guards the
+    empty-group case the way avg() would return NULL)."""
+    m = 10**6 // scale
+    s = f"SUM(CAST(ROUND(({expr}) * {scale}) AS BIGINT))"
+    n = f"COUNT({expr})"
+    num = f"(2*{m}*{s} + {n})"
+    den = f"NULLIF(2*{n}, 0)"
+    return (
+        f"CAST(({num} - {num} % {den}) AS DOUBLE) "
+        f"/ CAST({den} AS DOUBLE) / 1000000.0"
+    )
+
+
+#: Recommendation-model routing CASE (04_comparision.py:243-287) over
+#: aliases ``b`` (best) and ``d`` (dtw) — ONE text shared by every oracle
+#: that embeds the model, so a threshold tweak cannot desynchronize them.
+_SQL_RECOMMEND_CASE = """CASE WHEN b.correlation >= 0.7 AND b.optimal_lag <= 2 THEN 'Correlation'
+            WHEN b.correlation >= 0.5 AND d.total_cost <= 10
+              THEN 'Either (prefer Correlation for simplicity)'
+            WHEN d.total_cost <= 15 THEN 'DTW'
+            ELSE 'Complex - Manual Review' END"""
+
 #: Lattice-snapped merged CTE — twin of ``_merged_lattice``; every oracle
 #: that joins against the numpy DTW expected tables starts here so the
 #: corr grid and DTW vectors are bit-identical doubles on both engines.
@@ -1151,11 +1182,7 @@ SELECT b.cus_code,
        round(b.correlation, 6) AS correlation,
        CAST(b.optimal_lag AS INT) AS optimal_lag,
        round(d.total_cost, 6) AS total_cost,
-       CASE WHEN b.correlation >= 0.7 AND b.optimal_lag <= 2 THEN 'Correlation'
-            WHEN b.correlation >= 0.5 AND d.total_cost <= 10
-              THEN 'Either (prefer Correlation for simplicity)'
-            WHEN d.total_cost <= 15 THEN 'DTW'
-            ELSE 'Complex - Manual Review' END AS recommended_method,
+       {_SQL_RECOMMEND_CASE} AS recommended_method,
        CASE WHEN b.correlation >= 0.8 OR d.total_cost <= 5 THEN 'High'
             WHEN b.correlation >= 0.5 OR d.total_cost <= 15 THEN 'Medium'
             ELSE 'Low' END AS confidence,
@@ -1176,11 +1203,7 @@ ORACLE_PRODUCTION = f"""
 dtw AS ({_SQL_DTW_SUMMARY_EXPECTED}),
 recs AS (
   SELECT b.cus_code, b.optimal_lag, b.correlation, d.total_cost,
-         CASE WHEN b.correlation >= 0.7 AND b.optimal_lag <= 2 THEN 'Correlation'
-              WHEN b.correlation >= 0.5 AND d.total_cost <= 10
-                THEN 'Either (prefer Correlation for simplicity)'
-              WHEN d.total_cost <= 15 THEN 'DTW'
-              ELSE 'Complex - Manual Review' END AS recommended_method
+         {_SQL_RECOMMEND_CASE} AS recommended_method
   FROM best b JOIN dtw d ON b.cus_code = d.cus_code
 ),
 t1 AS (SELECT cus_code, month, {_SQL_SNAP.format(c='txn_amount')} AS txn_amount
@@ -1249,12 +1272,12 @@ comp_ranked AS (
   FROM comp
 )
 SELECT count(*) AS total_customers,
-       round(avg(correlation), 6) AS avg_correlation,
+       {_sql_lattice_mean6('correlation', 10**6)} AS avg_correlation,
        round(stddev(correlation), 6) AS std_correlation,
-       round(avg(total_cost), 6) AS avg_dtw_cost,
+       {_sql_lattice_mean6('total_cost', 10**6)} AS avg_dtw_cost,
        round(stddev(total_cost), 6) AS std_dtw_cost,
-       round(avg(optimal_lag), 6) AS avg_lag,
-       round(avg(num_mappings), 6) AS avg_dtw_mappings,
+       {_sql_lattice_mean6('optimal_lag', 1)} AS avg_lag,
+       {_sql_lattice_mean6('num_mappings', 1)} AS avg_dtw_mappings,
        round(corr(correlation, total_cost), 6) AS pearson_corr_cost,
        round(corr(r_corr, r_cost), 6) AS spearman_corr_cost
 FROM comp_ranked
@@ -1385,20 +1408,21 @@ FROM (
 ) unioned
 """
 
-# Monitoring view twin: constant processed_at, lattice-integer value means
-# mirroring correlation._lattice_mean (sum of round(x*1e4)::bigint, one
-# double division) — identical IEEE ops on both engines.
+# Monitoring view twin: constant processed_at; all three means in the
+# pure-integer lattice-half-up form (_sql_lattice_mean6) — round(avg(),6)
+# on a float mean is not engine-portable on exact 5e-7 midpoints, and the
+# conversion ratio gets a per-row round(·,6) first (quotients never land
+# on exact decimal midpoints, so the per-row round IS portable).
 ORACLE_MONITORING = f"""
 {_sql_mapping_ctes()}
 SELECT '2026-01-01' AS process_date,
        method,
        count(*) AS total_mappings,
        count(DISTINCT cus_code) AS unique_customers,
-       round(CAST(SUM(CAST(ROUND(value2 * 10000) AS BIGINT)) AS DOUBLE)
-             / CAST(COUNT(value2) * 10000 AS DOUBLE), 6) AS avg_revenue,
-       round(CAST(SUM(CAST(ROUND(value1 * 10000) AS BIGINT)) AS DOUBLE)
-             / CAST(COUNT(value1) * 10000 AS DOUBLE), 6) AS avg_transaction,
-       round(avg(value2 / NULLIF(value1, 0)), 6) AS avg_conversion_rate,
+       {_sql_lattice_mean6('value2', 10000)} AS avg_revenue,
+       {_sql_lattice_mean6('value1', 10000)} AS avg_transaction,
+       {_sql_lattice_mean6('round(value2 / NULLIF(value1, 0), 6)', 10**6)}
+         AS avg_conversion_rate,
        '2026-01-01 00:00:00' AS first_processed,
        '2026-01-01 00:00:00' AS last_processed
 FROM mapping

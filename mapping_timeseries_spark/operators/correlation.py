@@ -114,8 +114,9 @@ def _lattice_mean(col: str, scale: int):
     nearest lattice point, corrupting the mean. Callers own the
     precondition; :func:`lattice_residual` gives a testable check.
     """
-    micros = F.round(F.col(col) * F.lit(scale)).cast("bigint")
-    return F.sum(micros).cast("double") / (F.count(col) * F.lit(scale)).cast("double")
+    c = F.col(col) if isinstance(col, str) else col
+    micros = F.round(c * F.lit(scale)).cast("bigint")
+    return F.sum(micros).cast("double") / (F.count(c) * F.lit(scale)).cast("double")
 
 
 def lattice_residual(df: DataFrame, col: str, scale: int):
@@ -147,9 +148,10 @@ def _lattice_mean_rounded(col: str, scale: int, dp: int):
     """
     if 10**dp % scale != 0:
         raise ValueError(f"scale {scale} must divide 10^{dp}")
+    c = F.col(col) if isinstance(col, str) else col
     m = 10**dp // scale
-    s = F.sum(F.round(F.col(col) * F.lit(scale)).cast("bigint"))
-    n = F.count(col)
+    s = F.sum(F.round(c * F.lit(scale)).cast("bigint"))
+    n = F.count(c)
     numer = F.lit(2 * m) * s + n
     denom = F.lit(2) * n
     quot = (numer - numer % denom).cast("double") / denom.cast("double")

@@ -18,6 +18,8 @@ Scale design
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -66,15 +68,25 @@ def _ensure_parallel(df: DataFrame) -> DataFrame:
     arrives as ONE partition, serializing everything downstream; on a real
     cluster the scan is already wide and this is a no-op.
 
-    The probe is file-count metadata (public ``inputFiles`` API — driver
-    catalog lookup only, no job, no plan->RDD conversion, unlike the
-    ``df.rdd.getNumPartitions()`` it replaces). A many-core cluster
-    reading few huge files still splits them by maxPartitionBytes, so the
-    repartition there is redundant-but-harmless; at 100 TB the input is
-    thousands of files and this branch never fires."""
+    The probe is file metadata (public ``inputFiles`` API + local file
+    sizes — driver catalog lookup only, no job, no plan->RDD conversion,
+    unlike the ``df.rdd.getNumPartitions()`` it replaces). The scan's
+    partition count is ~max(n_files, total_bytes/maxPartitionBytes), so
+    the repartition fires only when BOTH are under target — a few huge
+    files already split wide and must NOT be repartitioned down to
+    ``target``. Non-file-backed or non-local inputs are left alone (at
+    100 TB the input is thousands of files and this never fires)."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    n_files = len(df.inputFiles())
-    if 0 < n_files < target:
+    files = df.inputFiles()
+    if not files or len(files) >= target:
+        return df
+    local = [f.removeprefix("file:") for f in files if f.startswith("file:")]
+    if len(local) != len(files):
+        return df  # non-local FS: trust the source's split planning
+    total = sum(os.path.getsize(p) for p in local if os.path.exists(p))
+    max_pb = 128 << 20  # spark.sql.files.maxPartitionBytes default
+    est_partitions = max(len(files), -(-total // max_pb))
+    if est_partitions < target:
         return df.repartition(target)
     return df
 
@@ -420,6 +432,14 @@ def dedup_clusters(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # returning truncated propagation would silently split one true
+        # component into several clusters (and several keepers)
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {max_iters} rounds — a "
+            "component's diameter exceeds max_iters; raise max_iters or "
+            "switch to large-star/small-star for deep graphs"
+        )
     return labels.select(
         F.col("id").alias("doc_id"),
         F.col("label").alias("cluster_id"),

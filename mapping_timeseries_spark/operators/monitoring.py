@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .canonicalize import KEY
-from .correlation import _lattice_mean
+from .correlation import _lattice_mean, _lattice_mean_rounded
 
 __all__ = [
     "Alert",
@@ -53,6 +53,7 @@ class Alert:
 def monitoring_summary(
     mapped: DataFrame,
     value_lattice_scale: int | None = None,
+    value_round_dp: int | None = None,
     exact_distinct: bool = True,
 ) -> DataFrame:
     """Monitoring dashboard aggregation (05_prod_dev.py:1252-1266).
@@ -63,18 +64,39 @@ def monitoring_summary(
 
     ``value_lattice_scale`` switches the value means to the
     order-independent lattice-integer form (see correlation._lattice_mean)
-    — the oracle-gated driver query uses it; plain ``avg`` otherwise.
+    — plain ``avg`` otherwise. Adding ``value_round_dp`` makes the means
+    fully engine-portable end to end: the value means use the pure-integer
+    half-up rounding (``_lattice_mean_rounded`` — F.round on a lattice
+    mean is NOT portable on exact midpoints), and the conversion rate
+    becomes the lattice-exact mean of the per-row ratio pre-rounded to
+    ``value_round_dp`` (a quotient is never an exact decimal midpoint, so
+    the per-row round IS portable; the mean of the resulting 10^-dp
+    lattice then rounds with integer arithmetic). The oracle-gated driver
+    query passes both; library callers get the reference's plain floats.
     ``exact_distinct=False`` uses ``approx_count_distinct`` (HLL) for the
     customer count — required on streaming frames (exact distinct needs
     unbounded per-key state) and the right call for dashboard counts at
     10^10 entities anyway.
     """
-    if value_lattice_scale:
+    ratio = F.col("value2") / F.nullif(F.col("value1"), F.lit(0))
+    if value_lattice_scale and value_round_dp:
+        avg_rev = _lattice_mean_rounded(
+            "value2", value_lattice_scale, value_round_dp
+        )
+        avg_txn = _lattice_mean_rounded(
+            "value1", value_lattice_scale, value_round_dp
+        )
+        avg_conv = _lattice_mean_rounded(
+            F.round(ratio, value_round_dp), 10**value_round_dp, value_round_dp
+        )
+    elif value_lattice_scale:
         avg_rev = _lattice_mean("value2", value_lattice_scale)
         avg_txn = _lattice_mean("value1", value_lattice_scale)
+        avg_conv = F.avg(ratio)
     else:
         avg_rev = F.avg("value2")
         avg_txn = F.avg("value1")
+        avg_conv = F.avg(ratio)
     uniq = (
         F.countDistinct(KEY)
         if exact_distinct
@@ -88,9 +110,7 @@ def monitoring_summary(
         uniq.alias("unique_customers"),
         avg_rev.alias("avg_revenue"),
         avg_txn.alias("avg_transaction"),
-        F.avg(F.col("value2") / F.nullif(F.col("value1"), F.lit(0))).alias(
-            "avg_conversion_rate"
-        ),
+        avg_conv.alias("avg_conversion_rate"),
         F.min("processed_at").alias("first_processed"),
         F.max("processed_at").alias("last_processed"),
     )
@@ -100,13 +120,14 @@ def create_monitoring_view(
     mapped: DataFrame,
     view_name: str = "mapping_monitoring",
     value_lattice_scale: int | None = None,
+    value_round_dp: int | None = None,
 ) -> str:
     """CREATE OR REPLACE VIEW over the mapping output (S8,
     05_prod_dev.py:1252-1253). Registered as a replaceable temp view (our
     catalog surface); dashboards read it by name via ``spark.table``."""
-    monitoring_summary(mapped, value_lattice_scale).createOrReplaceTempView(
-        view_name
-    )
+    monitoring_summary(
+        mapped, value_lattice_scale, value_round_dp
+    ).createOrReplaceTempView(view_name)
     return view_name
 
 

@@ -62,7 +62,9 @@ def _avg_rank(col: str):
     )
 
 
-def method_agreement(comparison: DataFrame) -> DataFrame:
+def method_agreement(
+    comparison: DataFrame, lattice_dp: int | None = None
+) -> DataFrame:
     """One-row cross-method agreement statistics (04_comparision.py:61-88).
 
     The reference collects the comparison frame to pandas and runs
@@ -79,7 +81,29 @@ def method_agreement(comparison: DataFrame) -> DataFrame:
     single-pass sort over entity count, not fact rows. The negative
     ``pearson_corr_cost`` expectation ("high correlation = low DTW cost")
     is the reference's method-agreement check.
+
+    ``lattice_dp``: when the comparison columns are pre-rounded to
+    ``lattice_dp`` decimals (the oracle-gated driver query's setup), the
+    four plain means switch to the pure-integer lattice form
+    (correlation._lattice_mean_rounded) so they are bit-identical across
+    engines. The stddev/corr aggregates stay float — their engine update
+    formulas differ regardless of input exactness, an accepted residual
+    risk absorbed by round(·, 6) (same class as qa_invariants' std_ratio,
+    green since round 1).
     """
+    from .correlation import _lattice_mean_rounded
+
+    if lattice_dp:
+        scale = 10**lattice_dp
+        avg_corr = _lattice_mean_rounded("correlation", scale, lattice_dp)
+        avg_cost = _lattice_mean_rounded("total_cost", scale, lattice_dp)
+        avg_lag = _lattice_mean_rounded("optimal_lag", 1, lattice_dp)
+        avg_map = _lattice_mean_rounded("num_mappings", 1, lattice_dp)
+    else:
+        avg_corr = F.avg("correlation")
+        avg_cost = F.avg("total_cost")
+        avg_lag = F.avg("optimal_lag")
+        avg_map = F.avg("num_mappings")
     ranked = comparison.select(
         "correlation",
         "optimal_lag",
@@ -90,12 +114,12 @@ def method_agreement(comparison: DataFrame) -> DataFrame:
     )
     return ranked.agg(
         F.count(F.lit(1)).alias("total_customers"),
-        F.avg("correlation").alias("avg_correlation"),
+        avg_corr.alias("avg_correlation"),
         F.stddev("correlation").alias("std_correlation"),
-        F.avg("total_cost").alias("avg_dtw_cost"),
+        avg_cost.alias("avg_dtw_cost"),
         F.stddev("total_cost").alias("std_dtw_cost"),
-        F.avg("optimal_lag").alias("avg_lag"),
-        F.avg("num_mappings").alias("avg_dtw_mappings"),
+        avg_lag.alias("avg_lag"),
+        avg_map.alias("avg_dtw_mappings"),
         F.corr("correlation", "total_cost").alias("pearson_corr_cost"),
         F.corr("__r_corr", "__r_cost").alias("spearman_corr_cost"),
     )

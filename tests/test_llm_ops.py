@@ -299,3 +299,15 @@ def test_dedup_clusters_long_chain_converges(spark):
     rows = dedup_clusters(docs, pairs).collect()
     assert all(r["cluster_id"] == 0 for r in rows)
     assert sum(r["is_keeper"] for r in rows) == 1
+
+
+def test_dedup_clusters_raises_on_non_convergence(spark):
+    from mapping_timeseries_spark.operators.dedup import dedup_clusters
+
+    n = 10
+    docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup_clusters(docs, pairs, max_iters=3)
