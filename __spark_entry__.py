@@ -79,6 +79,7 @@ from mapping_timeseries_spark.operators.sessionize import (
 from mapping_timeseries_spark.operators.relational import (
     anti_join,
     join_distinct_dim,
+    salted_agg,
     sample_fraction,
     sample_portable,
     sample_stratified,
@@ -789,6 +790,25 @@ def q_sample_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation over lineitem keyed by l_returnflag —
+    a deliberately low-cardinality (hot-key) grouping where a direct
+    groupBy funnels each key through one reduce task. The salt is
+    result-invariant, so the oracle is the plain GROUP BY."""
+    ensure_runtime_conf(spark)
+    out = salted_agg(
+        read_table(spark, sf_dir, "lineitem"),
+        ["l_returnflag"],
+        {"l_quantity": "sum", "l_orderkey": "count"},
+        salt_buckets=16,
+    )
+    return out.select(
+        "l_returnflag",
+        F.round("sum_l_quantity", 6).alias("sum_l_quantity"),
+        F.col("count_l_orderkey").cast("bigint").alias("count_l_orderkey"),
+    )
+
+
 def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language quota sample of the documents corpus (data-mixing
     primitive): 20 smallest-hash docs per lang, deterministic."""
@@ -1433,6 +1453,12 @@ ORACLE_SAMPLE_PORTABLE = """
 SELECT o_orderkey, o_custkey, round(o_totalprice, 6) AS o_totalprice
 FROM orders
 WHERE ('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 10 = 0
+"""
+
+ORACLE_SALTED_AGG = """
+SELECT l_returnflag, round(SUM(l_quantity), 6) AS sum_l_quantity,
+       COUNT(l_orderkey) AS count_l_orderkey
+FROM lineitem GROUP BY l_returnflag
 """
 
 ORACLE_SAMPLE_STRATIFIED = """
@@ -2093,6 +2119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample": q_sample,
         "sample_portable": q_sample_portable,
         "sample_stratified": q_sample_stratified,
+        "salted_agg": q_salted_agg,
         "token_counts": q_token_counts,
         "exact_dedup": q_exact_dedup,
         "content_hash_dedup": q_content_hash_dedup,
@@ -2155,6 +2182,7 @@ def oracle_sql() -> dict[str, str]:
         "join_distinct_dim": ORACLE_JOIN_DIM,
         "sample_portable": ORACLE_SAMPLE_PORTABLE,
         "sample_stratified": ORACLE_SAMPLE_STRATIFIED,
+        "salted_agg": ORACLE_SALTED_AGG,
         "token_counts": ORACLE_TOKEN_COUNTS,
         "exact_dedup": ORACLE_EXACT_DEDUP,
         "content_hash_dedup": ORACLE_HASH_DEDUP,

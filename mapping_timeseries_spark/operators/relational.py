@@ -236,6 +236,52 @@ def sample_stratified(
     )
 
 
+def salted_agg(
+    df: DataFrame,
+    key_cols: list[str],
+    aggs: dict[str, str],
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Two-stage salted aggregation for skewed keys.
+
+    Stage 1 aggregates per (key, salt) — a hot key's rows split across
+    ``salt_buckets`` reduce tasks instead of one straggler owning the
+    whole key; stage 2 merges the ≤ salt_buckets partials per key (tiny).
+    ``aggs`` maps column -> 'sum' | 'count' | 'min' | 'max' (the
+    decomposable aggregates where partial-merge is exact: count merges by
+    summing partial counts). The salt is ``spark_partition_id() %
+    salt_buckets`` — free to compute, already uniform over input splits,
+    and irrelevant to the result (associativity), so the output equals
+    the direct groupBy exactly and stays oracle-checkable.
+
+    This is the manual fallback for engines/paths where AQE skew-join
+    splitting doesn't apply (plain aggregations, AQE off); with AQE on,
+    prefer letting skewedJoin/coalesce handle it (SCALE.md).
+    """
+    if not aggs:
+        raise ValueError("aggs must name at least one column")
+    merge_fn = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+    first_fn = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}
+    for col, how in aggs.items():
+        if how not in merge_fn:
+            raise ValueError(f"unsupported agg '{how}' for {col}")
+    salted = df.withColumn(
+        "__salt", F.spark_partition_id() % F.lit(salt_buckets)
+    )
+    partial = salted.groupBy(*key_cols, "__salt").agg(
+        *[
+            first_fn[how](col).alias(f"__p_{col}")
+            for col, how in aggs.items()
+        ]
+    )
+    return partial.groupBy(*key_cols).agg(
+        *[
+            merge_fn[how](f"__p_{col}").alias(f"{how}_{col}")
+            for col, how in aggs.items()
+        ]
+    )
+
+
 def month_arithmetic(orders: DataFrame) -> DataFrame:
     """F1 date-function round trip on distinct order months: the exact
     to_date / add_months / date_format chain the lag join hinges on

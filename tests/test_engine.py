@@ -142,3 +142,38 @@ def test_sample_stratified_quota_and_determinism(spark):
     # small stratum: quota caps at stratum size
     tiny = sample_stratified(df.where(F.col("doc_id") < 4), "lang", "doc_id", 10)
     assert tiny.count() == 4
+
+
+def test_salted_agg_equals_direct_groupby(spark):
+    from pyspark.sql import functions as F
+
+    from mapping_timeseries_spark.operators.relational import salted_agg
+
+    df = spark.createDataFrame(
+        [("hot" if i % 10 else "cold", float(i), i) for i in range(1000)],
+        "k string, v double, n long",
+    ).repartition(8)
+    got = {
+        r["k"]: (r["sum_v"], r["count_n"], r["min_v"], r["max_v"])
+        for r in salted_agg(df, ["k"], {"v": "sum", "n": "count"})
+        .join(salted_agg(df, ["k"], {"v": "min"}), "k")
+        .join(salted_agg(df, ["k"], {"v": "max"}), "k")
+        .collect()
+    }
+    want = {
+        r["k"]: (r["s"], r["c"], r["mn"], r["mx"])
+        for r in df.groupBy("k")
+        .agg(
+            F.sum("v").alias("s"),
+            F.count("n").alias("c"),
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+        )
+        .collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][1] == want[k][1]
+        assert got[k][2] == want[k][2]
+        assert got[k][3] == want[k][3]
+        assert got[k][0] == pytest.approx(want[k][0], rel=1e-12)
