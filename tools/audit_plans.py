@@ -52,10 +52,28 @@ def main() -> int:
         plan = buf.getvalue()
         exchanges = plan.count("Exchange")
         broadcasts = plan.count("BroadcastExchange")
-        codegen = plan.count("WholeStageCodegen")
+        # under AQE the pre-execution plan is an AdaptiveSparkPlan shell
+        # with no codegen subtrees yet (they materialize per stage at
+        # runtime), so probe the codegen count with AQE off — the static
+        # plan's "Found N WholeStageCodegen subtrees" header
+        import re
+
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            cbuf = io.StringIO()
+            with contextlib.redirect_stdout(cbuf):
+                # fresh Dataset: df's own QueryExecution was already forced
+                # under AQE by the formatted explain and is cached on it
+                df.where("true").explain("codegen")
+            m = re.search(
+                r"Found (\d+) WholeStageCodegen subtrees", cbuf.getvalue()
+            )
+            codegen_spans = int(m.group(1)) if m else 0
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", "true")
         print(
             f"=== {name}: Exchange={exchanges} (broadcast={broadcasts}) "
-            f"WholeStageCodegen={codegen}"
+            f"codegen_spans={codegen_spans}"
         )
         for line in plan.splitlines():
             stripped = line.strip()
