@@ -1134,6 +1134,33 @@ def _sql_lattice_mean6(expr: str, scale: int) -> str:
     )
 
 
+def _sql_int_std(kexpr: str, scale: int) -> str:
+    """DuckDB twin of correlation._int_moments_std: exact integer moments
+    (SUM in int64/HUGEINT), ONE cast to double each, then the identical
+    scalar IEEE sequence."""
+    n = f"CAST(COUNT({kexpr}) AS DOUBLE)"
+    s1 = f"CAST(SUM({kexpr}) AS DOUBLE)"
+    s2 = (
+        f"CAST(SUM(CAST({kexpr} AS HUGEINT) * CAST({kexpr} AS HUGEINT)) "
+        "AS DOUBLE)"
+    )
+    return f"sqrt(({s2} - {s1} * {s1} / {n}) / ({n} - 1.0)) / {float(scale)}"
+
+
+def _sql_int_pearson(kx: str, ky: str) -> str:
+    """DuckDB twin of correlation._int_pearson."""
+    n = f"CAST(COUNT({kx}) AS DOUBLE)"
+    xd = f"CAST(SUM({kx}) AS DOUBLE)"
+    yd = f"CAST(SUM({ky}) AS DOUBLE)"
+    xx = f"CAST(SUM(CAST({kx} AS HUGEINT) * CAST({kx} AS HUGEINT)) AS DOUBLE)"
+    yy = f"CAST(SUM(CAST({ky} AS HUGEINT) * CAST({ky} AS HUGEINT)) AS DOUBLE)"
+    xy = f"CAST(SUM(CAST({kx} AS HUGEINT) * CAST({ky} AS HUGEINT)) AS DOUBLE)"
+    return (
+        f"(({n} * {xy} - {xd} * {yd}) "
+        f"/ sqrt(({n} * {xx} - {xd} * {xd}) * ({n} * {yy} - {yd} * {yd})))"
+    )
+
+
 #: Recommendation-model routing CASE (04_comparision.py:243-287) over
 #: aliases ``b`` (best) and ``d`` (dtw) — ONE text shared by every oracle
 #: that embeds the model, so a threshold tweak cannot desynchronize them.
@@ -1293,13 +1320,19 @@ comp_ranked AS (
 )
 SELECT count(*) AS total_customers,
        {_sql_lattice_mean6('correlation', 10**6)} AS avg_correlation,
-       round(stddev(correlation), 6) AS std_correlation,
+       round({_sql_int_std('CAST(ROUND(correlation * 1000000) AS BIGINT)', 10**6)}, 6)
+         AS std_correlation,
        {_sql_lattice_mean6('total_cost', 10**6)} AS avg_dtw_cost,
-       round(stddev(total_cost), 6) AS std_dtw_cost,
+       round({_sql_int_std('CAST(ROUND(total_cost * 1000000) AS BIGINT)', 10**6)}, 6)
+         AS std_dtw_cost,
        {_sql_lattice_mean6('optimal_lag', 1)} AS avg_lag,
        {_sql_lattice_mean6('num_mappings', 1)} AS avg_dtw_mappings,
-       round(corr(correlation, total_cost), 6) AS pearson_corr_cost,
-       round(corr(r_corr, r_cost), 6) AS spearman_corr_cost
+       round({_sql_int_pearson('CAST(ROUND(correlation * 1000000) AS BIGINT)',
+                               'CAST(ROUND(total_cost * 1000000) AS BIGINT)')}, 6)
+         AS pearson_corr_cost,
+       round({_sql_int_pearson('CAST(r_corr * 2 AS BIGINT)',
+                               'CAST(r_cost * 2 AS BIGINT)')}, 6)
+         AS spearman_corr_cost
 FROM comp_ranked
 """
 

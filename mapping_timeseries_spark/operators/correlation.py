@@ -119,6 +119,36 @@ def _lattice_mean(col: str, scale: int):
     return F.sum(micros).cast("double") / (F.count(c) * F.lit(scale)).cast("double")
 
 
+def _int_moments_std(k, scale: int):
+    """Sample stddev from exact integer moments of bigint column ``k``
+    (values pre-scaled to a lattice): S1 sums in int64 (exact to 2^63),
+    S2 in decimal(38,0) (k² can pass 2^63), each cast ONCE to double —
+    both engines round the same exact integer to the same double — then a
+    fixed scalar IEEE sequence. Engine-portable where ``stddev`` (whose
+    update formula and accumulation order are engine-private) is not.
+    DuckDB twin: entry _sql_int_std (token-for-token the same ops)."""
+    n = F.count(k).cast("double")
+    s1 = F.sum(k).cast("double")
+    s2 = F.sum(k.cast("decimal(38,0)") * k).cast("double")
+    var = (s2 - s1 * s1 / n) / (n - F.lit(1.0))
+    return F.sqrt(var) / F.lit(float(scale))
+
+
+def _int_pearson(kx, ky):
+    """Pearson correlation from exact integer moments of two bigint
+    columns (scale-invariant, so lattice prescaling divides out). Same
+    portability contract as :func:`_int_moments_std`."""
+    n = F.count(kx).cast("double")
+    xd = F.sum(kx).cast("double")
+    yd = F.sum(ky).cast("double")
+    xx = F.sum(kx.cast("decimal(38,0)") * kx).cast("double")
+    yy = F.sum(ky.cast("decimal(38,0)") * ky).cast("double")
+    xy = F.sum(kx.cast("decimal(38,0)") * ky).cast("double")
+    num = n * xy - xd * yd
+    den = F.sqrt((n * xx - xd * xd) * (n * yy - yd * yd))
+    return num / den
+
+
 def lattice_residual(df: DataFrame, col: str, scale: int):
     """Max |x*scale - round(x*scale)| over ``df[col]`` — a debug/test probe
     for the :func:`_lattice_mean` precondition (should be ~0, certainly

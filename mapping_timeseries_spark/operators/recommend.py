@@ -83,27 +83,47 @@ def method_agreement(
     is the reference's method-agreement check.
 
     ``lattice_dp``: when the comparison columns are pre-rounded to
-    ``lattice_dp`` decimals (the oracle-gated driver query's setup), the
-    four plain means switch to the pure-integer lattice form
-    (correlation._lattice_mean_rounded) so they are bit-identical across
-    engines. The stddev/corr aggregates stay float — their engine update
-    formulas differ regardless of input exactness, an accepted residual
-    risk absorbed by round(·, 6) (same class as qa_invariants' std_ratio,
-    green since round 1).
+    ``lattice_dp`` decimals (the oracle-gated driver query's setup), EVERY
+    statistic switches to exact-integer-moment form: means via
+    correlation._lattice_mean_rounded, stddevs via _int_moments_std, and
+    both Pearson coefficients via _int_pearson — the sums are exact
+    integers (int64 / decimal-38), so both engines round the same integer
+    to the same double and the trailing scalar IEEE sequence is identical
+    token for token. Plain float aggregates otherwise (whose accumulation
+    order is engine-private and run-to-run nondeterministic on a cluster).
     """
-    from .correlation import _lattice_mean_rounded
+    from .correlation import (
+        _int_moments_std,
+        _int_pearson,
+        _lattice_mean_rounded,
+    )
 
     if lattice_dp:
         scale = 10**lattice_dp
+        k_corr = F.round(F.col("correlation") * scale).cast("bigint")
+        k_cost = F.round(F.col("total_cost") * scale).cast("bigint")
         avg_corr = _lattice_mean_rounded("correlation", scale, lattice_dp)
         avg_cost = _lattice_mean_rounded("total_cost", scale, lattice_dp)
         avg_lag = _lattice_mean_rounded("optimal_lag", 1, lattice_dp)
         avg_map = _lattice_mean_rounded("num_mappings", 1, lattice_dp)
+        std_corr = _int_moments_std(k_corr, scale)
+        std_cost = _int_moments_std(k_cost, scale)
+        pearson = _int_pearson(k_corr, k_cost)
+        # avg-tie ranks are half-integers, so 2r is an exact bigint;
+        # Pearson is scale-invariant, so the factor 2 divides out
+        spearman = _int_pearson(
+            (F.col("__r_corr") * 2).cast("bigint"),
+            (F.col("__r_cost") * 2).cast("bigint"),
+        )
     else:
         avg_corr = F.avg("correlation")
         avg_cost = F.avg("total_cost")
         avg_lag = F.avg("optimal_lag")
         avg_map = F.avg("num_mappings")
+        std_corr = F.stddev("correlation")
+        std_cost = F.stddev("total_cost")
+        pearson = F.corr("correlation", "total_cost")
+        spearman = F.corr("__r_corr", "__r_cost")
     ranked = comparison.select(
         "correlation",
         "optimal_lag",
@@ -115,13 +135,13 @@ def method_agreement(
     return ranked.agg(
         F.count(F.lit(1)).alias("total_customers"),
         avg_corr.alias("avg_correlation"),
-        F.stddev("correlation").alias("std_correlation"),
+        std_corr.alias("std_correlation"),
         avg_cost.alias("avg_dtw_cost"),
-        F.stddev("total_cost").alias("std_dtw_cost"),
+        std_cost.alias("std_dtw_cost"),
         avg_lag.alias("avg_lag"),
         avg_map.alias("avg_dtw_mappings"),
-        F.corr("correlation", "total_cost").alias("pearson_corr_cost"),
-        F.corr("__r_corr", "__r_cost").alias("spearman_corr_cost"),
+        pearson.alias("pearson_corr_cost"),
+        spearman.alias("spearman_corr_cost"),
     )
 
 
