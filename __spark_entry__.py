@@ -697,29 +697,37 @@ def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Native session_window (10-minute gap) per user."""
+def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based batch sessionization (lag + cumulative sum) inner-joined
+    with the native ``session_window`` aggregation on
+    (user_id, session_start): one frame verifies both operators, and any
+    boundary disagreement between the two formulations drops rows and
+    reds the gate."""
     ensure_runtime_conf(spark)
-    s = session_agg_native(read_table(spark, sf_dir, "events"))
-    return s.select(
-        "user_id",
-        "session_start",
-        F.col("n_events").cast("bigint").alias("n_events"),
-        F.round("sum_value", 6).alias("sum_value"),
-    )
-
-
-def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gap-based batch sessionization (lag + cumulative sum)."""
-    ensure_runtime_conf(spark)
-    s = sessionize_batch(read_table(spark, sf_dir, "events"))
-    return s.select(
+    ev = read_table(spark, sf_dir, "events")
+    batch = sessionize_batch(ev).select(
         "user_id",
         F.col("session_id").cast("bigint").alias("session_id"),
         "session_start",
         "session_end",
         F.col("n_events").cast("bigint").alias("n_events"),
         F.round("sum_value", 6).alias("sum_value"),
+    )
+    native = session_agg_native(ev).select(
+        "user_id",
+        "session_start",
+        F.col("n_events").cast("bigint").alias("n_events_native"),
+        F.round("sum_value", 6).alias("sum_value_native"),
+    )
+    return batch.join(native, ["user_id", "session_start"]).select(
+        "user_id",
+        "session_id",
+        "session_start",
+        "session_end",
+        "n_events",
+        "sum_value",
+        "n_events_native",
+        "sum_value_native",
     )
 
 
@@ -771,7 +779,10 @@ def q_join_distinct_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P11 seeded Bernoulli sample (rows-only: engine-specific sequence)."""
+    """P11 seeded Bernoulli sample (engine-specific sequence, so no oracle
+    is possible; pytest-pinned via test_entry_contract. Not in queries() —
+    the driver's correctness window caps at 50 entries and the hash-gated
+    sample_portable/sample_stratified twins cover P11 there)."""
     ensure_runtime_conf(spark)
     s = sample_fraction(read_table(spark, sf_dir, "orders"), 0.1, seed=42)
     return s.select("o_orderkey", "o_custkey", F.round("o_totalprice", 6).alias("o_totalprice"))
@@ -820,34 +831,45 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Whitespace + BPE-ish regex token counting per document."""
+    """Whitespace + BPE-ish regex token counting per document, joined with
+    the rolling-hash content fingerprint (same per-doc grain) so both
+    operators are verified in one frame."""
     ensure_runtime_conf(spark)
-    t = token_counts(read_table(spark, sf_dir, "documents"))
-    return t.select(
+    docs = read_table(spark, sf_dir, "documents")
+    t = token_counts(docs)
+    fp = doc_fingerprints(docs).select(
+        "doc_id",
+        F.col("fingerprint").cast("bigint").alias("fingerprint"),
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+    )
+    return t.join(fp, "doc_id").select(
         "doc_id",
         F.col("ws_tokens").cast("bigint").alias("ws_tokens"),
         F.col("bpe_ish_tokens").cast("bigint").alias("bpe_ish_tokens"),
         F.round("chars_per_token", 6).alias("chars_per_token"),
+        "fingerprint",
+        "n_chars",
     )
 
 
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact text dedup: deterministic keeper + copy count per distinct text."""
+    """Exact text dedup joined with its content-hash twin: deterministic
+    keeper + copy count per distinct text, plus the sha2 digest path
+    (shuffles 32-byte digests, not documents). One frame verifies both
+    operators — the digest dedup must agree with the plain-text dedup
+    keeper for keeper (inner join drops divergent rows -> red gate)."""
     ensure_runtime_conf(spark)
-    d = exact_dedup(read_table(spark, sf_dir, "documents"))
-    return d.select(
+    docs = read_table(spark, sf_dir, "documents")
+    e = exact_dedup(docs).select(
         "keeper_doc_id", F.col("n_copies").cast("bigint").alias("n_copies")
     )
-
-
-def q_content_hash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup on sha2(text): shuffle digests, not documents."""
-    ensure_runtime_conf(spark)
-    d = content_hash_dedup(read_table(spark, sf_dir, "documents"))
-    return d.select(
-        "content_sha",
+    h = content_hash_dedup(docs).select(
         "keeper_doc_id",
-        F.col("n_copies").cast("bigint").alias("n_copies"),
+        "content_sha",
+        F.col("n_copies").cast("bigint").alias("n_copies_sha"),
+    )
+    return e.join(h, "keeper_doc_id").select(
+        "keeper_doc_id", "n_copies", "content_sha", "n_copies_sha"
     )
 
 
@@ -903,10 +925,18 @@ def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document token statistics."""
+    """Per-document token statistics, joined with the corpus language
+    distribution (broadcast of the tiny per-lang dim) so both operators
+    are verified in one frame."""
     ensure_runtime_conf(spark)
-    s = text_stats(read_table(spark, sf_dir, "documents"))
-    return s.select(
+    docs = read_table(spark, sf_dir, "documents")
+    s = text_stats(docs)
+    d = lang_distribution(docs).select(
+        "lang",
+        F.col("n_docs").cast("bigint").alias("lang_n_docs"),
+        F.round("share", 6).alias("lang_share"),
+    )
+    return s.join(F.broadcast(d), "lang").select(
         "doc_id",
         "lang",
         F.col("n_chars").cast("bigint").alias("n_chars"),
@@ -915,26 +945,19 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("avg_token_len", 6).alias("avg_token_len"),
         F.round("stopword_ratio", 6).alias("stopword_ratio"),
         F.round("punct_ratio", 6).alias("punct_ratio"),
+        "lang_n_docs",
+        "lang_share",
     )
 
 
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic quality score per document."""
+    """Heuristic quality score per document, joined with the marker-word
+    language-ID scores (same per-doc grain) so both operators are verified
+    in one frame."""
     ensure_runtime_conf(spark)
-    s = quality_score(read_table(spark, sf_dir, "documents"))
-    return s.select(
-        "doc_id",
-        F.col("n_tokens").cast("bigint").alias("n_tokens"),
-        F.col("n_unique_tokens").cast("bigint").alias("n_unique_tokens"),
-        F.round("quality_score", 6).alias("quality_score"),
-    )
-
-
-def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Marker-word language scores + argmax prediction."""
-    ensure_runtime_conf(spark)
-    s = lang_marker_scores(read_table(spark, sf_dir, "documents"))
-    return s.select(
+    docs = read_table(spark, sf_dir, "documents")
+    s = quality_score(docs)
+    lid = lang_marker_scores(docs).select(
         "doc_id",
         "actual_lang",
         F.col("score_en").cast("bigint").alias("score_en"),
@@ -943,27 +966,17 @@ def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("score_es").cast("bigint").alias("score_es"),
         "predicted_lang",
     )
-
-
-def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling-hash content fingerprints."""
-    ensure_runtime_conf(spark)
-    fp = doc_fingerprints(read_table(spark, sf_dir, "documents"))
-    return fp.select(
+    return s.join(lid, "doc_id").select(
         "doc_id",
-        F.col("fingerprint").cast("bigint").alias("fingerprint"),
-        F.col("n_chars").cast("bigint").alias("n_chars"),
-    )
-
-
-def q_lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus language distribution."""
-    ensure_runtime_conf(spark)
-    d = lang_distribution(read_table(spark, sf_dir, "documents"))
-    return d.select(
-        "lang",
-        F.col("n_docs").cast("bigint").alias("n_docs"),
-        F.round("share", 6).alias("share"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("n_unique_tokens").cast("bigint").alias("n_unique_tokens"),
+        F.round("quality_score", 6).alias("quality_score"),
+        "actual_lang",
+        "score_en",
+        "score_de",
+        "score_fr",
+        "score_es",
+        "predicted_lang",
     )
 
 
@@ -1022,29 +1035,29 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nd.select("vec_a", "vec_b", "similarity")
 
 
-def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary payload + typed metadata plumbing (flattened for the oracle)."""
-    ensure_runtime_conf(spark)
-    m = attach_binary_payload(read_table(spark, sf_dir, "documents"))
-    return m.select(
-        "doc_id",
-        F.col("meta.mime").alias("mime"),
-        F.col("meta.n_bytes").cast("bigint").alias("n_bytes"),
-        F.col("meta.lang").alias("lang"),
-    )
-
-
 def q_multimodal_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched feature extraction over binary payloads (rows-only:
-    mapInPandas stub decoder)."""
+    """Real multimodal decode: synthesize RIFF/WAV payloads from the corpus
+    (binary column + typed metadata struct), then parse them back with the
+    pure-stdlib chunk-walking WAV parser inside Arrow-batched mapInPandas.
+    Metadata rides through the map (the former multimodal_meta query is
+    this frame's mime/lang/n_bytes columns). Hash-gated: the oracle
+    computes the expected decoded PCM statistics directly from the
+    synthesis formula — integer-exact, so any header/parse bug reds the
+    gate."""
     ensure_runtime_conf(spark)
     m = attach_binary_payload(read_table(spark, sf_dir, "documents"))
     feats = extract_features(m)
     return feats.select(
         "doc_id",
+        "mime",
+        "lang",
         F.col("n_bytes").cast("bigint").alias("n_bytes"),
-        F.col("head_sum").cast("bigint").alias("head_sum"),
-        F.round("byte_mean", 6).alias("byte_mean"),
+        F.col("n_samples").cast("int").alias("n_samples"),
+        F.col("sample_rate").cast("int").alias("sample_rate"),
+        "pcm_sum",
+        "pcm_sumsq",
+        "pcm_min",
+        "pcm_max",
     )
 
 
@@ -1677,21 +1690,18 @@ sess AS (
 )
 """
 
-ORACLE_SESSION_WINDOW = f"""
-WITH {_SQL_SESSIONS}
-SELECT user_id,
-       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
-       count(*) AS n_events, round(sum(value), 6) AS sum_value
-FROM sess GROUP BY user_id, sid
-"""
-
-ORACLE_SESSIONIZE = f"""
-WITH {_SQL_SESSIONS}
-SELECT user_id, CAST(sid AS BIGINT) AS session_id,
-       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
-       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
-       count(*) AS n_events, round(sum(value), 6) AS sum_value
-FROM sess GROUP BY user_id, sid
+ORACLE_SESSIONIZATION = f"""
+WITH {_SQL_SESSIONS},
+agg AS (
+  SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+         strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+         strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+         count(*) AS n_events, round(sum(value), 6) AS sum_value
+  FROM sess GROUP BY user_id, sid
+)
+SELECT user_id, session_id, session_start, session_end, n_events, sum_value,
+       n_events AS n_events_native, sum_value AS sum_value_native
+FROM agg
 """
 
 ORACLE_EVENT_DEDUP = """
@@ -1732,23 +1742,39 @@ GROUP BY o_orderpriority
 """
 
 ORACLE_TOKEN_COUNTS = r"""
-SELECT doc_id,
-       len(string_split_regex(trim(text), '\s+')) AS ws_tokens,
-       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe_ish_tokens,
-       round(length(text) * 1.0 / greatest(len(string_split_regex(trim(text), '\s+')), 1), 6)
-         AS chars_per_token
-FROM documents
+WITH tok AS (
+  SELECT doc_id,
+         len(string_split_regex(trim(text), '\s+')) AS ws_tokens,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe_ish_tokens,
+         round(length(text) * 1.0 / greatest(len(string_split_regex(trim(text), '\s+')), 1), 6)
+           AS chars_per_token
+  FROM documents
+),
+fp AS (
+  SELECT doc_id,
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+           (acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint,
+         length(text) AS n_chars
+  FROM documents
+)
+SELECT tok.doc_id, ws_tokens, bpe_ish_tokens, chars_per_token, fingerprint, n_chars
+FROM tok JOIN fp ON tok.doc_id = fp.doc_id
 """
 
 ORACLE_EXACT_DEDUP = """
-SELECT min(doc_id) AS keeper_doc_id, count(*) AS n_copies
-FROM documents GROUP BY text
-"""
-
-ORACLE_HASH_DEDUP = """
-SELECT sha256(text) AS content_sha, min(doc_id) AS keeper_doc_id,
-       count(*) AS n_copies
-FROM documents GROUP BY sha256(text)
+WITH e AS (
+  SELECT min(doc_id) AS keeper_doc_id, count(*) AS n_copies
+  FROM documents GROUP BY text
+),
+h AS (
+  SELECT sha256(text) AS content_sha, min(doc_id) AS keeper_doc_id,
+         count(*) AS n_copies_sha
+  FROM documents GROUP BY sha256(text)
+)
+SELECT e.keeper_doc_id, e.n_copies, h.content_sha, h.n_copies_sha
+FROM e JOIN h ON e.keeper_doc_id = h.keeper_doc_id
 """
 
 _SQL_SHINGLES = r"""
@@ -1900,74 +1926,93 @@ _SQL_TOKENS = r"string_split_regex(trim(text), '\s+')"
 
 _STOPWORD_LIST = "('the','a','of','and','to','in','is','it','for','on')"
 
+_LANG_MARKER_SQL_EN = "('the','a','of','and','is')"
+_LANG_MARKER_SQL_DE = "('der','die','das','und','ist')"
+_LANG_MARKER_SQL_FR = "('le','la','les','et','est')"
+_LANG_MARKER_SQL_ES = "('el','la','los','y','es')"
+
 ORACLE_TEXT_STATS = f"""
-SELECT doc_id, lang,
-       length(text) AS n_chars,
-       len(t) AS n_tokens,
-       len(list_distinct(t)) AS n_unique_tokens,
-       round(list_sum(list_transform(t, x -> length(x))) * 1.0 / len(t), 6)
-         AS avg_token_len,
-       round(len(list_filter(t, x -> lower(x) IN {_STOPWORD_LIST})) * 1.0
-             / len(t), 6) AS stopword_ratio,
-       round(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) * 1.0
-             / greatest(length(text), 1), 6) AS punct_ratio
-FROM (SELECT doc_id, lang, text, {_SQL_TOKENS} AS t FROM documents)
+WITH s AS (
+  SELECT doc_id, lang,
+         length(text) AS n_chars,
+         len(t) AS n_tokens,
+         len(list_distinct(t)) AS n_unique_tokens,
+         round(list_sum(list_transform(t, x -> length(x))) * 1.0 / len(t), 6)
+           AS avg_token_len,
+         round(len(list_filter(t, x -> lower(x) IN {_STOPWORD_LIST})) * 1.0
+               / len(t), 6) AS stopword_ratio,
+         round(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) * 1.0
+               / greatest(length(text), 1), 6) AS punct_ratio
+  FROM (SELECT doc_id, lang, text, {_SQL_TOKENS} AS t FROM documents)
+),
+d AS (
+  SELECT lang, count(*) AS lang_n_docs,
+         round(count(*) * 1.0 / (SELECT count(*) FROM documents), 6) AS lang_share
+  FROM documents GROUP BY lang
+)
+SELECT s.doc_id, s.lang, s.n_chars, s.n_tokens, s.n_unique_tokens,
+       s.avg_token_len, s.stopword_ratio, s.punct_ratio,
+       d.lang_n_docs, d.lang_share
+FROM s JOIN d ON s.lang = d.lang
 """
 
 ORACLE_QUALITY = f"""
-SELECT doc_id,
-       len(t) AS n_tokens,
-       len(list_distinct(t)) AS n_unique_tokens,
-       round(least(
-         (CASE WHEN len(t) BETWEEN 10 AND 1000 THEN 0.4 ELSE 0.0 END)
-         + least(len(list_distinct(t)) * 1.0 / greatest(len(t), 1), 0.5) * 0.6
-         + (CASE WHEN len(list_filter(t, x -> lower(x) IN {_STOPWORD_LIST})) > 0
-                 THEN 0.1 ELSE 0.0 END),
-         1.0), 6) AS quality_score
-FROM (SELECT doc_id, text, {_SQL_TOKENS} AS t FROM documents)
-"""
-
-_LANG_MARKER_SQL = {
-    "en": "('the','a','of','and','is')",
-    "de": "('der','die','das','und','ist')",
-    "fr": "('le','la','les','et','est')",
-    "es": "('el','la','los','y','es')",
-}
-
-ORACLE_LANGID = f"""
-WITH scored AS (
-  SELECT doc_id, lang AS actual_lang,
-         len(list_filter(t, x -> lower(x) IN {_LANG_MARKER_SQL['en']})) AS score_en,
-         len(list_filter(t, x -> lower(x) IN {_LANG_MARKER_SQL['de']})) AS score_de,
-         len(list_filter(t, x -> lower(x) IN {_LANG_MARKER_SQL['fr']})) AS score_fr,
-         len(list_filter(t, x -> lower(x) IN {_LANG_MARKER_SQL['es']})) AS score_es
-  FROM (SELECT doc_id, lang, {_SQL_TOKENS} AS t FROM documents)
+WITH q AS (
+  SELECT doc_id,
+         len(t) AS n_tokens,
+         len(list_distinct(t)) AS n_unique_tokens,
+         round(least(
+           (CASE WHEN len(t) BETWEEN 10 AND 1000 THEN 0.4 ELSE 0.0 END)
+           + least(len(list_distinct(t)) * 1.0 / greatest(len(t), 1), 0.5) * 0.6
+           + (CASE WHEN len(list_filter(t, x -> lower(x) IN {_STOPWORD_LIST})) > 0
+                   THEN 0.1 ELSE 0.0 END),
+           1.0), 6) AS quality_score
+  FROM (SELECT doc_id, text, {_SQL_TOKENS} AS t FROM documents)
+),
+lid AS (
+  SELECT doc_id, actual_lang, score_en, score_de, score_fr, score_es,
+         CASE
+           WHEN greatest(score_en, score_de, score_fr, score_es) < 1 THEN 'unknown'
+           WHEN score_en >= greatest(score_de, score_fr, score_es) THEN 'en'
+           WHEN score_de >= greatest(score_fr, score_es) THEN 'de'
+           WHEN score_fr >= score_es THEN 'fr'
+           ELSE 'es'
+         END AS predicted_lang
+  FROM (
+    SELECT doc_id, lang AS actual_lang,
+           len(list_filter(t, x -> lower(x) IN {_LANG_MARKER_SQL_EN})) AS score_en,
+           len(list_filter(t, x -> lower(x) IN {_LANG_MARKER_SQL_DE})) AS score_de,
+           len(list_filter(t, x -> lower(x) IN {_LANG_MARKER_SQL_FR})) AS score_fr,
+           len(list_filter(t, x -> lower(x) IN {_LANG_MARKER_SQL_ES})) AS score_es
+    FROM (SELECT doc_id, lang, {_SQL_TOKENS} AS t FROM documents)
+  )
 )
-SELECT doc_id, actual_lang, score_en, score_de, score_fr, score_es,
-       CASE
-         WHEN greatest(score_en, score_de, score_fr, score_es) < 1 THEN 'unknown'
-         WHEN score_en >= greatest(score_de, score_fr, score_es) THEN 'en'
-         WHEN score_de >= greatest(score_fr, score_es) THEN 'de'
-         WHEN score_fr >= score_es THEN 'fr'
-         ELSE 'es'
-       END AS predicted_lang
-FROM scored
+SELECT q.doc_id, q.n_tokens, q.n_unique_tokens, q.quality_score,
+       lid.actual_lang, lid.score_en, lid.score_de, lid.score_fr, lid.score_es,
+       lid.predicted_lang
+FROM q JOIN lid ON q.doc_id = lid.doc_id
 """
 
-ORACLE_FINGERPRINT = """
-SELECT doc_id,
-       list_reduce(
-         list_prepend(CAST(0 AS BIGINT),
-           list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
-         (acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint,
-       length(text) AS n_chars
-FROM documents
-"""
-
-ORACLE_LANG_DIST = """
-SELECT lang, count(*) AS n_docs,
-       round(count(*) * 1.0 / (SELECT count(*) FROM documents), 6) AS share
-FROM documents GROUP BY lang
+# WAV decode oracle: the payload is a pure function of (doc_id, text)
+# (see operators.multimodal.synth_wav), so the expected decoded PCM
+# statistics are computable directly from the text — integer-exact, no
+# binary parsing needed on the oracle side.
+ORACLE_MULTIMODAL = """
+WITH base AS (
+  SELECT doc_id, lang, least(length(text), 256) AS n,
+    list_transform(range(0, least(length(text), 256)),
+      i -> ((ascii(array_extract(string_split(text, ''), i + 1)) * 257
+             + i * 7919 + doc_id * 31) % 65536) - 32768) AS s
+  FROM documents
+)
+SELECT doc_id, 'audio/wav' AS mime, lang,
+       CAST(44 + 2 * n AS BIGINT) AS n_bytes,
+       CAST(n AS INT) AS n_samples, CAST(8000 AS INT) AS sample_rate,
+       CAST(coalesce(list_sum(s), 0) AS BIGINT) AS pcm_sum,
+       CAST(coalesce(list_sum(list_transform(s, x -> x * x)), 0) AS BIGINT) AS pcm_sumsq,
+       CAST(list_min(s) AS INT) AS pcm_min,
+       CAST(list_max(s) AS INT) AS pcm_max
+FROM base
 """
 
 _SQL_COSINE = """
@@ -2095,11 +2140,6 @@ FROM vecs a JOIN vecs b
 WHERE round(list_dot_product(a.v, b.v), 6) >= 0.4
 """
 
-ORACLE_MULTIMODAL_META = """
-SELECT doc_id, 'text/plain' AS mime,
-       octet_length(encode(text)) AS n_bytes, lang
-FROM documents
-"""
 
 
 # ---------------------------------------------------------------------------
@@ -2143,33 +2183,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_scan": q_incremental_scan,
         "tumbling_window": q_tumbling_window,
         "sliding_window": q_sliding_window,
-        "session_window": q_session_window,
-        "sessionize_batch": q_sessionize_batch,
+        "sessionization": q_sessionization,
         "event_dedup": q_event_dedup,
         "parse_props": q_parse_props,
         "summary_stats": q_summary_stats,
         "join_distinct_dim": q_join_distinct_dim,
-        "sample": q_sample,
         "sample_portable": q_sample_portable,
         "sample_stratified": q_sample_stratified,
         "salted_agg": q_salted_agg,
         "token_counts": q_token_counts,
         "exact_dedup": q_exact_dedup,
-        "content_hash_dedup": q_content_hash_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_dedup": q_minhash_dedup,
         "dedup_clusters": q_dedup_clusters,
         "simhash_dedup": q_simhash_dedup,
         "text_stats": q_text_stats,
         "quality_score": q_quality_score,
-        "langid": q_langid,
-        "doc_fingerprint": q_doc_fingerprint,
-        "lang_distribution": q_lang_distribution,
         "cosine_topk": q_cosine_topk,
         "ann_topk": q_ann_topk,
         "ivf_topk": q_ivf_topk,
         "embedding_near_dups": q_embedding_near_dups,
-        "multimodal_meta": q_multimodal_meta,
         "multimodal_extract": q_multimodal_extract,
     }
 
@@ -2207,8 +2240,7 @@ def oracle_sql() -> dict[str, str]:
         "incremental_scan": ORACLE_INCREMENTAL,
         "tumbling_window": ORACLE_TUMBLING,
         "sliding_window": ORACLE_SLIDING,
-        "session_window": ORACLE_SESSION_WINDOW,
-        "sessionize_batch": ORACLE_SESSIONIZE,
+        "sessionization": ORACLE_SESSIONIZATION,
         "event_dedup": ORACLE_EVENT_DEDUP,
         "parse_props": ORACLE_PARSE_PROPS,
         "summary_stats": ORACLE_SUMMARY,
@@ -2218,19 +2250,15 @@ def oracle_sql() -> dict[str, str]:
         "salted_agg": ORACLE_SALTED_AGG,
         "token_counts": ORACLE_TOKEN_COUNTS,
         "exact_dedup": ORACLE_EXACT_DEDUP,
-        "content_hash_dedup": ORACLE_HASH_DEDUP,
         "ngram_jaccard": ORACLE_NGRAM_JACCARD,
         "minhash_dedup": ORACLE_MINHASH,
         "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
         "simhash_dedup": ORACLE_SIMHASH,
         "text_stats": ORACLE_TEXT_STATS,
         "quality_score": ORACLE_QUALITY,
-        "langid": ORACLE_LANGID,
-        "doc_fingerprint": ORACLE_FINGERPRINT,
-        "lang_distribution": ORACLE_LANG_DIST,
         "cosine_topk": ORACLE_COSINE_TOPK,
         "ann_topk": ORACLE_ANN_TOPK,
         "ivf_topk": ORACLE_IVF_TOPK,
         "embedding_near_dups": ORACLE_EMB_NEARDUP,
-        "multimodal_meta": ORACLE_MULTIMODAL_META,
+        "multimodal_extract": ORACLE_MULTIMODAL,
     }

@@ -10,22 +10,40 @@ import __spark_entry__ as entry_mod
 
 SF_DIR = "/root/testdata/sf0.001"
 
+# The driver's correctness harness checks only the first 50 queries()
+# entries; anything past that silently loses its per-round verification
+# (round-3 lesson: 7 similarity/multimodal queries fell out of the
+# window). Keep the registry at or under the cap — fold same-grain
+# queries together rather than appending past 50.
+DRIVER_CORRECTNESS_CAP = 50
+
+
+def test_registry_fits_driver_window():
+    assert len(entry_mod.queries()) <= DRIVER_CORRECTNESS_CAP
+
 
 def test_oracle_keys_subset_of_queries():
     q = entry_mod.queries()
     o = entry_mod.oracle_sql()
     assert set(o) <= set(q)
-    # every non-oracle query is one of the documented non-SQL-expressible ops
-    # (the DTW family is hash-gated via the numpy expected tables under
-    # artifacts/ since round 3; sampling has the hash-gated sample_portable
-    # twin alongside the rows-only engine-RNG sample)
-    rows_only = set(q) - set(o)
-    assert rows_only == {
-        # engine-specific sampling sequence (see sample_portable)
-        "sample",
-        # mapInPandas stub decoder
-        "multimodal_extract",
-    }
+    # every registered query now carries a DuckDB oracle: the DTW family is
+    # hash-gated via the numpy expected tables under artifacts/, sampling
+    # via the portable-hash twins, and multimodal via the WAV-synthesis
+    # formula oracle (the engine-RNG `sample` is pytest-pinned below and
+    # intentionally outside the registry)
+    assert set(q) - set(o) == set()
+
+
+def test_engine_rng_sample_pinned(spark):
+    # q_sample stays out of queries() (driver window, no oracle possible
+    # for engine RNG) but the P11 API surface must keep working: seeded,
+    # reproducible, and in the right fraction ballpark
+    a = entry_mod.q_sample(spark, SF_DIR)
+    b = entry_mod.q_sample(spark, SF_DIR)
+    n_a = a.count()
+    assert n_a == b.count()  # same seed -> same sample
+    total = entry_mod.read_table(spark, SF_DIR, "orders").count()
+    assert 0.02 * total < n_a < 0.25 * total  # fraction=0.1
 
 
 def test_all_queries_plan_and_return_rows(spark):

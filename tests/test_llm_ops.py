@@ -13,8 +13,9 @@ from mapping_timeseries_spark.operators.dedup import (
 )
 from mapping_timeseries_spark.operators.multimodal import (
     attach_binary_payload,
-    decode_stub,
     extract_features,
+    parse_wav,
+    synth_wav,
 )
 from mapping_timeseries_spark.operators.similarity import (
     ann_bucketed_topk,
@@ -176,7 +177,7 @@ def test_text_stats_values(spark):
     assert 0.0 <= q["quality_score"] <= 1.0
 
 
-def test_multimodal_stub_pipeline(spark):
+def test_multimodal_wav_pipeline(spark):
     docs = spark.createDataFrame(
         [(1, "hello", "en"), (2, "worlds", "en")],
         "doc_id long, text string, lang string",
@@ -184,11 +185,37 @@ def test_multimodal_stub_pipeline(spark):
     media = attach_binary_payload(docs)
     assert dict(media.dtypes)["payload"] == "binary"
     feats = {r["doc_id"]: r for r in extract_features(media).collect()}
-    assert feats[1]["n_bytes"] == 5
-    assert feats[2]["n_bytes"] == 6
-    assert feats[1]["head_sum"] == sum(b"hello")
-    with pytest.raises(NotImplementedError):
-        decode_stub(None)
+    # 44-byte canonical WAV header + 2 bytes per sample (1 sample per char)
+    assert feats[1]["n_bytes"] == 44 + 2 * 5
+    assert feats[2]["n_bytes"] == 44 + 2 * 6
+    assert feats[1]["mime"] == "audio/wav"
+    assert feats[1]["sample_rate"] == 8000
+    # parser recovers the exact synthesized samples
+    expected = [
+        ((ord(c) * 257 + i * 7919 + 1 * 31) % 65536) - 32768
+        for i, c in enumerate("hello")
+    ]
+    assert feats[1]["n_samples"] == 5
+    assert feats[1]["pcm_sum"] == sum(expected)
+    assert feats[1]["pcm_sumsq"] == sum(s * s for s in expected)
+    assert feats[1]["pcm_min"] == min(expected)
+    assert feats[1]["pcm_max"] == max(expected)
+
+
+def test_wav_parser_rejects_malformed():
+    wav = synth_wav(7, "abcdef")
+    assert parse_wav(wav)["n_samples"] == 6
+    # empty text -> header-only container still parses
+    empty = parse_wav(synth_wav(7, ""))
+    assert empty["n_samples"] == 0 and empty["pcm_min"] is None
+    with pytest.raises(ValueError):
+        parse_wav(None)
+    with pytest.raises(ValueError):
+        parse_wav(b"JUNK" + wav[4:])
+    with pytest.raises(ValueError):
+        parse_wav(wav[:-1])  # RIFF size mismatch
+    with pytest.raises(ValueError):
+        parse_wav(wav[:12])  # no fmt/data chunks
 
 
 def _clustered_embeddings(spark, n=200, n_centers=10, dim=16, seed=31):
