@@ -116,19 +116,27 @@ def _lattice_mean(col: str, scale: int):
     """
     c = F.col(col) if isinstance(col, str) else col
     micros = F.round(c * F.lit(scale)).cast("bigint")
-    return F.sum(micros).cast("double") / (F.count(c) * F.lit(scale)).cast("double")
+    # decimal(38,0) sum: a plain int64 sum would wrap silently past 2^63
+    # (reachable at ~1e10 rows of micro-scaled money) while DuckDB
+    # promotes to HUGEINT — the engines would diverge without an error
+    return (
+        F.sum(micros.cast("decimal(38,0)")).cast("double")
+        / (F.count(c) * F.lit(scale)).cast("double")
+    )
 
 
 def _int_moments_std(k, scale: int):
     """Sample stddev from exact integer moments of bigint column ``k``
-    (values pre-scaled to a lattice): S1 sums in int64 (exact to 2^63),
-    S2 in decimal(38,0) (k² can pass 2^63), each cast ONCE to double —
-    both engines round the same exact integer to the same double — then a
-    fixed scalar IEEE sequence. Engine-portable where ``stddev`` (whose
-    update formula and accumulation order are engine-private) is not.
+    (values pre-scaled to a lattice): S1 and S2 both sum in decimal(38,0)
+    (k² can pass 2^63, and S1 itself can at ~1e10-row scale, where a plain
+    int64 sum would wrap silently in non-ANSI mode while the DuckDB twin
+    promotes to HUGEINT), each cast ONCE to double — both engines round
+    the same exact integer to the same double — then a fixed scalar IEEE
+    sequence. Engine-portable where ``stddev`` (whose update formula and
+    accumulation order are engine-private) is not.
     DuckDB twin: entry _sql_int_std (token-for-token the same ops)."""
     n = F.count(k).cast("double")
-    s1 = F.sum(k).cast("double")
+    s1 = F.sum(k.cast("decimal(38,0)")).cast("double")
     s2 = F.sum(k.cast("decimal(38,0)") * k).cast("double")
     var = (s2 - s1 * s1 / n) / (n - F.lit(1.0))
     return F.sqrt(var) / F.lit(float(scale))
@@ -139,8 +147,8 @@ def _int_pearson(kx, ky):
     columns (scale-invariant, so lattice prescaling divides out). Same
     portability contract as :func:`_int_moments_std`."""
     n = F.count(kx).cast("double")
-    xd = F.sum(kx).cast("double")
-    yd = F.sum(ky).cast("double")
+    xd = F.sum(kx.cast("decimal(38,0)")).cast("double")
+    yd = F.sum(ky.cast("decimal(38,0)")).cast("double")
     xx = F.sum(kx.cast("decimal(38,0)") * kx).cast("double")
     yy = F.sum(ky.cast("decimal(38,0)") * ky).cast("double")
     xy = F.sum(kx.cast("decimal(38,0)") * ky).cast("double")
@@ -172,15 +180,17 @@ def _lattice_mean_rounded(col: str, scale: int, dp: int):
 
     (requires ``scale`` to divide ``10^dp``). Implemented with the mod
     identity ``floor(a/b)*b = a - a % b`` so no float division happens until
-    the quotient is exactly divisible — every intermediate stays a bigint
-    well under 2^53, and the final two double divisions are the same IEEE
-    ops in any engine. Same magnitude bound as :func:`_lattice_mean`.
+    the quotient is exactly divisible — every intermediate is an exact
+    decimal(38,0) integer (matching DuckDB's automatic HUGEINT promotion;
+    a bigint sum would wrap silently past 2^63 at extreme row counts),
+    and the final two double divisions are the same IEEE ops in any
+    engine.
     """
     if 10**dp % scale != 0:
         raise ValueError(f"scale {scale} must divide 10^{dp}")
     c = F.col(col) if isinstance(col, str) else col
     m = 10**dp // scale
-    s = F.sum(F.round(c * F.lit(scale)).cast("bigint"))
+    s = F.sum(F.round(c * F.lit(scale)).cast("bigint").cast("decimal(38,0)"))
     n = F.count(c)
     numer = F.lit(2 * m) * s + n
     denom = F.lit(2) * n

@@ -74,11 +74,19 @@ def _ensure_parallel(df: DataFrame) -> DataFrame:
     partition count is ~max(n_files, total_bytes/maxPartitionBytes), so
     the repartition fires only when BOTH are under target — a few huge
     files already split wide and must NOT be repartitioned down to
-    ``target``. Non-file-backed or non-local inputs are left alone (at
-    100 TB the input is thousands of files and this never fires)."""
+    ``target``. Non-file-backed inputs (createDataFrame / in-memory
+    frames, the library-caller case) fall back to the plan->RDD partition
+    probe — cheap for local relations, and without it a 1-partition
+    in-memory frame would serialize all the expression-heavy work.
+    Non-local filesystems are left alone (at 100 TB the input is
+    thousands of files and this never fires)."""
     target = df.sparkSession.sparkContext.defaultParallelism
     files = df.inputFiles()
-    if not files or len(files) >= target:
+    if not files:
+        if df.rdd.getNumPartitions() < target:
+            return df.repartition(target)
+        return df
+    if len(files) >= target:
         return df
     local = [f.removeprefix("file:") for f in files if f.startswith("file:")]
     if len(local) != len(files):

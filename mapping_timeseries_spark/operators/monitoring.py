@@ -43,9 +43,14 @@ SLA_MAX_DURATION_SECONDS = 30 * 60.0
 @dataclass(frozen=True)
 class Alert:
     """One monitoring alert (05_prod_dev.py:683-702). The reference prints
-    and stubs an SNS publish; we hand the structured alert to the caller."""
+    and stubs an SNS publish; we hand the structured alert to the caller.
+
+    ``code`` is the stable machine-readable category — downstream logic
+    (SLA stats, routing) must key off it, never off the human-facing
+    subject text, so a wording tweak can't silently flip a health stat."""
 
     severity: str  # WARNING | ERROR | CRITICAL
+    code: str  # low_coverage | long_duration | empty_output | pipeline_failed
     subject: str
     message: str
 
@@ -78,8 +83,14 @@ def monitoring_summary(
     unbounded per-key state) and the right call for dashboard counts at
     10^10 entities anyway.
     """
+    if value_round_dp is not None and value_round_dp < 0:
+        raise ValueError(f"value_round_dp must be >= 0, got {value_round_dp}")
+    if value_round_dp is not None and value_lattice_scale is None:
+        raise ValueError("value_round_dp requires value_lattice_scale")
     ratio = F.col("value2") / F.nullif(F.col("value1"), F.lit(0))
-    if value_lattice_scale and value_round_dp:
+    # `is not None`, not truthiness: dp=0 (round to whole units) is a
+    # valid request and must take the portable-rounding path
+    if value_lattice_scale is not None and value_round_dp is not None:
         avg_rev = _lattice_mean_rounded(
             "value2", value_lattice_scale, value_round_dp
         )
@@ -89,7 +100,7 @@ def monitoring_summary(
         avg_conv = _lattice_mean_rounded(
             F.round(ratio, value_round_dp), 10**value_round_dp, value_round_dp
         )
-    elif value_lattice_scale:
+    elif value_lattice_scale is not None:
         avg_rev = _lattice_mean("value2", value_lattice_scale)
         avg_txn = _lattice_mean("value1", value_lattice_scale)
         avg_conv = F.avg(ratio)
@@ -143,6 +154,7 @@ def check_sla(stats: dict) -> tuple[bool, list[Alert]]:
         alerts.append(
             Alert(
                 "ERROR",
+                "low_coverage",
                 "SLA VIOLATION: Low Coverage",
                 f"Coverage is {coverage:.1f}%, below "
                 f"{SLA_MIN_COVERAGE_PCT:.0f}% threshold",
@@ -153,6 +165,7 @@ def check_sla(stats: dict) -> tuple[bool, list[Alert]]:
         alerts.append(
             Alert(
                 "WARNING",
+                "long_duration",
                 "SLA VIOLATION: Long Processing Time",
                 f"Processing took {duration / 60:.1f} minutes, exceeding "
                 f"{SLA_MAX_DURATION_SECONDS / 60:.0f} min threshold",
@@ -162,6 +175,7 @@ def check_sla(stats: dict) -> tuple[bool, list[Alert]]:
         alerts.append(
             Alert(
                 "CRITICAL",
+                "empty_output",
                 "SLA VIOLATION: No Mappings Generated",
                 "Pipeline produced zero mappings",
             )

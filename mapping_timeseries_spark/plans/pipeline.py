@@ -129,6 +129,7 @@ def run_pipeline(
 
         alert = Alert(
             "CRITICAL",
+            "pipeline_failed",
             f"Pipeline Failed - {run_id}",
             f"Error: {exc}\n\n{traceback.format_exc()}",
         )
@@ -207,13 +208,10 @@ def _run_pipeline_body(
         "duration_seconds": round(duration, 3),
         "qa_passed": qa["passed"],
         "sla_met": sla_met,
-        "sla_coverage_ok": not any(a.subject.endswith("Low Coverage") for a in alerts),
-        "sla_duration_ok": not any(
-            a.subject.endswith("Long Processing Time") for a in alerts
-        ),
-        "sla_nonempty_ok": not any(
-            a.subject.endswith("No Mappings Generated") for a in alerts
-        ),
+        # keyed off the machine-readable Alert.code, never subject text
+        "sla_coverage_ok": not any(a.code == "low_coverage" for a in alerts),
+        "sla_duration_ok": not any(a.code == "long_duration" for a in alerts),
+        "sla_nonempty_ok": not any(a.code == "empty_output" for a in alerts),
     }
     if output_path:
         write_run_metadata(

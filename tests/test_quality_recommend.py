@@ -198,9 +198,12 @@ def test_check_sla_gates():
     )
     assert not ok
     assert [a.severity for a in alerts] == ["ERROR", "WARNING", "CRITICAL"]
+    # machine-readable codes are the stable contract (SLA stats key off
+    # them); subjects are human-facing and free to be reworded
+    assert [a.code for a in alerts] == [
+        "low_coverage", "long_duration", "empty_output"
+    ]
     assert any("Low Coverage" in a.subject for a in alerts)
-    assert any("Long Processing Time" in a.subject for a in alerts)
-    assert any("No Mappings" in a.subject for a in alerts)
 
 
 def test_monitoring_view_roundtrip(spark):
@@ -229,6 +232,21 @@ def test_monitoring_view_roundtrip(spark):
     assert corr["avg_conversion_rate"] == pytest.approx(0.125)
     # value1=0 -> NULLIF guards the ratio; avg over zero non-null ratios
     assert rows["dtw"]["avg_conversion_rate"] is None
+
+    # dp=0 (round to whole units) is a valid request and must take the
+    # portable path, not silently fall through to plain float means
+    whole = {
+        r["method"]: r
+        for r in monitoring_summary(
+            mapped, value_lattice_scale=1, value_round_dp=0
+        ).collect()
+    }
+    assert whole["correlation"]["avg_revenue"] == pytest.approx(20.0)
+    assert whole["correlation"]["avg_transaction"] == pytest.approx(150.0)
+    with pytest.raises(ValueError, match=">= 0"):
+        monitoring_summary(mapped, value_lattice_scale=1, value_round_dp=-1)
+    with pytest.raises(ValueError, match="requires value_lattice_scale"):
+        monitoring_summary(mapped, value_round_dp=6)
 
     # CREATE OR REPLACE semantics: re-registering swaps the content
     create_monitoring_view(mapped, "t_monitoring")

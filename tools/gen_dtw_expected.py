@@ -51,12 +51,38 @@ ARTIFACTS = os.path.join(
 )
 SNAP = "CAST(ROUND({c}*10000) AS BIGINT)/10000.0"
 
+# Content fingerprint of the (lattice-snapped) merged input a slice was
+# generated from. sf_tag alone (orders row count) can't catch regenerated
+# testdata with an unchanged row count but different values; the guard in
+# tests/test_expected_artifacts.py recomputes this from live testdata and
+# compares. md5-of-ordered-string-agg: stable across DuckDB versions.
+SQL_INPUT_FP = (
+    "SELECT md5(string_agg("
+    "  cus_code || ':' || month || ':' "
+    "  || CAST(ROUND(txn_amount*10000) AS BIGINT) || ':' "
+    "  || CAST(ROUND(revenue*10000) AS BIGINT), "
+    "  '|' ORDER BY cus_code, month)) "
+    "FROM ({merged}) m"
+)
 
-def expected_for(sf_dir: str) -> tuple[pd.DataFrame, pd.DataFrame]:
+
+def input_fingerprint(con: "duckdb.DuckDBPyConnection") -> str:
+    """md5 over the ordered lattice-snapped merged rows (views must be
+    registered on ``con``)."""
+    return con.execute(SQL_INPUT_FP.format(merged=SQL_MERGED)).fetchone()[0]
+
+
+def connect_views(sf_dir: str) -> "duckdb.DuckDBPyConnection":
     con = duckdb.connect()
     for t in ("orders", "lineitem"):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def expected_for(sf_dir: str) -> tuple[pd.DataFrame, pd.DataFrame]:
+    con = connect_views(sf_dir)
     sf_tag = con.execute("SELECT count(*) FROM orders").fetchone()[0]
+    input_fp = input_fingerprint(con)
     merged = con.execute(
         f"SELECT cus_code, month, {SNAP.format(c='txn_amount')} AS txn_amount, "
         f"{SNAP.format(c='revenue')} AS revenue FROM ({SQL_MERGED}) m "
@@ -101,6 +127,8 @@ def expected_for(sf_dir: str) -> tuple[pd.DataFrame, pd.DataFrame]:
             "total_cost",
         ],
     )
+    sdf["input_fp"] = input_fp
+    mdf["input_fp"] = input_fp
     return sdf, mdf
 
 

@@ -40,6 +40,7 @@ import pandas as pd
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from mapping_timeseries_spark.sources.fixtures import SQL_MERGED  # noqa: E402
+from tools.gen_dtw_expected import connect_views, input_fingerprint  # noqa: E402
 
 ARTIFACTS = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "artifacts"
@@ -98,12 +99,9 @@ def pvalues_quadrature(r: np.ndarray, n: np.ndarray) -> np.ndarray:
 
 
 def expected_for(sf_dir: str) -> pd.DataFrame:
-    con = duckdb.connect()
-    for tbl in ("orders", "lineitem"):
-        con.execute(
-            f"CREATE VIEW {tbl} AS SELECT * FROM '{sf_dir}/{tbl}.parquet'"
-        )
+    con = connect_views(sf_dir)
     sf_tag = con.execute("SELECT count(*) FROM orders").fetchone()[0]
+    input_fp = input_fingerprint(con)
     merged = con.execute(
         f"SELECT cus_code, month, {SNAP.format(c='txn_amount')} AS txn_amount, "
         f"{SNAP.format(c='revenue')} AS revenue FROM ({SQL_MERGED}) m "
@@ -134,6 +132,7 @@ def expected_for(sf_dir: str) -> pd.DataFrame:
             "cus_code": rows_cus,
             "lag": rows_lag,
             "pvalue": [None if np.isnan(x) else float(x) for x in p],
+            "input_fp": input_fp,
         }
     )
 
