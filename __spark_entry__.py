@@ -820,6 +820,29 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_skew_agg_plain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only twin of q_salted_agg: the same hot-keyed aggregation
+    (lineitem by 3-value l_returnflag) as a direct groupBy, so the salting
+    pattern has a measured plain-vs-salted number at sf0.1 (BENCH_EXTRA in
+    bench.py). Not in queries() — the registry is capped at the driver's
+    50-entry correctness window and salted_agg already hash-gates the
+    salted path against this exact GROUP BY."""
+    ensure_runtime_conf(spark)
+    out = (
+        read_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum("l_quantity").alias("sum_l_quantity"),
+            F.count("l_orderkey").alias("count_l_orderkey"),
+        )
+    )
+    return out.select(
+        "l_returnflag",
+        F.round("sum_l_quantity", 6).alias("sum_l_quantity"),
+        F.col("count_l_orderkey").cast("bigint").alias("count_l_orderkey"),
+    )
+
+
 def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language quota sample of the documents corpus (data-mixing
     primitive): 20 smallest-hash docs per lang, deterministic."""

@@ -4,21 +4,27 @@ JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
 "sf": ...}.
 
 Each query is fully materialized through the noop sink (executes the whole
-plan distributed, no driver collect). Every query runs twice and the
-steady-state (min) time is recorded: the first rep pays one-off JVM/codegen
-compilation and OS page-cache warmup that a long-running cluster job never
-sees per-query. Spark's cache is cleared between reps, so each rep
-recomputes the full plan — only JIT/page-cache warmth carries over.
+plan distributed, no driver collect). Every query runs N_REPS (4) times
+and the MEDIAN steady-state time is recorded, with the rep spread
+alongside: the first rep's one-off JVM/codegen compilation and page-cache
+warmup cost is excluded from the median by construction, and a median of
+4 is robust to one noisy rep where the previous min-of-2 was not
+(round-3 lesson: spreads up to 2.2 made ±30% swings unadjudicable).
+Spark's cache is cleared between reps, so each rep recomputes the full
+plan — only JIT/page-cache warmth carries over.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+N_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "4"))
 
 HEADLINE = [
     "merged_series",
@@ -28,7 +34,7 @@ HEADLINE = [
     "dtw_mapping",
     "auto_mapping",
     "qa_invariants",
-    "sessionize_batch",
+    "sessionization",
     "tumbling_window",
     "exact_dedup",
     "minhash_dedup",
@@ -36,6 +42,11 @@ HEADLINE = [
     "cosine_topk",
     "ivf_topk",
     "embedding_near_dups",
+    # hot-key skew pair: the same 3-key lineitem aggregation plain vs
+    # salted, so the salting pattern carries a measured number (the
+    # registry's salted_agg query hash-gates correctness; this measures)
+    "skew_agg_plain",
+    "salted_agg",
 ]
 
 
@@ -61,23 +72,27 @@ def main() -> None:
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
-    qs = entry_mod.queries()
+    qs = dict(entry_mod.queries())
+    # bench-only variants that are deliberately outside the driver's
+    # 50-entry correctness registry
+    qs["skew_agg_plain"] = entry_mod.q_skew_agg_plain
     times: dict[str, float] = {}
     spreads: dict[str, float] = {}
     for name in HEADLINE:
         if name not in qs:
             continue
         reps = []
-        for _rep in range(2):
+        for _rep in range(N_REPS):
             df = qs[name](spark, sf_dir)
             t0 = time.time()
             df.write.format("noop").mode("overwrite").save()
             reps.append(time.time() - t0)
             spark.catalog.clearCache()
-        times[name] = round(min(reps), 3)
-        # rep-to-rep spread alongside the min, so a judge/reader can tell
-        # a real regression from box noise (max-min relative to min)
-        spreads[name] = round((max(reps) - min(reps)) / max(min(reps), 1e-9), 3)
+        med = statistics.median(reps)
+        times[name] = round(med, 3)
+        # rep-to-rep spread alongside the median, so a judge/reader can
+        # tell a real regression from box noise (max-min relative to it)
+        spreads[name] = round((max(reps) - min(reps)) / max(med, 1e-9), 3)
 
     total = round(sum(times.values()), 3)
     print(
@@ -86,9 +101,10 @@ def main() -> None:
                 "metric": "headline_total",
                 "value": total,
                 "unit": "sec",
+                "stat": "median",
                 "queries": times,
                 "rep_spread": spreads,
-                "n": 2,
+                "n": N_REPS,
                 "sf": sf,
             }
         )
