@@ -266,6 +266,75 @@ def test_ivf_full_probe_is_exact(spark):
     assert full == exact
 
 
+def test_ivf_partitioned_index_prunes_and_matches(spark, tmp_path):
+    """The IVF scale claim, demonstrated: a corpus written PARTITIONED BY
+    centroid_id is read back touching only the probed partitions, and the
+    indexed search returns exactly what the in-query ivf_topk returns."""
+    from mapping_timeseries_spark.operators.similarity import (
+        ivf_build_index,
+        ivf_seed_centroids,
+        ivf_topk,
+        ivf_topk_indexed,
+    )
+
+    emb = _clustered_embeddings(spark, n=160, n_centers=8)
+    cents = ivf_seed_centroids(emb, nlist=16)
+    path = str(tmp_path / "ivf_index")
+    ivf_build_index(emb, cents, path)
+    queries = emb.where(F.col("vec_id") < 3)
+
+    def key(df):
+        return {(r["query_id"], r["vec_id"], r["rank"]) for r in df.collect()}
+
+    inquery = ivf_topk(emb, queries, k=3, nprobe=2, centroids=cents)
+    dyn = ivf_topk_indexed(spark, path, queries, cents, k=3, nprobe=2)
+    static = ivf_topk_indexed(
+        spark, path, queries, cents, k=3, nprobe=2, static_prune=True
+    )
+    assert key(dyn) == key(inquery)
+    assert key(static) == key(inquery)
+
+    # dynamic mode: the index scan's PartitionFilters carry a DPP subquery
+    plan = dyn._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+
+    # static mode: the executed scan's numPartitions metric proves it read
+    # at most nprobe * n_queries of the nlist inverted lists
+    # (inputFiles() can't show this — it lists the unpruned relation)
+    n_read = _scan_num_partitions(static)
+    assert n_read is not None, "index scan metrics missing from static plan"
+    assert n_read <= 2 * 3, n_read  # nprobe * n_queries upper bound
+    assert n_read < 16  # strictly fewer than nlist
+
+
+def _scan_num_partitions(df):
+    """numPartitions SQL metric of the plan's (only) partitioned file scan
+    after executing ``df`` — recursing through AQE query-stage wrappers,
+    whose collectLeaves() stops at stage boundaries. (Scan toString()
+    abbreviates long paths, so the metric's presence is the marker: only
+    partitioned FileSourceScans carry numPartitions.)"""
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan()
+    if "AdaptiveSparkPlan" in plan.nodeName():
+        plan = plan.executedPlan()
+
+    def walk(node):
+        if "Scan" in node.nodeName():
+            opt = node.metrics().get("numPartitions")
+            if opt.isDefined():
+                return opt.get().value()
+        kids = node.children()
+        for i in range(kids.length()):
+            found = walk(kids.apply(i))
+            if found is not None:
+                return found
+        if "QueryStage" in node.nodeName():
+            return walk(node.plan())
+        return None
+
+    return walk(plan)
+
+
 def test_ivf_lloyd_refinement_improves_recall(spark):
     from mapping_timeseries_spark.operators.similarity import (
         ivf_refine_centroids,
