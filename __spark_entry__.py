@@ -86,6 +86,7 @@ from mapping_timeseries_spark.operators.relational import (
     summary_stats,
     conditional_agg,
     distinct_counts,
+    exact_median_grouped,
     group_quantiles,
     month_arithmetic,
     segment_case,
@@ -554,15 +555,23 @@ def q_topk_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A3 conditional aggregation buckets per order priority."""
+    """A3 conditional aggregation buckets per order priority, joined with
+    the histogram-based exact median (the skew-robust form of the
+    partial-agg-resistant aggregate — see relational.exact_median_grouped;
+    folded here per the 50-entry registry cap, oracle = DuckDB median)."""
     ensure_runtime_conf(spark)
-    agg = conditional_agg(read_table(spark, sf_dir, "orders"))
-    return agg.select(
+    orders = read_table(spark, sf_dir, "orders")
+    agg = conditional_agg(orders)
+    med = exact_median_grouped(
+        orders, ["o_orderpriority"], "o_totalprice", out_col="median_price"
+    )
+    return agg.join(med, "o_orderpriority").select(
         "o_orderpriority",
         F.col("n_orders").cast("bigint").alias("n_orders"),
         F.col("n_finished").cast("bigint").alias("n_finished"),
         F.col("n_open").cast("bigint").alias("n_open"),
         F.col("n_large").cast("bigint").alias("n_large"),
+        F.round("median_price", 6).alias("median_price"),
     )
 
 
@@ -841,6 +850,38 @@ def q_skew_agg_plain(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("sum_l_quantity", 6).alias("sum_l_quantity"),
         F.col("count_l_orderkey").cast("bigint").alias("count_l_orderkey"),
     )
+
+
+def q_skew_median_buffered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only: exact median via Spark's ``percentile`` aggregate —
+    the partial-agg-RESISTANT formulation that buffers every row of a key
+    inside one reduce task (the hot-key OOM hazard at scale). Paired with
+    q_skew_median_hist in bench.py to measure the histogram rewrite."""
+    ensure_runtime_conf(spark)
+    return (
+        read_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(
+                F.expr("percentile(l_extendedprice, 0.5)"), 6
+            ).alias("median_price")
+        )
+    )
+
+
+def q_skew_median_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only twin: the same exact median via the histogram
+    formulation (relational.exact_median_grouped) — per-key state is the
+    distinct-value histogram, not the row buffer. Correctness of the
+    operator is hash-gated through conditional_agg's median_price."""
+    ensure_runtime_conf(spark)
+    out = exact_median_grouped(
+        read_table(spark, sf_dir, "lineitem"),
+        ["l_returnflag"],
+        "l_extendedprice",
+        out_col="median_price",
+    )
+    return out.select("l_returnflag", F.round("median_price", 6).alias("median_price"))
 
 
 def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1603,7 +1644,8 @@ SELECT o_orderpriority,
        count(*) AS n_orders,
        CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
        CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
-       CAST(sum(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS BIGINT) AS n_large
+       CAST(sum(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS BIGINT) AS n_large,
+       round(median(o_totalprice), 6) AS median_price
 FROM orders
 GROUP BY o_orderpriority
 """

@@ -47,6 +47,10 @@ HEADLINE = [
     # registry's salted_agg query hash-gates correctness; this measures)
     "skew_agg_plain",
     "salted_agg",
+    # partial-agg-resistant pair: exact median buffered (percentile) vs
+    # the skew-robust histogram formulation (exact_median_grouped)
+    "skew_median_buffered",
+    "skew_median_hist",
 ]
 
 
@@ -76,6 +80,8 @@ def main() -> None:
     # bench-only variants that are deliberately outside the driver's
     # 50-entry correctness registry
     qs["skew_agg_plain"] = entry_mod.q_skew_agg_plain
+    qs["skew_median_buffered"] = entry_mod.q_skew_median_buffered
+    qs["skew_median_hist"] = entry_mod.q_skew_median_hist
     times: dict[str, float] = {}
     spreads: dict[str, float] = {}
     for name in HEADLINE:

@@ -22,6 +22,7 @@ __all__ = [
     "anti_join",
     "semi_join",
     "series_window_features",
+    "exact_median_grouped",
     "month_arithmetic",
 ]
 
@@ -279,6 +280,66 @@ def salted_agg(
             merge_fn[how](f"__p_{col}").alias(f"{how}_{col}")
             for col, how in aggs.items()
         ]
+    )
+
+
+def exact_median_grouped(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    out_col: str = "median",
+) -> DataFrame:
+    """Exact per-key median, skew-robust via a value histogram.
+
+    Spark's exact ``percentile`` aggregate buffers EVERY row of a key in
+    one reduce task's memory — the canonical partial-agg-resistant
+    operation where a hot key (10^9 rows at 100 TB) OOMs a straggler and
+    salting sums can't help (a median doesn't merge from partial
+    medians). The scalable exact formulation aggregates the *histogram*
+    instead:
+
+    1. ``groupBy(keys, value).count()`` — partial aggregation applies (a
+       hot key spreads over its distinct values across mappers), and the
+       shuffled rows collapse from n to n_distinct_values per key;
+    2. one window pass over each key's histogram, ordered by value,
+       locates the middle position(s) from the cumulative count — memory
+       per task is O(1) beyond the stream.
+
+    Median = the (n+1)/2-th value for odd n, the mean of the n/2-th and
+    (n/2+1)-th for even n (1-indexed) — matching ANSI
+    ``percentile_cont(0.5)`` / DuckDB ``median`` on numeric input, so the
+    result is oracle-checkable. Nulls in ``value_col`` are excluded
+    (aggregate semantics).
+    """
+    hist = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(*key_cols, F.col(value_col).cast("double").alias("__v"))
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    w_cum = (
+        Window.partitionBy(*key_cols)
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_key = Window.partitionBy(*key_cols)
+    cum = hist.withColumn("__cum", F.sum("__cnt").over(w_cum)).withColumn(
+        "__n", F.sum("__cnt").over(w_key)
+    )
+    lo = (F.col("__n") + 1) / F.lit(2)  # position of lower middle (1-idx)
+    hi = (F.col("__n") + 2) / F.lit(2)  # position of upper middle
+    lo_pos = F.floor(lo)
+    hi_pos = F.floor(hi)
+    prev = F.col("__cum") - F.col("__cnt")
+    covers_lo = (lo_pos > prev) & (lo_pos <= F.col("__cum"))
+    covers_hi = (hi_pos > prev) & (hi_pos <= F.col("__cum"))
+    contrib = (
+        F.when(covers_lo, F.col("__v")).otherwise(F.lit(0.0))
+        + F.when(covers_hi, F.col("__v")).otherwise(F.lit(0.0))
+    ) / F.lit(2.0)
+    return (
+        cum.where(covers_lo | covers_hi)
+        .groupBy(*key_cols)
+        .agg(F.sum(contrib).alias(out_col))
     )
 
 

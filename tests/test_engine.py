@@ -177,3 +177,38 @@ def test_salted_agg_equals_direct_groupby(spark):
         assert got[k][2] == want[k][2]
         assert got[k][3] == want[k][3]
         assert got[k][0] == pytest.approx(want[k][0], rel=1e-12)
+
+
+def test_exact_median_grouped_vs_numpy(spark):
+    """Histogram median == numpy median (interpolated middle-two average)
+    across odd/even counts, heavy ties, nulls, and a single-row key."""
+    import numpy as np
+
+    from mapping_timeseries_spark.operators.relational import (
+        exact_median_grouped,
+    )
+
+    rng = np.random.default_rng(7)
+    rows, expect = [], {}
+    cases = {
+        "odd": list(rng.integers(0, 50, size=101).astype(float)),
+        "even": list(rng.integers(0, 50, size=100).astype(float)),
+        "ties": [5.0] * 40 + [7.0] * 60,  # even: middles straddle 5|7? no — 7,7
+        "tie_straddle": [1.0] * 50 + [2.0] * 50,  # middles 1 and 2 -> 1.5
+        "single": [42.0],
+        "skewed_hot": list(rng.exponential(10.0, size=5000)),
+    }
+    for k, vals in cases.items():
+        expect[k] = float(np.median(vals))
+        rows += [(k, float(v)) for v in vals]
+    rows += [("odd", None), ("even", None)]  # nulls excluded
+    df = spark.createDataFrame(rows, "k string, v double").repartition(8)
+    got = {
+        r["k"]: r["median"]
+        for r in exact_median_grouped(df, ["k"], "v").collect()
+    }
+    assert set(got) == set(expect)
+    for k in expect:
+        assert got[k] == pytest.approx(expect[k], abs=0.0), k
+    assert got["tie_straddle"] == 1.5
+    assert got["single"] == 42.0
