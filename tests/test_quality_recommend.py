@@ -206,6 +206,32 @@ def test_check_sla_gates():
     assert any("Low Coverage" in a.subject for a in alerts)
 
 
+def test_avg_rank_distributed_matches_pandas(spark):
+    """Range-partitioned two-phase rank == pandas rank(method='average')
+    (scipy's spearman convention), including a tie block bigger than a
+    partition's share — ties must land in ONE range partition."""
+    import numpy as np
+    import pandas as pd
+
+    from mapping_timeseries_spark.operators.recommend import (
+        avg_rank_distributed,
+    )
+
+    rng = np.random.default_rng(11)
+    vals = list(rng.normal(0, 1, 300)) + [0.5] * 120 + [-2.0] * 3
+    expected = pd.Series(vals).rank(method="average")
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(vals)], "i long, v double"
+    ).repartition(6)
+    got = {
+        r["i"]: r["rk"]
+        for r in avg_rank_distributed(df, "v", "rk", num_partitions=7).collect()
+    }
+    assert len(got) == len(vals)
+    for i, want in enumerate(expected):
+        assert got[i] == want, (i, got[i], want)
+
+
 def test_monitoring_view_roundtrip(spark):
     from mapping_timeseries_spark.operators.monitoring import (
         create_monitoring_view,
