@@ -113,3 +113,61 @@ def test_dedup_clusters_fuzz_vs_union_find(spark):
         }
         want = _union_find_components(n_docs, pairs)
         assert got == want, (trial, got, want)
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    doc_id=st.integers(min_value=0, max_value=10**9),
+    text=st.text(
+        alphabet=st.characters(codec="utf-8", exclude_categories=("Cs",)),
+        max_size=400,
+    ),
+)
+def test_wav_roundtrip_property(doc_id, text):
+    """synth_wav -> parse_wav is lossless for any unicode text: the real
+    RIFF parser must recover exactly the formula-defined PCM samples
+    (including >256-char truncation and empty payloads)."""
+    from mapping_timeseries_spark.operators.multimodal import (
+        parse_wav,
+        synth_wav,
+    )
+
+    feats = parse_wav(synth_wav(doc_id, text))
+    samples = [
+        ((ord(c) * 257 + i * 7919 + doc_id * 31) % 65536) - 32768
+        for i, c in enumerate(text[:256])
+    ]
+    assert feats["n_samples"] == len(samples)
+    assert feats["sample_rate"] == 8000
+    assert feats["pcm_sum"] == sum(samples)
+    assert feats["pcm_sumsq"] == sum(s * s for s in samples)
+    assert feats["pcm_min"] == (min(samples) if samples else None)
+    assert feats["pcm_max"] == (max(samples) if samples else None)
+
+
+def test_exact_median_fuzz_one_pass(spark):
+    """Random group shapes — odd/even sizes, duplicate-heavy, tiny — in
+    ONE Spark pass vs np.median per group."""
+    from mapping_timeseries_spark.operators.relational import (
+        exact_median_grouped,
+    )
+
+    rng = np.random.default_rng(47)
+    rows, want = [], {}
+    for g in range(40):
+        n = int(rng.integers(1, 60))
+        if g % 3 == 0:  # duplicate-heavy: few distinct values
+            vals = rng.choice([1.0, 2.0, 2.5, 9.0], size=n).tolist()
+        else:
+            vals = rng.normal(0, 100, n).round(3).tolist()
+        key = f"G{g:02d}"
+        want[key] = float(np.median(vals))
+        rows += [(key, float(v)) for v in vals]
+    df = spark.createDataFrame(rows, "k string, v double").repartition(8)
+    got = {
+        r["k"]: r["median"]
+        for r in exact_median_grouped(df, ["k"], "v").collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=0.0), k

@@ -47,6 +47,40 @@ def _as_sorted_rows(df, cols):
     return sorted(tuple(r[c] for c in cols) for r in df.collect())
 
 
+def test_stream_multimodal_extract_matches_batch(spark, tmp_path):
+    """The multimodal decode stage is map-only, so the same
+    attach_binary_payload -> extract_features composition runs unchanged
+    under Structured Streaming (scan -> mapInPandas -> sink, no state):
+    stream the documents fixture and require row-for-row agreement with
+    the batch result."""
+    import shutil
+
+    from mapping_timeseries_spark.operators.multimodal import (
+        attach_binary_payload,
+        extract_features,
+    )
+
+    d = tmp_path / "docs_stream"
+    d.mkdir()
+    shutil.copy(f"{SF_DIR}/documents.parquet", d / "part-0.parquet")
+
+    batch_docs = spark.read.parquet(str(d))
+    want = _as_sorted_rows(
+        extract_features(attach_binary_payload(batch_docs)),
+        ["doc_id", "n_bytes", "pcm_sum", "pcm_sumsq"],
+    )
+
+    stream_docs = spark.readStream.schema(batch_docs.schema).parquet(str(d))
+    out = run_to_memory(
+        extract_features(attach_binary_payload(stream_docs)),
+        "t_mm_extract",
+        output_mode="append",
+    )
+    got = _as_sorted_rows(out, ["doc_id", "n_bytes", "pcm_sum", "pcm_sumsq"])
+    assert got == want
+    assert len(got) == batch_docs.count()
+
+
 def test_stream_tumbling_matches_batch(spark, events_batch, stream_dir):
     stream = _stream_events(spark, stream_dir)
     out = run_to_memory(
