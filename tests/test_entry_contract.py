@@ -55,6 +55,21 @@ def test_all_queries_plan_and_return_rows(spark):
         df.limit(1).collect()
 
 
+def test_queries_survive_hostile_session_defaults(spark):
+    # the driver calls queries() with ITS OWN session — Spark 4 defaults
+    # to ANSI mode (corr on zero-variance groups -> DIVIDE_BY_ZERO) and
+    # whatever host timezone. Re-hostilize the session before EVERY query
+    # and require each q_* to restore its contract via ensure_runtime_conf
+    ns = spark.newSession()
+    for name, fn in entry_mod.queries().items():
+        ns.conf.set("spark.sql.ansi.enabled", "true")
+        ns.conf.set("spark.sql.session.timeZone", "America/New_York")
+        df = fn(ns, SF_DIR)
+        df.limit(1).collect()
+        assert ns.conf.get("spark.sql.ansi.enabled") == "false", name
+        assert ns.conf.get("spark.sql.session.timeZone") == "UTC", name
+
+
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
