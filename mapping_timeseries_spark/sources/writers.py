@@ -31,6 +31,51 @@ def write_partitioned(df: DataFrame, path: str, partition_col: str) -> None:
     df.write.mode("overwrite").partitionBy(partition_col).parquet(path)
 
 
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    target_file_mb: int = 128,
+    partition_col: str | None = None,
+) -> int:
+    """Small-file compaction: rewrite a fragmented parquet dataset into
+    ~``target_file_mb`` files. Returns the output file count.
+
+    The operational cost of incremental/streaming sinks at 100 TB is
+    file-count explosion (every micro-batch/task emits a file; a million
+    small files turn planning and listing into the bottleneck long before
+    scan bytes do). The vanilla-Spark compaction is a read -> repartition
+    -> rewrite sized by the dataset's actual on-disk bytes (ZORDER /
+    OPTIMIZE are the Delta analogues, documented N/A — SURVEY §7.3).
+
+    Sizing uses the Hadoop FS listing (cluster-correct, works on any
+    scheme, not just file:). ``out_path`` must differ from ``path`` —
+    Spark cannot overwrite a dataset it is reading; callers swap
+    directories atomically afterwards (rename / view flip).
+    """
+    if os.path.abspath(out_path) == os.path.abspath(path):
+        raise ValueError("out_path must differ from path (read-under-write)")
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(hconf)
+    total = fs.getContentSummary(hpath).getLength()
+    n_files = max(1, -(-total // (target_file_mb << 20)))
+    df = spark.read.parquet(path)
+    writer = df.repartition(int(n_files)).write.mode("overwrite")
+    if partition_col:
+        # repartition by the partition column so each directory gets
+        # coherent files instead of n_files fragments per directory
+        writer = (
+            df.repartition(int(n_files), partition_col)
+            .write.mode("overwrite")
+            .partitionBy(partition_col)
+        )
+    writer.parquet(out_path)
+    out = spark.read.parquet(out_path)
+    return len([f for f in out.inputFiles()])
+
+
 def save_as_table(
     df: DataFrame, table: str, path: str | None = None, partition_col: str | None = None
 ) -> None:

@@ -2,6 +2,7 @@ from __future__ import annotations
 
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from mapping_timeseries_spark.sources.readers import read_incremental
@@ -89,3 +90,34 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
         assert "Exchange" in uplan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_compact_parquet_reduces_file_count(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from mapping_timeseries_spark.sources.writers import compact_parquet
+
+    src = str(tmp_path / "fragmented")
+    # simulate a micro-batch sink: 64 files for a small dataset
+    spark.range(20_000).withColumn("m", (F.col("id") % 3).cast("string")) \
+        .repartition(64).write.mode("overwrite").parquet(src)
+    n_before = len(spark.read.parquet(src).inputFiles())
+    assert n_before >= 60
+
+    out = str(tmp_path / "compacted")
+    n_after = compact_parquet(spark, src, out, target_file_mb=128)
+    assert n_after <= 2  # tiny dataset -> one target-size file (+luck)
+    # content is preserved exactly
+    a = sorted(r["id"] for r in spark.read.parquet(src).collect())
+    b = sorted(r["id"] for r in spark.read.parquet(out).collect())
+    assert a == b
+
+    # partitioned variant keeps the directory layout
+    outp = str(tmp_path / "compacted_p")
+    compact_parquet(spark, src, outp, target_file_mb=128, partition_col="m")
+    pdirs = {f.split("/m=")[1].split("/")[0]
+             for f in spark.read.parquet(outp).inputFiles()}
+    assert pdirs == {"0", "1", "2"}
+
+    with pytest.raises(ValueError):
+        compact_parquet(spark, src, src)
