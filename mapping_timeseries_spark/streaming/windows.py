@@ -111,3 +111,32 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str) -> DataFram
     )
     query.awaitTermination()
     return stream_df.sparkSession.table(name)
+
+
+def stream_to_parquet(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    partition_col: str | None = None,
+) -> None:
+    """Production file sink: drain the available input to parquet with an
+    exactly-once checkpoint (availableNow trigger — the incremental-batch
+    pattern: each scheduled run processes only files the checkpoint hasn't
+    seen, then exits).
+
+    Restart semantics are the point: re-running with the SAME checkpoint
+    after new source files arrive appends exactly the new data — no
+    reprocessing, no duplicates (pytest-pinned in test_streaming.py). At
+    scale this sink fragments files per micro-batch; pair with
+    writers.compact_parquet on a maintenance schedule."""
+    writer = (
+        stream_df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+    )
+    if partition_col:
+        writer = writer.partitionBy(partition_col)
+    query = writer.start()
+    query.awaitTermination()

@@ -181,3 +181,42 @@ def test_stream_file_sink_with_checkpoint(spark, stream_dir, tmp_path):
     )
     q2.awaitTermination()
     assert spark.read.parquet(out_dir).count() == n1
+
+
+def test_stream_to_parquet_checkpoint_exactly_once(spark, tmp_path):
+    """The incremental-batch file sink: a second availableNow run over the
+    same checkpoint processes ONLY newly-arrived source files — no
+    duplicates, no reprocessing — and a fresh checkpoint would see all."""
+    import shutil
+
+    from mapping_timeseries_spark.streaming.windows import stream_to_parquet
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    spark.range(100).selectExpr("id", "id % 5 AS grp").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "batch1"))
+    shutil.copy(
+        next((tmp_path / "batch1").glob("part-*.parquet")),
+        src / "file1.parquet",
+    )
+    schema = spark.read.parquet(str(src)).schema
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    stream_to_parquet(stream, out, ckpt)
+    assert spark.read.parquet(out).count() == 100
+
+    # new file arrives; same checkpoint -> only the delta lands
+    spark.range(100, 140).selectExpr("id", "id % 5 AS grp").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "batch2"))
+    shutil.copy(
+        next((tmp_path / "batch2").glob("part-*.parquet")),
+        src / "file2.parquet",
+    )
+    stream2 = spark.readStream.schema(schema).parquet(str(src))
+    stream_to_parquet(stream2, out, ckpt)
+    ids = sorted(r["id"] for r in spark.read.parquet(out).collect())
+    assert ids == list(range(140))  # exactly once: no dup of first 100
