@@ -61,9 +61,11 @@ from mapping_timeseries_spark.operators.similarity import (
     ivf_topk,
 )
 from mapping_timeseries_spark.operators.textstats import (
+    LANG_TRIGRAMS,
     doc_fingerprints,
     lang_distribution,
     lang_marker_scores,
+    lang_trigram_scores,
     quality_score,
     text_stats,
     token_counts,
@@ -1015,9 +1017,9 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic quality score per document, joined with the marker-word
-    language-ID scores (same per-doc grain) so both operators are verified
-    in one frame."""
+    """Heuristic quality score per document, joined with BOTH language-ID
+    heuristics (marker-word and char-trigram-profile — same per-doc
+    grain) so all three operators are verified in one frame."""
     ensure_runtime_conf(spark)
     docs = read_table(spark, sf_dir, "documents")
     s = quality_score(docs)
@@ -1030,7 +1032,8 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("score_es").cast("bigint").alias("score_es"),
         "predicted_lang",
     )
-    return s.join(lid, "doc_id").select(
+    tri = lang_trigram_scores(docs).select("doc_id", "trigram_lang")
+    return s.join(lid, "doc_id").join(tri, "doc_id").select(
         "doc_id",
         F.col("n_tokens").cast("bigint").alias("n_tokens"),
         F.col("n_unique_tokens").cast("bigint").alias("n_unique_tokens"),
@@ -1041,6 +1044,7 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "score_fr",
         "score_es",
         "predicted_lang",
+        "trigram_lang",
     )
 
 
@@ -1996,6 +2000,15 @@ _LANG_MARKER_SQL_DE = "('der','die','das','und','ist')"
 _LANG_MARKER_SQL_FR = "('le','la','les','et','est')"
 _LANG_MARKER_SQL_ES = "('el','la','los','y','es')"
 
+
+def _sql_trigram_score(grams: tuple[str, ...]) -> str:
+    """Occurrence-count sum via the replace trick — token-for-token the
+    same arithmetic as textstats.lang_trigram_scores."""
+    terms = " + ".join(
+        f"(length(lt) - length(replace(lt, '{g}', ''))) / 3" for g in grams
+    )
+    return f"CAST({terms} AS BIGINT)"
+
 ORACLE_TEXT_STATS = f"""
 WITH s AS (
   SELECT doc_id, lang,
@@ -2051,11 +2064,29 @@ lid AS (
            len(list_filter(t, x -> lower(x) IN {_LANG_MARKER_SQL_ES})) AS score_es
     FROM (SELECT doc_id, lang, {_SQL_TOKENS} AS t FROM documents)
   )
+),
+tri AS (
+  SELECT doc_id,
+         CASE
+           WHEN greatest(tri_en, tri_de, tri_fr, tri_es) < 1 THEN 'unknown'
+           WHEN tri_en >= greatest(tri_de, tri_fr, tri_es) THEN 'en'
+           WHEN tri_de >= greatest(tri_fr, tri_es) THEN 'de'
+           WHEN tri_fr >= tri_es THEN 'fr'
+           ELSE 'es'
+         END AS trigram_lang
+  FROM (
+    SELECT doc_id,
+           {_sql_trigram_score(LANG_TRIGRAMS['en'])} AS tri_en,
+           {_sql_trigram_score(LANG_TRIGRAMS['de'])} AS tri_de,
+           {_sql_trigram_score(LANG_TRIGRAMS['fr'])} AS tri_fr,
+           {_sql_trigram_score(LANG_TRIGRAMS['es'])} AS tri_es
+    FROM (SELECT doc_id, lower(text) AS lt FROM documents)
+  )
 )
 SELECT q.doc_id, q.n_tokens, q.n_unique_tokens, q.quality_score,
        lid.actual_lang, lid.score_en, lid.score_de, lid.score_fr, lid.score_es,
-       lid.predicted_lang
-FROM q JOIN lid ON q.doc_id = lid.doc_id
+       lid.predicted_lang, tri.trigram_lang
+FROM q JOIN lid ON q.doc_id = lid.doc_id JOIN tri ON q.doc_id = tri.doc_id
 """
 
 # WAV decode oracle: the payload is a pure function of (doc_id, text)

@@ -24,13 +24,14 @@ __all__ = [
     "text_stats",
     "quality_score",
     "lang_marker_scores",
+    "lang_trigram_scores",
     "doc_fingerprints",
     "lang_distribution",
 ]
 
-#: Function-word markers per language for the n-gram/marker heuristic.
-#: Real language ID would use char-trigram profiles; the marker-count
-#: formulation is deterministic and SQL-expressible (oracle parity).
+#: Function-word markers per language for the marker-count heuristic;
+#: the char-trigram profile variant is :func:`lang_trigram_scores`. Both
+#: are deterministic and SQL-expressible (oracle parity).
 LANG_MARKERS = {
     "en": ("the", "a", "of", "and", "is"),
     "de": ("der", "die", "das", "und", "ist"),
@@ -102,6 +103,53 @@ def lang_marker_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
         best = F.when(s >= F.greatest(best_score, F.lit(1)), F.lit(lang)).otherwise(best)
         best_score = F.greatest(best_score, s)
     return scored.withColumn("predicted_lang", best)
+
+
+#: Characteristic character trigrams per language (public knowledge:
+#: high-frequency trigrams of each language's running text). Leading/
+#: trailing spaces capture word-boundary trigrams after lowercasing.
+#: Boundary-anchored picks: trigrams like 'der'/'que' are avoided on
+#: purpose — they fire inside common English words ("order", "query")
+#: and swamp the signal; space-anchored function-word trigrams don't.
+LANG_TRIGRAMS: dict[str, tuple[str, ...]] = {
+    "en": ("the", " of", "and", " is", " a "),
+    "de": ("die", "das", "und", "ist", " zu"),
+    "fr": ("les", "est", " et", " le", " du"),
+    "es": ("los", " el", " la", " y ", " es"),
+}
+
+
+def lang_trigram_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Character-TRIGRAM language ID (the n-gram-profile heuristic, cf.
+    Cavnar & Trenkle's n-gram text categorization): score per language =
+    total occurrences of its characteristic trigrams in the lowercased
+    text, counted expression-only via the replace trick
+    ``(len(t) - len(replace(t, g, ''))) / 3`` — non-overlapping counts,
+    identical semantics in Spark and DuckDB, so the whole scorer is
+    hash-gatable. Complements the marker-WORD scorer
+    (:func:`lang_marker_scores`); same argmax/tie/unknown convention."""
+    low = F.lower(F.col(text_col))
+
+    def count_tri(g: str):
+        return (
+            (F.length(low) - F.length(F.replace(low, F.lit(g), F.lit(""))))
+            / F.lit(3)
+        ).cast("bigint")
+
+    scores = {
+        lang: sum((count_tri(g) for g in grams), F.lit(0).cast("bigint"))
+        for lang, grams in LANG_TRIGRAMS.items()
+    }
+    score_cols = [scores[lang].alias(f"tri_{lang}") for lang in LANG_TRIGRAMS]
+    scored = docs.select("doc_id", *score_cols)
+    langs = list(LANG_TRIGRAMS)
+    best = F.lit("unknown")
+    best_score = F.lit(0).cast("bigint")
+    for lang in reversed(langs):
+        s = F.col(f"tri_{lang}")
+        best = F.when(s >= F.greatest(best_score, F.lit(1)), F.lit(lang)).otherwise(best)
+        best_score = F.greatest(best_score, s)
+    return scored.withColumn("trigram_lang", best)
 
 
 def doc_fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:

@@ -407,3 +407,39 @@ def test_dedup_clusters_raises_on_non_convergence(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         dedup_clusters(docs, pairs, max_iters=3)
+
+
+def test_lang_trigram_scores(spark):
+    from mapping_timeseries_spark.operators.textstats import (
+        lang_marker_scores,
+        lang_trigram_scores,
+    )
+    from mapping_timeseries_spark.sources.readers import read_table
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the king of the hill and the thing", "en"),
+            (2, "der fischer und ich sich einig", "de"),
+            (3, "les parents entendent que la nuit était", "fr"),
+            (4, "los perros adorados en la región", "es"),
+            (5, "zzz qqq xxx", "en"),  # no profile hits -> unknown
+        ],
+        "doc_id long, text string, lang string",
+    )
+    got = {r["doc_id"]: r["trigram_lang"]
+           for r in lang_trigram_scores(docs).collect()}
+    assert got[1] == "en" and got[2] == "de"
+    assert got[3] == "fr" and got[4] == "es"
+    assert got[5] == "unknown"
+
+    # the synthetic corpus text carries no real language signal (shared
+    # tech vocabulary across every lang label, 'the'/'a' sprinkled into
+    # all of them), so accuracy vs the label is not a valid assertion
+    # there — the crafted docs above are the accuracy check. On the
+    # corpus we assert the scorer is total and well-formed: every doc
+    # classified, predictions within the known label set.
+    corpus = read_table(spark, "/root/testdata/sf0.001", "documents")
+    preds = lang_trigram_scores(corpus)
+    assert preds.count() == corpus.count()
+    labels = {r["trigram_lang"] for r in preds.select("trigram_lang").distinct().collect()}
+    assert labels <= {"en", "de", "fr", "es", "unknown"}
