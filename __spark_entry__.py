@@ -78,6 +78,7 @@ from mapping_timeseries_spark.operators.sessionize import (
     sliding_agg,
     tumbling_agg,
 )
+from mapping_timeseries_spark.operators.asof import asof_join
 from mapping_timeseries_spark.operators.relational import (
     anti_join,
     join_distinct_dim,
@@ -625,10 +626,21 @@ def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W1 lag/lead/row_number windows over the entity series."""
+    """W1 lag/lead/row_number windows over the entity series, joined with
+    the as-of join (operators.asof — latest t2 revenue at-or-before each
+    t1 month; DuckDB native ASOF LEFT JOIN is the oracle). Same
+    (cus_code, month) grain, one frame verifies both operators."""
     ensure_runtime_conf(spark)
-    feats = series_window_features(monthly_spend(spark, sf_dir))
-    return feats.select(
+    t1 = monthly_spend(spark, sf_dir)
+    t2 = monthly_revenue(spark, sf_dir)
+    feats = series_window_features(t1)
+    asof = asof_join(t1, t2, "cus_code", "month", ["revenue"]).select(
+        "cus_code",
+        "month",
+        F.col("month_asof").alias("month_asof"),
+        F.round("revenue_asof", 6).alias("revenue_asof"),
+    )
+    return feats.join(asof, ["cus_code", "month"]).select(
         "cus_code",
         "month",
         F.round("txn_amount", 6).alias("txn_amount"),
@@ -636,6 +648,8 @@ def q_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("next_amount", 6).alias("next_amount"),
         F.col("month_pos").cast("int").alias("month_pos"),
         F.col("amount_rank").cast("int").alias("amount_rank"),
+        "month_asof",
+        "revenue_asof",
     )
 
 
@@ -1691,17 +1705,28 @@ WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
 """
 
 ORACLE_WINDOW = """
-WITH t1 AS ({sql_t1})
-SELECT cus_code, month,
-       round(txn_amount, 6) AS txn_amount,
-       round(lag(txn_amount, 1) OVER w_time, 6) AS prev_amount,
-       round(lead(txn_amount, 1) OVER w_time, 6) AS next_amount,
-       CAST(row_number() OVER w_time AS INT) AS month_pos,
-       CAST(row_number() OVER (PARTITION BY cus_code
-                               ORDER BY txn_amount DESC, month ASC) AS INT)
-         AS amount_rank
-FROM t1
-WINDOW w_time AS (PARTITION BY cus_code ORDER BY month)
+WITH t1 AS ({sql_t1}), t2 AS ({sql_t2}),
+w AS (
+  SELECT cus_code, month,
+         round(txn_amount, 6) AS txn_amount,
+         round(lag(txn_amount, 1) OVER w_time, 6) AS prev_amount,
+         round(lead(txn_amount, 1) OVER w_time, 6) AS next_amount,
+         CAST(row_number() OVER w_time AS INT) AS month_pos,
+         CAST(row_number() OVER (PARTITION BY cus_code
+                                 ORDER BY txn_amount DESC, month ASC) AS INT)
+           AS amount_rank
+  FROM t1
+  WINDOW w_time AS (PARTITION BY cus_code ORDER BY month)
+),
+a AS (
+  SELECT t1.cus_code, t1.month, t2.month AS month_asof,
+         round(t2.revenue, 6) AS revenue_asof
+  FROM t1 ASOF LEFT JOIN t2
+    ON t1.cus_code = t2.cus_code AND t1.month >= t2.month
+)
+SELECT w.cus_code, w.month, w.txn_amount, w.prev_amount, w.next_amount,
+       w.month_pos, w.amount_rank, a.month_asof, a.revenue_asof
+FROM w JOIN a ON w.cus_code = a.cus_code AND w.month = a.month
 """
 
 ORACLE_MONTH_ARITH = """
@@ -2330,7 +2355,7 @@ def oracle_sql() -> dict[str, str]:
         "quantiles": ORACLE_QUANTILES,
         "union_by_name": ORACLE_UNION,
         "anti_join_customers": ORACLE_ANTI,
-        "window_funcs": ORACLE_WINDOW.format(sql_t1=SQL_T1),
+        "window_funcs": ORACLE_WINDOW.format(sql_t1=SQL_T1, sql_t2=SQL_T2),
         "month_arithmetic": ORACLE_MONTH_ARITH,
         "sql_surface": SQL_SURFACE_QUERY,
         "incremental_scan": ORACLE_INCREMENTAL,

@@ -1,0 +1,79 @@
+"""As-of join: each left row picks the most recent right row at or before
+its time (per key) — the canonical time-series alignment operator Spark
+has no built-in for (the north-star brief's named example of a custom
+operator; the reference's lag join, ``mapping_engine.py:626-644``, is the
+equal-grain special case of it).
+
+Spark-first formulation: NOT a range join (whose candidate set explodes
+as |left| × |right-per-key| and falls back to broadcast-nested-loop),
+but the union-window trick:
+
+1. tag and ``unionByName`` both sides — right rows carry the value
+   columns, left rows carry nulls;
+2. one window per key ordered by (time, is_left) with
+   ``last(value, ignorenulls=True)`` over the unbounded-preceding frame —
+   the running "latest right value seen";
+3. keep the left rows.
+
+Cost: ONE shuffle of left+right on the key (same exchange the
+downstream per-entity work reuses), per-row O(1) window state — the
+same shape at 100 TB as at test scale. Right rows at a time equal to a
+left row's time DO match (ASOF inclusive: right sorts before left on
+the tie via the is_left column).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["asof_join"]
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    time_col: str,
+    value_cols: list[str],
+    suffix: str = "_asof",
+) -> DataFrame:
+    """ASOF LEFT JOIN (backward): DuckDB-twin semantics of
+    ``left ASOF LEFT JOIN right ON left.key = right.key AND
+    left.time >= right.time``.
+
+    Returns every ``left`` row with ``<value>{suffix}`` columns from the
+    latest right row at-or-before its time plus ``<time_col>{suffix}``
+    (the matched right time), all NULL when no right row precedes.
+
+    ``right`` must be unique per (key, time) — aggregate first if not
+    (ties would resolve to the last row in union order, which is not
+    deterministic across engines).
+    """
+    clash = set(value_cols) & set(left.columns)
+    if clash:
+        raise ValueError(f"value_cols collide with left columns: {sorted(clash)}")
+    lt = left.withColumn("__is_left", F.lit(1))
+    rt = right.select(
+        key_col,
+        F.col(time_col).alias(time_col),
+        *value_cols,
+    ).withColumn("__is_left", F.lit(0))
+    unioned = lt.unionByName(rt, allowMissingColumns=True)
+
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(time_col).asc(), F.col("__is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    right_time = F.when(F.col("__is_left") == 0, F.col(time_col))
+    carried = [
+        F.last(v, ignorenulls=True).over(w).alias(f"{v}{suffix}")
+        for v in value_cols
+    ]
+    out = unioned.select(
+        "*",
+        F.last(right_time, ignorenulls=True).over(w).alias(f"{time_col}{suffix}"),
+        *carried,
+    )
+    return out.where(F.col("__is_left") == 1).drop("__is_left", *value_cols)

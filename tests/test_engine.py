@@ -212,3 +212,32 @@ def test_exact_median_grouped_vs_numpy(spark):
         assert got[k] == pytest.approx(expect[k], abs=0.0), k
     assert got["tie_straddle"] == 1.5
     assert got["single"] == 42.0
+
+
+def test_asof_join_semantics(spark):
+    """Backward as-of: inclusive equal-time match, latest-preceding pick,
+    NULLs when nothing precedes, left rows never dropped."""
+    from mapping_timeseries_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01", 10.0), (1, "2024-03", 30.0), (2, "2024-02", 5.0)],
+        "cus_code long, month string, txn double",
+    )
+    right = spark.createDataFrame(
+        [(1, "2024-01", 100.0), (1, "2024-02", 200.0), (2, "2024-03", 999.0)],
+        "cus_code long, month string, revenue double",
+    )
+    got = {
+        (r["cus_code"], r["month"]): (r["month_asof"], r["revenue_asof"])
+        for r in asof_join(left, right, "cus_code", "month", ["revenue"]).collect()
+    }
+    assert got == {
+        (1, "2024-01"): ("2024-01", 100.0),  # equal time matches (inclusive)
+        (1, "2024-03"): ("2024-02", 200.0),  # latest preceding, not first
+        (2, "2024-02"): (None, None),        # right only has later rows
+    }
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="collide"):
+        asof_join(left, right, "cus_code", "month", ["txn"])
