@@ -78,7 +78,7 @@ from mapping_timeseries_spark.operators.sessionize import (
     sliding_agg,
     tumbling_agg,
 )
-from mapping_timeseries_spark.operators.asof import asof_join
+from mapping_timeseries_spark.operators.asof import asof_join, interval_join
 from mapping_timeseries_spark.operators.relational import (
     anti_join,
     join_distinct_dim,
@@ -770,9 +770,36 @@ def q_event_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_parse_props(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON payload extraction (get_json_object) from the props column."""
+    """JSON payload extraction (get_json_object) from the props column,
+    joined with per-event session attribution via the granule-bucketed
+    interval join (operators.asof.interval_join — each event matched to
+    the gap-session interval containing its timestamp; sessions don't
+    overlap, so exactly one match per event)."""
     ensure_runtime_conf(spark)
-    return parse_props(read_table(spark, sf_dir, "events"))
+    ev = read_table(spark, sf_dir, "events")
+    parsed = parse_props(ev)
+    sessions = sessionize_batch(ev, formatted=False).select(
+        "user_id",
+        F.col("session_id").cast("bigint").alias("session_id"),
+        "session_start",
+        "session_end",
+    )
+    attributed = interval_join(
+        ev.select("event_id", "user_id", "ts"),
+        sessions,
+        "user_id",
+        "ts",
+        "session_start",
+        "session_end",
+        granule_seconds=3600,
+    ).select("event_id", "session_id")
+    return parsed.join(attributed, "event_id").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.col("prop_k").cast("int").alias("prop_k"),
+        "session_id",
+    )
 
 
 def q_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1809,10 +1836,22 @@ FROM (
 ) WHERE rn = 1
 """
 
-ORACLE_PARSE_PROPS = """
-SELECT event_id, user_id, event_type,
-       CAST(json_extract_string(props, '$.k') AS INT) AS prop_k
-FROM events
+ORACLE_PARSE_PROPS = f"""
+WITH {_SQL_SESSIONS},
+iv AS (
+  SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+         min(ts) AS s, max(ts) AS e
+  FROM sess GROUP BY user_id, sid
+),
+attributed AS (
+  SELECT ev.event_id, iv.session_id
+  FROM events ev JOIN iv
+    ON ev.user_id = iv.user_id AND ev.ts BETWEEN iv.s AND iv.e
+)
+SELECT ev.event_id, ev.user_id, ev.event_type,
+       CAST(json_extract_string(ev.props, '$.k') AS INT) AS prop_k,
+       a.session_id
+FROM events ev JOIN attributed a ON ev.event_id = a.event_id
 """
 
 

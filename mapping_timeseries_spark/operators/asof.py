@@ -27,7 +27,57 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join"]
+__all__ = ["asof_join", "interval_join"]
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    key_col: str,
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    granule_seconds: int = 3600,
+) -> DataFrame:
+    """Range/interval join: attach to each point row the interval (same
+    key) containing its timestamp — the other classic time-series join
+    Spark lacks natively.
+
+    A naive ``ts BETWEEN start AND end`` theta join plans as
+    broadcast-nested-loop with an |points| × |intervals-per-key|
+    candidate set. The scale formulation buckets time into granules:
+    intervals explode to the granules they span (cheap — span/granule
+    rows each), points map to their single granule, and the join is a
+    plain equi-join on (key, granule) + a containment filter. Candidate
+    pairs are bounded by per-granule density instead of per-key interval
+    count, and Catalyst gets a shuffled hash join it can size.
+
+    ``start_col``/``end_col`` may be timestamps or castable strings.
+    Points in no interval are dropped (inner); points in overlapping
+    intervals yield one row per containing interval.
+    """
+    g = F.lit(int(granule_seconds))
+    iv = intervals.withColumn(
+        "__g",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp(F.col(start_col).cast("timestamp")) / g),
+                F.floor(F.unix_timestamp(F.col(end_col).cast("timestamp")) / g),
+            )
+        ),
+    )
+    pt = points.withColumn(
+        "__g", F.floor(F.unix_timestamp(F.col(ts_col).cast("timestamp")) / g)
+    )
+    ts = F.col(ts_col).cast("timestamp")
+    return (
+        pt.join(iv, [key_col, "__g"])
+        .where(
+            (ts >= F.col(start_col).cast("timestamp"))
+            & (ts <= F.col(end_col).cast("timestamp"))
+        )
+        .drop("__g")
+    )
 
 
 def asof_join(

@@ -79,7 +79,9 @@ def session_agg_native(events: DataFrame, gap: str = "10 minutes") -> DataFrame:
     )
 
 
-def sessionize_batch(events: DataFrame, gap_minutes: int = 10) -> DataFrame:
+def sessionize_batch(
+    events: DataFrame, gap_minutes: int = 10, formatted: bool = True
+) -> DataFrame:
     """Gap-based sessionization via lag + cumulative sum (the classic batch
     formulation; SURVEY §2.10): a session breaks where the gap to the
     previous event exceeds the threshold.
@@ -87,6 +89,12 @@ def sessionize_batch(events: DataFrame, gap_minutes: int = 10) -> DataFrame:
     Returns one row per session: user_id, session_id (1-based per user),
     session_start, session_end, n_events, sum_value. Semantically equal to
     :func:`session_agg_native` up to session_window's end-exclusive bound.
+
+    ``formatted=False`` keeps session_start/session_end as RAW timestamps
+    (full microsecond precision) instead of second-truncated strings —
+    required when the bounds feed containment logic (interval_join
+    attribution: a second-truncated end excludes the session's own last
+    event if it carries sub-second precision).
     """
     w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap_us = gap_minutes * 60 * 1_000_000
@@ -103,9 +111,14 @@ def sessionize_batch(events: DataFrame, gap_minutes: int = 10) -> DataFrame:
             w_user.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
     )
+    start = F.min("ts")
+    end = F.max("ts")
+    if formatted:
+        start = F.date_format(start, _TS_FMT)
+        end = F.date_format(end, _TS_FMT)
     return with_session.groupBy("user_id", "session_id").agg(
-        F.date_format(F.min("ts"), _TS_FMT).alias("session_start"),
-        F.date_format(F.max("ts"), _TS_FMT).alias("session_end"),
+        start.alias("session_start"),
+        end.alias("session_end"),
         F.count(F.lit(1)).alias("n_events"),
         F.sum("value").alias("sum_value"),
     )

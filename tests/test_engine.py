@@ -241,3 +241,29 @@ def test_asof_join_semantics(spark):
 
     with _pytest.raises(ValueError, match="collide"):
         asof_join(left, right, "cus_code", "month", ["txn"])
+
+
+def test_interval_join_semantics(spark):
+    """Granule-bucketed interval join: containment inclusive on both
+    bounds, cross-granule intervals matched, points outside all intervals
+    dropped, overlapping intervals yield one row each."""
+    from mapping_timeseries_spark.operators.asof import interval_join
+
+    pts = spark.createDataFrame(
+        [(1, 1, "2024-01-01 00:10:00"), (2, 1, "2024-01-01 02:30:00"),
+         (3, 1, "2024-01-01 09:00:00"), (4, 2, "2024-01-01 00:10:00")],
+        "pid long, k long, ts string",
+    )
+    iv = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", "2024-01-01 02:30:00", "a"),   # spans 3 granules
+         (1, "2024-01-01 02:00:00", "2024-01-01 03:00:00", "b"),   # overlaps a
+         (2, "2024-01-01 01:00:00", "2024-01-01 02:00:00", "c")],
+        "k long, s string, e string, tag string",
+    )
+    got = sorted(
+        (r["pid"], r["tag"])
+        for r in interval_join(pts, iv, "k", "ts", "s", "e").collect()
+    )
+    # pid1 in a only; pid2 at 02:30 in BOTH a (end-inclusive) and b;
+    # pid3 in nothing; pid4 is key 2 before c starts
+    assert got == [(1, "a"), (2, "a"), (2, "b")]
