@@ -47,6 +47,7 @@ from mapping_timeseries_spark.operators.dedup import (
     dedup_clusters,
     exact_dedup,
     minhash_lsh_pairs,
+    ngram_decontaminate,
     ngram_jaccard_pairs,
     simhash_near_dups,
 )
@@ -981,13 +982,32 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact word-bigram Jaccard near-dup pairs (J >= 0.5) via inverted-
-    index self-join."""
+    """Word-bigram pair analyses, two operators in one frame (same
+    doc-pair grain): exact Jaccard near-dup pairs (J >= 0.5, PPJoin
+    prefix-filtered self-join) tagged 'neardup', and benchmark
+    decontamination (src0 as the holdout suite, containment >= 0.2 via a
+    broadcast inverted-index join) tagged 'contam'. doc_a is the
+    training-side/corpus doc, doc_b the matched doc; score is Jaccard or
+    holdout-containment respectively."""
     ensure_runtime_conf(spark)
-    p = ngram_jaccard_pairs(read_table(spark, sf_dir, "documents"), threshold=0.5)
-    return p.select(
-        "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
+    docs = read_table(spark, sf_dir, "documents")
+    near = ngram_jaccard_pairs(docs, threshold=0.5).select(
+        F.lit("neardup").alias("kind"),
+        "doc_a",
+        "doc_b",
+        F.round("jaccard", 6).alias("score"),
     )
+    contam = ngram_decontaminate(
+        docs.where(F.col("source") != "src0"),
+        docs.where(F.col("source") == "src0"),
+        min_overlap=0.2,
+    ).select(
+        F.lit("contam").alias("kind"),
+        F.col("train_doc").alias("doc_a"),
+        F.col("holdout_doc").alias("doc_b"),
+        F.round("overlap", 6).alias("score"),
+    )
+    return near.unionByName(contam)
 
 
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1926,16 +1946,25 @@ inv AS (
 """
 
 ORACLE_NGRAM_JACCARD = f"""
-WITH {_SQL_SHINGLES}
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+WITH {_SQL_SHINGLES},
+src AS (SELECT doc_id, source FROM documents)
+SELECT 'neardup' AS kind, a.doc_id AS doc_a, b.doc_id AS doc_b,
        round(count(*) * 1.0
              / (any_value(a.n_shingles) + any_value(b.n_shingles) - count(*)),
-             6) AS jaccard
+             6) AS score
 FROM inv a JOIN inv b
   ON a.shingle = b.shingle AND a.doc_id < b.doc_id
 GROUP BY a.doc_id, b.doc_id
 HAVING count(*) * 1.0
        / (any_value(a.n_shingles) + any_value(b.n_shingles) - count(*)) >= 0.5
+UNION ALL
+SELECT 'contam' AS kind, t.doc_id AS doc_a, h.doc_id AS doc_b,
+       round(count(*) * 1.0 / any_value(h.n_shingles), 6) AS score
+FROM (SELECT i.* FROM inv i JOIN src s USING (doc_id) WHERE s.source <> 'src0') t
+JOIN (SELECT i.* FROM inv i JOIN src s USING (doc_id) WHERE s.source = 'src0') h
+  ON t.shingle = h.shingle
+GROUP BY t.doc_id, h.doc_id
+HAVING count(*) * 1.0 / any_value(h.n_shingles) >= 0.2
 """
 
 def _build_minhash_oracle(num_hashes: int = 32, bands: int = 8,

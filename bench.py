@@ -53,6 +53,14 @@ HEADLINE = [
     "skew_median_hist",
 ]
 
+# Anti-pattern CONTROL variants: measured and reported (the experiment
+# needs both sides of each pair), but excluded from the headline total —
+# the engine's production path uses salted_agg / skew_median_hist; the
+# plain/buffered twins exist only as the measured counterfactual, and
+# summing a deliberately-slow control into "headline_total" would make
+# round-over-round totals incomparable.
+CONTROLS = {"skew_agg_plain", "skew_median_buffered"}
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -100,7 +108,8 @@ def main() -> None:
         # tell a real regression from box noise (max-min relative to it)
         spreads[name] = round((max(reps) - min(reps)) / max(med, 1e-9), 3)
 
-    total = round(sum(times.values()), 3)
+    total = round(sum(v for k, v in times.items() if k not in CONTROLS), 3)
+    controls = {k: times.pop(k) for k in list(times) if k in CONTROLS}
     print(
         json.dumps(
             {
@@ -109,6 +118,7 @@ def main() -> None:
                 "unit": "sec",
                 "stat": "median",
                 "queries": times,
+                "controls": controls,
                 "rep_spread": spreads,
                 "n": N_REPS,
                 "sf": sf,

@@ -36,6 +36,7 @@ __all__ = [
     "exact_dedup",
     "content_hash_dedup",
     "ngram_jaccard_pairs",
+    "ngram_decontaminate",
     "minhash_lsh_pairs",
     "simhash_fingerprints",
     "simhash_near_dups",
@@ -193,6 +194,58 @@ def ngram_jaccard_pairs(
         .distinct()
     )
     return _verify_jaccard(cand, sh, threshold)
+
+
+def ngram_decontaminate(
+    train: DataFrame,
+    holdout: DataFrame,
+    text_col: str = "text",
+    n: int = 2,
+    min_overlap: float = 0.2,
+) -> DataFrame:
+    """Benchmark decontamination: training documents that reproduce a
+    holdout/benchmark document's content, measured by word-n-gram
+    containment.
+
+    ``overlap(t, h) = |shingles(t) ∩ shingles(h)| / |shingles(h)|`` —
+    asymmetric by design. What leaks test answers into a training corpus
+    is the *benchmark item embedded inside* a (possibly much longer)
+    training document; symmetric Jaccard would dilute that to near zero
+    for a long page quoting a short benchmark question, while containment
+    of the holdout side scores it 1.0.
+
+    Scale design: inverted-index equi-join on the shingle — the shuffle
+    carries (doc_id, shingle) tokens, never document text. The holdout
+    index is a benchmark suite (thousands of items, not billions of
+    docs), so it is broadcast: the training-corpus side streams map-side
+    with NO shuffle of the 100 TB table at all, and candidate fan-out is
+    bounded by shared-shingle collisions rather than |train|x|holdout|.
+    Holdout docs with fewer than ``n`` tokens have no shingles and cannot
+    be flagged (they carry no matchable content).
+
+    Output: (train_doc, holdout_doc, shared_ngrams, holdout_ngrams,
+    overlap) for pairs with overlap >= min_overlap.
+    """
+    tr = _shingled(train, text_col, n).select(
+        F.col("doc_id").alias("train_doc"), F.explode("shingles").alias("shingle")
+    )
+    ho = _shingled(holdout, text_col, n).select(
+        F.col("doc_id").alias("holdout_doc"),
+        F.col("n_shingles").alias("holdout_ngrams"),
+        F.explode("shingles").alias("shingle"),
+    )
+    return (
+        tr.join(F.broadcast(ho), "shingle")
+        .groupBy("train_doc", "holdout_doc")
+        .agg(
+            F.count(F.lit(1)).alias("shared_ngrams"),
+            F.first("holdout_ngrams").alias("holdout_ngrams"),
+        )
+        .withColumn(
+            "overlap", F.col("shared_ngrams") / F.col("holdout_ngrams")
+        )
+        .where(F.col("overlap") >= min_overlap)
+    )
 
 
 def minhash_lsh_pairs(

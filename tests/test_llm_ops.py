@@ -8,6 +8,7 @@ from mapping_timeseries_spark.operators.dedup import (
     content_hash_dedup,
     exact_dedup,
     minhash_lsh_pairs,
+    ngram_decontaminate,
     ngram_jaccard_pairs,
     simhash_near_dups,
 )
@@ -45,6 +46,49 @@ def noisy_docs(spark):
             twin[int(rng.integers(0, 40))] = str(rng.choice(WORDS))
         rows.append((doc_id, " ".join(twin), "en")); doc_id += 1
     return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_ngram_decontaminate_planted_containment(spark):
+    """A long training doc embedding a benchmark item verbatim scores
+    containment 1.0 (where symmetric Jaccard would dilute it); partial
+    quotes score their exact shingle fraction; unrelated docs are absent."""
+    bench = spark.createDataFrame(
+        [(100, "what is the capital of france"),
+         (101, "compute the sum of one and two")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            # benchmark item 100 pasted inside a longer page (long enough
+            # that symmetric Jaccard 5/n_bigrams drops under the 0.3 bar)
+            (1, "intro text here what is the capital of france more filler "
+                "words about completely different subjects like storage "
+                "formats shuffle services and adaptive execution plans"),
+            # quotes 3 of item 101's 6 bigrams: "compute the", "the sum", "sum of"
+            (2, "please compute the sum of something else entirely today"),
+            (3, "completely unrelated content about spark joins and shuffles"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["train_doc"], r["holdout_doc"]): (r["shared_ngrams"], r["overlap"])
+        for r in ngram_decontaminate(train, bench, min_overlap=0.2).collect()
+    }
+    assert got[(1, 100)] == (5, 1.0)
+    assert got[(2, 101)] == (3, 0.5)
+    assert not any(t == 3 for t, _h in got)
+    # symmetric Jaccard on the same pair stays below the near-dup bar --
+    # the asymmetric containment is what catches leakage
+    j = ngram_jaccard_pairs(train.unionByName(bench), threshold=0.3).collect()
+    assert not any({r["doc_a"], r["doc_b"]} == {1, 100} for r in j)
+
+
+def test_ngram_decontaminate_short_holdout_unmatchable(spark):
+    """Holdout docs with fewer than n tokens yield no shingles and cannot
+    be flagged (no divide-by-zero, no rows)."""
+    bench = spark.createDataFrame([(9, "word")], "doc_id long, text string")
+    train = spark.createDataFrame([(1, "word word word")], "doc_id long, text string")
+    assert ngram_decontaminate(train, bench).count() == 0
 
 
 def test_exact_dedup_with_real_duplicates(spark):
