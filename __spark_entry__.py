@@ -92,6 +92,7 @@ from mapping_timeseries_spark.operators.relational import (
     distinct_counts,
     exact_median_grouped,
     group_quantiles,
+    merge_upsert,
     month_arithmetic,
     segment_case,
     series_window_features,
@@ -679,25 +680,34 @@ def q_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_incremental_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S4 date-range incremental scan (predicate pushed to parquet),
-    aggregated per ship month."""
+    """S4 date-range incremental scan (predicate pushed to parquet) + the
+    incremental-pipeline MERGE composition (relational.merge_upsert): the
+    reference re-runs a date window and overwrites the whole table
+    (05_prod_dev.py:1054-1101); the engine merges the refreshed window
+    into the standing monthly table — source months win (update/insert),
+    out-of-window target months survive (keep). Two operators, one
+    month-grain frame; `action` carries the merge provenance."""
     ensure_runtime_conf(spark)
     import os as _os
 
-    inc = read_incremental(
-        spark,
-        _os.path.join(sf_dir, "lineitem.parquet"),
-        "l_shipdate",
-        "1996-01-01",
-        "1996-12-31",
-    )
-    return (
-        inc.groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"))
-        .agg(
+    def monthly(start: str, end: str) -> DataFrame:
+        inc = read_incremental(
+            spark,
+            _os.path.join(sf_dir, "lineitem.parquet"),
+            "l_shipdate",
+            start,
+            end,
+        )
+        return inc.groupBy(
+            F.date_format("l_shipdate", "yyyy-MM").alias("ship_month")
+        ).agg(
             F.count(F.lit(1)).alias("n_items"),
             F.round(F.sum("l_extendedprice"), 6).alias("sum_price"),
         )
-    )
+
+    target = monthly("1995-07-01", "1996-06-30")  # standing table
+    source = monthly("1996-01-01", "1996-12-31")  # refreshed window
+    return merge_upsert(target, source, ["ship_month"], tag_col="action")
 
 
 def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1787,12 +1797,28 @@ FROM months
 """
 
 ORACLE_INCREMENTAL = """
-SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
-       count(*) AS n_items,
-       round(sum(l_extendedprice), 6) AS sum_price
-FROM lineitem
-WHERE l_shipdate BETWEEN '1996-01-01' AND '1996-12-31'
-GROUP BY 1
+WITH tgt AS (
+  SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+         count(*) AS n_items,
+         round(sum(l_extendedprice), 6) AS sum_price
+  FROM lineitem
+  WHERE l_shipdate BETWEEN '1995-07-01' AND '1996-06-30'
+  GROUP BY 1
+),
+src AS (
+  SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+         count(*) AS n_items,
+         round(sum(l_extendedprice), 6) AS sum_price
+  FROM lineitem
+  WHERE l_shipdate BETWEEN '1996-01-01' AND '1996-12-31'
+  GROUP BY 1
+)
+SELECT s.ship_month, s.n_items, s.sum_price,
+       CASE WHEN t.ship_month IS NOT NULL THEN 'update' ELSE 'insert' END AS action
+FROM src s LEFT JOIN tgt t USING (ship_month)
+UNION ALL
+SELECT t.ship_month, t.n_items, t.sum_price, 'keep' AS action
+FROM tgt t ANTI JOIN src s USING (ship_month)
 """
 
 

@@ -23,6 +23,7 @@ __all__ = [
     "semi_join",
     "series_window_features",
     "exact_median_grouped",
+    "merge_upsert",
     "month_arithmetic",
 ]
 
@@ -341,6 +342,58 @@ def exact_median_grouped(
         .groupBy(*key_cols)
         .agg(F.sum(contrib).alias(out_col))
     )
+
+
+def merge_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    keys: list[str],
+    tag_col: str | None = None,
+) -> DataFrame:
+    """MERGE INTO as a join rewrite — the vanilla-Spark analogue of Delta
+    ``MERGE WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *``
+    (the reference's production pipeline leans on Delta overwrite/rollback,
+    05_prod_dev.py:861-876,1163-1191; parquet has no MERGE, so the engine
+    expresses it relationally):
+
+        result = source  UNION  (target LEFT ANTI source ON keys)
+
+    i.e. every source row wins (update or insert), target rows without a
+    source match survive unchanged. With ``tag_col`` set, each row carries
+    its merge action ('update' | 'insert' | 'keep') derived from key
+    provenance — update = source row whose key exists in target.
+
+    Scale: one key-hashed shuffle for the anti join plus (for tagging) a
+    key-projected semi probe of target; no row ever carries more than its
+    own columns. Both sides bucketed by the keys → shuffle-free. The sink
+    twin ``writers.merge_into_partitioned`` adds selective-partition
+    rewrite so a 100 TB table only rewrites the partitions the source
+    touches.
+
+    Duplicate keys are honored, not collapsed (same as SQL MERGE with a
+    multi-matching source — except SQL MERGE errors; here all source rows
+    are kept by design, documented divergence for append-style grains).
+    """
+    if set(target.columns) != set(source.columns):
+        raise ValueError(
+            f"merge_upsert requires identical column sets; "
+            f"target-only={sorted(set(target.columns) - set(source.columns))} "
+            f"source-only={sorted(set(source.columns) - set(target.columns))}"
+        )
+    keep = target.join(source.select(keys).distinct(), keys, "left_anti")
+    if tag_col is None:
+        return source.unionByName(keep)
+    marked = source.join(
+        target.select(keys).distinct().withColumn("__matched", F.lit(1)),
+        keys,
+        "left",
+    ).withColumn(
+        tag_col,
+        F.when(F.col("__matched").isNotNull(), F.lit("update")).otherwise(
+            F.lit("insert")
+        ),
+    ).drop("__matched")
+    return marked.unionByName(keep.withColumn(tag_col, F.lit("keep")))
 
 
 def month_arithmetic(orders: DataFrame) -> DataFrame:

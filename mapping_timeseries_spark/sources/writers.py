@@ -121,6 +121,57 @@ def save_bucketed(
     writer.saveAsTable(table)
 
 
+def merge_into_partitioned(
+    spark: SparkSession,
+    target_path: str,
+    source: DataFrame,
+    keys: list[str],
+    partition_col: str,
+) -> None:
+    """MERGE INTO a partitioned parquet table, rewriting ONLY the
+    partitions the source touches (selective-partition upsert — the
+    vanilla analogue of Delta MERGE's file-level rewrite).
+
+    Mechanics: restrict the target scan to the source's partition values,
+    apply :func:`operators.relational.merge_upsert`, and write back under
+    ``partitionOverwriteMode=dynamic`` — Spark then replaces exactly the
+    partition directories present in the written data and leaves every
+    other partition's files untouched on disk (asserted byte-for-byte in
+    tests). At 100 TB with month partitions, an incremental month merge
+    rewrites O(months touched) of data instead of the whole table.
+
+    The affected slice is ``localCheckpoint``-ed before the write: Spark
+    refuses to overwrite a path that still appears as a source in the
+    plan, and the checkpoint (a) breaks that lineage and (b) pins the
+    pre-overwrite bytes so the rewrite cannot read its own output.
+    Checkpoint size = the partitions being rewritten — the same data the
+    merge must materialize anyway.
+
+    The partition-value list is collected to the driver to build the
+    restriction predicate: O(distinct partitions in source) scalars —
+    partition *metadata*, never data rows (same class as AQE's runtime
+    partition pruning).
+    """
+    from pyspark.sql import functions as F
+
+    from ..operators.relational import merge_upsert
+
+    parts = [r[0] for r in source.select(partition_col).distinct().collect()]
+    target = spark.read.parquet(target_path)
+    affected = target.where(
+        F.col(partition_col).isin(parts)
+    ).localCheckpoint(eager=True)
+    merged = merge_upsert(affected, source, keys)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        merged.write.mode("overwrite").partitionBy(partition_col).parquet(
+            target_path
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
 def create_view(spark: SparkSession, name: str, sql: str) -> None:
     """S8: SQL view over results (05_prod_dev.py:1252-1266)."""
     spark.sql(f"CREATE OR REPLACE TEMP VIEW {name} AS {sql}")

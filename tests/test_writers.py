@@ -6,13 +6,76 @@ import pytest
 from pyspark.sql import functions as F
 
 from mapping_timeseries_spark.sources.readers import read_incremental
+from mapping_timeseries_spark.operators.relational import merge_upsert
 from mapping_timeseries_spark.sources.writers import (
     create_view,
+    merge_into_partitioned,
     save_as_table,
     write_overwrite,
     write_partitioned,
     write_run_metadata,
 )
+
+
+def test_merge_upsert_semantics(spark):
+    target = spark.createDataFrame(
+        [("a", "2024-01", 1.0), ("a", "2024-02", 2.0), ("b", "2024-01", 3.0)],
+        "k string, month string, v double",
+    )
+    source = spark.createDataFrame(
+        [("a", "2024-02", 20.0), ("c", "2024-03", 30.0)],
+        "k string, month string, v double",
+    )
+    got = {
+        (r["k"], r["month"]): (r["v"], r["action"])
+        for r in merge_upsert(target, source, ["k", "month"], tag_col="action").collect()
+    }
+    assert got == {
+        ("a", "2024-01"): (1.0, "keep"),
+        ("a", "2024-02"): (20.0, "update"),  # source wins
+        ("b", "2024-01"): (3.0, "keep"),
+        ("c", "2024-03"): (30.0, "insert"),
+    }
+    with pytest.raises(ValueError, match="identical column sets"):
+        merge_upsert(target, source.withColumnRenamed("v", "w"), ["k"])
+
+
+def test_merge_into_partitioned_rewrites_only_touched_partitions(spark, tmp_path):
+    path = str(tmp_path / "merge_tgt")
+    target = spark.createDataFrame(
+        [(i, f"2024-{(i % 3) + 1:02d}", float(i)) for i in range(30)],
+        "id long, month string, v double",
+    )
+    write_partitioned(target, path, "month")
+
+    def files_of(month: str) -> dict[str, float]:
+        d = os.path.join(path, f"month={month}")
+        return {
+            f: os.path.getmtime(os.path.join(d, f))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    before_jan = files_of("2024-01")
+    before_feb = files_of("2024-02")
+    # update one 2024-02 row, insert a row into a brand-new month
+    source = spark.createDataFrame(
+        [(1, "2024-02", 999.0), (100, "2024-04", 4.0)],
+        "id long, month string, v double",
+    )
+    merge_into_partitioned(spark, path, source, keys=["id", "month"],
+                           partition_col="month")
+    # untouched partition: identical files, byte-level (names + mtimes)
+    assert files_of("2024-01") == before_jan
+    # touched partition rewritten, new partition created
+    assert files_of("2024-02") != before_feb
+    assert os.path.isdir(os.path.join(path, "month=2024-04"))
+    after = spark.read.parquet(path)
+    assert after.count() == 31
+    assert after.where("id = 1 AND month = '2024-02'").head()["v"] == 999.0
+    assert after.where("month = '2024-04'").count() == 1
+    # non-updated 2024-02 rows survived the rewrite
+    assert after.where("month = '2024-02'").count() == 10
 
 
 def test_write_overwrite_roundtrip(spark, tmp_path):
