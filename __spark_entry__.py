@@ -95,6 +95,7 @@ from mapping_timeseries_spark.operators.relational import (
     merge_upsert,
     month_arithmetic,
     segment_case,
+    shard_assign,
     series_window_features,
     top_k,
     union_by_name,
@@ -1090,10 +1091,13 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic quality score per document, joined with BOTH language-ID
     heuristics (marker-word and char-trigram-profile — same per-doc
-    grain) so all three operators are verified in one frame."""
+    grain), plus the deterministic training-shard assignment
+    (relational.shard_assign — portable md5 % 16, the per-row half of the
+    write_training_shards export) so four operators are verified in one
+    frame."""
     ensure_runtime_conf(spark)
     docs = read_table(spark, sf_dir, "documents")
-    s = quality_score(docs)
+    s = shard_assign(quality_score(docs), "doc_id", 16)
     lid = lang_marker_scores(docs).select(
         "doc_id",
         "actual_lang",
@@ -1116,6 +1120,7 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "score_es",
         "predicted_lang",
         "trigram_lang",
+        "shard",
     )
 
 
@@ -2204,7 +2209,9 @@ tri AS (
 )
 SELECT q.doc_id, q.n_tokens, q.n_unique_tokens, q.quality_score,
        lid.actual_lang, lid.score_en, lid.score_de, lid.score_fr, lid.score_es,
-       lid.predicted_lang, tri.trigram_lang
+       lid.predicted_lang, tri.trigram_lang,
+       (('0x' || substring(md5('shard:' || CAST(q.doc_id AS VARCHAR)), 1, 15))::BIGINT
+         % 16)::INT AS shard
 FROM q JOIN lid ON q.doc_id = lid.doc_id JOIN tri ON q.doc_id = tri.doc_id
 """
 

@@ -25,6 +25,7 @@ __all__ = [
     "exact_median_grouped",
     "merge_upsert",
     "month_arithmetic",
+    "shard_assign",
 ]
 
 
@@ -341,6 +342,39 @@ def exact_median_grouped(
         cum.where(covers_lo | covers_hi)
         .groupBy(*key_cols)
         .agg(F.sum(contrib).alias(out_col))
+    )
+
+
+def shard_assign(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int,
+    salt: str = "shard",
+) -> DataFrame:
+    """Deterministic shuffle-and-shard assignment for training-data
+    export: ``shard = portable_md5(salt:key) % n_shards`` plus the raw
+    hash as the within-shard sort key.
+
+    The point of hashing rather than RNG-shuffling: the shard AND the
+    within-shard order are pure functions of the row's key — stable under
+    input repartitioning, file-split changes, and re-runs (a seeded
+    ``rand()`` is none of those: Spark evaluates it per-partition, so the
+    'shuffle' silently changes whenever the split layout does). That
+    makes training runs reproducible and interrupted exports resumable,
+    and changing ``salt`` gives an independent reshuffle (epoch
+    re-ordering) with no data movement beyond the rewrite itself.
+    md5 is uncorrelated with the key order, so sorting by the hash IS the
+    global shuffle — no ``orderBy(rand())`` global sort needed.
+    """
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    from ..functions.text import portable_hash64
+
+    h = portable_hash64(
+        F.concat(F.lit(f"{salt}:"), F.col(key_col).cast("string"))
+    )
+    return df.withColumn("shard_hash", h).withColumn(
+        "shard", (F.col("shard_hash") % n_shards).cast("int")
     )
 
 

@@ -121,6 +121,40 @@ def save_bucketed(
     writer.saveAsTable(table)
 
 
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    n_shards: int = 16,
+    salt: str = "shard",
+) -> None:
+    """Shuffle-and-shard export: the canonical "split the corpus into N
+    reproducibly-shuffled training shards" sink.
+
+    Rows are assigned via :func:`operators.relational.shard_assign`
+    (portable md5 — shard and order are functions of the key only), then
+    hash-partitioned so each shard is built by one task, sorted within
+    the shard by the hash (the deterministic pseudo-random order), and
+    written ``partitionBy(shard)`` — one directory per shard.
+
+    Scale: one shuffle keyed by the shard id; no global sort (the
+    within-shard sort is per-partition). Size ``n_shards`` so a shard is
+    a few GB at the target scale; re-exports and resumed exports produce
+    byte-identical shards regardless of how the input happens to be
+    split, which is what makes downstream training runs reproducible.
+    """
+    from ..operators.relational import shard_assign
+
+    sharded = shard_assign(df, key_col, n_shards, salt)
+    (
+        sharded.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "shard_hash", key_col)
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+
+
 def merge_into_partitioned(
     spark: SparkSession,
     target_path: str,

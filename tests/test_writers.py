@@ -17,6 +17,40 @@ from mapping_timeseries_spark.sources.writers import (
 )
 
 
+def test_training_shards_deterministic_and_complete(spark, tmp_path):
+    """Shard content + order must be a function of keys only: exporting
+    the same rows from differently-partitioned inputs yields identical
+    per-shard sequences, every row lands exactly once, and shards are
+    roughly balanced."""
+    from mapping_timeseries_spark.sources.writers import write_training_shards
+
+    rows = [(i, f"doc text {i}") for i in range(400)]
+    a = spark.createDataFrame(rows, "doc_id long, text string")  # few partitions
+    b = spark.createDataFrame(rows, "doc_id long, text string").repartition(13)
+
+    def export(df, name):
+        p = str(tmp_path / name)
+        write_training_shards(df, p, "doc_id", n_shards=8)
+        out = {}
+        for d in sorted(os.listdir(p)):
+            if not d.startswith("shard="):
+                continue
+            shard_df = spark.read.parquet(os.path.join(p, d))
+            out[d] = [r["doc_id"] for r in shard_df.collect()]
+        return out
+
+    sa, sb = export(a, "shards_a"), export(b, "shards_b")
+    assert sa == sb  # same shards, same within-shard order
+    all_ids = sorted(i for ids in sa.values() for i in ids)
+    assert all_ids == list(range(400))  # exactly-once coverage
+    sizes = [len(v) for v in sa.values()]
+    assert len(sizes) == 8 and min(sizes) > 0
+    # hash sharding balances: no shard more than 2x the mean
+    assert max(sizes) < 2 * (400 / 8)
+    # the within-shard order is shuffled, not source order
+    assert any(ids != sorted(ids) for ids in sa.values())
+
+
 def test_merge_upsert_semantics(spark):
     target = spark.createDataFrame(
         [("a", "2024-01", 1.0), ("a", "2024-02", 2.0), ("b", "2024-01", 3.0)],
