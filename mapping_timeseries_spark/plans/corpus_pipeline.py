@@ -1,0 +1,156 @@
+"""End-to-end training-corpus preprocessing pipeline (SURVEY §2.11 —
+the composition a 100 TB LLM-data run actually executes):
+
+    exact dedup -> near-dup clustering (MinHash-LSH + connected
+    components) -> benchmark decontamination -> quality filter ->
+    deterministic shuffle-and-shard export.
+
+Design: every stage contributes a BOOLEAN survival flag on the per-doc
+frame instead of materializing an intermediate corpus per stage. The
+flags are computed independently on the full corpus (flag semantics, not
+a resumable cascade — a doc can fail several stages at once and every
+stage's rejection count is attributable), a single ``Observation`` node
+counts all stages in the one pass the export already pays for, and only
+rows passing every flag are written. Per-stage work:
+
+- exact:   one window over sha2(text) — keeper = min doc_id per digest
+           (shuffles 32-byte digests).
+- neardup: MinHash band join + min-label propagation
+           (operators.dedup.minhash_lsh_pairs / dedup_clusters).
+- clean:   broadcast inverted-index containment join vs the holdout
+           suite (operators.dedup.ngram_decontaminate) — the corpus side
+           never shuffles.
+- quality: pure expressions (operators.textstats.quality_score).
+- export:  one shard-keyed shuffle (sources.writers.write_training_shards).
+
+All flag joins are keyed on doc_id, so AQE collapses them onto one
+hash-partitioning of the corpus. No collect() anywhere; the stats dict
+comes from the Observation attached to the flagged frame.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any
+
+from pyspark.sql import DataFrame, Observation
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    dedup_clusters,
+    minhash_lsh_pairs,
+    ngram_decontaminate,
+)
+from ..operators.textstats import quality_score
+from ..sources.writers import write_training_shards
+
+__all__ = ["CorpusPipelineResult", "run_corpus_pipeline"]
+
+
+@dataclass
+class CorpusPipelineResult:
+    out_path: str
+    stats: dict[str, Any]
+
+
+def flag_corpus(
+    docs: DataFrame,
+    holdout: DataFrame,
+    text_col: str = "text",
+    minhash_threshold: float = 0.5,
+    contam_overlap: float = 0.2,
+    min_quality: float = 0.4,
+    portable_hashes: bool = False,
+) -> DataFrame:
+    """The lazy flagged-corpus frame: input columns + one int flag per
+    stage (`pass_exact`, `pass_neardup`, `pass_clean`, `pass_quality`)
+    plus `quality_score`. Pure plan — callers decide what to do with it
+    (the pipeline filters AND observes; audits can inspect rejects)."""
+    # exact: keeper = smallest doc_id per content digest
+    from pyspark.sql import Window
+
+    digest_w = Window.partitionBy(F.sha2(F.col(text_col), 256))
+    flagged = docs.withColumn(
+        "pass_exact",
+        (F.col("doc_id") == F.min("doc_id").over(digest_w)).cast("int"),
+    )
+
+    pairs = minhash_lsh_pairs(
+        docs, text_col, threshold=minhash_threshold, portable=portable_hashes
+    )
+    clusters = dedup_clusters(docs, pairs).select(
+        "doc_id", F.col("is_keeper").alias("pass_neardup")
+    )
+    flagged = flagged.join(clusters, "doc_id")
+
+    contaminated = (
+        ngram_decontaminate(
+            docs, holdout, text_col, min_overlap=contam_overlap
+        )
+        .select(F.col("train_doc").alias("doc_id"))
+        .distinct()
+        .withColumn("__contam", F.lit(1))
+    )
+    flagged = flagged.join(contaminated, "doc_id", "left").withColumn(
+        "pass_clean", F.col("__contam").isNull().cast("int")
+    ).drop("__contam")
+
+    q = quality_score(docs, text_col).select("doc_id", "quality_score")
+    return flagged.join(q, "doc_id").withColumn(
+        "pass_quality", (F.col("quality_score") >= min_quality).cast("int")
+    )
+
+
+def run_corpus_pipeline(
+    docs: DataFrame,
+    holdout: DataFrame,
+    out_path: str,
+    text_col: str = "text",
+    minhash_threshold: float = 0.5,
+    contam_overlap: float = 0.2,
+    min_quality: float = 0.4,
+    n_shards: int = 16,
+    portable_hashes: bool = False,
+) -> CorpusPipelineResult:
+    """Run the full preprocessing pipeline and export training shards.
+
+    Returns per-stage pass counts and the final retained count, all
+    measured by ONE Observation during the export write — no extra
+    actions, no re-runs of upstream stages (the reference's
+    count-per-stage pattern re-triggers the whole plan each time,
+    SURVEY §4 anti-pattern #1).
+    """
+    flagged = flag_corpus(
+        docs,
+        holdout,
+        text_col,
+        minhash_threshold,
+        contam_overlap,
+        min_quality,
+        portable_hashes,
+    )
+    obs = Observation("corpus_pipeline")
+    flagged = flagged.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_input"),
+        F.sum("pass_exact").alias("n_pass_exact"),
+        F.sum("pass_neardup").alias("n_pass_neardup"),
+        F.sum("pass_clean").alias("n_pass_clean"),
+        F.sum("pass_quality").alias("n_pass_quality"),
+        F.sum(
+            (
+                (F.col("pass_exact") == 1)
+                & (F.col("pass_neardup") == 1)
+                & (F.col("pass_clean") == 1)
+                & (F.col("pass_quality") == 1)
+            ).cast("int")
+        ).alias("n_retained"),
+    )
+    survivors = flagged.where(
+        (F.col("pass_exact") == 1)
+        & (F.col("pass_neardup") == 1)
+        & (F.col("pass_clean") == 1)
+        & (F.col("pass_quality") == 1)
+    ).drop("pass_exact", "pass_neardup", "pass_clean", "pass_quality")
+    write_training_shards(survivors, out_path, "doc_id", n_shards)
+    return CorpusPipelineResult(out_path=out_path, stats=dict(obs.get))

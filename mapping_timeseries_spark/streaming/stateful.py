@@ -9,6 +9,14 @@ per-key streaming state. State per user: (session_start, last_ts,
 n_events, sum_value); a session closes — and emits exactly one row — when
 the event-time watermark passes last_ts + gap (EventTimeTimeout), so state
 is watermark-bounded exactly like the built-in operators.
+
+API choice: Spark 4's successor API (``transformWithStateInPandas`` —
+composite state, timers, TTL) was evaluated against the same design, but
+its driver-side runner requires protobuf, which this runtime does not
+provide (measured: STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE,
+ImportError google.protobuf). ``applyInPandasWithState`` has no such
+dependency and expresses this operator fully, so it is the portable
+choice.
 """
 
 from __future__ import annotations

@@ -1,0 +1,81 @@
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from mapping_timeseries_spark.plans.corpus_pipeline import (
+    flag_corpus,
+    run_corpus_pipeline,
+)
+
+BASE = (
+    "the quick brown fox jumps over a lazy dog while data engines process "
+    "streams of tokens and the careful reader checks every invariant with "
+    "patience and some healthy skepticism about benchmark results"
+)
+OTHER = (
+    "an entirely different document about distributed query planning and "
+    "the cost of shuffles where partitions spill to disk and the optimizer "
+    "chooses a broadcast join over a sort merge join for small tables"
+)
+BENCH_ITEM = "what is the tallest mountain on earth measured from sea level"
+
+
+def _corpus(spark):
+    near_dup = BASE.replace("patience", "speed")  # 1-token mutation
+    contaminated = (
+        "some scraped page full of quiz answers saying "
+        + BENCH_ITEM
+        + " and then rambling on about other topics for a while longer"
+    )
+    low_quality = "x x x x x"
+    rows = [
+        (0, BASE, "en"),
+        (1, BASE, "en"),            # exact duplicate -> dropped
+        (2, near_dup, "en"),        # near duplicate -> dropped
+        (3, contaminated, "en"),    # embeds the benchmark item -> dropped
+        (4, low_quality, "en"),     # fails the quality floor -> dropped
+        (5, OTHER, "en"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def _holdout(spark):
+    return spark.createDataFrame([(900, BENCH_ITEM)], "doc_id long, text string")
+
+
+def test_flag_corpus_attributes_rejections(spark):
+    flags = {
+        r["doc_id"]: (
+            r["pass_exact"], r["pass_neardup"], r["pass_clean"], r["pass_quality"]
+        )
+        for r in flag_corpus(_corpus(spark), _holdout(spark)).collect()
+    }
+    assert flags[0] == (1, 1, 1, 1)
+    assert flags[1][0] == 0          # exact-dup loser
+    assert flags[1][1] == 0          # and not the cluster keeper either
+    assert flags[2][1] == 0          # near-dup loser
+    assert flags[3][2] == 0          # contaminated
+    assert flags[3][0] == 1 and flags[3][3] == 1  # ...but fails ONLY that stage
+    assert flags[4][3] == 0          # low quality
+    assert flags[5] == (1, 1, 1, 1)
+
+
+def test_run_corpus_pipeline_end_to_end(spark, tmp_path):
+    out = str(tmp_path / "shards")
+    res = run_corpus_pipeline(
+        _corpus(spark), _holdout(spark), out, n_shards=4
+    )
+    assert res.stats["n_input"] == 6
+    assert res.stats["n_pass_exact"] == 5      # doc 1 loses
+    assert res.stats["n_pass_neardup"] == 4    # docs 1, 2 lose
+    assert res.stats["n_pass_clean"] == 5      # doc 3 loses
+    assert res.stats["n_pass_quality"] == 5    # doc 4 loses
+    assert res.stats["n_retained"] == 2
+    got = spark.read.parquet(out)
+    assert sorted(r["doc_id"] for r in got.collect()) == [0, 5]
+    assert any(e.startswith("shard=") for e in os.listdir(out))
+    # stats came from the export's single materialization: flags are gone
+    # from the written output, quality_score is retained
+    assert "pass_exact" not in got.columns and "quality_score" in got.columns
