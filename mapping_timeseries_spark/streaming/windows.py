@@ -32,6 +32,7 @@ __all__ = [
     "stream_sliding_agg",
     "stream_session_agg",
     "stream_dedup",
+    "stream_interval_join",
     "stream_monitoring_summary",
     "run_to_memory",
 ]
@@ -79,6 +80,41 @@ def stream_dedup(events: DataFrame, watermark: str = DEFAULT_WATERMARK) -> DataF
     return events.withWatermark("ts", watermark).dropDuplicates(
         ["user_id", "event_type", "ts"]
     )
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    left_ts: str = "left_ts",
+    right_ts: str = "right_ts",
+    upper: str = "30 minutes",
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """Stream-stream interval join: each left event matched to right
+    events for the same key within ``(left_ts, left_ts + upper]`` — the
+    attribution shape (click -> purchase within 30 min) of the batch
+    ``operators.asof.interval_join``, as a genuine two-stream join.
+
+    Both sides carry watermarks and the join condition bounds the
+    time skew, which is what lets Spark evict join state: a buffered left
+    row can stop waiting once the right watermark passes
+    ``left_ts + upper``. Without the time-range predicate the state grows
+    unboundedly and Spark (correctly) refuses to plan append mode.
+
+    State is partitioned by the join key across executors; per-key state
+    is the watermark horizon's worth of rows — bounded, independent of
+    total stream length. Callers must pre-rename the two ts columns
+    (``left_ts``/``right_ts``) so the output carries both unambiguously.
+    """
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        (lw[key] == rw[key])
+        & (F.col(right_ts) > F.col(left_ts))
+        & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {upper}"))
+    )
+    return lw.join(rw, cond, "inner").drop(rw[key])
 
 
 def stream_monitoring_summary(mapped: DataFrame) -> DataFrame:

@@ -107,6 +107,48 @@ def test_stream_session_matches_batch(spark, events_batch, stream_dir):
     assert _as_sorted_rows(out, cols) == _as_sorted_rows(batch, cols)
 
 
+def test_stream_interval_join_matches_batch(spark, events_batch, stream_dir):
+    """Stream-stream attribution join (click -> purchase within 30 min,
+    same user): one microbatch over the finite file means no state is
+    evicted mid-run, so the result must EQUAL the batch interval join."""
+    from pyspark.sql import functions as F
+
+    from mapping_timeseries_spark.streaming.windows import stream_interval_join
+
+    def split(df):
+        clicks = df.where(F.col("event_type") == "click").select(
+            "user_id",
+            F.col("ts").alias("left_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        purchases = df.where(F.col("event_type") == "purchase").select(
+            "user_id",
+            F.col("ts").alias("right_ts"),
+            F.col("event_id").alias("purchase_id"),
+            "value",
+        )
+        return clicks, purchases
+
+    sc, sp = split(_stream_events(spark, stream_dir))
+    out = run_to_memory(
+        stream_interval_join(sc, sp), "t_attrib", output_mode="append"
+    )
+
+    bc, bp = split(events_batch)
+    want = bc.join(
+        bp,
+        (bc["user_id"] == bp["user_id"])
+        & (F.col("right_ts") > F.col("left_ts"))
+        & (F.col("right_ts") <= F.col("left_ts") + F.expr("INTERVAL 30 minutes")),
+        "inner",
+    ).drop(bp["user_id"])
+
+    cols = ["user_id", "click_id", "purchase_id", "value"]
+    got_rows = _as_sorted_rows(out, cols)
+    assert got_rows == _as_sorted_rows(want, cols)
+    assert got_rows, "fixture must contain attributable purchases"
+
+
 def test_stream_dedup_bounded(spark, events_batch, stream_dir):
     stream = _stream_events(spark, stream_dir)
     out = run_to_memory(stream_dedup(stream), "t_dedup", output_mode="append")

@@ -74,6 +74,31 @@ def test_merge_upsert_semantics(spark):
         merge_upsert(target, source.withColumnRenamed("v", "w"), ["k"])
 
 
+def test_merge_upsert_model_fuzz_and_idempotence(spark):
+    """Random key overlaps vs a dict model (source wins per key, union of
+    keys, no loss), and idempotence: re-merging the same source changes
+    nothing but provenance tags."""
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    t_keys = sorted(rng.choice(200, size=60, replace=False).tolist())
+    s_keys = sorted(rng.choice(200, size=60, replace=False).tolist())
+    target = spark.createDataFrame(
+        [(int(k), float(k) * 1.5) for k in t_keys], "k long, v double"
+    )
+    source = spark.createDataFrame(
+        [(int(k), float(k) * -2.0) for k in s_keys], "k long, v double"
+    )
+    model = {k: k * 1.5 for k in t_keys}
+    model.update({k: k * -2.0 for k in s_keys})
+
+    once = merge_upsert(target, source, ["k"])
+    got = {r["k"]: r["v"] for r in once.collect()}
+    assert got == model
+    twice = merge_upsert(once, source, ["k"])
+    assert {r["k"]: r["v"] for r in twice.collect()} == got
+
+
 def test_merge_into_partitioned_rewrites_only_touched_partitions(spark, tmp_path):
     path = str(tmp_path / "merge_tgt")
     target = spark.createDataFrame(
