@@ -65,6 +65,37 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def read_file(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema=None,
+    **options,
+) -> DataFrame:
+    """Format-agnostic file scan (S2 breadth): parquet, csv, json, orc.
+
+    Parquet/ORC carry their own schema and support predicate pushdown +
+    column pruning; for CSV/JSON pass ``schema`` explicitly — schema
+    inference is a full extra pass over the data (a non-starter at scale)
+    and silently widens types. CSV defaults to ``header=true``.
+
+    Text formats are for INGEST boundaries only: convert to parquet
+    (``writers.write_partitioned``) before analytical reads — a CSV scan
+    re-parses every byte on every query and cannot skip row groups.
+    """
+    reader = spark.read.format(fmt)
+    if fmt == "csv" and "header" not in options:
+        options["header"] = "true"
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif fmt in ("csv", "json"):
+        raise ValueError(
+            f"{fmt} requires an explicit schema (inference = extra full "
+            "pass + silent type widening at scale)"
+        )
+    return reader.options(**options).load(path)
+
+
 def read_incremental(
     spark: SparkSession,
     path: str,

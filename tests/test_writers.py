@@ -17,6 +17,28 @@ from mapping_timeseries_spark.sources.writers import (
 )
 
 
+def test_read_file_formats_roundtrip(spark, tmp_path):
+    """CSV/JSON ingest boundary: explicit-schema read returns the exact
+    rows; schema-less text reads are rejected (inference = extra pass)."""
+    from mapping_timeseries_spark.sources.readers import read_file
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", -2.0)], "id long, s string, v double"
+    )
+    for fmt in ("csv", "json"):
+        p = str(tmp_path / fmt)
+        df.write.format(fmt).option("header", "true").save(p)
+        got = read_file(spark, p, fmt, schema=df.schema)
+        assert sorted(tuple(r) for r in got.collect()) == sorted(
+            tuple(r) for r in df.collect()
+        )
+        with pytest.raises(ValueError, match="explicit schema"):
+            read_file(spark, p, fmt)
+    p = str(tmp_path / "pq")
+    df.write.parquet(p)
+    assert read_file(spark, p).count() == 2  # self-describing, no schema needed
+
+
 def test_training_shards_deterministic_and_complete(spark, tmp_path):
     """Shard content + order must be a function of keys only: exporting
     the same rows from differently-partitioned inputs yields identical
