@@ -651,6 +651,8 @@ def q_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("next_amount", 6).alias("next_amount"),
         F.col("month_pos").cast("int").alias("month_pos"),
         F.col("amount_rank").cast("int").alias("amount_rank"),
+        F.round("trailing3_avg", 6).alias("trailing3_avg"),
+        F.round("cum_amount", 6).alias("cum_amount"),
         "month_asof",
         "revenue_asof",
     )
@@ -1776,7 +1778,11 @@ w AS (
          CAST(row_number() OVER w_time AS INT) AS month_pos,
          CAST(row_number() OVER (PARTITION BY cus_code
                                  ORDER BY txn_amount DESC, month ASC) AS INT)
-           AS amount_rank
+           AS amount_rank,
+         round(avg(txn_amount) OVER (w_time ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6)
+           AS trailing3_avg,
+         round(sum(txn_amount) OVER (w_time ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+           AS cum_amount
   FROM t1
   WINDOW w_time AS (PARTITION BY cus_code ORDER BY month)
 ),
@@ -1787,7 +1793,8 @@ a AS (
     ON t1.cus_code = t2.cus_code AND t1.month >= t2.month
 )
 SELECT w.cus_code, w.month, w.txn_amount, w.prev_amount, w.next_amount,
-       w.month_pos, w.amount_rank, a.month_asof, a.revenue_asof
+       w.month_pos, w.amount_rank, w.trailing3_avg, w.cum_amount,
+       a.month_asof, a.revenue_asof
 FROM w JOIN a ON w.cus_code = a.cus_code AND w.month = a.month
 """
 

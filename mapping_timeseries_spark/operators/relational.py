@@ -133,11 +133,20 @@ def anti_join(customers: DataFrame, orders: DataFrame) -> DataFrame:
 def series_window_features(t1: DataFrame) -> DataFrame:
     """W1: the window functions the reference imports but never calls
     (mapping_engine.py:23-26), made real over the entity series — previous/
-    next month values, position, and within-entity value rank."""
+    next month values, position, within-entity value rank, and frame-spec
+    rolling statistics (trailing 3-month mean, cumulative sum via
+    ``rowsBetween`` — sliding series stats the reference lacks entirely).
+
+    All windows share one ``partitionBy(cus_code)`` — a single hash
+    exchange serves every feature; per-entity state is O(frame), and the
+    cumulative sum's running-aggregate window is O(1) memory per row.
+    """
     w_time = Window.partitionBy("cus_code").orderBy("month")
     w_rank = Window.partitionBy("cus_code").orderBy(
         F.col("txn_amount").desc(), F.col("month").asc()
     )
+    w_trail3 = w_time.rowsBetween(-2, 0)
+    w_cum = w_time.rowsBetween(Window.unboundedPreceding, 0)
     return t1.select(
         "cus_code",
         "month",
@@ -146,6 +155,8 @@ def series_window_features(t1: DataFrame) -> DataFrame:
         F.lead("txn_amount", 1).over(w_time).alias("next_amount"),
         F.row_number().over(w_time).alias("month_pos"),
         F.row_number().over(w_rank).alias("amount_rank"),
+        F.avg("txn_amount").over(w_trail3).alias("trailing3_avg"),
+        F.sum("txn_amount").over(w_cum).alias("cum_amount"),
     )
 
 
