@@ -38,6 +38,7 @@ def interval_join(
     start_col: str,
     end_col: str,
     granule_seconds: int = 3600,
+    max_granules: int = 100_000,
 ) -> DataFrame:
     """Range/interval join: attach to each point row the interval (same
     key) containing its timestamp — the other classic time-series join
@@ -55,17 +56,31 @@ def interval_join(
     ``start_col``/``end_col`` may be timestamps or castable strings.
     Points in no interval are dropped (inner); points in overlapping
     intervals yield one row per containing interval.
+
+    ``max_granules`` guards the explode: one corrupt far-future end
+    timestamp (the classic ``9999-12-31`` sentinel) would otherwise
+    materialize a ~70M-element sequence for a single row and OOM the
+    executor. Intervals spanning more granules than the cap raise a
+    runtime error naming the offending key rather than silently
+    truncating; raise the cap or pre-filter if genuinely long intervals
+    are expected.
     """
     g = F.lit(int(granule_seconds))
-    iv = intervals.withColumn(
-        "__g",
-        F.explode(
-            F.sequence(
-                F.floor(F.unix_timestamp(F.col(start_col).cast("timestamp")) / g),
-                F.floor(F.unix_timestamp(F.col(end_col).cast("timestamp")) / g),
+    start_g = F.floor(F.unix_timestamp(F.col(start_col).cast("timestamp")) / g)
+    end_g = F.floor(F.unix_timestamp(F.col(end_col).cast("timestamp")) / g)
+    span_ok = (end_g - start_g) <= F.lit(int(max_granules))
+    guarded_end = F.when(span_ok, end_g).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"interval_join: interval spans more than {int(max_granules)}"
+                    f" granules of {int(granule_seconds)}s for key="
+                ),
+                F.col(key_col).cast("string"),
             )
-        ),
+        ).cast("long")
     )
+    iv = intervals.withColumn("__g", F.explode(F.sequence(start_g, guarded_end)))
     pt = points.withColumn(
         "__g", F.floor(F.unix_timestamp(F.col(ts_col).cast("timestamp")) / g)
     )
@@ -103,6 +118,16 @@ def asof_join(
     clash = set(value_cols) & set(left.columns)
     if clash:
         raise ValueError(f"value_cols collide with left columns: {sorted(clash)}")
+    # the generated output names must be fresh too, or the final select
+    # produces duplicate columns (AMBIGUOUS_REFERENCE downstream) — e.g.
+    # chaining asof_join on its own output with the default suffix
+    out_clash = {f"{v}{suffix}" for v in value_cols} | {f"{time_col}{suffix}"}
+    out_clash &= set(left.columns)
+    if out_clash:
+        raise ValueError(
+            f"output columns already exist in left: {sorted(out_clash)}; "
+            f"pass a different suffix"
+        )
     lt = left.withColumn("__is_left", F.lit(1))
     rt = right.select(
         key_col,

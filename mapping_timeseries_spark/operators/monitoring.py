@@ -87,6 +87,11 @@ def monitoring_summary(
         raise ValueError(f"value_round_dp must be >= 0, got {value_round_dp}")
     if value_round_dp is not None and value_lattice_scale is None:
         raise ValueError("value_round_dp requires value_lattice_scale")
+    if value_lattice_scale is not None and value_lattice_scale < 1:
+        # scale=0 would silently compute 0/0 means (NaN) on the lattice path
+        raise ValueError(
+            f"value_lattice_scale must be >= 1, got {value_lattice_scale}"
+        )
     ratio = F.col("value2") / F.nullif(F.col("value1"), F.lit(0))
     # `is not None`, not truthiness: dp=0 (round to whole units) is a
     # valid request and must take the portable-rounding path

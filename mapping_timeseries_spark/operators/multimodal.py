@@ -96,6 +96,11 @@ def parse_wav(payload: bytes) -> dict:
         (csize,) = struct.unpack_from("<I", payload, off + 4)
         body = payload[off + 8 : off + 8 + csize]
         if cid == b"fmt ":
+            # a declared size smaller than the fmt struct must surface as
+            # the documented ValueError, not a raw struct.error — callers
+            # quarantine bad payloads by catching ValueError per record
+            if len(body) < 16:
+                raise ValueError(f"fmt chunk truncated: {len(body)} < 16 bytes")
             fmt = struct.unpack_from("<HHIIHH", body, 0)
         elif cid == b"data":
             data = body

@@ -79,8 +79,20 @@ def avg_rank_distributed(
         num_partitions = int(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
         )
-    r = df.repartitionByRange(num_partitions, F.col(col)).withColumn(
-        "__pid", F.spark_partition_id()
+    # localCheckpoint pins the range partitioning: the pid-stamped frame
+    # feeds BOTH the local-rank branch and the counts/offsets branch, and
+    # without materialization those two branches can re-execute the range
+    # exchange independently (exchange reuse off, AQE replan, eviction) —
+    # RangePartitioner boundaries come from sampling, so the two
+    # evaluations could assign different __pids and the offsets would be
+    # added to ranks from a DIFFERENT partitioning: silently wrong global
+    # ranks. Checkpointing makes __pid a fact, not a plan. (Eager: one
+    # small job on the pre-aggregated per-entity frame; the RDD is GC'd
+    # by the ContextCleaner when the result goes out of scope.)
+    r = (
+        df.repartitionByRange(num_partitions, F.col(col))
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     w_rank = Window.partitionBy("__pid").orderBy(col)
     w_ties = Window.partitionBy("__pid", col)
@@ -178,15 +190,18 @@ def method_agreement(
         std_cost = F.stddev("total_cost")
         pearson = F.corr("correlation", "total_cost")
         spearman = F.corr("__r_corr", "__r_cost")
-    # persist the per-entity summary before ranking: the two distributed
-    # rank passes branch the plan 4 ways, and without this the whole
-    # upstream comparison pipeline (correlation + DTW mapInPandas) re-runs
-    # per branch — measured 10 MapInPandas / 68 scans in the executed plan
-    # vs 2 / 18 cached. This is the documented >= 2x-reuse cache case
-    # (SCALE.md); the frame is one row per entity, tiny next to fact data.
+    # the rank passes materialize their input via avg_rank_distributed's
+    # localCheckpoint (required for __pid determinism — see there), which
+    # doubles as the reuse barrier here: the upstream comparison pipeline
+    # (correlation + DTW mapInPandas) is computed exactly once into the
+    # first checkpoint instead of re-running per plan branch (previously
+    # measured 10 MapInPandas / 68 scans uncached vs 2 / 18). Unlike the
+    # persist() this replaces, checkpointed RDDs are released by the
+    # ContextCleaner when the result is GC'd — repeated method_agreement
+    # calls don't accumulate pinned storage for the session's lifetime.
     ranked = comparison.select(
         "correlation", "optimal_lag", "total_cost", "num_mappings"
-    ).persist()
+    )
     ranked = avg_rank_distributed(ranked, "correlation", "__r_corr")
     ranked = avg_rank_distributed(ranked, "total_cost", "__r_cost")
     return ranked.agg(

@@ -322,13 +322,17 @@ def exact_median_grouped(
     (n/2+1)-th for even n (1-indexed) — matching ANSI
     ``percentile_cont(0.5)`` / DuckDB ``median`` on numeric input, so the
     result is oracle-checkable. Nulls in ``value_col`` are excluded
-    (aggregate semantics).
+    (aggregate semantics) — including keys whose values are ALL null,
+    which still appear in the output with a NULL median exactly as
+    ``median``/``percentile_cont`` would return them (the null pre-filter
+    alone would silently drop those groups).
     """
     hist = (
         df.where(F.col(value_col).isNotNull())
         .groupBy(*key_cols, F.col(value_col).cast("double").alias("__v"))
         .agg(F.count(F.lit(1)).alias("__cnt"))
     )
+    all_keys = df.select(*key_cols).distinct()
     w_cum = (
         Window.partitionBy(*key_cols)
         .orderBy("__v")
@@ -349,11 +353,21 @@ def exact_median_grouped(
         F.when(covers_lo, F.col("__v")).otherwise(F.lit(0.0))
         + F.when(covers_hi, F.col("__v")).otherwise(F.lit(0.0))
     ) / F.lit(2.0)
-    return (
+    medians = (
         cum.where(covers_lo | covers_hi)
         .groupBy(*key_cols)
         .agg(F.sum(contrib).alias(out_col))
     )
+    # null-safe equality: groupBy treats a NULL key as a real group, and a
+    # plain join would orphan it (NULL = NULL is not true in a join)
+    m = medians.select(
+        *[F.col(k).alias(f"__mk_{k}") for k in key_cols], out_col
+    )
+    cond = None
+    for k in key_cols:
+        c = all_keys[k].eqNullSafe(m[f"__mk_{k}"])
+        cond = c if cond is None else (cond & c)
+    return all_keys.join(m, cond, "left").select(*key_cols, out_col)
 
 
 def shard_assign(

@@ -62,7 +62,6 @@ def compact_parquet(
     total = fs.getContentSummary(hpath).getLength()
     n_files = max(1, -(-total // (target_file_mb << 20)))
     df = spark.read.parquet(path)
-    writer = df.repartition(int(n_files)).write.mode("overwrite")
     if partition_col:
         # repartition by the partition column so each directory gets
         # coherent files instead of n_files fragments per directory
@@ -71,6 +70,8 @@ def compact_parquet(
             .write.mode("overwrite")
             .partitionBy(partition_col)
         )
+    else:
+        writer = df.repartition(int(n_files)).write.mode("overwrite")
     writer.parquet(out_path)
     out = spark.read.parquet(out_path)
     return len([f for f in out.inputFiles()])
@@ -191,10 +192,17 @@ def merge_into_partitioned(
     from ..operators.relational import merge_upsert
 
     parts = [r[0] for r in source.select(partition_col).distinct().collect()]
+    # NULL partition values need an explicit isNull branch: `NULL IN (...)`
+    # is NULL, so isin alone would exclude existing NULL-partition target
+    # rows from `affected` while dynamic overwrite still rewrites the
+    # __HIVE_DEFAULT_PARTITION__ directory from source rows — silently
+    # dropping every unmatched target row in that partition.
+    non_null = [p for p in parts if p is not None]
+    pred = F.col(partition_col).isin(non_null)
+    if len(non_null) < len(parts):
+        pred = pred | F.col(partition_col).isNull()
     target = spark.read.parquet(target_path)
-    affected = target.where(
-        F.col(partition_col).isin(parts)
-    ).localCheckpoint(eager=True)
+    affected = target.where(pred).localCheckpoint(eager=True)
     merged = merge_upsert(affected, source, keys)
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")

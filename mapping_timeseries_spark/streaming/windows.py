@@ -34,6 +34,7 @@ __all__ = [
     "stream_dedup",
     "stream_interval_join",
     "stream_monitoring_summary",
+    "stream_to_parquet",
     "run_to_memory",
 ]
 

@@ -241,6 +241,12 @@ def test_asof_join_semantics(spark):
 
     with _pytest.raises(ValueError, match="collide"):
         asof_join(left, right, "cus_code", "month", ["txn"])
+    # chaining with the default suffix would emit duplicate output names
+    chained = asof_join(left, right, "cus_code", "month", ["revenue"])
+    with _pytest.raises(ValueError, match="different suffix"):
+        asof_join(chained, right, "cus_code", "month", ["revenue"])
+    ok = asof_join(chained, right, "cus_code", "month", ["revenue"], suffix="_asof2")
+    assert "revenue_asof2" in ok.columns and "revenue_asof" in ok.columns
 
 
 def test_interval_join_semantics(spark):
@@ -267,3 +273,47 @@ def test_interval_join_semantics(spark):
     # pid1 in a only; pid2 at 02:30 in BOTH a (end-inclusive) and b;
     # pid3 in nothing; pid4 is key 2 before c starts
     assert got == [(1, "a"), (2, "a"), (2, "b")]
+
+
+def test_interval_join_sentinel_interval_raises(spark):
+    """A corrupt far-future end timestamp must fail loudly (naming the
+    key), not materialize a ~70M-granule sequence and OOM the executor."""
+    import pytest
+    from pyspark.sql.utils import PythonException
+
+    from mapping_timeseries_spark.operators.asof import interval_join
+
+    pts = spark.createDataFrame(
+        [(1, 7, "2024-01-01 00:10:00")], "pid long, k long, ts string"
+    )
+    iv = spark.createDataFrame(
+        [(7, "2024-01-01 00:00:00", "9999-12-31 00:00:00", "bad")],
+        "k long, s string, e string, tag string",
+    )
+    with pytest.raises(Exception, match="more than"):
+        interval_join(pts, iv, "k", "ts", "s", "e").collect()
+    # the cap is a parameter: a 48-granule interval fails a cap of 10 and
+    # passes a cap of 100
+    iv2 = spark.createDataFrame(
+        [(7, "2024-01-01 00:00:00", "2024-01-03 00:00:00", "long")],
+        "k long, s string, e string, tag string",
+    )
+    with pytest.raises(Exception, match="more than"):
+        interval_join(pts, iv2, "k", "ts", "s", "e", max_granules=10).collect()
+    ok = interval_join(pts, iv2, "k", "ts", "s", "e", max_granules=100)
+    assert [r["tag"] for r in ok.collect()] == ["long"]
+
+
+def test_exact_median_all_null_group_kept(spark):
+    """Keys whose values are all NULL return a NULL median row (ANSI
+    percentile_cont / DuckDB median semantics), not a vanished group."""
+    from mapping_timeseries_spark.operators.relational import (
+        exact_median_grouped,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("b", None), ("b", None), (None, 5.0)],
+        "k string, v double",
+    )
+    got = {r["k"]: r["median"] for r in exact_median_grouped(df, ["k"], "v").collect()}
+    assert got == {"a": 2.0, "b": None, None: 5.0}

@@ -260,6 +260,17 @@ def test_wav_parser_rejects_malformed():
         parse_wav(wav[:-1])  # RIFF size mismatch
     with pytest.raises(ValueError):
         parse_wav(wav[:12])  # no fmt/data chunks
+    # fmt chunk whose declared size is smaller than its struct must raise
+    # the documented ValueError, not a raw struct.error (callers
+    # quarantine bad payloads by catching ValueError per record)
+    import struct as _struct
+
+    short_fmt = (
+        b"RIFF" + _struct.pack("<I", 4 + 8 + 8) + b"WAVE"
+        + b"fmt " + _struct.pack("<I", 8) + b"\x00" * 8
+    )
+    with pytest.raises(ValueError, match="truncated"):
+        parse_wav(short_fmt)
 
 
 def _clustered_embeddings(spark, n=200, n_centers=10, dim=16, seed=31):

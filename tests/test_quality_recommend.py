@@ -273,6 +273,9 @@ def test_monitoring_view_roundtrip(spark):
         monitoring_summary(mapped, value_lattice_scale=1, value_round_dp=-1)
     with pytest.raises(ValueError, match="requires value_lattice_scale"):
         monitoring_summary(mapped, value_round_dp=6)
+    # scale=0 would compute 0/0 lattice means (NaN) — must be rejected
+    with pytest.raises(ValueError, match=">= 1"):
+        monitoring_summary(mapped, value_lattice_scale=0)
 
     # CREATE OR REPLACE semantics: re-registering swaps the content
     create_monitoring_view(mapped, "t_monitoring")

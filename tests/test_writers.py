@@ -96,6 +96,25 @@ def test_merge_upsert_semantics(spark):
         merge_upsert(target, source.withColumnRenamed("v", "w"), ["k"])
 
 
+def test_merge_into_partitioned_null_partition_preserved(spark, tmp_path):
+    """Source touching the NULL partition must MERGE with, not replace,
+    existing NULL-partition target rows (NULL IN (...) evaluates to NULL,
+    so a bare isin predicate would drop them from the rewrite)."""
+    path = str(tmp_path / "null_part")
+    target = spark.createDataFrame(
+        [(1, None, 1.0), (2, None, 2.0), (3, "2024-01", 3.0)],
+        "id long, month string, v double",
+    )
+    write_partitioned(target, path, "month")
+    source = spark.createDataFrame(
+        [(2, None, 20.0)], "id long, month string, v double"
+    )
+    merge_into_partitioned(spark, path, source, keys=["id", "month"],
+                           partition_col="month")
+    got = {r["id"]: r["v"] for r in spark.read.parquet(path).collect()}
+    assert got == {1: 1.0, 2: 20.0, 3: 3.0}  # id=1 survived the rewrite
+
+
 def test_merge_upsert_model_fuzz_and_idempotence(spark):
     """Random key overlaps vs a dict model (source wins per key, union of
     keys, no loss), and idempotence: re-merging the same source changes
