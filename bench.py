@@ -12,6 +12,16 @@ warmup cost is excluded from the median by construction, and a median of
 (round-3 lesson: spreads up to 2.2 made ±30% swings unadjudicable).
 Spark's cache is cleared between reps, so each rep recomputes the full
 plan — only JIT/page-cache warmth carries over.
+
+Anti-pattern control queries (CONTROLS) are measured and reported under
+"controls" but excluded from the headline total: the engine's production
+path uses the salted/histogram variants, and summing a deliberately-slow
+counterfactual into the total would make round-over-round totals
+incomparable.
+
+Run this ALONE: concurrent Spark sessions on the same box skew
+individual queries by 2-5x with small within-run spread (measured —
+medians are robust to a noisy rep, not to a busy machine).
 """
 
 from __future__ import annotations
