@@ -52,6 +52,10 @@ __all__ = [
     "best_lag_correlation",
     "correlation_all_lags",
     "lag_grid_with_pvalues",
+    "corr_moment_state",
+    "merge_moment_states",
+    "corr_from_moments",
+    "corr_moments_delta",
 ]
 
 
@@ -74,8 +78,21 @@ def lag_correlation_grid(merged: DataFrame, max_lag: int = 6) -> DataFrame:
     (entity, lag) with at least one aligned pair. This is the flat version
     of the research notebook's ``all_lags`` array (02_corr_mapping.p:25-29).
     """
+    pairs = _aligned_pairs(merged, max_lag)
+    return pairs.groupBy(KEY, "lag").agg(
+        F.corr("txn_amount", "rev").alias("corr"),
+        F.count("rev").alias("n_pairs"),
+    )
+
+
+_MOMENT_COLS = ("n", "sx", "sy", "sxx", "syy", "sxy")
+
+
+def _aligned_pairs(merged: DataFrame, max_lag: int) -> DataFrame:
+    """The (entity, lag, x, y) pair stream both the grid and the moment
+    state aggregate — one window, one explode."""
     windowed = _with_lagged_revenue(merged, max_lag)
-    pairs = windowed.select(
+    return windowed.select(
         KEY,
         F.col("txn_amount"),
         F.explode(
@@ -89,11 +106,100 @@ def lag_correlation_grid(merged: DataFrame, max_lag: int = 6) -> DataFrame:
                 ]
             )
         ).alias("p"),
-    ).select(KEY, F.col("p.lag").alias("lag"), "txn_amount", F.col("p.rev").alias("rev"))
-    return pairs.groupBy(KEY, "lag").agg(
-        F.corr("txn_amount", "rev").alias("corr"),
-        F.count("rev").alias("n_pairs"),
+    ).select(
+        KEY, F.col("p.lag").alias("lag"), "txn_amount", F.col("p.rev").alias("rev")
     )
+
+
+def corr_moment_state(merged: DataFrame, max_lag: int = 6) -> DataFrame:
+    """Mergeable sufficient statistics for the lagged-correlation grid:
+    per (entity, lag) the sums ``(n, sx, sy, sxx, syy, sxy)`` over
+    positionally-aligned pairs.
+
+    The moments are ADDITIVE (and subtractive) across disjoint pair
+    sets, which is what ``lag_correlation_grid`` itself is not: corr
+    values don't merge, their sufficient statistics do. This is the
+    incremental-pipeline state — persist it instead of re-scanning all
+    history when a month arrives (see :func:`corr_moments_delta`), merge
+    it with :func:`merge_moment_states`, finish with
+    :func:`corr_from_moments`.
+
+    Numerics: raw moments suffer catastrophic cancellation when
+    ``n*sxx ≈ sx²`` (near-constant series with large means). The engine's
+    money values live on a 1e-2 lattice, so the sums here are exact up to
+    double's 2^53 integer range (~45 M rows/entity at 1e4-scale cents —
+    far above any per-entity series length); beyond that, scale to the
+    integer lattice and sum as decimal(38,0) exactly as
+    ``_int_moments_std`` does for the one-shot path.
+    """
+    pairs = _aligned_pairs(merged, max_lag)
+    x, y = F.col("txn_amount"), F.col("rev")
+    return pairs.where(y.isNotNull()).groupBy(KEY, "lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+
+
+def merge_moment_states(*states: DataFrame) -> DataFrame:
+    """Merge moment states from disjoint pair sets: union + per-key sum.
+    One shuffle keyed (entity, lag); associative, so any merge tree works
+    (daily → monthly → total)."""
+    if not states:
+        raise ValueError("need at least one state")
+    unioned = states[0]
+    for s in states[1:]:
+        unioned = unioned.unionByName(s)
+    return unioned.groupBy(KEY, "lag").agg(
+        *[F.sum(c).alias(c) for c in _MOMENT_COLS]
+    )
+
+
+def corr_from_moments(state: DataFrame) -> DataFrame:
+    """Finish the state into ``(cus_code, lag, corr, n_pairs)`` — the
+    lag_correlation_grid shape. Zero-variance sides yield NULL corr
+    (the grid's NaN/null rows are filtered by every consumer anyway);
+    n < 1 rows cannot occur in a well-formed state."""
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    cov = n * F.col("sxy") - sx * sy
+    vx = n * F.col("sxx") - sx * sx
+    vy = n * F.col("syy") - sy * sy
+    denom = F.sqrt(vx * vy)
+    return state.select(
+        KEY,
+        "lag",
+        F.when(denom > 0, cov / denom).alias("corr"),
+        F.col("n").alias("n_pairs"),
+    )
+
+
+def corr_moments_delta(
+    history_tail: DataFrame, new_rows: DataFrame, max_lag: int = 6
+) -> DataFrame:
+    """Delta state for appended months: pairs that exist over
+    ``tail ∪ new`` but not over ``tail`` alone.
+
+    ``history_tail`` must be the LAST ``max_lag`` rows per entity (by
+    month order) — the only history rows whose lagged pairs reach into
+    the new months; everything older is untouched by an append, which is
+    the entire point. Implementation exploits subtractivity:
+    ``delta = state(tail ∪ new) − state(tail)`` — no pair bookkeeping,
+    and the computation touches O(entities × max_lag) history rows plus
+    the new data, never the full history. Invariant (pytest-pinned):
+    ``merge(state(history), delta(tail, new)) == state(history ∪ new)``
+    exactly, because both sides sum the same lattice values.
+    """
+    full = corr_moment_state(history_tail.unionByName(new_rows), max_lag)
+    old = corr_moment_state(history_tail, max_lag)
+    negated = old.select(
+        KEY, "lag", *[(-F.col(c)).alias(c) for c in _MOMENT_COLS]
+    )
+    merged = merge_moment_states(full, negated)
+    # drop all-zero rows (pairs fully inside the tail cancel out)
+    return merged.where(F.col("n") != 0)
 
 
 def _lattice_mean(col: str, scale: int):

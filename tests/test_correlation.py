@@ -123,3 +123,72 @@ def test_all_lags_array_sorted_and_complete(spark, merged):
     lags = [e["lag"] for e in row["all_lags"]]
     assert lags == sorted(lags)
     assert lags[0] == 0
+
+
+def test_incremental_corr_moments_match_full_recompute(spark, merged):
+    """The incremental-pipeline invariant: merging the historical moment
+    state with the delta computed from (max_lag-row tail + new months)
+    equals the full-recompute state — so a month-append touches
+    O(entities x max_lag) history rows instead of all history — and the
+    finished corr matches both the moment formula on the full state and
+    Spark's own corr aggregate."""
+    from pyspark.sql import Window
+
+    from mapping_timeseries_spark.operators.correlation import (
+        corr_from_moments,
+        corr_moment_state,
+        corr_moments_delta,
+        merge_moment_states,
+    )
+
+    months = sorted(r["month"] for r in merged.select("month").distinct().collect())
+    cutoff = months[-4]  # last 4 months arrive "later"
+    history = merged.where(F.col("month") < cutoff)
+    new_rows = merged.where(F.col("month") >= cutoff)
+
+    w = Window.partitionBy("cus_code").orderBy(F.col("month").desc())
+    tail = (
+        history.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= MAX_LAG)
+        .drop("__rn")
+    )
+
+    incr = merge_moment_states(
+        corr_moment_state(history, MAX_LAG),
+        corr_moments_delta(tail, new_rows, MAX_LAG),
+    )
+    full = corr_moment_state(merged, MAX_LAG)
+
+    def by_key(df):
+        return {
+            (r["cus_code"], r["lag"]): (
+                r["n"], r["sx"], r["sy"], r["sxx"], r["syy"], r["sxy"]
+            )
+            for r in df.collect()
+        }
+
+    got, want = by_key(incr), by_key(full)
+    assert got.keys() == want.keys()
+    for k in want:
+        assert got[k][0] == want[k][0], k  # pair counts exact
+        for g, w_ in zip(got[k][1:], want[k][1:]):
+            assert g == pytest.approx(w_, rel=1e-9, abs=1e-6), k
+
+    # finishing the merged state reproduces the grid's corr values
+    grid = {
+        (r["cus_code"], r["lag"]): (r["corr"], r["n_pairs"])
+        for r in lag_correlation_grid(merged, MAX_LAG).collect()
+    }
+    fin = {
+        (r["cus_code"], r["lag"]): (r["corr"], r["n_pairs"])
+        for r in corr_from_moments(incr).collect()
+    }
+    assert fin.keys() == grid.keys()
+    for k, (c, n) in grid.items():
+        fc, fn = fin[k]
+        assert fn == n, k
+        if c is None or (isinstance(c, float) and np.isnan(c)):
+            # zero-variance side: grid NaN/null, moments NULL
+            assert fc is None or np.isnan(fc), k
+        else:
+            assert fc == pytest.approx(c, rel=1e-7, abs=1e-9), k
