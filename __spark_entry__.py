@@ -63,6 +63,7 @@ from mapping_timeseries_spark.operators.similarity import (
 )
 from mapping_timeseries_spark.operators.textstats import (
     LANG_TRIGRAMS,
+    chunk_documents,
     doc_fingerprints,
     lang_distribution,
     lang_marker_scores,
@@ -953,8 +954,10 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace + BPE-ish regex token counting per document, joined with
-    the rolling-hash content fingerprint (same per-doc grain) so both
-    operators are verified in one frame."""
+    the rolling-hash content fingerprint AND the per-doc chunking summary
+    (textstats.chunk_documents aggregated back to doc grain: chunk count
+    + total chunk tokens vs the DuckDB stride-arithmetic twin; chunk
+    CONTENT is pytest-pinned) — three operators in one frame."""
     ensure_runtime_conf(spark)
     docs = read_table(spark, sf_dir, "documents")
     t = token_counts(docs)
@@ -963,13 +966,23 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("fingerprint").cast("bigint").alias("fingerprint"),
         F.col("n_chars").cast("bigint").alias("n_chars"),
     )
-    return t.join(fp, "doc_id").select(
+    ch = (
+        chunk_documents(docs, chunk_tokens=128, overlap_tokens=16)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_chunks"),
+            F.sum("chunk_n_tokens").cast("bigint").alias("sum_chunk_tokens"),
+        )
+    )
+    return t.join(fp, "doc_id").join(ch, "doc_id").select(
         "doc_id",
         F.col("ws_tokens").cast("bigint").alias("ws_tokens"),
         F.col("bpe_ish_tokens").cast("bigint").alias("bpe_ish_tokens"),
         F.round("chars_per_token", 6).alias("chars_per_token"),
         "fingerprint",
         "n_chars",
+        "n_chunks",
+        "sum_chunk_tokens",
     )
 
 
@@ -1949,9 +1962,26 @@ fp AS (
            (acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint,
          length(text) AS n_chars
   FROM documents
+),
+-- chunking twin: n_chunks closed form + per-chunk sizes from the same
+-- stride arithmetic (chunk=128, overlap=16, stride=112)
+ch AS (
+  SELECT doc_id,
+         CAST(n_chunks AS INT) AS n_chunks,
+         CAST(list_sum(list_transform(range(0, CAST(n_chunks AS INT)),
+              i -> least(128, greatest(n - i * 112, 0)))) AS BIGINT)
+           AS sum_chunk_tokens
+  FROM (
+    SELECT doc_id,
+           len(string_split_regex(trim(text), '\s+')) AS n,
+           1 + ceil(greatest(len(string_split_regex(trim(text), '\s+')) - 128, 0)
+                    / 112.0) AS n_chunks
+    FROM documents
+  )
 )
-SELECT tok.doc_id, ws_tokens, bpe_ish_tokens, chars_per_token, fingerprint, n_chars
-FROM tok JOIN fp ON tok.doc_id = fp.doc_id
+SELECT tok.doc_id, ws_tokens, bpe_ish_tokens, chars_per_token, fingerprint, n_chars,
+       ch.n_chunks, ch.sum_chunk_tokens
+FROM tok JOIN fp ON tok.doc_id = fp.doc_id JOIN ch ON tok.doc_id = ch.doc_id
 """
 
 ORACLE_EXACT_DEDUP = """

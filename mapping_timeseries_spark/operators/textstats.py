@@ -184,6 +184,51 @@ def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def chunk_documents(
+    docs: DataFrame,
+    text_col: str = "text",
+    chunk_tokens: int = 128,
+    overlap_tokens: int = 16,
+) -> DataFrame:
+    """Split documents into fixed-size token windows with overlap — the
+    standard context-window chunking step of a training/RAG pipeline.
+
+    Chunk i covers tokens ``[i*stride, i*stride + chunk_tokens)`` with
+    ``stride = chunk_tokens - overlap_tokens``; the last chunk is the
+    final (possibly short) remainder, and a doc shorter than one chunk
+    yields exactly one chunk. n_chunks = 1 + ceil(max(n - chunk, 0) /
+    stride) — the closed form the DuckDB twin checks.
+
+    Pure JVM expressions: tokenize once, ``sequence`` over chunk starts,
+    ``posexplode`` + ``slice`` — no Python, no shuffle (map-only until
+    whatever the caller aggregates). Output grain: one row per chunk
+    ``(doc_id, chunk_id, chunk_text, chunk_n_tokens)``.
+    """
+    if overlap_tokens >= chunk_tokens:
+        raise ValueError(
+            f"overlap ({overlap_tokens}) must be < chunk size ({chunk_tokens})"
+        )
+    stride = chunk_tokens - overlap_tokens
+    t = tokens(F.col(text_col))
+    n = F.size(t)
+    n_chunks = F.lit(1) + F.ceil(
+        F.greatest(n - chunk_tokens, F.lit(0)) / F.lit(stride)
+    ).cast("int")
+    starts = F.sequence(F.lit(0), (n_chunks - 1) * stride, F.lit(stride))
+    chunked = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(starts, lambda s: F.slice(t, s + 1, chunk_tokens))
+        ).alias("chunk_id", "__toks"),
+    )
+    return chunked.select(
+        "doc_id",
+        "chunk_id",
+        F.array_join("__toks", " ").alias("chunk_text"),
+        F.size("__toks").alias("chunk_n_tokens"),
+    )
+
+
 def lang_distribution(docs: DataFrame) -> DataFrame:
     """Corpus language distribution with share of total."""
     total = docs.count()

@@ -528,6 +528,40 @@ def test_dedup_clusters_star_handles_deep_chain(spark):
     assert sum(r["is_keeper"] for r in rows) == 1
 
 
+def test_chunk_documents_windows_overlap_reconstruction(spark):
+    from mapping_timeseries_spark.operators.textstats import chunk_documents
+
+    words = [f"w{i}" for i in range(300)]
+    docs = spark.createDataFrame(
+        [(1, " ".join(words)), (2, "a b c")], "doc_id long, text string"
+    )
+    rows = sorted(
+        (
+            (r["doc_id"], r["chunk_id"], r["chunk_text"].split(" "),
+             r["chunk_n_tokens"])
+            for r in chunk_documents(
+                docs, chunk_tokens=128, overlap_tokens=16
+            ).collect()
+        )
+    )
+    d1 = [r for r in rows if r[0] == 1]
+    # n=300, stride=112 -> 1 + ceil(172/112) = 3 chunks
+    assert [r[1] for r in d1] == [0, 1, 2]
+    assert d1[0][2] == words[0:128]
+    assert d1[1][2] == words[112:240]
+    assert d1[2][2] == words[224:300] and d1[2][3] == 76  # short tail kept
+    # the overlap region is literally repeated
+    assert d1[1][2][:16] == d1[0][2][-16:]
+    # overlap-aware concatenation reconstructs the document exactly
+    recon = d1[0][2] + d1[1][2][16:] + d1[2][2][16:]
+    assert recon == words
+    # short doc -> exactly one (short) chunk
+    d2 = [r for r in rows if r[0] == 2]
+    assert len(d2) == 1 and d2[0][2] == ["a", "b", "c"]
+    with pytest.raises(ValueError, match="must be <"):
+        chunk_documents(docs, chunk_tokens=16, overlap_tokens=16)
+
+
 def test_lang_trigram_scores(spark):
     from mapping_timeseries_spark.operators.textstats import (
         lang_marker_scores,
