@@ -68,7 +68,9 @@ from mapping_timeseries_spark.operators.textstats import (
     lang_distribution,
     lang_marker_scores,
     lang_trigram_scores,
+    pii_counts,
     quality_score,
+    repetition_stats,
     text_stats,
     token_counts,
 )
@@ -1079,8 +1081,10 @@ def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document token statistics, joined with the corpus language
-    distribution (broadcast of the tiny per-lang dim) so both operators
-    are verified in one frame."""
+    distribution (broadcast of the tiny per-lang dim), the repetition
+    signals (textstats.repetition_stats — C4/Gopher-family boilerplate
+    rules) and the PII pattern audit (textstats.pii_counts) — four
+    operators verified in one per-doc frame."""
     ensure_runtime_conf(spark)
     docs = read_table(spark, sf_dir, "documents")
     s = text_stats(docs)
@@ -1089,17 +1093,33 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_docs").cast("bigint").alias("lang_n_docs"),
         F.round("share", 6).alias("lang_share"),
     )
-    return s.join(F.broadcast(d), "lang").select(
+    rep = repetition_stats(docs).select(
         "doc_id",
-        "lang",
-        F.col("n_chars").cast("bigint").alias("n_chars"),
-        F.col("n_tokens").cast("bigint").alias("n_tokens"),
-        F.col("n_unique_tokens").cast("bigint").alias("n_unique_tokens"),
-        F.round("avg_token_len", 6).alias("avg_token_len"),
-        F.round("stopword_ratio", 6).alias("stopword_ratio"),
-        F.round("punct_ratio", 6).alias("punct_ratio"),
-        "lang_n_docs",
-        "lang_share",
+        F.round("top_bigram_share", 6).alias("top_bigram_share"),
+        F.round("dup_bigram_fraction", 6).alias("dup_bigram_fraction"),
+    )
+    pii = pii_counts(docs)
+    return (
+        s.join(F.broadcast(d), "lang")
+        .join(rep, "doc_id")
+        .join(pii, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.col("n_unique_tokens").cast("bigint").alias("n_unique_tokens"),
+            F.round("avg_token_len", 6).alias("avg_token_len"),
+            F.round("stopword_ratio", 6).alias("stopword_ratio"),
+            F.round("punct_ratio", 6).alias("punct_ratio"),
+            "lang_n_docs",
+            "lang_share",
+            "top_bigram_share",
+            "dup_bigram_fraction",
+            F.col("n_emails").cast("bigint").alias("n_emails"),
+            F.col("n_ipv4s").cast("bigint").alias("n_ipv4s"),
+            F.col("n_phoneish").cast("bigint").alias("n_phoneish"),
+        )
     )
 
 
@@ -2188,11 +2208,46 @@ d AS (
   SELECT lang, count(*) AS lang_n_docs,
          round(count(*) * 1.0 / (SELECT count(*) FROM documents), 6) AS lang_share
   FROM documents GROUP BY lang
+),
+-- raw (non-distinct) word bigrams -> repetition signals
+rep AS (
+  SELECT doc_id,
+         round(coalesce(max(cnt) * 1.0 / nullif(sum(cnt), 0), 0), 6)
+           AS top_bigram_share,
+         round(coalesce((sum(cnt) - count(g)) * 1.0 / nullif(sum(cnt), 0), 0), 6)
+           AS dup_bigram_fraction
+  FROM (
+    SELECT doc_id, g, count(g) AS cnt
+    FROM (
+      SELECT doc_id,
+             unnest(CASE WHEN len(t) >= 2
+               THEN list_transform(range(1, len(t)),
+                    i -> list_extract(t, i) || ' ' || list_extract(t, i + 1))
+               ELSE [NULL] END) AS g
+      FROM (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents)
+    )
+    GROUP BY doc_id, g
+  )
+  GROUP BY doc_id
+),
+pii AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS n_emails,
+         len(regexp_extract_all(text,
+             '\\b(?:[0-9]{{1,3}}\\.){{3}}[0-9]{{1,3}}\\b')) AS n_ipv4s,
+         len(regexp_extract_all(text,
+             '\\+?[0-9][0-9()\\-\\s]{{7,}}[0-9]')) AS n_phoneish
+  FROM documents
 )
 SELECT s.doc_id, s.lang, s.n_chars, s.n_tokens, s.n_unique_tokens,
        s.avg_token_len, s.stopword_ratio, s.punct_ratio,
-       d.lang_n_docs, d.lang_share
+       d.lang_n_docs, d.lang_share,
+       rep.top_bigram_share, rep.dup_bigram_fraction,
+       pii.n_emails, pii.n_ipv4s, pii.n_phoneish
 FROM s JOIN d ON s.lang = d.lang
+JOIN rep ON s.doc_id = rep.doc_id
+JOIN pii ON s.doc_id = pii.doc_id
 """
 
 ORACLE_QUALITY = f"""

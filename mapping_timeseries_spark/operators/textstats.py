@@ -27,6 +27,9 @@ __all__ = [
     "lang_trigram_scores",
     "doc_fingerprints",
     "lang_distribution",
+    "chunk_documents",
+    "repetition_stats",
+    "pii_counts",
 ]
 
 #: Function-word markers per language for the marker-count heuristic;
@@ -181,6 +184,68 @@ def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
         (F.length(t) / F.greatest(token_count(t), F.lit(1))).alias(
             "chars_per_token"
         ),
+    )
+
+
+#: Conservative, engine-portable PII-ish patterns (no backreferences —
+#: valid in both Java regex and DuckDB's RE2). Counting, not redaction:
+#: the filter decision is the caller's.
+PII_PATTERNS = {
+    "emails": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4s": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
+    "phoneish": r"\+?[0-9][0-9()\-\s]{7,}[0-9]",
+}
+
+
+def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document repetition signals (the C4/Gopher-family quality
+    rules): share of the most frequent word bigram and fraction of
+    duplicated bigrams — boilerplate and generated spam score high on
+    both, natural text stays low.
+
+    Relational formulation: explode RAW (non-distinct) bigrams, one
+    two-level aggregation — per (doc, gram) counts collapse map-side, so
+    the shuffled volume is distinct grams per doc, not token count.
+    Docs with fewer than 2 tokens have no bigrams: both stats are 0.
+    """
+    t = tokens(F.col(text_col))
+    idx = F.sequence(F.lit(0), F.size(t) - 2)
+    grams = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", F.element_at(t, i + 1), F.element_at(t, i + 2)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = docs.select("doc_id", F.explode_outer(grams).alias("__g"))
+    per_gram = exploded.groupBy("doc_id", "__g").agg(
+        F.count("__g").alias("__cnt")
+    )
+    return per_gram.groupBy("doc_id").agg(
+        F.coalesce(
+            F.max("__cnt") / F.nullif(F.sum("__cnt"), F.lit(0)), F.lit(0.0)
+        ).alias("top_bigram_share"),
+        F.coalesce(
+            (F.sum("__cnt") - F.count(F.col("__g")))
+            / F.nullif(F.sum("__cnt"), F.lit(0)),
+            F.lit(0.0),
+        ).alias("dup_bigram_fraction"),
+    )
+
+
+def pii_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document counts of PII-shaped patterns (emails, IPv4s,
+    phone-ish digit runs) — the standard pre-redaction audit pass of a
+    training-data pipeline. Pure regexp_count expressions, map-only."""
+    t = F.col(text_col)
+    return docs.select(
+        "doc_id",
+        *[
+            F.regexp_count(t, F.lit(pat)).alias(f"n_{name}")
+            for name, pat in PII_PATTERNS.items()
+        ],
     )
 
 

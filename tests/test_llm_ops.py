@@ -528,6 +528,48 @@ def test_dedup_clusters_star_handles_deep_chain(spark):
     assert sum(r["is_keeper"] for r in rows) == 1
 
 
+def test_repetition_stats_flags_boilerplate(spark):
+    from mapping_timeseries_spark.operators.textstats import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "buy now " * 10),              # one bigram dominates
+            (2, "a b c d e f g h"),            # all bigrams distinct
+            (3, "word"),                        # < 2 tokens: no bigrams
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (
+            round(r["top_bigram_share"], 4), round(r["dup_bigram_fraction"], 4)
+        )
+        for r in repetition_stats(docs).collect()
+    }
+    # "buy now "*10 -> 19 bigrams: 10x "buy now", 9x "now buy"
+    assert got[1] == (round(10 / 19, 4), round(17 / 19, 4))
+    assert got[2] == (round(1 / 7, 4), 0.0)
+    assert got[3] == (0.0, 0.0)
+
+
+def test_pii_counts_planted(spark):
+    from mapping_timeseries_spark.operators.textstats import pii_counts
+
+    docs = spark.createDataFrame(
+        [
+            (1, "contact a.b@example.com or c@d.org from 10.0.0.1 "
+                "or call +1 (555) 123-4567"),
+            (2, "nothing sensitive here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_emails"], r["n_ipv4s"], r["n_phoneish"])
+        for r in pii_counts(docs).collect()
+    }
+    assert got[1] == (2, 1, 1)
+    assert got[2] == (0, 0, 0)
+
+
 def test_chunk_documents_windows_overlap_reconstruction(spark):
     from mapping_timeseries_spark.operators.textstats import chunk_documents
 
