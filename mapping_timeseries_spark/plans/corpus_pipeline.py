@@ -61,11 +61,23 @@ def flag_corpus(
     contam_overlap: float = 0.2,
     min_quality: float = 0.4,
     portable_hashes: bool = False,
+    max_top_bigram_share: float | None = None,
+    max_pii_hits: int | None = None,
 ) -> DataFrame:
     """The lazy flagged-corpus frame: input columns + one int flag per
-    stage (`pass_exact`, `pass_neardup`, `pass_clean`, `pass_quality`)
-    plus `quality_score`. Pure plan — callers decide what to do with it
-    (the pipeline filters AND observes; audits can inspect rejects)."""
+    stage (`pass_exact`, `pass_neardup`, `pass_clean`, `pass_quality`,
+    and — when their thresholds are set — `pass_repetition` /
+    `pass_pii`) plus `quality_score`. Pure plan — callers decide what to
+    do with it (the pipeline filters AND observes; audits can inspect
+    rejects).
+
+    ``max_top_bigram_share``: reject boilerplate/spam whose most frequent
+    word bigram exceeds this share (textstats.repetition_stats).
+    ``max_pii_hits``: reject docs with more than this many PII-shaped
+    matches across all patterns (textstats.pii_counts). Both default to
+    None = stage off (no flag column), keeping the base pipeline's
+    contract unchanged.
+    """
     # exact: keeper = smallest doc_id per content digest
     from pyspark.sql import Window
 
@@ -96,9 +108,33 @@ def flag_corpus(
     ).drop("__contam")
 
     q = quality_score(docs, text_col).select("doc_id", "quality_score")
-    return flagged.join(q, "doc_id").withColumn(
+    flagged = flagged.join(q, "doc_id").withColumn(
         "pass_quality", (F.col("quality_score") >= min_quality).cast("int")
     )
+
+    if max_top_bigram_share is not None:
+        from ..operators.textstats import repetition_stats
+
+        rep = repetition_stats(docs, text_col).select(
+            "doc_id", "top_bigram_share"
+        )
+        flagged = flagged.join(rep, "doc_id").withColumn(
+            "pass_repetition",
+            (F.col("top_bigram_share") <= max_top_bigram_share).cast("int"),
+        ).drop("top_bigram_share")
+    if max_pii_hits is not None:
+        from ..operators.textstats import PII_PATTERNS, pii_counts
+
+        total_pii = sum(
+            (F.col(f"n_{name}") for name in PII_PATTERNS), F.lit(0)
+        )
+        pii = pii_counts(docs, text_col).select(
+            "doc_id", total_pii.alias("__pii_total")
+        )
+        flagged = flagged.join(pii, "doc_id").withColumn(
+            "pass_pii", (F.col("__pii_total") <= max_pii_hits).cast("int")
+        ).drop("__pii_total")
+    return flagged
 
 
 def run_corpus_pipeline(
@@ -111,6 +147,8 @@ def run_corpus_pipeline(
     min_quality: float = 0.4,
     n_shards: int = 16,
     portable_hashes: bool = False,
+    max_top_bigram_share: float | None = None,
+    max_pii_hits: int | None = None,
 ) -> CorpusPipelineResult:
     """Run the full preprocessing pipeline and export training shards.
 
@@ -118,7 +156,9 @@ def run_corpus_pipeline(
     measured by ONE Observation during the export write — no extra
     actions, no re-runs of upstream stages (the reference's
     count-per-stage pattern re-triggers the whole plan each time,
-    SURVEY §4 anti-pattern #1).
+    SURVEY §4 anti-pattern #1). The stage set is whatever flag_corpus
+    produced (optional repetition/PII stages included when their
+    thresholds are set); stats keys follow the flag names.
     """
     flagged = flag_corpus(
         docs,
@@ -128,29 +168,21 @@ def run_corpus_pipeline(
         contam_overlap,
         min_quality,
         portable_hashes,
+        max_top_bigram_share,
+        max_pii_hits,
     )
+    flag_cols = [c for c in flagged.columns if c.startswith("pass_")]
+    keep_all = None
+    for c in flag_cols:
+        cond = F.col(c) == 1
+        keep_all = cond if keep_all is None else (keep_all & cond)
     obs = Observation("corpus_pipeline")
     flagged = flagged.observe(
         obs,
         F.count(F.lit(1)).alias("n_input"),
-        F.sum("pass_exact").alias("n_pass_exact"),
-        F.sum("pass_neardup").alias("n_pass_neardup"),
-        F.sum("pass_clean").alias("n_pass_clean"),
-        F.sum("pass_quality").alias("n_pass_quality"),
-        F.sum(
-            (
-                (F.col("pass_exact") == 1)
-                & (F.col("pass_neardup") == 1)
-                & (F.col("pass_clean") == 1)
-                & (F.col("pass_quality") == 1)
-            ).cast("int")
-        ).alias("n_retained"),
+        *[F.sum(c).alias(f"n_{c}") for c in flag_cols],
+        F.sum(keep_all.cast("int")).alias("n_retained"),
     )
-    survivors = flagged.where(
-        (F.col("pass_exact") == 1)
-        & (F.col("pass_neardup") == 1)
-        & (F.col("pass_clean") == 1)
-        & (F.col("pass_quality") == 1)
-    ).drop("pass_exact", "pass_neardup", "pass_clean", "pass_quality")
+    survivors = flagged.where(keep_all).drop(*flag_cols)
     write_training_shards(survivors, out_path, "doc_id", n_shards)
     return CorpusPipelineResult(out_path=out_path, stats=dict(obs.get))

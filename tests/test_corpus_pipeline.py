@@ -62,6 +62,36 @@ def test_flag_corpus_attributes_rejections(spark):
     assert flags[5] == (1, 1, 1, 1)
 
 
+def test_corpus_pipeline_optional_repetition_and_pii_stages(spark, tmp_path):
+    """With thresholds set, the repetition and PII stages join the flag
+    set, their counts appear in the stats, and offending docs are
+    rejected; without thresholds the base contract is unchanged."""
+    rows = [
+        (0, BASE, "en"),
+        (1, "buy now " * 30, "en"),                       # boilerplate
+        # PII-laden but otherwise unrelated prose (must not near-dup doc 3)
+        (2, "please send the quarterly finance report to a@b.com or "
+            "c@d.org before the friday deadline and copy the operations "
+            "team on the final version", "en"),
+        (3, OTHER, "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = str(tmp_path / "shards_opt")
+    res = run_corpus_pipeline(
+        docs,
+        _holdout(spark),
+        out,
+        max_top_bigram_share=0.3,
+        max_pii_hits=1,
+        n_shards=2,
+    )
+    assert res.stats["n_pass_repetition"] == 3  # doc 1 rejected
+    assert res.stats["n_pass_pii"] == 3         # doc 2 rejected (2 emails > 1)
+    assert res.stats["n_retained"] == 2
+    got = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert got == [0, 3]
+
+
 def test_run_corpus_pipeline_end_to_end(spark, tmp_path):
     out = str(tmp_path / "shards")
     res = run_corpus_pipeline(
