@@ -105,6 +105,7 @@ def run_pipeline(
     config: MappingConfig | None = None,
     run_id: str | None = None,
     on_alert: Any = None,
+    versioned_root: str | None = None,
 ) -> PipelineResult:
     """End-to-end production run. With ``recommendations=None`` the model
     is trained inline (best-lag correlation over the merged frame), which
@@ -116,6 +117,14 @@ def run_pipeline(
     emits a CRITICAL alert and writes ``error_{run_id}.log`` under
     ``output_path``, then re-raises — a library surfaces the error, unlike
     the reference's swallow-and-return-False.
+
+    ``versioned_root``: publish the mapping table as a snapshot version
+    (sources.versioned) and AUTO-ROLLBACK on QA failure — the reference's
+    manual RESTORE runbook (05_prod_dev.py:1163-1191) as pipeline
+    behavior: a failing run's output stays on disk for forensics
+    (`stats["published_version"]`) but the table pointer snaps back to
+    the last good version (`stats["rolled_back_to"]`), so downstream
+    readers never consume a QA-failed table.
     """
     cfg = config or MappingConfig()
     run_id = run_id or uuid.uuid4().hex[:12]
@@ -123,6 +132,7 @@ def run_pipeline(
         return _run_pipeline_body(
             spark, table1, table2, recommendations, key_col, time_col,
             value1_col, value2_col, output_path, cfg, run_id, on_alert,
+            versioned_root,
         )
     except Exception as exc:  # noqa: BLE001 — failure path mirrors reference
         import traceback
@@ -157,6 +167,7 @@ def _run_pipeline_body(
     cfg: MappingConfig,
     run_id: str,
     on_alert: Any,
+    versioned_root: str | None = None,
 ) -> PipelineResult:
     t_start = time.time()
 
@@ -182,13 +193,35 @@ def _run_pipeline_body(
         obs, F.count(F.lit(1)).alias("total_mappings")
     )
 
-    if output_path:
+    published_version = None
+    if versioned_root:
+        from ..sources.versioned import current_version, write_versioned
+
+        # the POINTER, not max(history): after an earlier rollback the
+        # newest allocated snapshot is exactly the one we must not
+        # restore to
+        last_good = current_version(versioned_root)
+        published_version = write_versioned(
+            mapped, versioned_root, note=f"pipeline run {run_id}"
+        )
+        total_mappings = obs.get["total_mappings"]
+    elif output_path:
         write_partitioned(mapped, os.path.join(output_path, "mappings"), "time1")
         total_mappings = obs.get["total_mappings"]
     else:
         total_mappings = mapped.count()
 
     qa = qa_report(mapped, t1)
+    rolled_back_to = None
+    if versioned_root and not qa["passed"]:
+        # auto-rollback (05_prod_dev.py:1163-1191 as behavior): snap the
+        # pointer back to the last good version; the failed snapshot
+        # stays on disk under published_version for forensics
+        from ..sources.versioned import restore_version
+
+        if last_good is not None:
+            restore_version(versioned_root, last_good)
+            rolled_back_to = last_good
     duration = time.time() - t_start
 
     # SLA gates (05_prod_dev.py:703-745) via the structured monitor
@@ -213,6 +246,9 @@ def _run_pipeline_body(
         "sla_duration_ok": not any(a.code == "long_duration" for a in alerts),
         "sla_nonempty_ok": not any(a.code == "empty_output" for a in alerts),
     }
+    if versioned_root:
+        stats["published_version"] = published_version
+        stats["rolled_back_to"] = rolled_back_to
     if output_path:
         write_run_metadata(
             os.path.join(output_path, f"run_{run_id}.json"),

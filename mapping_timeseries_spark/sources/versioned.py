@@ -49,6 +49,7 @@ __all__ = [
     "table_history",
     "restore_version",
     "vacuum_versions",
+    "current_version",
 ]
 
 _HISTORY = "_versions.json"
@@ -87,6 +88,16 @@ def _set_pointer(root: str, version: int) -> None:
     with open(tmp, "w") as f:
         f.write(str(version))
     os.replace(tmp, os.path.join(root, _POINTER))  # atomic publish
+
+
+def current_version(root: str) -> int | None:
+    """The published (pointed-at) version, or None for a fresh/absent
+    table. Distinct from ``max(history)``: after a rollback the pointer
+    is older than the newest allocated snapshot."""
+    try:
+        return _current_version(root)
+    except FileNotFoundError:
+        return None
 
 
 def write_versioned(df: DataFrame, root: str, note: str = "") -> int:

@@ -143,6 +143,50 @@ def test_pipeline_end_to_end(spark, pair, tmp_path):
     assert methods <= {"correlation", "correlation_default", "dtw"}
 
 
+def test_pipeline_versioned_publish_and_qa_rollback(spark, pair, tmp_path):
+    """versioned_root publishes each run as a snapshot; a QA-failing run
+    stays on disk for forensics but the table pointer auto-rolls back to
+    the last good version (the reference's RESTORE runbook,
+    05_prod_dev.py:1163-1191, as pipeline behavior)."""
+    from mapping_timeseries_spark.sources.versioned import (
+        read_versioned,
+        table_history,
+    )
+
+    t1, t2 = pair
+    root = str(tmp_path / "mappings_vt")
+    good = run_pipeline(
+        spark, t1, t2, None,
+        "cus_code", "month", "txn_amount", "revenue",
+        versioned_root=root, run_id="good",
+    )
+    assert good.stats["published_version"] == 1
+    assert good.stats["rolled_back_to"] is None
+    v1_rows = read_versioned(spark, root).count()
+    assert v1_rows == good.stats["total_mappings"]
+
+    # second run with table2 gutted to one entity: coverage craters, QA
+    # fails, pointer must snap back to v1
+    one_entity = t2.where(
+        F.col("cus_code") == t2.select("cus_code").first()["cus_code"]
+    )
+    bad = run_pipeline(
+        spark, t1, one_entity, None,
+        "cus_code", "month", "txn_amount", "revenue",
+        versioned_root=root, run_id="bad",
+    )
+    assert not bad.qa["passed"]
+    assert bad.stats["published_version"] == 2
+    assert bad.stats["rolled_back_to"] == 1
+    # readers see v1 again; the failed snapshot remains for forensics
+    assert read_versioned(spark, root).count() == v1_rows
+    assert read_versioned(spark, root, version=2).count() == bad.stats[
+        "total_mappings"
+    ]
+    notes = [h["note"] for h in table_history(root)]
+    assert notes == ["pipeline run good", "pipeline run bad", "restore to v1"]
+
+
 def test_incremental_pipeline_date_slice(spark, pair, tmp_path):
     from mapping_timeseries_spark.plans.pipeline import run_incremental
 
