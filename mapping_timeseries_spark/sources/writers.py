@@ -156,6 +156,72 @@ def write_training_shards(
     )
 
 
+def zorder_key(col_a, col_b, bits: int = 16):
+    """Morton/Z-order interleave of two pre-bucketed integer columns
+    (each in [0, 2^bits)): bit i of a lands at position 2i, bit i of b at
+    2i+1. Pure integer expressions — shiftleft/or per bit, codegen'd."""
+    from pyspark.sql import functions as F
+
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        bit_a = F.shiftrightunsigned(col_a.cast("long"), i).bitwiseAND(F.lit(1))
+        bit_b = F.shiftrightunsigned(col_b.cast("long"), i).bitwiseAND(F.lit(1))
+        z = z.bitwiseOR(F.shiftleft(bit_a, 2 * i)).bitwiseOR(
+            F.shiftleft(bit_b, 2 * i + 1)
+        )
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    bits: int = 16,
+    files: int | None = None,
+) -> None:
+    """Z-ORDER analogue for vanilla parquet: range-sort the data by the
+    Morton interleave of two columns so each output file covers a small
+    rectangle of (a, b) space, and parquet footer min/max stats prune
+    files/row-groups for predicates on EITHER or BOTH columns.
+
+    A plain ``orderBy(a, b)`` clusters only the leading column: files
+    span the full b-range, so b-predicates read everything. The Z-curve
+    keeps both ranges narrow per file (the whole point of Delta's
+    OPTIMIZE ZORDER BY — this is the sort it performs, minus the
+    transaction log). Columns are rank-bucketed to 2^bits via ntile over
+    their sort order, so the interleave is distribution-agnostic
+    (skewed/arbitrary-typed columns get equi-populated cells).
+
+    Scale: one range-shuffle on the z-key (``repartitionByRange`` →
+    contiguous z-ranges per task) + the two ntile windows. The ntile
+    windows are GLOBAL (single-partition) — acceptable up to ~10^8 rows
+    per write; beyond that substitute approxQuantile cutpoints for the
+    bucketing (documented trade: approximate cell boundaries).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    n_cells = 1 << bits
+    wa = Window.orderBy(F.col(col_a))
+    wb = Window.orderBy(F.col(col_b))
+    bucketed = df.withColumn("__za", F.ntile(n_cells).over(wa) - 1).withColumn(
+        "__zb", F.ntile(n_cells).over(wb) - 1
+    )
+    keyed = bucketed.withColumn(
+        "__z", zorder_key(F.col("__za"), F.col("__zb"), bits)
+    ).drop("__za", "__zb")
+    if files is None:
+        files = max(df.sparkSession.sparkContext.defaultParallelism, 8)
+    (
+        keyed.repartitionByRange(files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def merge_into_partitioned(
     spark: SparkSession,
     target_path: str,
