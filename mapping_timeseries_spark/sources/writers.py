@@ -280,6 +280,34 @@ def merge_into_partitioned(
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
+def analyze_table(
+    spark: SparkSession, table: str, columns: tuple[str, ...] = ()
+) -> dict:
+    """ANALYZE TABLE ... COMPUTE STATISTICS (+ FOR COLUMNS ...): feed the
+    cost-based optimizer. At 100 TB, CBO stats are what let Catalyst pick
+    broadcast sides and join orders from actual row counts instead of raw
+    file sizes (a heavily-filtered dimension looks huge by bytes but tiny
+    by post-filter cardinality — column histograms close that gap).
+    Returns the recorded {size_bytes, row_count} for verification."""
+    spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS")
+    if columns:
+        cols = ", ".join(columns)
+        spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS FOR COLUMNS {cols}")
+    row = (
+        spark.sql(f"DESCRIBE TABLE EXTENDED {table}")
+        .where("col_name = 'Statistics'")
+        .select("data_type")
+        .head()
+    )
+    stats = {"size_bytes": None, "row_count": None}
+    if row:  # "N bytes, M rows"
+        parts = row[0].split(",")
+        stats["size_bytes"] = int(parts[0].strip().split(" ")[0])
+        if len(parts) > 1:
+            stats["row_count"] = int(parts[1].strip().split(" ")[0])
+    return stats
+
+
 def create_view(spark: SparkSession, name: str, sql: str) -> None:
     """S8: SQL view over results (05_prod_dev.py:1252-1266)."""
     spark.sql(f"CREATE OR REPLACE TEMP VIEW {name} AS {sql}")

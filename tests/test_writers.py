@@ -17,6 +17,32 @@ from mapping_timeseries_spark.sources.writers import (
 )
 
 
+def test_analyze_table_feeds_cbo(spark, tmp_path):
+    """ANALYZE records exact table stats and the optimizer's estimated
+    row count snaps from a size-based guess to the true cardinality."""
+    from mapping_timeseries_spark.sources.writers import analyze_table
+
+    df = spark.range(1234).withColumn("v", F.col("id") * 2.0)
+    save_as_table(df, "t_stats", path=str(tmp_path / "t_stats"))
+    stats = analyze_table(spark, "t_stats", columns=("id",))
+    assert stats["row_count"] == 1234
+    assert stats["size_bytes"] > 0
+    prev = spark.conf.get("spark.sql.cbo.enabled", "false")
+    try:
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        est = (
+            spark.table("t_stats")
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .stats()
+            .rowCount()
+        )
+        assert est.isDefined() and int(str(est.get())) == 1234
+    finally:
+        spark.conf.set("spark.sql.cbo.enabled", prev)
+        spark.sql("DROP TABLE t_stats")
+
+
 def test_read_file_formats_roundtrip(spark, tmp_path):
     """CSV/JSON ingest boundary: explicit-schema read returns the exact
     rows; schema-less text reads are rejected (inference = extra pass)."""
