@@ -207,8 +207,15 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     two-level aggregation — per (doc, gram) counts collapse map-side, so
     the shuffled volume is distinct grams per doc, not token count.
     Docs with fewer than 2 tokens have no bigrams: both stats are 0.
+
+    The token array is PROJECTED to a column before the gram lambda:
+    referencing ``split(text, ...)`` inside ``transform`` re-evaluates
+    the split once per array ELEMENT — O(tokens² · chars) per doc
+    (measured: 7× on the sf0.1 bench query). Binding it first makes the
+    lambda read a computed array.
     """
-    t = tokens(F.col(text_col))
+    toks = docs.select("doc_id", tokens(F.col(text_col)).alias("__t"))
+    t = F.col("__t")
     idx = F.sequence(F.lit(0), F.size(t) - 2)
     grams = F.when(
         F.size(t) >= 2,
@@ -219,7 +226,7 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    exploded = docs.select("doc_id", F.explode_outer(grams).alias("__g"))
+    exploded = toks.select("doc_id", F.explode_outer(grams).alias("__g"))
     per_gram = exploded.groupBy("doc_id", "__g").agg(
         F.count("__g").alias("__cnt")
     )
@@ -274,13 +281,17 @@ def chunk_documents(
             f"overlap ({overlap_tokens}) must be < chunk size ({chunk_tokens})"
         )
     stride = chunk_tokens - overlap_tokens
-    t = tokens(F.col(text_col))
+    # bind the token array first: a raw tokens(text) expression inside
+    # the transform lambda re-runs the split per chunk (see
+    # repetition_stats for the measured cost of that pattern)
+    toks = docs.select("doc_id", tokens(F.col(text_col)).alias("__t"))
+    t = F.col("__t")
     n = F.size(t)
     n_chunks = F.lit(1) + F.ceil(
         F.greatest(n - chunk_tokens, F.lit(0)) / F.lit(stride)
     ).cast("int")
     starts = F.sequence(F.lit(0), (n_chunks - 1) * stride, F.lit(stride))
-    chunked = docs.select(
+    chunked = toks.select(
         "doc_id",
         F.posexplode(
             F.transform(starts, lambda s: F.slice(t, s + 1, chunk_tokens))
