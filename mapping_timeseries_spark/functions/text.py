@@ -28,14 +28,18 @@ def token_count(text: Column | str) -> Column:
     return F.size(tokens(text))
 
 
-def word_shingles(text: Column | str, n: int = 2) -> Column:
-    """Adjacent word n-gram shingles (distinct), as strings.
+def word_shingles_from_tokens(t: Column, n: int = 2) -> Column:
+    """Adjacent word n-gram shingles (distinct) from a BOUND token-array
+    column. Callers must pass a projected column, not a raw
+    ``tokens(text)`` expression: subexpression elimination does not reach
+    into lambda scope, so an unbound split re-runs once per array
+    element — O(tokens² · chars) per doc (measured 4× on the bench's
+    repetition query before binding).
 
     Docs with fewer than ``n`` tokens yield an empty array — without the
     guard, ``sequence(0, size-n)`` descends (0..-1) and the transform
     evaluates ``element_at(t, 0)``, which raises INVALID_INDEX_OF_ZERO.
     """
-    t = tokens(text)
     idx = F.sequence(F.lit(0), F.size(t) - n)
     grams = F.transform(
         idx, lambda i: F.concat_ws(" ", *[F.element_at(t, i + j + 1) for j in range(n)])
@@ -43,6 +47,13 @@ def word_shingles(text: Column | str, n: int = 2) -> Column:
     return F.when(F.size(t) >= n, F.array_distinct(grams)).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def word_shingles(text: Column | str, n: int = 2) -> Column:
+    """Shingles straight from text — convenience for one-shot/small
+    frames. Hot paths should project ``tokens(text)`` to a column first
+    and use :func:`word_shingles_from_tokens` (see its note)."""
+    return word_shingles_from_tokens(tokens(text), n)
 
 
 def char_shingles(text: Column | str, n: int = 3) -> Column:

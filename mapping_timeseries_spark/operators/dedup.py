@@ -29,7 +29,7 @@ from ..functions.text import (
     minhash_signature_portable,
     portable_hash64,
     tokens,
-    word_shingles,
+    word_shingles_from_tokens,
 )
 
 __all__ = [
@@ -102,9 +102,18 @@ def _ensure_parallel(df: DataFrame) -> DataFrame:
 
 
 def _shingled(docs: DataFrame, text_col: str, n: int) -> DataFrame:
-    return _ensure_parallel(docs).select(
-        "doc_id", word_shingles(F.col(text_col), n).alias("shingles")
-    ).withColumn("n_shingles", F.size("shingles"))
+    # two-step projection: bind the token array, THEN shingle from it —
+    # an unbound tokens(text) inside the gram lambda re-splits the text
+    # per element (see word_shingles_from_tokens)
+    return (
+        _ensure_parallel(docs)
+        .select("doc_id", tokens(F.col(text_col)).alias("__toks"))
+        .select(
+            "doc_id",
+            word_shingles_from_tokens(F.col("__toks"), n).alias("shingles"),
+        )
+        .withColumn("n_shingles", F.size("shingles"))
+    )
 
 
 def _verify_jaccard(
