@@ -83,6 +83,7 @@ from mapping_timeseries_spark.operators.sessionize import (
     tumbling_agg,
 )
 from mapping_timeseries_spark.operators.asof import asof_join, interval_join
+from mapping_timeseries_spark.operators.packing import concat_pack_spans
 from mapping_timeseries_spark.operators.relational import (
     anti_join,
     join_distinct_dim,
@@ -90,6 +91,7 @@ from mapping_timeseries_spark.operators.relational import (
     sample_fraction,
     sample_portable,
     sample_stratified,
+    sample_weighted_mix,
     summary_stats,
     conditional_agg,
     distinct_counts,
@@ -945,21 +947,40 @@ def q_skew_median_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-language quota sample of the documents corpus (data-mixing
-    primitive): 20 smallest-hash docs per lang, deterministic."""
+    """Data-mixing draws on the documents corpus, two disciplines in one
+    frame (registry capped at 50): kind='quota' — 20 smallest-hash docs
+    per lang (balanced subset); kind='mix' — weighted epoch mixture
+    (relational.sample_weighted_mix: de×2.3, fr×0.4, zh×0, default 1.0 —
+    integer copies + an exact-expectation fractional draw by portable
+    hash, copy_idx realized)."""
     ensure_runtime_conf(spark)
-    s = sample_stratified(
-        read_table(spark, sf_dir, "documents"), "lang", "doc_id", 20
+    docs = read_table(spark, sf_dir, "documents")
+    quota = sample_stratified(docs, "lang", "doc_id", 20).select(
+        F.lit("quota").alias("kind"),
+        "doc_id",
+        "lang",
+        F.lit(1).alias("copy_idx"),
     )
-    return s.select("doc_id", "lang")
+    mix = sample_weighted_mix(
+        docs,
+        "lang",
+        "doc_id",
+        {"de": 2.3, "fr": 0.4, "zh": 0.0},
+        default_weight=1.0,
+    ).select(F.lit("mix").alias("kind"), "doc_id", "lang", "copy_idx")
+    return quota.unionByName(mix)
 
 
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace + BPE-ish regex token counting per document, joined with
-    the rolling-hash content fingerprint AND the per-doc chunking summary
+    the rolling-hash content fingerprint, the per-doc chunking summary
     (textstats.chunk_documents aggregated back to doc grain: chunk count
     + total chunk tokens vs the DuckDB stride-arithmetic twin; chunk
-    CONTENT is pytest-pinned) — three operators in one frame."""
+    CONTENT is pytest-pinned) AND the concat-and-chunk sequence-packing
+    span (packing.concat_pack_spans over ws_tokens, budget 256: the
+    distributed two-phase cumsum vs the twin's single ORDER BY window —
+    same md5 order key, same integer arithmetic) — four operators in one
+    frame (registry capped at 50)."""
     ensure_runtime_conf(spark)
     docs = read_table(spark, sf_dir, "documents")
     t = token_counts(docs)
@@ -976,7 +997,10 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("chunk_n_tokens").cast("bigint").alias("sum_chunk_tokens"),
         )
     )
-    return t.join(fp, "doc_id").join(ch, "doc_id").select(
+    pk = concat_pack_spans(
+        t.select("doc_id", "ws_tokens"), "doc_id", "ws_tokens", 256
+    ).select("doc_id", "tok_start", "pack_first", "pack_last")
+    return t.join(fp, "doc_id").join(ch, "doc_id").join(pk, "doc_id").select(
         "doc_id",
         F.col("ws_tokens").cast("bigint").alias("ws_tokens"),
         F.col("bpe_ish_tokens").cast("bigint").alias("bpe_ish_tokens"),
@@ -985,6 +1009,9 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         "n_chunks",
         "sum_chunk_tokens",
+        "tok_start",
+        "pack_first",
+        "pack_last",
     )
 
 
@@ -1687,14 +1714,34 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 ORACLE_SAMPLE_STRATIFIED = """
-SELECT doc_id, lang FROM (
+WITH quota AS (
+  SELECT 'quota' AS kind, doc_id, lang, 1 AS copy_idx FROM (
+    SELECT doc_id, lang,
+           row_number() OVER (
+             PARTITION BY lang
+             ORDER BY ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT ASC,
+                      doc_id ASC) AS rk
+    FROM documents
+  ) ranked WHERE rk <= 20
+),
+-- weighted epoch mixture twin: n_copies = floor(w) + (u < frac(w)),
+-- u = portable_hash64('mix:' || doc_id) % 1e6 / 1e6
+mixw AS (
   SELECT doc_id, lang,
-         row_number() OVER (
-           PARTITION BY lang
-           ORDER BY ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT ASC,
-                    doc_id ASC) AS rk
+         CASE lang WHEN 'de' THEN 2.3 WHEN 'fr' THEN 0.4 WHEN 'zh' THEN 0.0
+                   ELSE 1.0 END AS w,
+         (('0x' || substring(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000)
+           / 1000000.0 AS u
   FROM documents
-) ranked WHERE rk <= 20
+),
+mix AS (
+  SELECT 'mix' AS kind, doc_id, lang,
+         CAST(unnest(range(1, CAST(floor(w) + CASE WHEN u < w - floor(w) THEN 1 ELSE 0 END AS BIGINT) + 1)) AS INT)
+           AS copy_idx
+  FROM mixw
+  WHERE floor(w) + CASE WHEN u < w - floor(w) THEN 1 ELSE 0 END > 0
+)
+SELECT * FROM quota UNION ALL SELECT * FROM mix
 """
 
 ORACLE_ALIGNMENT = f"""
@@ -1998,10 +2045,35 @@ ch AS (
                     / 112.0) AS n_chunks
     FROM documents
   )
+),
+-- concat-and-chunk packing twin: the distributed two-phase cumsum on the
+-- Spark side must equal this single running-sum window over the md5
+-- order key (budget 256)
+pk AS (
+  SELECT doc_id,
+         CAST(SUM(ws_tokens) OVER (ORDER BY hk, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS tok_end_pk,
+         ws_tokens AS t_pk
+  FROM (
+    SELECT doc_id,
+           len(string_split_regex(trim(text), '\s+')) AS ws_tokens,
+           CAST(('0x' || substring(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS BIGINT) AS hk
+    FROM documents
+  )
+),
+pk2 AS (
+  SELECT doc_id,
+         tok_end_pk - t_pk AS tok_start,
+         CAST(floor((tok_end_pk - t_pk) / 256) AS BIGINT) AS pack_first,
+         CAST(greatest(floor((tok_end_pk - t_pk) / 256),
+                       floor((tok_end_pk - 1) / 256)) AS BIGINT) AS pack_last
+  FROM pk
 )
 SELECT tok.doc_id, ws_tokens, bpe_ish_tokens, chars_per_token, fingerprint, n_chars,
-       ch.n_chunks, ch.sum_chunk_tokens
+       ch.n_chunks, ch.sum_chunk_tokens, pk2.tok_start, pk2.pack_first, pk2.pack_last
 FROM tok JOIN fp ON tok.doc_id = fp.doc_id JOIN ch ON tok.doc_id = ch.doc_id
+         JOIN pk2 ON tok.doc_id = pk2.doc_id
 """
 
 ORACLE_EXACT_DEDUP = """

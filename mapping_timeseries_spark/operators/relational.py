@@ -26,6 +26,7 @@ __all__ = [
     "merge_upsert",
     "month_arithmetic",
     "shard_assign",
+    "sample_weighted_mix",
 ]
 
 
@@ -247,6 +248,66 @@ def sample_stratified(
         df.withColumn("__rk", F.row_number().over(w))
         .where(F.col("__rk") <= per_stratum_k)
         .drop("__rk")
+    )
+
+
+def sample_weighted_mix(
+    df: DataFrame,
+    domain_col: str,
+    key_col: str,
+    weights: dict[str, float],
+    default_weight: float = 1.0,
+    salt: str = "mix",
+) -> DataFrame:
+    """Weighted dataset mixing: realize per-domain epoch weights as a
+    deterministic row multiset — the standard pretraining-mixture step
+    (domain weight 2.3 ⇒ every doc appears twice and 30% of docs a third
+    time; weight 0.4 ⇒ a 40% downsample).
+
+    Each row gets ``n_copies = floor(w) + (u < frac(w))`` where
+    ``u = portable_hash64(salt:key) % 1e6 / 1e6`` — so the fractional
+    part is an exact-expectation systematic draw, not an RNG: the
+    realized mix is a pure function of content keys (reproducible across
+    engines and re-runs, stable under repartitioning, and mostly stable
+    under corpus growth), and changing ``salt`` redraws the fractional
+    slice independently. Output adds ``copy_idx`` (1-based) — downstream
+    shard/order keys should include it so duplicated copies spread
+    across shards instead of clumping.
+
+    Plan: map-only (a literal-map lookup + ``explode(sequence)``), no
+    shuffle, no join; row fan-out is exactly the configured epoch
+    multiple. Weights are config-sized (O(domains)) so a literal map
+    beats a broadcast-join dim — swap to a broadcast join only if the
+    domain set itself needs to come from data.
+    """
+    if any(w < 0 for w in weights.values()) or default_weight < 0:
+        raise ValueError("mixture weights must be >= 0")
+    from ..functions.text import portable_hash64
+
+    wmap = F.create_map(
+        *[F.lit(x) for kv in weights.items() for x in kv]
+    )
+    w = F.coalesce(
+        wmap.getItem(F.col(domain_col)), F.lit(float(default_weight))
+    )
+    u = (
+        portable_hash64(
+            F.concat(F.lit(f"{salt}:"), F.col(key_col).cast("string"))
+        )
+        % F.lit(1000000)
+    ) / F.lit(1000000.0)
+    n_copies = (
+        F.floor(w).cast("int")
+        + F.when(u < (w - F.floor(w)), F.lit(1)).otherwise(F.lit(0))
+    )
+    return (
+        df.withColumn("__n_copies", n_copies)
+        .where(F.col("__n_copies") > 0)
+        .withColumn(
+            "copy_idx",
+            F.explode(F.sequence(F.lit(1), F.col("__n_copies"))),
+        )
+        .drop("__n_copies")
     )
 
 

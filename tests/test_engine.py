@@ -144,6 +144,59 @@ def test_sample_stratified_quota_and_determinism(spark):
     assert tiny.count() == 4
 
 
+def test_sample_weighted_mix_semantics(spark):
+    from pyspark.sql import functions as F
+
+    from mapping_timeseries_spark.operators.relational import sample_weighted_mix
+
+    langs = ["en", "de", "fr", "zh"]
+    df = spark.createDataFrame(
+        [(i, langs[i % 4]) for i in range(2000)], "doc_id long, lang string"
+    )
+    weights = {"de": 2.5, "fr": 0.4, "zh": 0.0}
+    m = sample_weighted_mix(df, "lang", "doc_id", weights).cache()
+    counts = {
+        r["lang"]: r["n"]
+        for r in m.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # zero weight: excluded entirely; default weight: exactly once
+    assert "zh" not in counts
+    assert counts["en"] == 500
+    # integer part exact, fractional part an exact-expectation hash draw:
+    # de in [2*500, 3*500], near 2.5*500; fr in [0, 500], near 0.4*500
+    assert 2 * 500 <= counts["de"] <= 3 * 500
+    assert abs(counts["de"] - 1250) < 120
+    assert abs(counts["fr"] - 200) < 100
+    # every de doc appears at least twice with dense copy_idx 1..n
+    de = m.where(F.col("lang") == "de")
+    per_doc = {
+        r["doc_id"]: (r["n"], r["mx"])
+        for r in de.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("copy_idx").alias("mx"))
+        .collect()
+    }
+    assert all(n in (2, 3) and mx == n for n, mx in per_doc.values())
+    # deterministic under repartitioning
+    again = sample_weighted_mix(df.repartition(13), "lang", "doc_id", weights)
+    assert sorted(map(tuple, m.collect())) == sorted(map(tuple, again.collect()))
+    # a different salt redraws the fractional slice but keeps the integer part
+    other = sample_weighted_mix(df, "lang", "doc_id", weights, salt="mix2")
+    de_ids = {r["doc_id"] for r in de.where(F.col("copy_idx") == 3).collect()}
+    other_ids = {
+        r["doc_id"]
+        for r in other.where(
+            (F.col("lang") == "de") & (F.col("copy_idx") == 3)
+        ).collect()
+    }
+    assert de_ids != other_ids
+    m.unpersist()
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        sample_weighted_mix(df, "lang", "doc_id", {"en": -1.0})
+
+
 def test_salted_agg_equals_direct_groupby(spark):
     from pyspark.sql import functions as F
 
