@@ -18,8 +18,6 @@ Scale design
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -31,6 +29,7 @@ from ..functions.text import (
     tokens,
     word_shingles_from_tokens,
 )
+from ..sources.readers import ensure_parallel
 
 __all__ = [
     "exact_dedup",
@@ -64,41 +63,9 @@ def content_hash_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def _ensure_parallel(df: DataFrame) -> DataFrame:
-    """Spread a low-partition scan across cores before expression-heavy
-    per-row work (shingling, 32-seed hashing). A small local parquet file
-    arrives as ONE partition, serializing everything downstream; on a real
-    cluster the scan is already wide and this is a no-op.
-
-    The probe is file metadata (public ``inputFiles`` API + local file
-    sizes — driver catalog lookup only, no job, no plan->RDD conversion,
-    unlike the ``df.rdd.getNumPartitions()`` it replaces). The scan's
-    partition count is ~max(n_files, total_bytes/maxPartitionBytes), so
-    the repartition fires only when BOTH are under target — a few huge
-    files already split wide and must NOT be repartitioned down to
-    ``target``. Non-file-backed inputs (createDataFrame / in-memory
-    frames, the library-caller case) fall back to the plan->RDD partition
-    probe — cheap for local relations, and without it a 1-partition
-    in-memory frame would serialize all the expression-heavy work.
-    Non-local filesystems are left alone (at 100 TB the input is
-    thousands of files and this never fires)."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    files = df.inputFiles()
-    if not files:
-        if df.rdd.getNumPartitions() < target:
-            return df.repartition(target)
-        return df
-    if len(files) >= target:
-        return df
-    local = [f.removeprefix("file:") for f in files if f.startswith("file:")]
-    if len(local) != len(files):
-        return df  # non-local FS: trust the source's split planning
-    total = sum(os.path.getsize(p) for p in local if os.path.exists(p))
-    max_pb = 128 << 20  # spark.sql.files.maxPartitionBytes default
-    est_partitions = max(len(files), -(-total // max_pb))
-    if est_partitions < target:
-        return df.repartition(target)
-    return df
+# scan-width guard lives with the sources layer now; operators keep the
+# old private name as an alias
+_ensure_parallel = ensure_parallel
 
 
 def _shingled(docs: DataFrame, text_col: str, n: int) -> DataFrame:

@@ -26,7 +26,15 @@ from .readers import read_table
 
 
 def monthly_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """t1: per-customer monthly order spend (cus_code, month, txn_amount)."""
+    """t1: per-customer monthly order spend (cus_code, month, txn_amount).
+
+    Deliberately NOT widened with ``ensure_parallel``: the per-row work
+    here (month bucketing + a sum partial) is too cheap to amortize the
+    round-robin shuffle of the raw rows — measured at sf0.1, widening
+    the scans REGRESSED corr_mapping 3.0→3.9 s and auto_mapping
+    3.8→5.6 s. The widen pays off only where per-row/pair compute
+    dominates the extra exchange (shingling, minhash, vector math —
+    see dedup/similarity call sites)."""
     orders = read_table(spark, sf_dir, "orders")
     return (
         orders.groupBy(

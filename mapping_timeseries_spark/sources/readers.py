@@ -116,3 +116,41 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Temp views over the fixture tables for the SQL surface (S3/S8)."""
     for name in TPCH_TABLES:
         read_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def ensure_parallel(df: DataFrame) -> DataFrame:
+    """Spread a low-partition scan across cores before expression-heavy
+    per-row work (shingling, minhashing, vector math, month
+    bucketing). A small local parquet file
+    arrives as ONE partition, serializing everything downstream; on a real
+    cluster the scan is already wide and this is a no-op.
+
+    The probe is file metadata (public ``inputFiles`` API + local file
+    sizes — driver catalog lookup only, no job, no plan->RDD conversion,
+    unlike the ``df.rdd.getNumPartitions()`` it replaces). The scan's
+    partition count is ~max(n_files, total_bytes/maxPartitionBytes), so
+    the repartition fires only when BOTH are under target — a few huge
+    files already split wide and must NOT be repartitioned down to
+    ``target``. Non-file-backed inputs (createDataFrame / in-memory
+    frames, the library-caller case) fall back to the plan->RDD partition
+    probe — cheap for local relations, and without it a 1-partition
+    in-memory frame would serialize all the expression-heavy work.
+    Non-local filesystems are left alone (at 100 TB the input is
+    thousands of files and this never fires)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    files = df.inputFiles()
+    if not files:
+        if df.rdd.getNumPartitions() < target:
+            return df.repartition(target)
+        return df
+    if len(files) >= target:
+        return df
+    local = [f.removeprefix("file:") for f in files if f.startswith("file:")]
+    if len(local) != len(files):
+        return df  # non-local FS: trust the source's split planning
+    total = sum(os.path.getsize(p) for p in local if os.path.exists(p))
+    max_pb = 128 << 20  # spark.sql.files.maxPartitionBytes default
+    est_partitions = max(len(files), -(-total // max_pb))
+    if est_partitions < target:
+        return df.repartition(target)
+    return df
