@@ -83,7 +83,10 @@ from mapping_timeseries_spark.operators.sessionize import (
     tumbling_agg,
 )
 from mapping_timeseries_spark.operators.asof import asof_join, interval_join
-from mapping_timeseries_spark.operators.packing import concat_pack_spans
+from mapping_timeseries_spark.operators.packing import (
+    concat_pack_spans,
+    pack_manifest,
+)
 from mapping_timeseries_spark.operators.relational import (
     anti_join,
     join_distinct_dim,
@@ -944,6 +947,37 @@ def q_skew_median_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         out_col="median_price",
     )
     return out.select("l_returnflag", F.round("median_price", 6).alias("median_price"))
+
+
+def q_pack_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only: the concat-and-chunk sequence-packing export path over
+    documents — token counts -> distributed global offsets -> pack spans
+    -> (pack, doc-slice) manifest at a 2048-token budget. The span
+    arithmetic is hash-gated through token_counts
+    (tok_start/pack_first/pack_last); this measures the full path
+    including the manifest explode."""
+    ensure_runtime_conf(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    t = token_counts(docs).select("doc_id", "ws_tokens")
+    spans = concat_pack_spans(t, "doc_id", "ws_tokens", 2048)
+    return pack_manifest(spans, "doc_id", 2048)
+
+
+def q_pack_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only: first-fit-decreasing bin packing of documents into
+    2048-token sequences across 32 hash shards (applyInPandas per
+    shard), reduced to the one-row waste report. Invariants are
+    pytest-pinned in tests/test_packing.py."""
+    ensure_runtime_conf(spark)
+    from mapping_timeseries_spark.operators.packing import (
+        pack_greedy_ffd,
+        packing_stats,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    t = token_counts(docs).select("doc_id", "ws_tokens")
+    packed = pack_greedy_ffd(t, "doc_id", "ws_tokens", 2048, n_shards=32)
+    return packing_stats(packed, 2048)
 
 
 def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:

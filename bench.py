@@ -61,6 +61,10 @@ HEADLINE = [
     # the skew-robust histogram formulation (exact_median_grouped)
     "skew_median_buffered",
     "skew_median_hist",
+    # sequence-packing export paths (r4): concat-and-chunk manifest and
+    # FFD bin packing at a 2048-token budget over documents
+    "pack_export",
+    "pack_ffd",
 ]
 
 # Anti-pattern CONTROL variants: measured and reported (the experiment
@@ -100,6 +104,8 @@ def main() -> None:
     qs["skew_agg_plain"] = entry_mod.q_skew_agg_plain
     qs["skew_median_buffered"] = entry_mod.q_skew_median_buffered
     qs["skew_median_hist"] = entry_mod.q_skew_median_hist
+    qs["pack_export"] = entry_mod.q_pack_export
+    qs["pack_ffd"] = entry_mod.q_pack_ffd
     times: dict[str, float] = {}
     spreads: dict[str, float] = {}
     for name in HEADLINE:
