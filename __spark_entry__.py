@@ -63,6 +63,7 @@ from mapping_timeseries_spark.operators.similarity import (
 )
 from mapping_timeseries_spark.operators.textstats import (
     LANG_TRIGRAMS,
+    boilerplate_signals,
     chunk_documents,
     doc_fingerprints,
     lang_distribution,
@@ -1187,13 +1188,18 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic quality score per document, joined with BOTH language-ID
     heuristics (marker-word and char-trigram-profile — same per-doc
-    grain), plus the deterministic training-shard assignment
+    grain), the deterministic training-shard assignment
     (relational.shard_assign — portable md5 % 16, the per-row half of the
-    write_training_shards export) so four operators are verified in one
-    frame."""
+    write_training_shards export), and the corpus-frequency boilerplate
+    signal (textstats.boilerplate_signals: share of a doc's distinct
+    3-grams occurring in >= 4 docs, hashed before the shuffle) — five
+    operators verified in one frame (registry capped at 50)."""
     ensure_runtime_conf(spark)
     docs = read_table(spark, sf_dir, "documents")
     s = shard_assign(quality_score(docs), "doc_id", 16)
+    bp = boilerplate_signals(docs).select(
+        "doc_id", "n_grams", "n_boiler_grams", "boilerplate_frac"
+    )
     lid = lang_marker_scores(docs).select(
         "doc_id",
         "actual_lang",
@@ -1204,7 +1210,7 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "predicted_lang",
     )
     tri = lang_trigram_scores(docs).select("doc_id", "trigram_lang")
-    return s.join(lid, "doc_id").join(tri, "doc_id").select(
+    return s.join(lid, "doc_id").join(tri, "doc_id").join(bp, "doc_id").select(
         "doc_id",
         F.col("n_tokens").cast("bigint").alias("n_tokens"),
         F.col("n_unique_tokens").cast("bigint").alias("n_unique_tokens"),
@@ -1217,6 +1223,9 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "predicted_lang",
         "trigram_lang",
         "shard",
+        "n_grams",
+        "n_boiler_grams",
+        "boilerplate_frac",
     )
 
 
@@ -2404,13 +2413,46 @@ tri AS (
            {_sql_trigram_score(LANG_TRIGRAMS['es'])} AS tri_es
     FROM (SELECT doc_id, lower(text) AS lt FROM documents)
   )
+),
+-- boilerplate twin: distinct word 3-grams hashed to 60-bit ints (same
+-- md5 reduction as the Spark side), corpus doc-frequency >= 4
+sh3 AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3 THEN
+           list_distinct(list_transform(range(1, len(t) - 1),
+             i -> list_extract(t, i) || ' ' || list_extract(t, i + 1)
+                  || ' ' || list_extract(t, i + 2)))
+         ELSE [] END AS grams
+  FROM (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents)
+),
+gx AS (
+  SELECT doc_id, ('0x' || substring(md5(g), 1, 15))::BIGINT AS gh
+  FROM (SELECT doc_id, unnest(grams) AS g FROM sh3)
+),
+bf AS (
+  SELECT gh, count(*) AS df FROM gx GROUP BY gh
+),
+bp AS (
+  SELECT d.doc_id,
+         CAST(coalesce(cnt.n_grams, 0) AS BIGINT) AS n_grams,
+         CAST(coalesce(cnt.n_boiler, 0) AS BIGINT) AS n_boiler_grams,
+         round(coalesce(cnt.n_boiler, 0) * 1.0
+               / greatest(coalesce(cnt.n_grams, 0), 1), 6) AS boilerplate_frac
+  FROM (SELECT doc_id FROM documents) d
+  LEFT JOIN (
+    SELECT gx.doc_id, count(*) AS n_grams,
+           sum(CASE WHEN bf.df >= 4 THEN 1 ELSE 0 END) AS n_boiler
+    FROM gx JOIN bf USING (gh) GROUP BY gx.doc_id
+  ) cnt USING (doc_id)
 )
 SELECT q.doc_id, q.n_tokens, q.n_unique_tokens, q.quality_score,
        lid.actual_lang, lid.score_en, lid.score_de, lid.score_fr, lid.score_es,
        lid.predicted_lang, tri.trigram_lang,
        (('0x' || substring(md5('shard:' || CAST(q.doc_id AS VARCHAR)), 1, 15))::BIGINT
-         % 16)::INT AS shard
+         % 16)::INT AS shard,
+       bp.n_grams, bp.n_boiler_grams, bp.boilerplate_frac
 FROM q JOIN lid ON q.doc_id = lid.doc_id JOIN tri ON q.doc_id = tri.doc_id
+       JOIN bp ON q.doc_id = bp.doc_id
 """
 
 # WAV decode oracle: the payload is a pure function of (doc_id, text)

@@ -30,6 +30,7 @@ __all__ = [
     "chunk_documents",
     "repetition_stats",
     "pii_counts",
+    "boilerplate_signals",
 ]
 
 #: Function-word markers per language for the marker-count heuristic;
@@ -84,6 +85,72 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.least(length_ok + diversity + stop_bonus, F.lit(1.0)).alias(
             "quality_score"
         ),
+    )
+
+
+def boilerplate_signals(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    min_docs: int = 4,
+) -> DataFrame:
+    """Per-document boilerplate fraction: the share of a doc's DISTINCT
+    word ``n``-grams that occur in at least ``min_docs`` distinct
+    documents corpus-wide — the C4/RefinedWeb-style signal for headers,
+    footers, navigation chrome and license blurbs that repeat across a
+    crawl (a high fraction marks a template page, not prose).
+
+    Plan (scale posture): grams are reduced to 60-bit portable hashes
+    BEFORE any shuffle, so the wide exchanges carry fixed-width ints,
+    never gram strings. Because shingle arrays are per-doc distinct, the
+    corpus frequency is a plain count — one shuffle keyed by gram hash;
+    the frequent-gram set (tiny: grams crossing min_docs) then joins
+    back to the exploded grams on the same key, and the final per-doc
+    aggregate reuses the doc_id partitioning. Hash collisions (2^-60,
+    deterministic, identical in the DuckDB twin) are the documented
+    approximation.
+
+    Output: (doc_id, n_grams, n_boiler_grams, boilerplate_frac) —
+    zero-gram docs report fraction 0.0.
+    """
+    from ..functions.text import portable_hash64, word_shingles_from_tokens
+    from ..sources.readers import ensure_parallel
+
+    g = (
+        ensure_parallel(docs)
+        .select("doc_id", tokens(F.col(text_col)).alias("__toks"))
+        .select(
+            "doc_id",
+            F.explode_outer(
+                word_shingles_from_tokens(F.col("__toks"), n)
+            ).alias("gram"),
+        )
+        .select("doc_id", portable_hash64(F.col("gram")).alias("gh"))
+    )
+    freq = (
+        g.where(F.col("gh").isNotNull())
+        .groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .where(F.col("__df") >= min_docs)
+        .select("gh", F.lit(1).alias("__boiler"))
+    )
+    return (
+        g.join(freq, "gh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.col("gh")).cast("bigint").alias("n_grams"),
+            F.coalesce(F.sum("__boiler"), F.lit(0))
+            .cast("bigint")
+            .alias("n_boiler_grams"),
+        )
+        .withColumn(
+            "boilerplate_frac",
+            F.round(
+                F.col("n_boiler_grams")
+                / F.greatest(F.col("n_grams"), F.lit(1)),
+                6,
+            ),
+        )
     )
 
 

@@ -551,6 +551,37 @@ def test_repetition_stats_flags_boilerplate(spark):
     assert got[3] == (0.0, 0.0)
 
 
+def test_boilerplate_signals_planted_template(spark):
+    from mapping_timeseries_spark.operators.textstats import boilerplate_signals
+
+    footer = "copyright acme corp all rights reserved"  # 6 tokens
+    rows = [
+        # 5 docs sharing the footer: its 4 trigrams hit doc-frequency 5
+        (i, f"unique words number{i} alpha{i} beta{i} {footer}")
+        for i in range(5)
+    ]
+    rows += [
+        (10, "entirely fresh prose with no repeated trigram structure"),
+        (11, "xy"),  # < 3 tokens: zero grams, fraction 0
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_boiler_grams"], r["boilerplate_frac"])
+        for r in boilerplate_signals(docs, n=3, min_docs=4).collect()
+    }
+    # each footer doc: 11 tokens -> 9 trigrams, 4 of them the shared
+    # footer trigrams (the doc-specific prefix keeps the other 5 unique,
+    # including the 2 straddling the prefix/footer boundary)
+    for i in range(5):
+        n, b, frac = got[i]
+        assert n == 9 and b == 4 and frac == round(4 / 9, 6), got[i]
+    assert got[10] == (6, 0, 0.0)
+    assert got[11] == (0, 0, 0.0)
+    # raising min_docs above the template multiplicity clears the signal
+    clean = boilerplate_signals(docs, n=3, min_docs=6)
+    assert clean.agg(F.sum("n_boiler_grams")).first()[0] == 0
+
+
 def test_pii_counts_planted(spark):
     from mapping_timeseries_spark.operators.textstats import pii_counts
 
