@@ -1,0 +1,139 @@
+"""Training-data export walkthrough: raw corpus -> cleaned, mixed,
+packed, sharded training set — the LLM-pipeline side of the engine,
+runnable end to end (executed by tests/test_examples.py so it cannot
+rot).
+
+    python examples/training_export.py
+
+Stages (each one a first-class operator documented in COVERAGE.md §2.11):
+
+1. corpus preprocessing — exact dedup, MinHash near-dup clustering,
+   benchmark decontamination, quality floor, boilerplate ceiling; all
+   stage counts from ONE Observation on the export write;
+2. weighted dataset mixing — per-domain epoch weights realized as a
+   deterministic row multiset (no RNG anywhere: re-runs reproduce the
+   exact mixture);
+3. sequence packing — concat-and-chunk pack layout at a fixed token
+   budget (hash-order deterministic), plus the FFD bin alternative with
+   its measured padding waste;
+4. shard export — portable-hash shuffle-and-shard, one task per shard.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def main(spark=None, out_root: str | None = None, show: bool = True) -> dict:
+    own_session = spark is None
+    if own_session:
+        from mapping_timeseries_spark.session import get_spark
+
+        spark = get_spark(
+            "training-export", master="local[4]", shuffle_partitions=4
+        )
+    out_root = out_root or tempfile.mkdtemp(prefix="mts_training_")
+
+    # ── Step 1: a raw corpus with the usual defects ────────────────────
+    # swap for spark.read.parquet(...) over your crawl in production
+    footer = "all content copyright example holdings contact us for licensing"
+    bodies = [
+        "glaciers carve valleys slowly over thousands of patient years",
+        "the orchestra tuned quietly before the conductor raised a hand",
+        "fermented tea cultures trade sugar for acidity and thin films",
+        "object stores serve immutable blobs behind eventually consistent apis",
+        "migrating birds read polarized light and magnetic field lines",
+        "careful bakers weigh flour because volume lies about density",
+    ]
+    rows = [(i, f"{b} {footer}", "en" if i % 2 else "de") for i, b in enumerate(bodies)]
+    rows += [
+        (10, rows[0][1], "en"),                    # exact duplicate
+        (11, "what is the tallest mountain on earth measured from sea "
+             "level says the quiz page and then some filler text", "en"),
+        (12, "x x x x x", "en"),                   # junk
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    holdout = spark.createDataFrame(
+        [(900, "what is the tallest mountain on earth measured from sea level")],
+        "doc_id long, text string",
+    )
+
+    # ── Step 2: preprocess + attribute every rejection ─────────────────
+    from mapping_timeseries_spark.plans.corpus_pipeline import run_corpus_pipeline
+
+    clean_path = os.path.join(out_root, "clean")
+    res = run_corpus_pipeline(
+        docs,
+        holdout,
+        clean_path,
+        min_quality=0.3,
+        max_boilerplate_frac=0.9,  # footer is most of each tiny doc; keep
+        n_shards=2,
+    )
+    clean = spark.read.parquet(clean_path)
+
+    # ── Step 3: realize the training mixture (de docs twice) ───────────
+    from mapping_timeseries_spark.operators.relational import sample_weighted_mix
+
+    mixed = sample_weighted_mix(
+        clean, "lang", "doc_id", {"de": 2.0}, default_weight=1.0
+    )
+
+    # ── Step 4: pack into fixed token-budget sequences ─────────────────
+    from mapping_timeseries_spark.operators.packing import (
+        concat_pack_spans,
+        pack_greedy_ffd,
+        pack_manifest,
+        packing_stats,
+    )
+    from mapping_timeseries_spark.operators.textstats import token_counts
+
+    # copies need distinct pack keys or they'd collapse to one offset
+    with_tokens = (
+        mixed.withColumn("pack_key", F.concat_ws("#", "doc_id", "copy_idx"))
+        .join(token_counts(clean).select("doc_id", "ws_tokens"), "doc_id")
+    )
+    spans = concat_pack_spans(with_tokens, "pack_key", "ws_tokens", budget=32)
+    manifest = pack_manifest(spans, "pack_key", budget=32)
+    ffd = pack_greedy_ffd(with_tokens, "pack_key", "ws_tokens", budget=32, n_shards=2)
+    waste = packing_stats(ffd, budget=32).first()
+
+    # ── Step 5: export reproducible shards of the packed mixture ───────
+    from mapping_timeseries_spark.sources.writers import write_training_shards
+
+    shards_path = os.path.join(out_root, "shards")
+    write_training_shards(
+        spans.select("pack_key", "doc_id", "lang", "tok_start", "pack_first"),
+        shards_path,
+        key_col="pack_key",
+        n_shards=2,
+    )
+
+    stats = {
+        "stage_counts": {
+            k: v for k, v in res.stats.items() if k.startswith("n_")
+        },
+        "mixture_rows": mixed.count(),
+        "n_packs": int(
+            manifest.agg(F.countDistinct("pack_id")).first()[0]
+        ),
+        "ffd_waste_frac": float(waste.waste_frac),
+        "shard_files": sorted(
+            d for d in os.listdir(shards_path) if d.startswith("shard=")
+        ),
+    }
+    if show:
+        print(stats)
+    if own_session:
+        spark.stop()
+    return stats
+
+
+if __name__ == "__main__":
+    main()

@@ -288,7 +288,7 @@ def sample_weighted_mix(
         *[F.lit(x) for kv in weights.items() for x in kv]
     )
     w = F.coalesce(
-        wmap.getItem(F.col(domain_col)), F.lit(float(default_weight))
+        wmap[F.col(domain_col)], F.lit(float(default_weight))
     )
     u = (
         portable_hash64(

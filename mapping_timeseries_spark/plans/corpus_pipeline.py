@@ -63,20 +63,25 @@ def flag_corpus(
     portable_hashes: bool = False,
     max_top_bigram_share: float | None = None,
     max_pii_hits: int | None = None,
+    max_boilerplate_frac: float | None = None,
 ) -> DataFrame:
     """The lazy flagged-corpus frame: input columns + one int flag per
     stage (`pass_exact`, `pass_neardup`, `pass_clean`, `pass_quality`,
     and — when their thresholds are set — `pass_repetition` /
-    `pass_pii`) plus `quality_score`. Pure plan — callers decide what to
-    do with it (the pipeline filters AND observes; audits can inspect
-    rejects).
+    `pass_pii` / `pass_boilerplate`) plus `quality_score`. Pure plan —
+    callers decide what to do with it (the pipeline filters AND
+    observes; audits can inspect rejects).
 
     ``max_top_bigram_share``: reject boilerplate/spam whose most frequent
     word bigram exceeds this share (textstats.repetition_stats).
     ``max_pii_hits``: reject docs with more than this many PII-shaped
-    matches across all patterns (textstats.pii_counts). Both default to
-    None = stage off (no flag column), keeping the base pipeline's
-    contract unchanged.
+    matches across all patterns (textstats.pii_counts).
+    ``max_boilerplate_frac``: reject template pages whose share of
+    corpus-frequent trigrams exceeds this
+    (textstats.boilerplate_signals — WITHIN-doc repetition is the
+    bigram-share stage; this one catches ACROSS-doc repetition).
+    All three default to None = stage off (no flag column), keeping the
+    base pipeline's contract unchanged.
     """
     # exact: keeper = smallest doc_id per content digest
     from pyspark.sql import Window
@@ -134,6 +139,16 @@ def flag_corpus(
         flagged = flagged.join(pii, "doc_id").withColumn(
             "pass_pii", (F.col("__pii_total") <= max_pii_hits).cast("int")
         ).drop("__pii_total")
+    if max_boilerplate_frac is not None:
+        from ..operators.textstats import boilerplate_signals
+
+        bp = boilerplate_signals(docs, text_col).select(
+            "doc_id", "boilerplate_frac"
+        )
+        flagged = flagged.join(bp, "doc_id").withColumn(
+            "pass_boilerplate",
+            (F.col("boilerplate_frac") <= max_boilerplate_frac).cast("int"),
+        ).drop("boilerplate_frac")
     return flagged
 
 
@@ -149,6 +164,7 @@ def run_corpus_pipeline(
     portable_hashes: bool = False,
     max_top_bigram_share: float | None = None,
     max_pii_hits: int | None = None,
+    max_boilerplate_frac: float | None = None,
 ) -> CorpusPipelineResult:
     """Run the full preprocessing pipeline and export training shards.
 
@@ -170,6 +186,7 @@ def run_corpus_pipeline(
         portable_hashes,
         max_top_bigram_share,
         max_pii_hits,
+        max_boilerplate_frac,
     )
     flag_cols = [c for c in flagged.columns if c.startswith("pass_")]
     keep_all = None

@@ -92,6 +92,37 @@ def test_corpus_pipeline_optional_repetition_and_pii_stages(spark, tmp_path):
     assert got == [0, 3]
 
 
+def test_corpus_pipeline_optional_boilerplate_stage(spark, tmp_path):
+    """Across-doc template detection: 5 distinct docs sharing a footer
+    are rejected by the boilerplate stage (corpus-frequent trigrams)
+    even though none of them trips WITHIN-doc repetition or near-dup."""
+    footer = "subscribe to our newsletter for weekly updates and offers"
+    bodies = [
+        "solar panels convert photons into current through silicon junctions",
+        "medieval scribes copied manuscripts by candlelight in cold rooms",
+        "tidal forces stretch orbiting moons and heat their icy interiors",
+        "sourdough fermentation depends on wild yeast and lactic bacteria",
+        "compilers lower abstract syntax trees into optimized machine code",
+    ]
+    rows = [(i, f"{body} {footer}", "en") for i, body in enumerate(bodies)]
+    rows += [(10, BASE, "en")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = str(tmp_path / "shards_bp")
+    res = run_corpus_pipeline(
+        docs,
+        _holdout(spark),
+        out,
+        max_boilerplate_frac=0.15,
+        n_shards=2,
+    )
+    # footer docs: 7 shared footer trigrams over ~16 grams each (> 0.15);
+    # BASE has no corpus-frequent trigrams at all
+    assert res.stats["n_pass_boilerplate"] == 1
+    assert res.stats["n_retained"] == 1
+    got = [r["doc_id"] for r in spark.read.parquet(out).collect()]
+    assert got == [10]
+
+
 def test_run_corpus_pipeline_end_to_end(spark, tmp_path):
     out = str(tmp_path / "shards")
     res = run_corpus_pipeline(

@@ -17,3 +17,23 @@ def test_quickstart_example_runs(spark, tmp_path):
     assert set(stats["methods"]) <= {"correlation", "dtw"}
     assert stats["published_version"] == 1
     assert stats["history"] == ["quickstart run"]
+
+
+def test_training_export_example_runs(spark, tmp_path):
+    """The training-export walkthrough must run end to end: rejects the
+    planted defects, realizes the de x2 mixture, packs, and shards."""
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "examples")
+    )
+    import training_export
+
+    stats = training_export.main(spark=spark, out_root=str(tmp_path), show=False)
+    sc = stats["stage_counts"]
+    assert sc["n_input"] == 9
+    # planted: 1 exact dup, 1 contaminated, 1 junk -> 6 survive
+    assert sc["n_retained"] == 6
+    # 3 de docs doubled + 3 en docs once
+    assert stats["mixture_rows"] == 9
+    assert stats["n_packs"] >= 2
+    assert 0 <= stats["ffd_waste_frac"] < 0.5
+    assert stats["shard_files"] == ["shard=0", "shard=1"]
