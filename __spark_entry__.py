@@ -53,6 +53,7 @@ from mapping_timeseries_spark.operators.dedup import (
 )
 from mapping_timeseries_spark.operators.multimodal import (
     attach_binary_payload,
+    attach_image_payload,
     extract_features,
 )
 from mapping_timeseries_spark.operators.similarity import (
@@ -1285,16 +1286,20 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Real multimodal decode: synthesize RIFF/WAV payloads from the corpus
-    (binary column + typed metadata struct), then parse them back with the
-    pure-stdlib chunk-walking WAV parser inside Arrow-batched mapInPandas.
-    Metadata rides through the map (the former multimodal_meta query is
-    this frame's mime/lang/n_bytes columns). Hash-gated: the oracle
-    computes the expected decoded PCM statistics directly from the
-    synthesis formula — integer-exact, so any header/parse bug reds the
+    """Real multimodal decode, two modalities in one mixed-mime frame:
+    synthesize RIFF/WAV and BMP payloads from the corpus (binary column
+    + typed metadata struct), union them, then parse back with the
+    pure-stdlib chunk-walking WAV parser / padded-row BMP parser —
+    dispatched per row on meta.mime inside ONE Arrow-batched mapInPandas
+    (the mixed-modality table contract). Metadata rides through the map
+    (the former multimodal_meta query is this frame's mime/lang/n_bytes
+    columns). Hash-gated: the oracle computes the expected decoded PCM
+    statistics AND pixel-channel sums directly from the synthesis
+    formulas — integer-exact, so any header/stride/padding bug reds the
     gate."""
     ensure_runtime_conf(spark)
-    m = attach_binary_payload(read_table(spark, sf_dir, "documents"))
+    docs = read_table(spark, sf_dir, "documents")
+    m = attach_binary_payload(docs).unionByName(attach_image_payload(docs))
     feats = extract_features(m)
     return feats.select(
         "doc_id",
@@ -1307,6 +1312,12 @@ def q_multimodal_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pcm_sumsq",
         "pcm_min",
         "pcm_max",
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.col("n_px").cast("int").alias("n_px"),
+        "sum_r",
+        "sum_g",
+        "sum_b",
     )
 
 
@@ -2466,6 +2477,16 @@ WITH base AS (
       i -> ((ascii(array_extract(string_split(text, ''), i + 1)) * 257
              + i * 7919 + doc_id * 31) % 65536) - 32768) AS s
   FROM documents
+),
+-- image twin: 24-bit BMP, width 15, bottom-up padded rows; pixel k < n
+-- has channels (cp*3+k*11+doc_id, cp*5+k*13, cp*7+k*17) % 256, the
+-- rest black. n_bytes = 54 header + (15*3 + 3 pad) * height.
+img AS (
+  SELECT doc_id, lang, n,
+         CAST(greatest(1, ceil(n / 15.0)) AS INT) AS height,
+         list_transform(range(0, n),
+           k -> ascii(array_extract(string_split(text, ''), k + 1))) AS cps
+  FROM (SELECT doc_id, lang, text, least(length(text), 256) AS n FROM documents)
 )
 SELECT doc_id, 'audio/wav' AS mime, lang,
        CAST(44 + 2 * n AS BIGINT) AS n_bytes,
@@ -2473,8 +2494,27 @@ SELECT doc_id, 'audio/wav' AS mime, lang,
        CAST(coalesce(list_sum(s), 0) AS BIGINT) AS pcm_sum,
        CAST(coalesce(list_sum(list_transform(s, x -> x * x)), 0) AS BIGINT) AS pcm_sumsq,
        CAST(list_min(s) AS INT) AS pcm_min,
-       CAST(list_max(s) AS INT) AS pcm_max
+       CAST(list_max(s) AS INT) AS pcm_max,
+       CAST(NULL AS INT) AS width, CAST(NULL AS INT) AS height,
+       CAST(NULL AS INT) AS n_px,
+       CAST(NULL AS BIGINT) AS sum_r, CAST(NULL AS BIGINT) AS sum_g,
+       CAST(NULL AS BIGINT) AS sum_b
 FROM base
+UNION ALL
+SELECT doc_id, 'image/bmp' AS mime, lang,
+       CAST(54 + 48 * height AS BIGINT) AS n_bytes,
+       CAST(NULL AS INT) AS n_samples, CAST(NULL AS INT) AS sample_rate,
+       CAST(NULL AS BIGINT) AS pcm_sum, CAST(NULL AS BIGINT) AS pcm_sumsq,
+       CAST(NULL AS INT) AS pcm_min, CAST(NULL AS INT) AS pcm_max,
+       CAST(15 AS INT) AS width, height,
+       CAST(15 * height AS INT) AS n_px,
+       CAST(coalesce(list_sum(list_transform(range(0, n),
+         k -> (list_extract(cps, k + 1) * 7 + k * 17) % 256)), 0) AS BIGINT) AS sum_r,
+       CAST(coalesce(list_sum(list_transform(range(0, n),
+         k -> (list_extract(cps, k + 1) * 5 + k * 13) % 256)), 0) AS BIGINT) AS sum_g,
+       CAST(coalesce(list_sum(list_transform(range(0, n),
+         k -> (list_extract(cps, k + 1) * 3 + k * 11 + doc_id) % 256)), 0) AS BIGINT) AS sum_b
+FROM img
 """
 
 _SQL_COSINE = """

@@ -35,13 +35,22 @@ from pyspark.sql import types as T
 
 __all__ = [
     "attach_binary_payload",
+    "attach_image_payload",
     "synth_wav",
     "parse_wav",
+    "synth_bmp",
+    "parse_bmp",
     "extract_features",
 ]
 
 SAMPLE_RATE = 8000
 MAX_SAMPLES = 256
+
+#: BMP width 15 on purpose: 15 px * 3 B = 45 B/row, forcing the 3-byte
+#: row padding the format requires (a width-16 fixture would hide
+#: padding bugs entirely — 48 B rows are already 4-aligned).
+BMP_WIDTH = 15
+MAX_PIXELS = 256
 
 
 def synth_wav(doc_id: int, text: str, max_samples: int = MAX_SAMPLES,
@@ -123,6 +132,94 @@ def parse_wav(payload: bytes) -> dict:
     }
 
 
+def synth_bmp(doc_id: int, text: str, width: int = BMP_WIDTH,
+              max_pixels: int = MAX_PIXELS) -> bytes:
+    """Deterministic 24-bit bottom-up BMP synthesized from document
+    content — the image-modality twin of :func:`synth_wav`.
+
+    Logical pixel ``k`` (row-major from the top) for ``k < n`` where
+    ``n = min(len(text), max_pixels)`` has channels
+    ``b=(cp*3+k*11+doc_id)%256, g=(cp*5+k*13)%256, r=(cp*7+k*17)%256``
+    with ``cp = ord(text[k])``; pixels past ``n`` are black. Pure
+    function of (doc_id, text), so expected channel sums are
+    SQL-computable without binary parsing.
+    """
+    n = min(len(text), max_pixels)
+    height = max(1, -(-n // width))
+    row_bytes = width * 3
+    pad = (4 - row_bytes % 4) % 4
+
+    def px(k: int) -> bytes:
+        if k >= n:
+            return b"\x00\x00\x00"
+        cp = ord(text[k])
+        return bytes(
+            (
+                (cp * 3 + k * 11 + int(doc_id)) % 256,
+                (cp * 5 + k * 13) % 256,
+                (cp * 7 + k * 17) % 256,
+            )
+        )
+
+    rows = []
+    for y in range(height - 1, -1, -1):  # bottom-up storage order
+        rows.append(
+            b"".join(px(y * width + x) for x in range(width)) + b"\x00" * pad
+        )
+    data = b"".join(rows)
+    image_size = (row_bytes + pad) * height
+    file_header = b"BM" + struct.pack("<IHHI", 54 + image_size, 0, 0, 54)
+    info_header = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, image_size,
+        2835, 2835, 0, 0,
+    )
+    return file_header + info_header + data
+
+
+def parse_bmp(payload: bytes) -> dict:
+    """Real BMP parser: validate the BITMAPFILEHEADER/BITMAPINFOHEADER,
+    walk the bottom-up padded pixel rows, and return integer-exact
+    channel statistics. Raises ``ValueError`` on malformed input —
+    decode failures must surface, not pass as zeros."""
+    if payload is None or len(payload) < 54:
+        raise ValueError("not a BMP: too short")
+    if payload[0:2] != b"BM":
+        raise ValueError("not a BMP: bad magic")
+    file_size, _r1, _r2, data_offset = struct.unpack_from("<IHHI", payload, 2)
+    if file_size != len(payload):
+        raise ValueError("BMP size mismatch")
+    (hdr_size, width, height, planes, bpp, compression) = struct.unpack_from(
+        "<IiiHHI", payload, 14
+    )
+    if hdr_size < 40 or planes != 1 or bpp != 24 or compression != 0:
+        raise ValueError(
+            f"unsupported BMP: hdr={hdr_size} planes={planes} bpp={bpp} "
+            f"comp={compression}"
+        )
+    if width <= 0 or height <= 0:
+        raise ValueError(f"unsupported BMP dims: {width}x{height}")
+    row_bytes = width * 3
+    stride = row_bytes + (4 - row_bytes % 4) % 4
+    if data_offset + stride * height > len(payload):
+        raise ValueError("pixel data truncated")
+    sum_b = sum_g = sum_r = 0
+    for row in range(height):
+        off = data_offset + row * stride  # storage order; sums are order-free
+        for x in range(width):
+            b, g, r = payload[off + 3 * x : off + 3 * x + 3]
+            sum_b += b
+            sum_g += g
+            sum_r += r
+    return {
+        "width": width,
+        "height": height,
+        "n_px": width * height,
+        "sum_r": sum_r,
+        "sum_g": sum_g,
+        "sum_b": sum_b,
+    }
+
+
 _PAYLOAD_SCHEMA = T.BinaryType()
 
 
@@ -153,6 +250,31 @@ def attach_binary_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def attach_image_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Image-modality twin of :func:`attach_binary_payload`: real BMP
+    containers as the binary column, same metadata contract."""
+
+    @F.pandas_udf(_PAYLOAD_SCHEMA)
+    def synth(doc_id: pd.Series, text: pd.Series) -> pd.Series:
+        return pd.Series(
+            [synth_bmp(d, t) for d, t in zip(doc_id, text)], dtype=object
+        )
+
+    payload = synth(F.col("doc_id"), F.col(text_col))
+    return docs.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.struct(
+            F.lit("image/bmp").alias("mime"),
+            F.length(payload).alias("n_bytes"),
+            F.col("lang").alias("lang"),
+        ).alias("meta"),
+    )
+
+
+#: One row per media object regardless of modality: audio columns are
+#: null on image rows and vice versa (a union schema, not two tables —
+#: the downstream table contract of a mixed-modality corpus).
 _FEATURE_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
@@ -165,16 +287,27 @@ _FEATURE_SCHEMA = T.StructType(
         T.StructField("pcm_sumsq", T.LongType()),
         T.StructField("pcm_min", T.IntegerType()),
         T.StructField("pcm_max", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_px", T.IntegerType()),
+        T.StructField("sum_r", T.LongType()),
+        T.StructField("sum_g", T.LongType()),
+        T.StructField("sum_b", T.LongType()),
     ]
 )
 
+_DECODERS = {"audio/wav": parse_wav, "image/bmp": parse_bmp}
+
 
 def extract_features(media: DataFrame) -> DataFrame:
-    """Arrow-batched feature extraction over binary payloads.
+    """Arrow-batched feature extraction over binary payloads, dispatched
+    per row on the metadata mime type (audio -> WAV parser, image ->
+    BMP parser).
 
     mapInPandas over (doc_id, payload, meta) — the exact shape a real
     decode/resize/frame-sample stage uses. Metadata rides through the map
-    (no join to reunite), and the per-batch loop is the only Python.
+    (no join to reunite), and the per-batch loop is the only Python. An
+    unknown mime raises (quarantine upstream, don't silently zero).
     """
     flat = media.select(
         "doc_id",
@@ -183,10 +316,25 @@ def extract_features(media: DataFrame) -> DataFrame:
         F.col("meta.lang").alias("lang"),
         F.col("meta.n_bytes").alias("n_bytes"),
     )
+    feature_cols = [
+        f.name
+        for f in _FEATURE_SCHEMA.fields
+        if f.name not in ("doc_id", "mime", "lang", "n_bytes")
+    ]
+
+    def decode(mime: str, payload: bytes) -> dict:
+        try:
+            dec = _DECODERS[mime]
+        except KeyError:
+            raise ValueError(f"no decoder for mime {mime!r}") from None
+        return dec(payload)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = pd.DataFrame([parse_wav(p) for p in pdf["payload"]])
+            feats = pd.DataFrame(
+                [decode(m, p) for m, p in zip(pdf["mime"], pdf["payload"])],
+                columns=feature_cols,
+            )
             out = pd.concat(
                 [pdf[["doc_id", "mime", "lang", "n_bytes"]].reset_index(drop=True), feats],
                 axis=1,

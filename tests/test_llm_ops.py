@@ -273,6 +273,65 @@ def test_wav_parser_rejects_malformed():
         parse_wav(short_fmt)
 
 
+def test_multimodal_mixed_modality_pipeline(spark):
+    """Audio + image rows through ONE extract_features pass: mime
+    dispatch, union schema (cross-modality columns null), and the BMP
+    padded-row walk recovering exact channel sums."""
+    from mapping_timeseries_spark.operators.multimodal import (
+        attach_image_payload,
+        parse_bmp,
+        synth_bmp,
+    )
+
+    text = "hello world this text spans two bmp rows easily padded"
+    docs = spark.createDataFrame(
+        [(3, text, "en")], "doc_id long, text string, lang string"
+    )
+    media = attach_binary_payload(docs).unionByName(attach_image_payload(docs))
+    feats = {r["mime"]: r for r in extract_features(media).collect()}
+    wav, bmp = feats["audio/wav"], feats["image/bmp"]
+    # union schema: each modality's foreign columns are null
+    assert wav["width"] is None and wav["sum_r"] is None
+    assert bmp["pcm_sum"] is None and bmp["sample_rate"] is None
+    # bmp geometry: width 15, height ceil(n/15), 3-byte row padding real
+    n = len(text)
+    height = -(-n // 15)
+    assert (bmp["width"], bmp["height"], bmp["n_px"]) == (15, height, 15 * height)
+    assert bmp["n_bytes"] == 54 + 48 * height
+    # channel sums match the synthesis formula exactly
+    assert bmp["sum_r"] == sum((ord(c) * 7 + k * 17) % 256 for k, c in enumerate(text))
+    assert bmp["sum_g"] == sum((ord(c) * 5 + k * 13) % 256 for k, c in enumerate(text))
+    assert bmp["sum_b"] == sum((ord(c) * 3 + k * 11 + 3) % 256 for k, c in enumerate(text))
+
+
+def test_bmp_parser_rejects_malformed():
+    from mapping_timeseries_spark.operators.multimodal import parse_bmp, synth_bmp
+
+    bmp = synth_bmp(5, "some pixels here")
+    got = parse_bmp(bmp)
+    assert got["width"] == 15 and got["n_px"] == 15 * got["height"]
+    # empty text still yields one black row (height floor 1)
+    empty = parse_bmp(synth_bmp(5, ""))
+    assert empty["height"] == 1 and empty["sum_r"] == 0
+    with pytest.raises(ValueError):
+        parse_bmp(None)
+    with pytest.raises(ValueError):
+        parse_bmp(b"XX" + bmp[2:])       # bad magic
+    with pytest.raises(ValueError):
+        parse_bmp(bmp[:-1])              # file size mismatch
+    with pytest.raises(ValueError):
+        parse_bmp(bmp[:53])              # too short
+    import struct as _struct
+
+    # declared dims larger than the actual pixel data must raise, not
+    # read out of bounds
+    grown = bytearray(bmp)
+    _struct.pack_into("<i", grown, 22, 99)  # height = 99
+    _struct.pack_into("<I", grown, 2, len(grown))
+    with pytest.raises(ValueError, match="truncated"):
+        parse_bmp(bytes(grown))
+
+
 def _clustered_embeddings(spark, n=200, n_centers=10, dim=16, seed=31):
     rng = np.random.default_rng(seed)
     centers = rng.standard_normal((n_centers, dim)) * 3
