@@ -54,6 +54,7 @@ from mapping_timeseries_spark.operators.dedup import (
 from mapping_timeseries_spark.operators.multimodal import (
     attach_binary_payload,
     attach_image_payload,
+    attach_video_payload,
     extract_features,
 )
 from mapping_timeseries_spark.operators.similarity import (
@@ -1286,10 +1287,11 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Real multimodal decode, two modalities in one mixed-mime frame:
-    synthesize RIFF/WAV and BMP payloads from the corpus (binary column
-    + typed metadata struct), union them, then parse back with the
-    pure-stdlib chunk-walking WAV parser / padded-row BMP parser —
+    """Real multimodal decode, three modalities in one mixed-mime frame:
+    synthesize RIFF/WAV, BMP, and uncompressed-AVI payloads from the
+    corpus (binary column + typed metadata struct), union them, then
+    parse back with the pure-stdlib chunk-walking WAV parser /
+    padded-row BMP parser / RIFF-tree AVI parser —
     dispatched per row on meta.mime inside ONE Arrow-batched mapInPandas
     (the mixed-modality table contract). Metadata rides through the map
     (the former multimodal_meta query is this frame's mime/lang/n_bytes
@@ -1299,7 +1301,11 @@ def q_multimodal_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate."""
     ensure_runtime_conf(spark)
     docs = read_table(spark, sf_dir, "documents")
-    m = attach_binary_payload(docs).unionByName(attach_image_payload(docs))
+    m = (
+        attach_binary_payload(docs)
+        .unionByName(attach_image_payload(docs))
+        .unionByName(attach_video_payload(docs))
+    )
     feats = extract_features(m)
     return feats.select(
         "doc_id",
@@ -1318,6 +1324,7 @@ def q_multimodal_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_r",
         "sum_g",
         "sum_b",
+        F.col("n_frames").cast("int").alias("n_frames"),
     )
 
 
@@ -2498,7 +2505,7 @@ SELECT doc_id, 'audio/wav' AS mime, lang,
        CAST(NULL AS INT) AS width, CAST(NULL AS INT) AS height,
        CAST(NULL AS INT) AS n_px,
        CAST(NULL AS BIGINT) AS sum_r, CAST(NULL AS BIGINT) AS sum_g,
-       CAST(NULL AS BIGINT) AS sum_b
+       CAST(NULL AS BIGINT) AS sum_b, CAST(NULL AS INT) AS n_frames
 FROM base
 UNION ALL
 SELECT doc_id, 'image/bmp' AS mime, lang,
@@ -2513,8 +2520,37 @@ SELECT doc_id, 'image/bmp' AS mime, lang,
        CAST(coalesce(list_sum(list_transform(range(0, n),
          k -> (list_extract(cps, k + 1) * 5 + k * 13) % 256)), 0) AS BIGINT) AS sum_g,
        CAST(coalesce(list_sum(list_transform(range(0, n),
-         k -> (list_extract(cps, k + 1) * 3 + k * 11 + doc_id) % 256)), 0) AS BIGINT) AS sum_b
+         k -> (list_extract(cps, k + 1) * 3 + k * 11 + doc_id) % 256)), 0) AS BIGINT) AS sum_b,
+       CAST(NULL AS INT) AS n_frames
 FROM img
+UNION ALL
+-- video twin: 8 frames of 8x6 raw BGR (rows 24 B, no padding needed);
+-- frame f pixel k uses cp = ord(text[(f+k) % len]) (97 for empty text);
+-- container length is constant (fixed frame geometry)
+SELECT doc_id, 'video/avi' AS mime, lang,
+       CAST(1444 AS BIGINT) AS n_bytes,
+       CAST(NULL AS INT) AS n_samples, CAST(NULL AS INT) AS sample_rate,
+       CAST(NULL AS BIGINT) AS pcm_sum, CAST(NULL AS BIGINT) AS pcm_sumsq,
+       CAST(NULL AS INT) AS pcm_min, CAST(NULL AS INT) AS pcm_max,
+       CAST(8 AS INT) AS width, CAST(6 AS INT) AS height,
+       CAST(NULL AS INT) AS n_px,
+       CAST(list_sum(flatten(list_transform(range(0, 8), f ->
+         list_transform(range(0, 48), k ->
+           ((CASE WHEN length(text) > 0
+                  THEN ascii(array_extract(string_split(text, ''), ((f + k) % length(text)) + 1))
+                  ELSE 97 END) * 7 + k * 17 + f * 29) % 256)))) AS BIGINT) AS sum_r,
+       CAST(list_sum(flatten(list_transform(range(0, 8), f ->
+         list_transform(range(0, 48), k ->
+           ((CASE WHEN length(text) > 0
+                  THEN ascii(array_extract(string_split(text, ''), ((f + k) % length(text)) + 1))
+                  ELSE 97 END) * 5 + k * 13 + f * 23) % 256)))) AS BIGINT) AS sum_g,
+       CAST(list_sum(flatten(list_transform(range(0, 8), f ->
+         list_transform(range(0, 48), k ->
+           ((CASE WHEN length(text) > 0
+                  THEN ascii(array_extract(string_split(text, ''), ((f + k) % length(text)) + 1))
+                  ELSE 97 END) * 3 + k * 11 + f * 19 + doc_id) % 256)))) AS BIGINT) AS sum_b,
+       CAST(8 AS INT) AS n_frames
+FROM documents
 """
 
 _SQL_COSINE = """

@@ -36,10 +36,16 @@ from pyspark.sql import types as T
 __all__ = [
     "attach_binary_payload",
     "attach_image_payload",
+    "attach_video_payload",
     "synth_wav",
     "parse_wav",
     "synth_bmp",
     "parse_bmp",
+    "resize_bmp",
+    "resize_images",
+    "synth_avi",
+    "parse_avi",
+    "sample_video_frames",
     "extract_features",
 ]
 
@@ -220,6 +226,200 @@ def parse_bmp(payload: bytes) -> dict:
     }
 
 
+def resize_bmp(payload: bytes, factor: int = 2) -> bytes:
+    """Nearest-neighbor downscale of a 24-bit BMP by an integer factor —
+    the resize stage of an image-preprocessing pipeline, pure stdlib.
+
+    Picks pixel (y*factor, x*factor) of the source for output (y, x) and
+    re-emits a valid padded bottom-up BMP, so the result round-trips
+    through :func:`parse_bmp`. Output dims are ``ceil(dim/factor)``
+    (every source pixel within reach of the grid is representable).
+    """
+    if factor < 1:
+        raise ValueError(f"factor must be >= 1, got {factor}")
+    src = parse_bmp(payload)  # validates container
+    w, h = src["width"], src["height"]
+    (_fs, _r1, _r2, data_offset) = struct.unpack_from("<IHHI", payload, 2)
+    stride = w * 3 + (4 - (w * 3) % 4) % 4
+    ow = -(-w // factor)
+    oh = -(-h // factor)
+    orow = ow * 3
+    opad = (4 - orow % 4) % 4
+
+    def src_px(x: int, y: int) -> bytes:
+        off = data_offset + (h - 1 - y) * stride + 3 * x
+        return payload[off : off + 3]
+
+    rows = []
+    for oy in range(oh - 1, -1, -1):  # bottom-up output
+        rows.append(
+            b"".join(src_px(ox * factor, oy * factor) for ox in range(ow))
+            + b"\x00" * opad
+        )
+    data = b"".join(rows)
+    file_header = b"BM" + struct.pack("<IHHI", 54 + len(data), 0, 0, 54)
+    info_header = struct.pack(
+        "<IiiHHIIiiII", 40, ow, oh, 1, 24, 0, len(data), 2835, 2835, 0, 0
+    )
+    return file_header + info_header + data
+
+
+#: video fixture geometry: small frames, multiple of nothing special
+AVI_WIDTH = 8
+AVI_HEIGHT = 6
+AVI_FRAMES = 8
+AVI_FPS = 4
+
+
+def synth_avi(doc_id: int, text: str, n_frames: int = AVI_FRAMES,
+              width: int = AVI_WIDTH, height: int = AVI_HEIGHT) -> bytes:
+    """Deterministic uncompressed AVI (RIFF 'AVI ') with ``n_frames``
+    raw 24-bit BGR bottom-up frames — the video-modality fixture.
+
+    Frame ``f``, logical pixel ``k`` (row-major from top) has channels
+    ``b=(cp*3+k*11+f*19+doc_id)%256, g=(cp*5+k*13+f*23)%256,
+    r=(cp*7+k*17+f*29)%256`` where ``cp`` is the code point of
+    ``text[(f + k) % len(text)]`` (97 for empty text) — a pure function
+    of (doc_id, text) so expected per-frame stats are SQL-computable.
+
+    Container layout (all real, chunk-walked by :func:`parse_avi`):
+    RIFF('AVI ') { LIST('hdrl'){ avih, LIST('strl'){ strh, strf } },
+    LIST('movi'){ '00db' * n_frames } }.
+    """
+    n = len(text)
+    row_bytes = width * 3
+    pad = (4 - row_bytes % 4) % 4
+    frame_size = (row_bytes + pad) * height
+
+    def frame(f: int) -> bytes:
+        rows = []
+        for y in range(height - 1, -1, -1):
+            row = bytearray()
+            for x in range(width):
+                k = y * width + x
+                cp = ord(text[(f + k) % n]) if n else 97
+                row += bytes(
+                    (
+                        (cp * 3 + k * 11 + f * 19 + int(doc_id)) % 256,
+                        (cp * 5 + k * 13 + f * 23) % 256,
+                        (cp * 7 + k * 17 + f * 29) % 256,
+                    )
+                )
+            rows.append(bytes(row) + b"\x00" * pad)
+        return b"".join(rows)
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        1000000 // AVI_FPS,          # microseconds per frame
+        frame_size * AVI_FPS,        # max bytes per second
+        0, 0x10,                     # padding, flags (AVIF_HASINDEX off)
+        n_frames, 0, 1, frame_size,
+        width, height, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"DIB " + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1,
+                                        AVI_FPS, 0, n_frames, frame_size,
+                                        0xFFFFFFFF, 0, 0)
+        + struct.pack("<hhhh", 0, 0, width, height)
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, frame_size, 2835, 2835, 0, 0
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00db", frame(f)) for f in range(n_frames)))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _avi_frames(payload: bytes) -> tuple[int, int, list[bytes]]:
+    """Chunk-walk a RIFF/AVI container: validate magics and sizes, read
+    dims/frame count from ``avih``, collect the '00db' frame bodies.
+    Shared by :func:`parse_avi` and :func:`sample_video_frames`."""
+    if payload is None or len(payload) < 12:
+        raise ValueError("not a RIFF container: too short")
+    if payload[0:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI container")
+    (riff_size,) = struct.unpack_from("<I", payload, 4)
+    if riff_size + 8 != len(payload):
+        raise ValueError("RIFF size mismatch")
+
+    avih = None
+    frames: list[bytes] = []
+
+    def walk(start: int, end: int) -> None:
+        nonlocal avih
+        off = start
+        while off + 8 <= end:
+            cid = payload[off : off + 4]
+            (csize,) = struct.unpack_from("<I", payload, off + 4)
+            body_start = off + 8
+            if body_start + csize > end:
+                raise ValueError("chunk truncated")
+            if cid == b"LIST":
+                walk(body_start + 4, body_start + csize)
+            elif cid == b"avih":
+                if csize < 56:
+                    raise ValueError("avih truncated")
+                avih = struct.unpack_from("<IIIIIIIIIIIIII", payload, body_start)
+            elif cid == b"00db":
+                frames.append(payload[body_start : body_start + csize])
+            off = body_start + csize + (csize & 1)
+
+    walk(12, len(payload))
+    if avih is None:
+        raise ValueError("missing avih header")
+    n_frames, width, height = avih[4], avih[8], avih[9]
+    if len(frames) != n_frames:
+        raise ValueError(f"frame count mismatch: avih={n_frames} movi={len(frames)}")
+    row_bytes = width * 3
+    stride = row_bytes + (4 - row_bytes % 4) % 4
+    for frame in frames:
+        if len(frame) != stride * height:
+            raise ValueError("frame size mismatch")
+    return width, height, frames
+
+
+def parse_avi(payload: bytes, frame_stride: int = 1) -> dict:
+    """Real AVI parser with frame sampling: walk the RIFF tree, decode
+    every ``frame_stride``-th frame's padded rows, return integer-exact
+    channel sums over the SAMPLED frames. Raises ``ValueError`` on
+    malformed input."""
+    if frame_stride < 1:
+        raise ValueError(f"frame_stride must be >= 1, got {frame_stride}")
+    width, height, frames = _avi_frames(payload)
+    stride = width * 3 + (4 - (width * 3) % 4) % 4
+    sampled = list(range(0, len(frames), frame_stride))
+    sum_b = sum_g = sum_r = 0
+    for f in sampled:
+        frame = frames[f]
+        for y in range(height):
+            off = y * stride
+            for x in range(width):
+                b, g, r = frame[off + 3 * x : off + 3 * x + 3]
+                sum_b += b
+                sum_g += g
+                sum_r += r
+    return {
+        "width": width,
+        "height": height,
+        "n_frames": len(frames),
+        "n_sampled": len(sampled),
+        "sum_r": sum_r,
+        "sum_g": sum_g,
+        "sum_b": sum_b,
+    }
+
+
 _PAYLOAD_SCHEMA = T.BinaryType()
 
 
@@ -272,9 +472,111 @@ def attach_image_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-#: One row per media object regardless of modality: audio columns are
-#: null on image rows and vice versa (a union schema, not two tables —
-#: the downstream table contract of a mixed-modality corpus).
+def attach_video_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Video-modality twin: real uncompressed AVI containers as the
+    binary column, same metadata contract."""
+
+    @F.pandas_udf(_PAYLOAD_SCHEMA)
+    def synth(doc_id: pd.Series, text: pd.Series) -> pd.Series:
+        return pd.Series(
+            [synth_avi(d, t) for d, t in zip(doc_id, text)], dtype=object
+        )
+
+    payload = synth(F.col("doc_id"), F.col(text_col))
+    return docs.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.struct(
+            F.lit("video/avi").alias("mime"),
+            F.length(payload).alias("n_bytes"),
+            F.col("lang").alias("lang"),
+        ).alias("meta"),
+    )
+
+
+def resize_images(media: DataFrame, factor: int = 2) -> DataFrame:
+    """Payload→payload image transform: nearest-neighbor downscale of
+    every BMP payload by ``factor``, metadata struct updated to the new
+    byte length. Map-only mapInPandas — the shape of any re-encode /
+    thumbnail stage (bytes cross into Python once per Arrow batch)."""
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("mime", T.StringType()),
+            T.StructField("lang", T.StringType()),
+        ]
+    )
+    flat = media.select(
+        "doc_id", "payload",
+        F.col("meta.mime").alias("mime"), F.col("meta.lang").alias("lang"),
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["payload"] = [resize_bmp(p, factor) for p in pdf["payload"]]
+            yield pdf
+
+    resized = flat.mapInPandas(run, out_schema)
+    payload = F.col("payload")
+    return resized.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.struct(
+            F.col("mime").alias("mime"),
+            F.length(payload).alias("n_bytes"),
+            F.col("lang").alias("lang"),
+        ).alias("meta"),
+    )
+
+
+_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("sum_r", T.LongType()),
+        T.StructField("sum_g", T.LongType()),
+        T.StructField("sum_b", T.LongType()),
+    ]
+)
+
+
+def sample_video_frames(media: DataFrame, stride: int = 2) -> DataFrame:
+    """Frame sampling: one OUTPUT ROW per sampled frame (every
+    ``stride``-th) of each video payload — the batch-shape-changing
+    mapInPandas (1 video row → n_frames/stride frame rows) a
+    frame-extraction stage uses. Per-frame integer channel sums."""
+    if stride < 1:
+        raise ValueError(f"stride must be >= 1, got {stride}")
+    flat = media.select("doc_id", "payload")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                width, height, frames = _avi_frames(payload)
+                row_stride = width * 3 + (4 - (width * 3) % 4) % 4
+                for f in range(0, len(frames), stride):
+                    frame = frames[f]
+                    sum_b = sum_g = sum_r = 0
+                    for y in range(height):
+                        off = y * row_stride
+                        for x in range(width):
+                            b, g, r = frame[off + 3 * x : off + 3 * x + 3]
+                            sum_b += b
+                            sum_g += g
+                            sum_r += r
+                    rows.append(
+                        (int(doc_id), f, width, height, sum_r, sum_g, sum_b)
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _FRAME_SCHEMA.fields]
+            )
+
+    return flat.mapInPandas(run, _FRAME_SCHEMA)
 _FEATURE_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
@@ -293,10 +595,15 @@ _FEATURE_SCHEMA = T.StructType(
         T.StructField("sum_r", T.LongType()),
         T.StructField("sum_g", T.LongType()),
         T.StructField("sum_b", T.LongType()),
+        T.StructField("n_frames", T.IntegerType()),
     ]
 )
 
-_DECODERS = {"audio/wav": parse_wav, "image/bmp": parse_bmp}
+_DECODERS = {
+    "audio/wav": parse_wav,
+    "image/bmp": parse_bmp,
+    "video/avi": parse_avi,
+}
 
 
 def extract_features(media: DataFrame) -> DataFrame:

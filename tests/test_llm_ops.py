@@ -332,6 +332,76 @@ def test_bmp_parser_rejects_malformed():
         parse_bmp(bytes(grown))
 
 
+def test_video_frame_sampling_and_resize(spark):
+    from mapping_timeseries_spark.operators.multimodal import (
+        AVI_FRAMES,
+        AVI_HEIGHT,
+        AVI_WIDTH,
+        attach_image_payload,
+        attach_video_payload,
+        parse_avi,
+        parse_bmp,
+        resize_images,
+        sample_video_frames,
+        synth_avi,
+    )
+
+    text = "video fixture content with enough characters to vary frames"
+    docs = spark.createDataFrame(
+        [(4, text, "en")], "doc_id long, text string, lang string"
+    )
+
+    # frame sampling: 1 video row -> ceil(n_frames/stride) frame rows
+    media = attach_video_payload(docs)
+    frames = sample_video_frames(media, stride=3).collect()
+    assert [r["frame_idx"] for r in frames] == list(range(0, AVI_FRAMES, 3))
+    assert all(
+        (r["width"], r["height"]) == (AVI_WIDTH, AVI_HEIGHT) for r in frames
+    )
+    # per-frame sums reassemble the full-stride parse exactly
+    full = parse_avi(synth_avi(4, text))
+    picked = parse_avi(synth_avi(4, text), frame_stride=3)
+    assert sum(r["sum_r"] for r in frames) == picked["sum_r"]
+    assert full["n_frames"] == AVI_FRAMES and picked["n_sampled"] == len(frames)
+
+    # resize: payload->payload transform halving dims, round-trips parse
+    imgs = attach_image_payload(docs)
+    small = resize_images(imgs, factor=2)
+    row = small.first()
+    dec = parse_bmp(bytes(row["payload"]))
+    assert dec["width"] == 8 and dec["height"] == -(-parse_bmp_height(text) // 2)
+    assert row["meta"]["n_bytes"] == len(bytes(row["payload"]))
+    assert row["meta"]["mime"] == "image/bmp"
+
+
+def parse_bmp_height(text: str) -> int:
+    # fixture geometry: width 15, one row per 15 chars (max 256), floor 1
+    return max(1, -(-min(len(text), 256) // 15))
+
+
+def test_avi_parser_rejects_malformed():
+    from mapping_timeseries_spark.operators.multimodal import parse_avi, synth_avi
+
+    avi = synth_avi(1, "abc")
+    assert parse_avi(avi)["n_frames"] == 8
+    with pytest.raises(ValueError):
+        parse_avi(None)
+    with pytest.raises(ValueError):
+        parse_avi(b"RIFF" + avi[4:8] + b"WAVE" + avi[12:])  # wrong form type
+    with pytest.raises(ValueError):
+        parse_avi(avi[:-1])  # RIFF size mismatch
+    with pytest.raises(ValueError):
+        parse_avi(avi, frame_stride=0)
+    # a frame chunk shorter than width*height must surface, not wrap
+    import struct as _struct
+
+    broken = bytearray(avi)
+    idx = bytes(broken).find(b"00db")
+    _struct.pack_into("<I", broken, idx + 4, 4)  # lie about frame size
+    with pytest.raises(ValueError):
+        parse_avi(bytes(broken))
+
+
 def _clustered_embeddings(spark, n=200, n_centers=10, dim=16, seed=31):
     rng = np.random.default_rng(seed)
     centers = rng.standard_normal((n_centers, dim)) * 3
