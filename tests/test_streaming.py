@@ -81,6 +81,38 @@ def test_stream_multimodal_extract_matches_batch(spark, tmp_path):
     assert len(got) == batch_docs.count()
 
 
+def test_stream_video_frame_sampling_matches_batch(spark, tmp_path):
+    """The row-MULTIPLYING multimodal map (one video row -> n/stride
+    frame rows) also runs unchanged under Structured Streaming — output
+    cardinality change inside mapInPandas needs no stateful operator."""
+    import shutil
+
+    from mapping_timeseries_spark.operators.multimodal import (
+        attach_video_payload,
+        sample_video_frames,
+    )
+
+    d = tmp_path / "docs_stream_vid"
+    d.mkdir()
+    shutil.copy(f"{SF_DIR}/documents.parquet", d / "part-0.parquet")
+
+    batch_docs = spark.read.parquet(str(d))
+    want = _as_sorted_rows(
+        sample_video_frames(attach_video_payload(batch_docs), stride=3),
+        ["doc_id", "frame_idx", "sum_r", "sum_g", "sum_b"],
+    )
+
+    stream_docs = spark.readStream.schema(batch_docs.schema).parquet(str(d))
+    out = run_to_memory(
+        sample_video_frames(attach_video_payload(stream_docs), stride=3),
+        "t_mm_frames",
+        output_mode="append",
+    )
+    got = _as_sorted_rows(out, ["doc_id", "frame_idx", "sum_r", "sum_g", "sum_b"])
+    assert got == want
+    assert len(got) == batch_docs.count() * 3  # ceil(8/3) frames per doc
+
+
 def test_stream_tumbling_matches_batch(spark, events_batch, stream_dir):
     stream = _stream_events(spark, stream_dir)
     out = run_to_memory(
