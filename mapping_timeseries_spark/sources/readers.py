@@ -112,6 +112,33 @@ def read_incremental(
     return spark.read.parquet(path).where(F.col(time_col).between(start, end))
 
 
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: str | None = None,
+) -> DataFrame:
+    """JSON-Lines corpus reader — the interchange format LLM corpora
+    actually arrive in (one JSON object per line).
+
+    Pass an explicit ``schema`` (DDL string) in production: without one
+    Spark runs a full inference pass over the data (double read) and a
+    corrupt line silently becomes nulls; with one, malformed lines land
+    in ``_corrupt_record`` under the default PERMISSIVE mode where an
+    audit can count them instead of the job dying mid-scan.
+
+    Scale notes: uncompressed/bzip2 (and zstd where native Hadoop libs
+    exist) JSONL splits across tasks; **gzip does NOT split** — one
+    .jsonl.gz is one task no matter its size, the classic ingest
+    bottleneck (re-chunk upstream or choose a splittable codec). Columns used downstream still prune, but unlike
+    parquet every byte of every line is read and parsed first — ingest
+    once, convert to parquet/shards, never re-scan JSONL.
+    """
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Temp views over the fixture tables for the SQL surface (S3/S8)."""
     for name in TPCH_TABLES:

@@ -318,3 +318,29 @@ def write_run_metadata(path: str, metadata: dict[str, Any]) -> None:
     os.makedirs(os.path.dirname(path), exist_ok=True)
     with open(path, "w") as f:
         json.dump(metadata, f, indent=2, default=str)
+
+
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    compression: str | None = "bzip2",
+    partition_col: str | None = None,
+) -> None:
+    """JSON-Lines corpus sink (interchange with non-Spark consumers —
+    tokenizer trainers, eval harnesses, labeling tools).
+
+    Defaults to bzip2 — the one codec that is both available without
+    native Hadoop libraries AND block-splittable on read back (gzip and
+    snappy/lz4-on-text are not; a cluster with native libs should pass
+    ``"zstd"`` for the better speed/ratio at the same splittability).
+    Optional
+    ``partition_col`` gives hive-layout directories so a date/shard
+    slice is a directory read. For anything Spark itself will re-read,
+    prefer parquet — JSONL is the EXPORT boundary, not the working
+    format."""
+    w = df.write.mode("overwrite")
+    if compression is not None:
+        w = w.option("compression", compression)
+    if partition_col is not None:
+        w = w.partitionBy(partition_col)
+    w.json(path)

@@ -310,3 +310,42 @@ def test_compact_parquet_reduces_file_count(spark, tmp_path):
 
     with pytest.raises(ValueError):
         compact_parquet(spark, src, src)
+
+
+def test_jsonl_roundtrip_and_corrupt_line_audit(spark, tmp_path):
+    """JSONL export/ingest boundary: explicit-schema round trip is
+    lossless, zstd files split on read back, and a corrupt line lands in
+    _corrupt_record instead of killing the scan."""
+    from mapping_timeseries_spark.sources.readers import read_jsonl
+    from mapping_timeseries_spark.sources.writers import write_jsonl
+
+    docs = spark.createDataFrame(
+        [(i, f"text body {i}", "en" if i % 2 else "de") for i in range(50)],
+        "doc_id long, text string, lang string",
+    )
+    out = str(tmp_path / "corpus_jsonl")
+    write_jsonl(docs, out, partition_col="lang")
+    # hive layout: a lang slice is a directory
+    assert sorted(
+        d for d in os.listdir(out) if d.startswith("lang=")
+    ) == ["lang=de", "lang=en"]
+    back = read_jsonl(spark, out, schema="doc_id long, text string, lang string")
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, docs.collect()))
+
+    # corrupt line -> _corrupt_record row, scan survives
+    bad = tmp_path / "bad"
+    bad.mkdir()
+    (bad / "part-0.jsonl").write_text(
+        '{"doc_id": 1, "text": "ok", "lang": "en"}\n'
+        'this is not json at all\n'
+        '{"doc_id": 2, "text": "also ok", "lang": "de"}\n'
+    )
+    audited = read_jsonl(
+        spark,
+        str(bad),
+        schema="doc_id long, text string, lang string, _corrupt_record string",
+    ).cache()
+    assert audited.count() == 3
+    assert audited.where(F.col("_corrupt_record").isNotNull()).count() == 1
+    assert audited.where(F.col("doc_id").isNotNull()).count() == 2
+    audited.unpersist()
