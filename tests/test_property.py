@@ -145,6 +145,95 @@ def test_wav_roundtrip_property(doc_id, text):
     assert feats["pcm_max"] == (max(samples) if samples else None)
 
 
+@settings(max_examples=40, deadline=None)
+@given(
+    doc_id=st.integers(min_value=0, max_value=10**9),
+    text=st.text(
+        alphabet=st.characters(codec="utf-8", exclude_categories=("Cs",)),
+        max_size=400,
+    ),
+    factor=st.sampled_from([1, 2, 3, 5]),
+)
+def test_bmp_roundtrip_and_resize_property(doc_id, text, factor):
+    """synth_bmp -> parse_bmp recovers the formula-exact channel sums
+    for any unicode text (incl. empty -> one black row), and
+    nearest-neighbor resize emits a valid container whose dims are
+    ceil(dim/factor) and whose pixels are a subset of the source's."""
+    from mapping_timeseries_spark.operators.multimodal import (
+        parse_bmp,
+        resize_bmp,
+        synth_bmp,
+    )
+
+    bmp = synth_bmp(doc_id, text)
+    got = parse_bmp(bmp)
+    n = min(len(text), 256)
+    height = max(1, -(-n // 15))
+    assert (got["width"], got["height"], got["n_px"]) == (15, height, 15 * height)
+    assert got["sum_r"] == sum(
+        (ord(c) * 7 + k * 17) % 256 for k, c in enumerate(text[:256])
+    )
+    assert got["sum_g"] == sum(
+        (ord(c) * 5 + k * 13) % 256 for k, c in enumerate(text[:256])
+    )
+    assert got["sum_b"] == sum(
+        (ord(c) * 3 + k * 11 + doc_id) % 256 for k, c in enumerate(text[:256])
+    )
+    small = parse_bmp(resize_bmp(bmp, factor))
+    assert small["width"] == -(-15 // factor)
+    assert small["height"] == -(-height // factor)
+    # channel sums of a sampled subset never exceed the full image's
+    assert small["sum_r"] <= got["sum_r"]
+    if factor == 1:
+        assert small == got
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    doc_id=st.integers(min_value=0, max_value=10**9),
+    text=st.text(
+        alphabet=st.characters(codec="utf-8", exclude_categories=("Cs",)),
+        max_size=120,
+    ),
+    stride=st.sampled_from([1, 2, 3, 7, 8]),
+)
+def test_avi_roundtrip_property(doc_id, text, stride):
+    """synth_avi -> parse_avi recovers the formula-exact sums for any
+    text and any sampling stride; stride=1 equals the per-frame sums
+    accumulated by hand."""
+    from mapping_timeseries_spark.operators.multimodal import (
+        AVI_FRAMES,
+        AVI_HEIGHT,
+        AVI_WIDTH,
+        parse_avi,
+        synth_avi,
+    )
+
+    avi = synth_avi(doc_id, text)
+    got = parse_avi(avi, frame_stride=stride)
+    n = len(text)
+    npx = AVI_WIDTH * AVI_HEIGHT
+    frames = range(0, AVI_FRAMES, stride)
+
+    def cp(f, k):
+        return ord(text[(f + k) % n]) if n else 97
+
+    assert got["n_frames"] == AVI_FRAMES
+    assert got["n_sampled"] == len(frames)
+    assert got["sum_r"] == sum(
+        (cp(f, k) * 7 + k * 17 + f * 29) % 256
+        for f in frames for k in range(npx)
+    )
+    assert got["sum_g"] == sum(
+        (cp(f, k) * 5 + k * 13 + f * 23) % 256
+        for f in frames for k in range(npx)
+    )
+    assert got["sum_b"] == sum(
+        (cp(f, k) * 3 + k * 11 + f * 19 + doc_id) % 256
+        for f in frames for k in range(npx)
+    )
+
+
 def test_exact_median_fuzz_one_pass(spark):
     """Random group shapes — odd/even sizes, duplicate-heavy, tiny — in
     ONE Spark pass vs np.median per group."""
