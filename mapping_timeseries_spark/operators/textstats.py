@@ -31,6 +31,7 @@ __all__ = [
     "repetition_stats",
     "pii_counts",
     "boilerplate_signals",
+    "vocab_counts",
 ]
 
 #: Function-word markers per language for the marker-count heuristic;
@@ -152,6 +153,47 @@ def boilerplate_signals(
             ),
         )
     )
+
+
+def vocab_counts(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int | None = None,
+    min_count: int = 1,
+) -> DataFrame:
+    """Corpus token-frequency table — the precursor every tokenizer
+    training (BPE/unigram) and OOV analysis starts from. Output:
+    (token, n_occurrences, n_docs), optionally top-``k`` by count
+    (count desc, token asc — deterministic ties).
+
+    Scale: token frequencies are Zipfian — the textbook skewed key — but
+    counts are algebraic, so map-side partial aggregation reduces each
+    hot token to ONE row per task before the shuffle and no salting is
+    needed (the measured lesson in SCALE.md: salting helps
+    partial-agg-RESISTANT state, not sums/counts). The per-doc distinct
+    pass for ``n_docs`` rides the same exploded frame. Top-k is a
+    global sort of the (already tiny) aggregated table via
+    ``orderBy().limit()`` — Spark plans TakeOrderedAndProject, a
+    per-partition heap + driver merge of k rows, not a full sort.
+    """
+    from ..sources.readers import ensure_parallel
+
+    tok = (
+        ensure_parallel(docs)
+        .select("doc_id", F.explode(tokens(F.col(text_col))).alias("token"))
+        .where(F.col("token") != "")
+    )
+    counts = tok.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+    )
+    if min_count > 1:
+        counts = counts.where(F.col("n_occurrences") >= min_count)
+    if k is not None:
+        counts = counts.orderBy(
+            F.col("n_occurrences").desc(), F.col("token").asc()
+        ).limit(k)
+    return counts
 
 
 def lang_marker_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:

@@ -711,6 +711,40 @@ def test_boilerplate_signals_planted_template(spark):
     assert clean.agg(F.sum("n_boiler_grams")).first()[0] == 0
 
 
+def test_vocab_counts_matches_duckdb_and_plans_topk(spark, sf_dir="/root/testdata/sf0.001"):
+    """Corpus token-frequency table vs the DuckDB twin (same gate shape
+    the driver applies, run locally), plus the plan assertion that top-k
+    is TakeOrderedAndProject (heap + driver merge of k rows), not a full
+    global Sort."""
+    import sys
+
+    import duckdb
+
+    from mapping_timeseries_spark.operators.textstats import vocab_counts
+
+    sys.path.insert(0, "/root/repo")
+    from tools.compare_oracle import frame_hash
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = vocab_counts(docs, k=50)
+    con = duckdb.connect()
+    want = con.sql(
+        rf"""
+        SELECT token, CAST(count(*) AS BIGINT) AS n_occurrences,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM (
+          SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+          FROM '{sf_dir}/documents.parquet'
+        ) WHERE token != ''
+        GROUP BY token
+        ORDER BY n_occurrences DESC, token ASC LIMIT 50
+        """
+    ).df()
+    assert frame_hash(got.toPandas()) == frame_hash(want)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_pii_counts_planted(spark):
     from mapping_timeseries_spark.operators.textstats import pii_counts
 
