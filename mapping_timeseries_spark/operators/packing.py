@@ -211,7 +211,11 @@ def pack_greedy_ffd(
     silently dropping it would bias the corpus).
 
     One hash shuffle into ``n_shards`` groups; per-group state is the
-    open-bin fill list (O(bins) ints — bounded by shard tokens/budget).
+    open-bin capacity segment tree (O(bins) ints — bounded by shard
+    tokens/budget), and each placement is an O(log bins) descent, so a
+    shard of n docs packs in O(n log bins) — the textbook linear scan
+    is O(n·bins), a real stall at millions of docs per shard
+    (placements are bit-identical; the differential test pins that).
     The per-shard loop is genuinely sequential (bin state depends on
     every prior placement) — this is the documented ``applyInPandas``
     case, same as the DTW DP: per-group dynamic state, Arrow-batched,
@@ -233,24 +237,67 @@ def pack_greedy_ffd(
         pdf = pdf.sort_values(
             ["__tok", "__key"], ascending=[False, True], kind="mergesort"
         )
-        fills: list[int] = []
+        # First-fit via a max-segment-tree over bin remaining capacity:
+        # "leftmost bin with remaining >= t" is one root-to-leaf descent,
+        # O(log B) per document instead of the naive linear scan's O(B)
+        # (which is O(n*B) ~ quadratic per shard — a real stall at
+        # millions of docs per shard). Identical placements to the
+        # textbook scan: the descent always prefers the left child, i.e.
+        # the FIRST fitting bin.
+        cap = 1
+        tree = [0, 0]  # 1-indexed; tree[1] = root max remaining
+        n_bins = 0
         bin_ids = []
         oversize = []
+
+        def grow():
+            nonlocal cap, tree
+            old = tree
+            cap *= 2
+            tree = [0] * (2 * cap)
+            tree[cap : cap + cap // 2] = old[cap // 2 : cap]
+            for i in range(cap - 1, 0, -1):
+                tree[i] = max(tree[2 * i], tree[2 * i + 1])
+
+        def set_leaf(i: int, value: int):
+            i += cap
+            tree[i] = value
+            i //= 2
+            while i:
+                tree[i] = max(tree[2 * i], tree[2 * i + 1])
+                i //= 2
+
         for t in pdf["__tok"]:
             t = int(t)
             if t > budget_i:
-                bin_ids.append(len(fills))
-                fills.append(t)
+                # oversize doc: own bin, flagged; remaining stays 0 so no
+                # other doc ever lands with it
+                if n_bins >= cap:
+                    grow()
+                bin_ids.append(n_bins)
+                n_bins += 1
                 oversize.append(True)
                 continue
-            for i, fill in enumerate(fills):
-                if fill + t <= budget_i:
-                    fills[i] = fill + t
-                    bin_ids.append(i)
-                    break
+            if t == 0 and n_bins > 0:
+                # zero-token doc: the linear scan's "first bin it fits"
+                # is bin 0 (fill + 0 <= budget always holds); the tree
+                # descent would land on an unopened zero-capacity leaf
+                bin_ids.append(0)
+                oversize.append(False)
+                continue
+            if t > 0 and tree[1] >= t:
+                i = 1
+                while i < cap:
+                    i = 2 * i if tree[2 * i] >= t else 2 * i + 1
+                b = i - cap
+                set_leaf(b, tree[i] - t)
             else:
-                bin_ids.append(len(fills))
-                fills.append(t)
+                if n_bins >= cap:
+                    grow()
+                b = n_bins
+                n_bins += 1
+                set_leaf(b, budget_i - t)
+            bin_ids.append(b)
             oversize.append(False)
         return pd.DataFrame(
             {

@@ -141,6 +141,56 @@ def test_ffd_deterministic_across_layouts(spark, docs):
     assert frame_hash(a.toPandas()) == frame_hash(b.toPandas())
 
 
+def test_ffd_tree_matches_naive_linear_scan(spark):
+    """The segment-tree first-fit must place every doc in EXACTLY the
+    bin the textbook linear scan picks — same ids, not just same
+    invariants. Random token mixes incl. zeros, budget-size, oversize."""
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    toks = list(rng.integers(0, BUDGET + 1, 400)) + [0, 0, BUDGET, 3 * BUDGET]
+    rows = [(i, int(t)) for i, t in enumerate(toks)]
+    df = spark.createDataFrame(rows, "doc_id long, tokens long")
+    got = {
+        (r["shard"], r["key"]): r["bin_id"]
+        for r in pack_greedy_ffd(df, "doc_id", "tokens", BUDGET, n_shards=4).collect()
+    }
+
+    # naive reference per shard (same order: tokens desc, key asc)
+    from mapping_timeseries_spark.functions.text import portable_hash64
+    from pyspark.sql import functions as F
+
+    shard_of = {
+        r["doc_id"]: r["s"]
+        for r in df.select(
+            "doc_id",
+            (portable_hash64(F.concat(F.lit("ffdpack:"), F.col("doc_id").cast("string"))) % 4)
+            .cast("int")
+            .alias("s"),
+        ).collect()
+    }
+    by_shard: dict[int, list] = {}
+    for doc_id, t in rows:
+        by_shard.setdefault(shard_of[doc_id], []).append((t, str(doc_id)))
+    for shard, items in by_shard.items():
+        items.sort(key=lambda p: (-p[0], p[1]))
+        fills: list[int] = []
+        for t, key in items:
+            if t > BUDGET:
+                want = len(fills)
+                fills.append(t)
+            else:
+                for i, fill in enumerate(fills):
+                    if fill + t <= BUDGET:
+                        fills[i] = fill + t
+                        want = i
+                        break
+                else:
+                    want = len(fills)
+                    fills.append(t)
+            assert got[(shard, key)] == want, (shard, key, t)
+
+
 def test_budget_validation(docs):
     with pytest.raises(ValueError):
         concat_pack_spans(docs, "doc_id", "tokens", 0)
