@@ -64,10 +64,12 @@ def main() -> int:
     from mapping_timeseries_spark.session import get_spark
 
     spark = get_spark("shuffle-measure", master="local[32]")
-    qs = entry_mod.queries()
+    qs = dict(entry_mod.queries())
+    qs["pack_export"] = entry_mod.q_pack_export
     if not names:
         names = ["merged_series", "corr_mapping", "auto_mapping",
-                 "minhash_dedup", "embedding_near_dups", "exact_dedup"]
+                 "minhash_dedup", "embedding_near_dups", "exact_dedup",
+                 "quality_score", "pack_export"]
     for name in names:
         df = qs[name](spark, sf_dir)
         m = measure(df)
