@@ -28,6 +28,7 @@ from __future__ import annotations
 import struct
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -127,14 +128,16 @@ def parse_wav(payload: bytes) -> dict:
         raise ValueError(f"unsupported encoding: fmt={audio_format} ch={channels} bits={bits}")
 
     n = len(data) // 2
-    samples = struct.unpack(f"<{n}h", data[: 2 * n]) if n else ()
+    # numpy over the raw buffer: exact int64 arithmetic (n<=256 samples,
+    # |s|<2^15 -> sumsq < 2^38), ~20x the python loop across a batch
+    samples = np.frombuffer(data[: 2 * n], dtype="<i2").astype(np.int64)
     return {
         "n_samples": n,
         "sample_rate": sample_rate,
-        "pcm_sum": sum(samples),
-        "pcm_sumsq": sum(s * s for s in samples),
-        "pcm_min": min(samples) if n else None,
-        "pcm_max": max(samples) if n else None,
+        "pcm_sum": int(samples.sum()) if n else 0,
+        "pcm_sumsq": int((samples * samples).sum()) if n else 0,
+        "pcm_min": int(samples.min()) if n else None,
+        "pcm_max": int(samples.max()) if n else None,
     }
 
 
@@ -208,14 +211,15 @@ def parse_bmp(payload: bytes) -> dict:
     stride = row_bytes + (4 - row_bytes % 4) % 4
     if data_offset + stride * height > len(payload):
         raise ValueError("pixel data truncated")
-    sum_b = sum_g = sum_r = 0
-    for row in range(height):
-        off = data_offset + row * stride  # storage order; sums are order-free
-        for x in range(width):
-            b, g, r = payload[off + 3 * x : off + 3 * x + 3]
-            sum_b += b
-            sum_g += g
-            sum_r += r
+    # drop per-row padding columns, then one vectorized channel sum
+    px = (
+        np.frombuffer(payload, dtype=np.uint8,
+                      count=stride * height, offset=data_offset)
+        .reshape(height, stride)[:, : width * 3]
+        .reshape(-1, 3)
+        .astype(np.int64)
+    )
+    sum_b, sum_g, sum_r = (int(s) for s in px.sum(axis=0))
     return {
         "width": width,
         "height": height,
@@ -389,6 +393,19 @@ def _avi_frames(payload: bytes) -> tuple[int, int, list[bytes]]:
     return width, height, frames
 
 
+def _frame_channel_sums(frame: bytes, width: int, height: int) -> tuple[int, int, int]:
+    """Vectorized (sum_b, sum_g, sum_r) over one padded raw BGR frame."""
+    stride = width * 3 + (4 - (width * 3) % 4) % 4
+    px = (
+        np.frombuffer(frame, dtype=np.uint8)
+        .reshape(height, stride)[:, : width * 3]
+        .reshape(-1, 3)
+        .astype(np.int64)
+    )
+    b, g, r = (int(s) for s in px.sum(axis=0))
+    return b, g, r
+
+
 def parse_avi(payload: bytes, frame_stride: int = 1) -> dict:
     """Real AVI parser with frame sampling: walk the RIFF tree, decode
     every ``frame_stride``-th frame's padded rows, return integer-exact
@@ -397,18 +414,13 @@ def parse_avi(payload: bytes, frame_stride: int = 1) -> dict:
     if frame_stride < 1:
         raise ValueError(f"frame_stride must be >= 1, got {frame_stride}")
     width, height, frames = _avi_frames(payload)
-    stride = width * 3 + (4 - (width * 3) % 4) % 4
     sampled = list(range(0, len(frames), frame_stride))
     sum_b = sum_g = sum_r = 0
     for f in sampled:
-        frame = frames[f]
-        for y in range(height):
-            off = y * stride
-            for x in range(width):
-                b, g, r = frame[off + 3 * x : off + 3 * x + 3]
-                sum_b += b
-                sum_g += g
-                sum_r += r
+        b, g, r = _frame_channel_sums(frames[f], width, height)
+        sum_b += b
+        sum_g += g
+        sum_r += r
     return {
         "width": width,
         "height": height,
@@ -558,17 +570,10 @@ def sample_video_frames(media: DataFrame, stride: int = 2) -> DataFrame:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 width, height, frames = _avi_frames(payload)
-                row_stride = width * 3 + (4 - (width * 3) % 4) % 4
                 for f in range(0, len(frames), stride):
-                    frame = frames[f]
-                    sum_b = sum_g = sum_r = 0
-                    for y in range(height):
-                        off = y * row_stride
-                        for x in range(width):
-                            b, g, r = frame[off + 3 * x : off + 3 * x + 3]
-                            sum_b += b
-                            sum_g += g
-                            sum_r += r
+                    sum_b, sum_g, sum_r = _frame_channel_sums(
+                        frames[f], width, height
+                    )
                     rows.append(
                         (int(doc_id), f, width, height, sum_r, sum_g, sum_b)
                     )
