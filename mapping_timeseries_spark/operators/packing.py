@@ -39,7 +39,7 @@ extension (BASELINE.json) with no reference counterpart.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -247,6 +247,7 @@ def pack_greedy_ffd(
         cap = 1
         tree = [0, 0]  # 1-indexed; tree[1] = root max remaining
         n_bins = 0
+        first_regular_bin = -1  # lowest non-oversize bin id, -1 = none yet
         bin_ids = []
         oversize = []
 
@@ -278,14 +279,28 @@ def pack_greedy_ffd(
                 n_bins += 1
                 oversize.append(True)
                 continue
-            if t == 0 and n_bins > 0:
-                # zero-token doc: the linear scan's "first bin it fits"
-                # is bin 0 (fill + 0 <= budget always holds); the tree
-                # descent would land on an unopened zero-capacity leaf
-                bin_ids.append(0)
+            if t == 0:
+                # zero-token doc: the linear scan places it in the first
+                # bin with fill + 0 <= budget — i.e. the lowest-id
+                # NON-oversize bin (oversize bins have fill > budget and
+                # never qualify; full regular bins, remaining 0, DO).
+                # The tree can't express that (oversize and full leaves
+                # both read 0), so track the first regular bin id
+                # directly. No bin yet -> open one, same as the scan.
+                if first_regular_bin >= 0:
+                    bin_ids.append(first_regular_bin)
+                    oversize.append(False)
+                    continue
+                if n_bins >= cap:
+                    grow()
+                b = n_bins
+                n_bins += 1
+                first_regular_bin = b
+                set_leaf(b, budget_i)
+                bin_ids.append(b)
                 oversize.append(False)
                 continue
-            if t > 0 and tree[1] >= t:
+            if tree[1] >= t:
                 i = 1
                 while i < cap:
                     i = 2 * i if tree[2 * i] >= t else 2 * i + 1
@@ -297,6 +312,8 @@ def pack_greedy_ffd(
                 b = n_bins
                 n_bins += 1
                 set_leaf(b, budget_i - t)
+            if first_regular_bin < 0 or b < first_regular_bin:
+                first_regular_bin = b
             bin_ids.append(b)
             oversize.append(False)
         return pd.DataFrame(

@@ -71,7 +71,7 @@ def cosine_topk(
     tie-break, making result sets reproducible across engines (raw float
     ordering is ulp-fragile).
     """
-    from .dedup import _ensure_parallel
+    from ..sources.readers import ensure_parallel as _ensure_parallel
 
     q = queries.select(
         F.col("vec_id").alias("query_id"),
@@ -152,7 +152,7 @@ def ann_bucketed_topk(
     exact operator in pytest. Scan cost scales ~linearly with nprobe; each
     candidate lives in exactly one bucket, so probed buckets are disjoint
     and no dedup is needed."""
-    from .dedup import _ensure_parallel
+    from ..sources.readers import ensure_parallel as _ensure_parallel
 
     q = queries.select(
         F.col("vec_id").alias("query_id"),
@@ -235,7 +235,7 @@ def embedding_near_dups(
     idle; a single-file local scan capped it at ONE). At corpus sizes
     where one side no longer broadcasts, drop the hint and raise
     ``bits`` so the bucket join itself fans wide."""
-    from .dedup import _ensure_parallel
+    from ..sources.readers import ensure_parallel as _ensure_parallel
 
     c = with_unit_norm(embeddings, vec_col).select(
         "vec_id", F.col("unit_vec").alias("v")
@@ -316,7 +316,7 @@ def ivf_assign(
     corpus — no shuffle (and the corpus scan is widened first: a
     single-file local input would otherwise run the nlist x N centroid
     ranking on one core)."""
-    from .dedup import _ensure_parallel
+    from ..sources.readers import ensure_parallel as _ensure_parallel
 
     vectors = _ensure_parallel(vectors)
     v = vectors.select(

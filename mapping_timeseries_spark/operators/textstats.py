@@ -117,6 +117,12 @@ def boilerplate_signals(
     from ..functions.text import portable_hash64, word_shingles_from_tokens
     from ..sources.readers import ensure_parallel
 
+    # persist the exploded gram-hash frame: it feeds BOTH the frequency
+    # aggregate and the join probe, whose exchanges differ (partial agg
+    # vs raw rows) so exchange reuse cannot kick in — without the
+    # persist the whole-corpus tokenize -> shingle -> md5 map (the
+    # dominant cost) executes twice (same pattern as
+    # dedup.ngram_jaccard_pairs)
     g = (
         ensure_parallel(docs)
         .select("doc_id", tokens(F.col(text_col)).alias("__toks"))
@@ -127,7 +133,7 @@ def boilerplate_signals(
             ).alias("gram"),
         )
         .select("doc_id", portable_hash64(F.col("gram")).alias("gh"))
-    )
+    ).persist()
     freq = (
         g.where(F.col("gh").isNotNull())
         .groupBy("gh")
@@ -160,19 +166,23 @@ def vocab_counts(
     text_col: str = "text",
     k: int | None = None,
     min_count: int = 1,
+    approx_docs: bool = False,
 ) -> DataFrame:
     """Corpus token-frequency table — the precursor every tokenizer
     training (BPE/unigram) and OOV analysis starts from. Output:
     (token, n_occurrences, n_docs), optionally top-``k`` by count
     (count desc, token asc — deterministic ties).
 
-    Scale: token frequencies are Zipfian — the textbook skewed key — but
-    counts are algebraic, so map-side partial aggregation reduces each
-    hot token to ONE row per task before the shuffle and no salting is
-    needed (the measured lesson in SCALE.md: salting helps
-    partial-agg-RESISTANT state, not sums/counts). The per-doc distinct
-    pass for ``n_docs`` rides the same exploded frame. Top-k is a
-    global sort of the (already tiny) aggregated table via
+    Scale: token frequencies are Zipfian — the textbook skewed key.
+    ``n_occurrences`` is algebraic, so map-side partial aggregation
+    reduces each hot token to ONE row per task before the shuffle and
+    no salting is needed (the measured lesson in SCALE.md). ``n_docs``
+    is NOT: exact ``countDistinct`` makes Spark shuffle one row per
+    distinct (token, doc_id) pair — a stop-word present in every doc
+    pushes n_docs rows through the exchange. At corpus scale pass
+    ``approx_docs=True`` (HyperLogLog++ ``approx_count_distinct``,
+    ~2% rsd), whose sketch IS mergeable map-side, restoring the
+    one-row-per-token-per-task shuffle for both columns. Top-k is
     ``orderBy().limit()`` — Spark plans TakeOrderedAndProject, a
     per-partition heap + driver merge of k rows, not a full sort.
     """
@@ -183,9 +193,14 @@ def vocab_counts(
         .select("doc_id", F.explode(tokens(F.col(text_col))).alias("token"))
         .where(F.col("token") != "")
     )
+    n_docs = (
+        F.approx_count_distinct("doc_id", rsd=0.02)
+        if approx_docs
+        else F.countDistinct("doc_id")
+    )
     counts = tok.groupBy("token").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
-        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        n_docs.cast("bigint").alias("n_docs"),
     )
     if min_count > 1:
         counts = counts.where(F.col("n_occurrences") >= min_count)

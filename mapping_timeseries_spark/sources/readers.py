@@ -121,10 +121,13 @@ def read_jsonl(
     actually arrive in (one JSON object per line).
 
     Pass an explicit ``schema`` (DDL string) in production: without one
-    Spark runs a full inference pass over the data (double read) and a
-    corrupt line silently becomes nulls; with one, malformed lines land
-    in ``_corrupt_record`` under the default PERMISSIVE mode where an
-    audit can count them instead of the job dying mid-scan.
+    Spark runs a full inference pass over the data (double read). For a
+    malformed-line audit the schema must INCLUDE a
+    ``_corrupt_record string`` column — then bad lines land there under
+    the default PERMISSIVE mode and can be counted instead of the job
+    dying mid-scan. With a schema that omits the column, corrupt lines
+    silently become all-null rows (inference, conversely, adds the
+    column by itself when it meets a bad line).
 
     Scale notes: uncompressed/bzip2 (and zstd where native Hadoop libs
     exist) JSONL splits across tasks; **gzip does NOT split** — one

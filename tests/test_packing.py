@@ -151,9 +151,30 @@ def test_ffd_tree_matches_naive_linear_scan(spark):
     toks = list(rng.integers(0, BUDGET + 1, 400)) + [0, 0, BUDGET, 3 * BUDGET]
     rows = [(i, int(t)) for i, t in enumerate(toks)]
     df = spark.createDataFrame(rows, "doc_id long, tokens long")
+    for n_shards in (4, 1):  # n_shards=1 forces zeros + oversize together
+        _assert_ffd_matches_naive(spark, df, rows, n_shards)
+
+    # the regression case the shard hash can hide: an OVERSIZE doc opens
+    # bin 0, zero-token docs must SKIP it (fill > budget) exactly like
+    # the linear scan, landing in the first REGULAR bin
+    edge = [(0, 3 * BUDGET), (1, 5), (2, 0), (3, 0)]
+    edge_df = spark.createDataFrame(edge, "doc_id long, tokens long")
+    _assert_ffd_matches_naive(spark, edge_df, edge, 1)
+    placed = {
+        int(r["key"]): (r["bin_id"], r["oversize"])
+        for r in pack_greedy_ffd(edge_df, "doc_id", "tokens", BUDGET, n_shards=1).collect()
+    }
+    assert placed[0] == (0, True)
+    assert placed[1] == (1, False)
+    assert placed[2] == (1, False) and placed[3] == (1, False)
+
+
+def _assert_ffd_matches_naive(spark, df, rows, n_shards):
     got = {
         (r["shard"], r["key"]): r["bin_id"]
-        for r in pack_greedy_ffd(df, "doc_id", "tokens", BUDGET, n_shards=4).collect()
+        for r in pack_greedy_ffd(
+            df, "doc_id", "tokens", BUDGET, n_shards=n_shards
+        ).collect()
     }
 
     # naive reference per shard (same order: tokens desc, key asc)
@@ -164,7 +185,7 @@ def test_ffd_tree_matches_naive_linear_scan(spark):
         r["doc_id"]: r["s"]
         for r in df.select(
             "doc_id",
-            (portable_hash64(F.concat(F.lit("ffdpack:"), F.col("doc_id").cast("string"))) % 4)
+            (portable_hash64(F.concat(F.lit("ffdpack:"), F.col("doc_id").cast("string"))) % n_shards)
             .cast("int")
             .alias("s"),
         ).collect()

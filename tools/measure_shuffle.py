@@ -20,7 +20,15 @@ from __future__ import annotations
 import sys
 
 
-def _walk(node, out):
+def _walk(node, out, seen):
+    # JVM object identity guard: AQE nodes expose the same subtree under
+    # several accessors (executedPlan/finalPhysicalPlan) and stages can
+    # reuse exchanges — count every physical node exactly once or the
+    # totals silently double
+    node_id = node.id()
+    if node_id in seen:
+        return
+    seen.add(node_id)
     name = node.nodeName()
     metrics = node.metrics()
     it = metrics.iterator()
@@ -36,12 +44,13 @@ def _walk(node, out):
             out["scan_rows"] += metric.value()
     ch = node.children().iterator()
     while ch.hasNext():
-        _walk(ch.next(), out)
-    # AQE wraps executed stages; descend into materialized subtrees
-    for attr in ("executedPlan", "finalPhysicalPlan", "plan"):
+        _walk(ch.next(), out, seen)
+    # AQE wraps executed stages; descend into the materialized subtree
+    # (ONE accessor — finalPhysicalPlan is the same plan, see guard)
+    for attr in ("executedPlan", "plan"):
         if hasattr(node, attr):
             try:
-                _walk(getattr(node, attr)(), out)
+                _walk(getattr(node, attr)(), out, seen)
             except Exception:
                 pass
 
@@ -51,7 +60,7 @@ def measure(df) -> dict:
     qe = df._jdf.queryExecution()
     plan = qe.executedPlan()
     out = {"shuffle_bytes": 0, "shuffle_records": 0, "scan_rows": 0}
-    _walk(plan, out)
+    _walk(plan, out, set())
     return out
 
 
