@@ -1,0 +1,72 @@
+"""The reference's own reproducible perf workload, run against this
+engine — the direct apples-to-apples number.
+
+Reference workload (test_mapping_engine.py:211-240): 200 customers x
+24 months per table (4,800 rows/side), correlation method, max_lag=6,
+via map_tables_simple, reporting mappings/second. Published claims to
+compare against: ~1,000-5,000 rec/s overall (README.md:253-255),
+5,000-10,000 rec/s for the <1M-row tier (ARCHITECTURE.md:191).
+
+Also runs a 5,000-customer variant (240k rows/side — still the
+reference's "small" tier) where the fixed per-query overhead has
+amortized and the steady-state throughput shows.
+
+    python tools/perf_twin.py
+"""
+
+from __future__ import annotations
+
+import statistics
+import sys
+import time
+
+
+def run_tier(spark, n_customers: int, n_months: int = 24, reps: int = 5):
+    from mapping_timeseries_spark.engine import map_tables_simple
+    from mapping_timeseries_spark.sources.fixtures import synthetic_pair
+
+    t1, t2 = synthetic_pair(
+        spark, num_customers=n_customers, num_months=n_months
+    )
+    t1 = t1.cache()
+    t2 = t2.cache()
+    t1.count(), t2.count()  # materialize inputs outside the timed region,
+    # mirroring the reference's timing (its tables pre-exist the timer)
+    times = []
+    n_mappings = None
+    for _ in range(reps):
+        t0 = time.time()
+        out = map_tables_simple(
+            spark, t1, t2, "cus_code", "month", "txn_amount", "revenue",
+            method="correlation", max_lag=6,
+        )
+        n_mappings = out.count()
+        times.append(time.time() - t0)
+        spark.catalog.clearCache()
+        t1.cache().count(), t2.cache().count()
+    med = statistics.median(times)
+    t1.unpersist(), t2.unpersist()
+    return n_mappings, med, n_mappings / med
+
+
+def main() -> int:
+    sys.path.insert(0, "/root/repo")
+    from mapping_timeseries_spark.session import get_spark
+
+    spark = get_spark("perf-twin", master="local[32]")
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    for n_cust, label, claim in (
+        (200, "reference workload (200 cust x 24 mo)", "~1,000-5,000 rec/s published"),
+        (5000, "small-tier workload (5,000 cust x 24 mo)", "5,000-10,000 rec/s published floor"),
+    ):
+        n, med, rate = run_tier(spark, n_cust)
+        print(
+            f"{label}: {n:,} mappings in {med:.2f}s median -> "
+            f"{rate:,.0f} mappings/s  [{claim}]"
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
