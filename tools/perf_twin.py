@@ -21,7 +21,8 @@ import sys
 import time
 
 
-def run_tier(spark, n_customers: int, n_months: int = 24, reps: int = 5):
+def run_tier(spark, n_customers: int, n_months: int = 24, reps: int = 5,
+             method: str = "correlation"):
     from mapping_timeseries_spark.engine import map_tables_simple
     from mapping_timeseries_spark.sources.fixtures import synthetic_pair
 
@@ -38,7 +39,7 @@ def run_tier(spark, n_customers: int, n_months: int = 24, reps: int = 5):
         t0 = time.time()
         out = map_tables_simple(
             spark, t1, t2, "cus_code", "month", "txn_amount", "revenue",
-            method="correlation", max_lag=6,
+            method=method, max_lag=6,
         )
         n_mappings = out.count()
         times.append(time.time() - t0)
@@ -56,11 +57,17 @@ def main() -> int:
     spark = get_spark("perf-twin", master="local[32]")
     spark.range(1000).selectExpr("sum(id)").collect()
 
-    for n_cust, label, claim in (
-        (200, "reference workload (200 cust x 24 mo)", "~1,000-5,000 rec/s published"),
-        (5000, "small-tier workload (5,000 cust x 24 mo)", "5,000-10,000 rec/s published floor"),
+    for n_cust, method, label, claim in (
+        (200, "correlation", "reference workload (200 cust x 24 mo)",
+         "~1,000-5,000 rec/s published"),
+        (5000, "correlation", "small-tier workload (5,000 cust x 24 mo)",
+         "5,000-10,000 rec/s published floor"),
+        (200, "dtw", "reference workload, DTW",
+         "~100-500 rec/s published"),
+        (5000, "dtw", "small-tier workload, DTW",
+         "500-1,000 rec/s published floor"),
     ):
-        n, med, rate = run_tier(spark, n_cust)
+        n, med, rate = run_tier(spark, n_cust, method=method)
         print(
             f"{label}: {n:,} mappings in {med:.2f}s median -> "
             f"{rate:,.0f} mappings/s  [{claim}]"
