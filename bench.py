@@ -76,6 +76,25 @@ HEADLINE = [
 CONTROLS = {"skew_agg_plain", "skew_median_buffered"}
 
 
+def time_query(spark, fn, sf_dir: str, n_reps: int) -> list[float]:
+    """Shared rep-timing harness (bench.py and tools/scale_stress.py):
+    the DataFrame/plan is BUILT OUTSIDE the timed region (footer reads
+    and plan construction are driver constants, not query work), the
+    timed action is a noop-sink write (full materialization, no driver
+    collect), and the cache is cleared between reps so each rep
+    recomputes the whole plan."""
+    import time
+
+    reps = []
+    for _rep in range(n_reps):
+        df = fn(spark, sf_dir)
+        t0 = time.time()
+        df.write.format("noop").mode("overwrite").save()
+        reps.append(time.time() - t0)
+        spark.catalog.clearCache()
+    return reps
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -111,13 +130,7 @@ def main() -> None:
     for name in HEADLINE:
         if name not in qs:
             continue
-        reps = []
-        for _rep in range(N_REPS):
-            df = qs[name](spark, sf_dir)
-            t0 = time.time()
-            df.write.format("noop").mode("overwrite").save()
-            reps.append(time.time() - t0)
-            spark.catalog.clearCache()
+        reps = time_query(spark, qs[name], sf_dir, N_REPS)
         med = statistics.median(reps)
         times[name] = round(med, 3)
         # rep-to-rep spread alongside the median, so a judge/reader can

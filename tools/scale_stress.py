@@ -7,10 +7,24 @@ super-linear jump exposes a hidden quadratic or a spill).
     python tools/scale_stress.py [factor] [query ...]
 
 Writes the replicated tables under artifacts/scale_stress_<factor>x/
-(deleted on exit unless KEEP_STRESS_DATA=1). Document text gets a
-per-replica suffix token so dedup structure (dup groups, near-dup
-graph) keeps its 1x shape instead of creating cross-replica dup
-explosions that would change the workload's character.
+(deleted on exit unless KEEP_STRESS_DATA=1).
+
+Workload-shape fidelity:
+
+- Key offsets are computed per key DOMAIN (custkey, orderkey, ...),
+  not per table, so FK->PK joins line up inside every replica even on
+  data where a FK domain's max differs from the PK's (standard TPC-H
+  has customers with no orders).
+- Replica documents get a per-WORD replica suffix ("tok" -> "tok·rI"),
+  which renames EVERY shingle: cross-replica Jaccard is exactly 0, so
+  the dup/near-dup pair graph of the Nx corpus is precisely N disjoint
+  copies of the 1x graph. (A doc-level suffix token would leave
+  cross-replica Jaccard at ~S/(S+1) ~ 0.9 — far above near-dup
+  thresholds — and quadratically inflate the pair graph instead of
+  scaling it.)
+- Timing methodology is bench.py's own `time_query` (plan built
+  outside the timed region, noop sink, cache cleared between reps),
+  so ratios here are comparable to the bench numbers.
 """
 
 from __future__ import annotations
@@ -19,7 +33,19 @@ import os
 import shutil
 import statistics
 import sys
-import time
+
+
+#: table -> list of (column, key domain); offsets are per DOMAIN so
+#: cross-table joins stay aligned inside each replica
+KEYED_TABLES = {
+    "orders": [("o_orderkey", "orderkey"), ("o_custkey", "custkey")],
+    "lineitem": [("l_orderkey", "orderkey")],
+    "customer": [("c_custkey", "custkey")],
+    "documents": [("doc_id", "docid")],
+    "embeddings": [("vec_id", "vecid")],
+    "events": [("event_id", "eventid"), ("user_id", "userid")],
+}
+COPY_TABLES = ("region", "nation", "supplier", "part")
 
 SF_DIR = "/root/testdata/sf0.1"
 REPS = 3
@@ -29,47 +55,66 @@ def replicate(spark, factor: int, out_dir: str) -> None:
     from pyspark.sql import functions as F
 
     os.makedirs(out_dir, exist_ok=True)
-    specs = {
-        # table: (key columns to offset, text column or None)
-        "orders": (["o_orderkey", "o_custkey"], None),
-        "lineitem": (["l_orderkey"], None),
-        "customer": (["c_custkey"], None),
-        "documents": (["doc_id"], "text"),
-        "embeddings": (["vec_id"], None),
-        "events": (["event_id", "user_id"], None),
-    }
-    for name, (key_cols, text_col) in specs.items():
+    # pass 1: one offset per key DOMAIN = 1 + max over every column
+    # mapped to it (never per table — see module docstring)
+    domain_max: dict[str, int] = {}
+    sources = {}
+    for name, cols in KEYED_TABLES.items():
         src = spark.read.parquet(os.path.join(SF_DIR, f"{name}.parquet"))
-        offsets = {c: (src.agg(F.max(c)).first()[0] or 0) + 1 for c in key_cols}
+        sources[name] = src
+        for col, domain in cols:
+            m = src.agg(F.max(col)).first()[0] or 0
+            domain_max[domain] = max(domain_max.get(domain, 0), m)
+    offsets = {d: m + 1 for d, m in domain_max.items()}
+
+    for name, cols in KEYED_TABLES.items():
+        src = sources[name]
         parts = []
         for i in range(factor):
             p = src
-            for c, off in offsets.items():
-                p = p.withColumn(c, F.col(c) + F.lit(i * off))
-            if text_col is not None and i > 0:
+            for col, domain in cols:
+                p = p.withColumn(col, F.col(col) + F.lit(i * offsets[domain]))
+            if name == "documents" and i > 0:
+                # per-WORD suffix: renames every shingle, so replicas
+                # share NO n-grams and the near-dup graph is exactly
+                # N disjoint copies of the 1x graph
                 p = p.withColumn(
-                    text_col, F.concat(F.col(text_col), F.lit(f" r{i}"))
+                    "text",
+                    F.regexp_replace(F.col("text"), r"(\S+)", f"$1·r{i}"),
                 )
             parts.append(p)
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
         out.write.mode("overwrite").parquet(os.path.join(out_dir, f"{name}.parquet"))
-    for name in ("region", "nation", "supplier", "part"):
-        shutil.copy(
+    for name in COPY_TABLES:
+        shutil.copyfile(  # copyfile: don't inherit the source's 0444 mode
             os.path.join(SF_DIR, f"{name}.parquet"),
             os.path.join(out_dir, f"{name}.parquet"),
         )
 
 
 def main() -> int:
-    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    try:
+        factor = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    except ValueError:
+        print(f"usage: {sys.argv[0]} [factor:int] [query ...]; "
+              f"got non-integer factor {sys.argv[1]!r}")
+        return 2
     names = sys.argv[2:] or ["corr_mapping", "minhash_dedup", "dtw_summary",
                              "exact_dedup", "pack_export"]
 
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as entry_mod
+    from bench import time_query
     from mapping_timeseries_spark.session import get_spark
+
+    qs = dict(entry_mod.queries())
+    qs["pack_export"] = entry_mod.q_pack_export
+    unknown = [n for n in names if n not in qs]
+    if unknown:  # fail BEFORE the expensive replication step
+        print(f"unknown queries: {unknown}; known: {sorted(qs)}")
+        return 2
 
     spark = get_spark("scale-stress", master="local[32]",
                       extra_conf={"spark.driver.memory": "16g"})
@@ -82,21 +127,13 @@ def main() -> int:
     print(f"replicating {factor}x into {out_dir} ...")
     replicate(spark, factor, out_dir)
 
-    qs = dict(entry_mod.queries())
-    qs["pack_export"] = entry_mod.q_pack_export
     try:
         for name in names:
             times = {}
             for label, sf_dir in (("1x", SF_DIR), (f"{factor}x", out_dir)):
-                reps = []
-                for _ in range(REPS):
-                    t0 = time.time()
-                    qs[name](spark, sf_dir).write.format("noop").mode(
-                        "overwrite"
-                    ).save()
-                    spark.catalog.clearCache()
-                    reps.append(time.time() - t0)
-                times[label] = statistics.median(reps)
+                times[label] = statistics.median(
+                    time_query(spark, qs[name], sf_dir, REPS)
+                )
             ratio = times[f"{factor}x"] / max(times["1x"], 1e-9)
             print(
                 f"{name}: 1x={times['1x']:.2f}s {factor}x={times[f'{factor}x']:.2f}s "
