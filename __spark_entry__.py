@@ -1347,7 +1347,11 @@ def _sql_lag_branches(max_lag: int) -> str:
 def _sql_grid(max_lag: int) -> str:
     return f"""
 grid AS (
-  SELECT cus_code, lag, corr(txn_amount, rev) AS corr, count(rev) AS n_pairs
+  -- n_pairs counts BOTH-non-null pairs (the ones corr() aggregates),
+  -- mirroring lag_correlation_grid
+  SELECT cus_code, lag, corr(txn_amount, rev) AS corr,
+         count(CASE WHEN txn_amount IS NOT NULL AND rev IS NOT NULL
+                    THEN 1 END) AS n_pairs
   FROM ({_sql_lag_branches(max_lag)}) pairs
   GROUP BY cus_code, lag
 )"""
@@ -1362,15 +1366,13 @@ stats AS (
   -- is NOT portable on exact 5e-7 midpoints) — mirrors
   -- correlation._lattice_mean_rounded(scale=10000, dp=6):
   --   S = sum(round(x*10000)::bigint), N = count,
-  --   mean6 = floor((200*S + N) / (2*N)) / 1e6, floor via a - a % b
+  --   mean6 = sign(S) * floor((200*|S| + N) / (2*N)) / 1e6
+  -- (sign-decomposed: a - a % b floors only for a >= 0; truncated %
+  --  would be one lattice unit off on negative sums)
   SELECT cus_code, count(*) AS num_months,
-         CAST((200*SUM(CAST(ROUND(txn_amount * 10000) AS BIGINT)) + COUNT(txn_amount))
-              - (200*SUM(CAST(ROUND(txn_amount * 10000) AS BIGINT)) + COUNT(txn_amount))
-                % (2*COUNT(txn_amount)) AS DOUBLE)
+         (CASE WHEN SUM(CAST(ROUND(txn_amount * 10000) AS BIGINT)) < 0 THEN -1.0 ELSE 1.0 END) * CAST(((200*ABS(SUM(CAST(ROUND(txn_amount * 10000) AS BIGINT))) + COUNT(txn_amount)) - (200*ABS(SUM(CAST(ROUND(txn_amount * 10000) AS BIGINT))) + COUNT(txn_amount)) % (2*COUNT(txn_amount))) AS DOUBLE)
            / CAST(2*COUNT(txn_amount) AS DOUBLE) / 1000000.0 AS txn_mean,
-         CAST((200*SUM(CAST(ROUND(revenue * 10000) AS BIGINT)) + COUNT(revenue))
-              - (200*SUM(CAST(ROUND(revenue * 10000) AS BIGINT)) + COUNT(revenue))
-                % (2*COUNT(revenue)) AS DOUBLE)
+         (CASE WHEN SUM(CAST(ROUND(revenue * 10000) AS BIGINT)) < 0 THEN -1.0 ELSE 1.0 END) * CAST(((200*ABS(SUM(CAST(ROUND(revenue * 10000) AS BIGINT))) + COUNT(revenue)) - (200*ABS(SUM(CAST(ROUND(revenue * 10000) AS BIGINT))) + COUNT(revenue)) % (2*COUNT(revenue))) AS DOUBLE)
            / CAST(2*COUNT(revenue) AS DOUBLE) / 1000000.0 AS rev_mean
   FROM merged GROUP BY cus_code
 ),
@@ -1402,14 +1404,18 @@ def _sql_lattice_mean6(expr: str, scale: int) -> str:
     """DuckDB twin of correlation._lattice_mean_rounded(scale, dp=6):
     half-up 6-dp mean of 1/scale-lattice values in pure-integer arithmetic
     (identical IEEE ops to the Spark expression; NULLIF guards the
-    empty-group case the way avg() would return NULL)."""
+    empty-group case the way avg() would return NULL). Sign-decomposed
+    exactly like the Spark side: `a - a % b` floors only for a >= 0
+    (DuckDB's % is truncated remainder too), so work on |S| and restore
+    the sign — half-up away from zero on negative sums."""
     m = 10**6 // scale
     s = f"SUM(CAST(ROUND(({expr}) * {scale}) AS BIGINT))"
     n = f"COUNT({expr})"
-    num = f"(2*{m}*{s} + {n})"
+    sign = f"(CASE WHEN {s} < 0 THEN -1.0 ELSE 1.0 END)"
+    num = f"(2*{m}*ABS({s}) + {n})"
     den = f"NULLIF(2*{n}, 0)"
     return (
-        f"CAST(({num} - {num} % {den}) AS DOUBLE) "
+        f"{sign} * CAST(({num} - {num} % {den}) AS DOUBLE) "
         f"/ CAST({den} AS DOUBLE) / 1000000.0"
     )
 

@@ -75,13 +75,25 @@ def lag_correlation_grid(merged: DataFrame, max_lag: int = 6) -> DataFrame:
     """Per (entity, lag) Pearson correlation over positionally-aligned pairs.
 
     Output: ``cus_code, lag:int, corr:double, n_pairs:long`` — one row per
-    (entity, lag) with at least one aligned pair. This is the flat version
-    of the research notebook's ``all_lags`` array (02_corr_mapping.p:25-29).
+    (entity, lag) INCLUDING lags with no aligned pair (corr null,
+    n_pairs 0): the flat version of the research notebook's ``all_lags``
+    array (02_corr_mapping.p:25-29), whose short-series entries are
+    ``(lag, None)`` — downstream validity gates filter on
+    ``n_pairs >= 2``, never on row presence. ``n_pairs`` counts pairs
+    where BOTH values are non-null — exactly the pairs ``F.corr``
+    aggregates — so the ``n_pairs >= 2`` gate can never pass on fewer
+    real pairs than corr itself saw (a bare ``count(rev)`` would
+    overcount when the x side carries nulls).
     """
     pairs = _aligned_pairs(merged, max_lag)
     return pairs.groupBy(KEY, "lag").agg(
         F.corr("txn_amount", "rev").alias("corr"),
-        F.count("rev").alias("n_pairs"),
+        F.count(
+            F.when(
+                F.col("txn_amount").isNotNull() & F.col("rev").isNotNull(),
+                F.lit(1),
+            )
+        ).alias("n_pairs"),
     )
 
 
@@ -134,7 +146,12 @@ def corr_moment_state(merged: DataFrame, max_lag: int = 6) -> DataFrame:
     """
     pairs = _aligned_pairs(merged, max_lag)
     x, y = F.col("txn_amount"), F.col("rev")
-    return pairs.where(y.isNotNull()).groupBy(KEY, "lag").agg(
+    # BOTH sides must be non-null: F.corr in the one-shot grid skips a
+    # pair when either value is null, and a null x here would count into
+    # n while contributing nothing to sx/sxx/sxy — an internally
+    # inconsistent state whose finished corr diverges from the grid
+    # (live repro: txn=[1,null,3,4] gave 0.9 vs the grid's 0.99587)
+    return pairs.where(y.isNotNull() & x.isNotNull()).groupBy(KEY, "lag").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(x).alias("sx"),
         F.sum(y).alias("sy"),
@@ -280,9 +297,10 @@ def _lattice_mean_rounded(col: str, scale: int, dp: int):
     one entity's 6-dp mean differing in the last digit between engines).
     The exact mean is the rational S/(scale*N) with
     ``S = sum(round(x*scale)::bigint)`` and ``N = count``; its half-up
-    rounding to ``dp`` decimals is the pure-integer expression
+    (away-from-zero, decimal ROUND_HALF_UP) rounding to ``dp`` decimals
+    is the pure-integer expression
 
-        floor((2*S*m + N) / (2*N)) / 10^dp      where m = 10^dp / scale
+        sign(S) * floor((2*|S|*m + N) / (2*N)) / 10^dp,  m = 10^dp/scale
 
     (requires ``scale`` to divide ``10^dp``). Implemented with the mod
     identity ``floor(a/b)*b = a - a % b`` so no float division happens until
@@ -290,7 +308,10 @@ def _lattice_mean_rounded(col: str, scale: int, dp: int):
     decimal(38,0) integer (matching DuckDB's automatic HUGEINT promotion;
     a bigint sum would wrap silently past 2^63 at extreme row counts),
     and the final two double divisions are the same IEEE ops in any
-    engine.
+    engine. The sign decomposition matters: both engines' ``%`` is
+    truncated remainder, so the bare identity applied to a negative
+    numerator lands one lattice unit high and rounds halves toward
+    +inf (live repro: mean of [-0.03, -0.03] came back -0.02).
     """
     if 10**dp % scale != 0:
         raise ValueError(f"scale {scale} must divide 10^{dp}")
@@ -298,10 +319,18 @@ def _lattice_mean_rounded(col: str, scale: int, dp: int):
     m = 10**dp // scale
     s = F.sum(F.round(c * F.lit(scale)).cast("bigint").cast("decimal(38,0)"))
     n = F.count(c)
-    numer = F.lit(2 * m) * s + n
+    # sign-decomposed so the floor identity holds for NEGATIVE sums too:
+    # `a - a % b` floors only for a >= 0 (Spark's and DuckDB's % is
+    # truncated remainder — for a < 0 it computes trunc, one lattice
+    # unit off, and rounds halves toward +inf instead of away from
+    # zero). Work on |S| (trunc == floor), then restore the sign:
+    # half-up away from zero, decimal ROUND_HALF_UP semantics, matching
+    # F.round's behavior on negatives.
+    sign = F.when(s < 0, F.lit(-1.0)).otherwise(F.lit(1.0))
+    numer = F.lit(2 * m) * F.abs(s) + n
     denom = F.lit(2) * n
     quot = (numer - numer % denom).cast("double") / denom.cast("double")
-    return quot / F.lit(float(10**dp))
+    return sign * quot / F.lit(float(10**dp))
 
 
 def _entity_stats(

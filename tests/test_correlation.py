@@ -108,7 +108,67 @@ def test_lattice_mean_rounded_half_up_on_midpoint(spark):
     assert row["rev_mean"] == 66797.479213
 
 
-def test_lattice_residual_probe(spark):
+def test_lattice_mean_rounded_negative_sums(spark):
+    """Refund-month entities: a net-negative sum must floor correctly
+    (both engines' % is truncated remainder — the bare a - a % b
+    identity returned -0.02 for a mean of exactly -0.03) and round
+    halves AWAY from zero like decimal ROUND_HALF_UP / F.round."""
+    rows = [
+        # mean exactly -0.03 (the live-repro case)
+        ("NEG", "2024-01", -0.03, 1.0),
+        ("NEG", "2024-02", -0.03, 1.0),
+        # 6-dp midpoint: 7x -.4792 + 1x -.4793 -> exact mean
+        # -66797.4792125, HALF_UP away from zero -> -66797.479213
+        *[("MID", f"2024-{m:02d}", -66797.4792, 1.0) for m in range(1, 8)],
+        ("MID", "2024-08", -66797.4793, 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "cus_code string, month string, txn_amount double, revenue double"
+    )
+    got = {
+        r["cus_code"]: r["txn_mean"]
+        for r in best_lag_correlation(
+            df, MAX_LAG, mean_lattice_scale=10000, mean_round_dp=6
+        ).collect()
+    }
+    assert got["NEG"] == -0.03
+    assert got["MID"] == -66797.479213
+
+
+def test_moment_state_skips_null_either_side(spark):
+    """corr_from_moments must agree with the one-shot grid when the x
+    side carries nulls: F.corr skips a pair when EITHER value is null,
+    so the moment filter must too (a null x counted into n made the
+    finished corr read 0.9 where the grid said 0.99587)."""
+    import pytest as _pytest
+
+    from mapping_timeseries_spark.operators.correlation import (
+        corr_from_moments,
+        corr_moment_state,
+        lag_correlation_grid,
+    )
+
+    rows = [
+        ("A", "2024-01", 1.0, 2.0),
+        ("A", "2024-02", None, 3.0),
+        ("A", "2024-03", 3.0, 5.0),
+        ("A", "2024-04", 4.0, 6.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "cus_code string, month string, txn_amount double, revenue double"
+    )
+    grid = {
+        (r["cus_code"], r["lag"]): (r["corr"], r["n_pairs"])
+        for r in lag_correlation_grid(df, 2).collect()
+    }
+    fin = {
+        (r["cus_code"], r["lag"]): (r["corr"], r["n_pairs"])
+        for r in corr_from_moments(corr_moment_state(df, 2)).collect()
+    }
+    g_corr, g_n = grid[("A", 0)]
+    f_corr, f_n = fin[("A", 0)]
+    assert g_n == 3 and f_n == 3  # the null-x row is NOT a pair
+    assert f_corr == _pytest.approx(g_corr, rel=1e-9)
     from mapping_timeseries_spark.operators.correlation import lattice_residual
 
     df = spark.createDataFrame(
