@@ -35,6 +35,15 @@ def date_to_month(d: Column | str) -> Column:
     return F.date_format(d, MONTH_FORMAT)
 
 
+def month_add(month: str, offset: int) -> str:
+    """Driver-side ``'yyyy-MM'`` + months (plain python — for computing
+    scan bounds before any DataFrame exists, e.g. the incremental run's
+    forward lag reach)."""
+    y, m = map(int, month.split("-"))
+    total = y * 12 + (m - 1) + offset
+    return f"{total // 12:04d}-{total % 12 + 1:02d}"
+
+
 # DuckDB oracle equivalents (FIXTURES.md §B5), used when composing oracle
 # SQL strings:
 #   to_date(month)            -> strptime(month || '-01', '%Y-%m-%d')

@@ -329,19 +329,26 @@ def _batched_backtrack(acc: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return paths, lengths
 
 
+#: Float fields are NULLABLE on purpose: a null input value flows
+#: through numpy as NaN (object->float astype converts None silently),
+#: and the Arrow transfer back to the JVM maps NaN to null — with a
+#: non-nullable field that is a task-killing IllegalStateException
+#: ("Value at index is null") for ONE dirty entity. Nullable fields turn
+#: it into a null cost/value the caller can filter, matching the
+#: reference UDF schema (StructField default nullable).
 _PAIR_FIELDS = [
     T.StructField("txn_idx", T.IntegerType(), False),
     T.StructField("rev_idx", T.IntegerType(), False),
     T.StructField("txn_month", T.StringType(), False),
     T.StructField("rev_month", T.StringType(), False),
-    T.StructField("txn_amount", T.DoubleType(), False),
-    T.StructField("revenue", T.DoubleType(), False),
-    T.StructField("total_cost", T.DoubleType(), False),
+    T.StructField("txn_amount", T.DoubleType(), True),
+    T.StructField("revenue", T.DoubleType(), True),
+    T.StructField("total_cost", T.DoubleType(), True),
     T.StructField("num_mappings", T.IntegerType(), False),
 ]
 
 _SUMMARY_FIELDS = [
-    T.StructField("total_cost", T.DoubleType(), False),
+    T.StructField("total_cost", T.DoubleType(), True),
     T.StructField("num_mappings", T.IntegerType(), False),
 ]
 
@@ -360,11 +367,12 @@ def _bucket_results(
     emit_pairs: bool,
 ):
     """Run the vectorized DP for one same-length bucket; yield column dicts."""
-    a = np.stack(txn).astype(np.float64)
-    b = np.stack(rev).astype(np.float64)
-    if normalize:
-        a = _zscore_rows(a)
-        b = _zscore_rows(b)
+    # stack ONCE; _zscore_rows returns new arrays, so the raw matrices
+    # stay available for pair emission without a second stack pass
+    txn_mat = np.stack(txn).astype(np.float64)
+    rev_mat = np.stack(rev).astype(np.float64)
+    a = _zscore_rows(txn_mat) if normalize else txn_mat
+    b = _zscore_rows(rev_mat) if normalize else rev_mat
     acc = _batched_accumulate(a, b, window)
     n = a.shape[1]
     total = acc[:, n, n]
@@ -379,8 +387,6 @@ def _bucket_results(
         return
 
     month_mat = np.stack(months)
-    txn_mat = np.stack(txn).astype(np.float64)
-    rev_mat = np.stack(rev).astype(np.float64)
     e = len(keys)
     # reverse each backward path prefix into forward order, then flatten
     fwd = [paths[k, : lengths[k]][::-1] for k in range(e)]
@@ -399,6 +405,64 @@ def _bucket_results(
         "total_cost": total[row_entity],
         "num_mappings": reps[row_entity].astype(np.int32),
     }
+
+
+def _scalar_bucket_results(
+    keys: np.ndarray,
+    months: list,
+    txn: list,
+    rev: list,
+    window: int | None,
+    normalize: bool,
+    emit_pairs: bool,
+):
+    """Per-entity scalar retry for a bucket the vectorized DP could not
+    process (e.g. object-dtype arrays carrying None): same output shape
+    as :func:`_bucket_results`, one entity at a time through
+    ``dtw_align``; an entity that STILL fails degrades to the identity
+    path with cost 0.0 — the reference's per-group fallback
+    (mapping_engine.py:313-316), which the block comment above promises
+    for the batched path too."""
+    for k in range(len(keys)):
+        m = np.asarray(months[k])
+        try:
+            # conversion INSIDE the try: undecodable element types are
+            # exactly what lands a bucket here
+            t = np.array(
+                [np.nan if v is None else float(v) for v in txn[k]],
+                dtype=np.float64,
+            )
+            r = np.array(
+                [np.nan if v is None else float(v) for v in rev[k]],
+                dtype=np.float64,
+            )
+            total, path = dtw_align(t, r, window=window, normalize=normalize)
+        except Exception:
+            t = np.full(len(txn[k]), np.nan)
+            r = np.full(len(rev[k]), np.nan)
+            path = [(i, i) for i in range(min(len(t), len(r)))]
+            total = 0.0
+        length = len(path)
+        if not emit_pairs:
+            yield {
+                KEY: keys[k : k + 1],
+                "total_cost": np.array([total]),
+                "num_mappings": np.array([length], dtype=np.int32),
+            }
+            continue
+        ti = np.array([p[0] for p in path], dtype=np.int32)
+        ri = np.array([p[1] for p in path], dtype=np.int32)
+        yield {
+            KEY: np.repeat(keys[k : k + 1], length),
+            "txn_idx": ti,
+            "rev_idx": ri,
+            "txn_month": m[ti],
+            "rev_month": m[ri],
+            "txn_amount": t[ti],
+            "revenue": r[ri],
+            "total_cost": np.full(length, total),
+            "num_mappings": np.full(length, length, dtype=np.int32),
+        }
 
 
 def _dtw_batched(
@@ -423,9 +487,23 @@ def _dtw_batched(
                     months = [np.asarray(pdf["months"].iloc[r]) for r in chunk]
                     txn = [np.asarray(pdf["txn"].iloc[r]) for r in chunk]
                     rev = [np.asarray(pdf["rev"].iloc[r]) for r in chunk]
-                    for cols in _bucket_results(
-                        keys, months, txn, rev, window_size, normalize, emit_pairs
-                    ):
+                    try:
+                        # materialize BEFORE yielding: _bucket_results is
+                        # a generator, so consuming it fully inside the
+                        # try keeps the fallback atomic (no partial
+                        # results escape before an exception)
+                        results = list(
+                            _bucket_results(
+                                keys, months, txn, rev,
+                                window_size, normalize, emit_pairs,
+                            )
+                        )
+                    except Exception:
+                        results = _scalar_bucket_results(
+                            keys, months, txn, rev,
+                            window_size, normalize, emit_pairs,
+                        )
+                    for cols in results:
                         yield pd.DataFrame(cols)
 
     return _series_table(merged).mapInPandas(run, schema)

@@ -256,11 +256,16 @@ def route_entities(
     """Production routing (05_prod_dev.py:358-414): left-join the model and
     assign each entity a route.
 
-    Output: ``cus_code, route ('correlation'|'dtw'|'default'), optimal_lag``
-    — ``default`` is the no-recommendation fallback with lag fixed to 1
-    (05_prod_dev.py:409-411). The reference materializes three filtered
-    DataFrames + counts; we emit one routed frame (single pass) that
-    callers split with cheap filters.
+    Output: ``cus_code, route, optimal_lag`` with route one of
+    ``'correlation' | 'dtw' | 'default' | 'manual_review'`` — ``default``
+    is the no-recommendation fallback with lag fixed to 1
+    (05_prod_dev.py:409-411); ``manual_review`` is any recommendation
+    outside the known methods (e.g. 'Complex - Manual Review'), which
+    the mapping stage deliberately EXCLUDES from output — callers must
+    surface its count (run_pipeline reports ``stats["route_counts"]``)
+    rather than let coverage dip unexplained. The reference materializes
+    three filtered DataFrames + counts; we emit one routed frame (single
+    pass) that callers split with cheap filters.
     """
     joined = input_entities.select(KEY).join(
         recommendations.select(KEY, "recommended_method", "optimal_lag"),

@@ -118,13 +118,16 @@ def run_pipeline(
     ``output_path``, then re-raises — a library surfaces the error, unlike
     the reference's swallow-and-return-False.
 
-    ``versioned_root``: publish the mapping table as a snapshot version
-    (sources.versioned) and AUTO-ROLLBACK on QA failure — the reference's
-    manual RESTORE runbook (05_prod_dev.py:1163-1191) as pipeline
-    behavior: a failing run's output stays on disk for forensics
-    (`stats["published_version"]`) but the table pointer snaps back to
-    the last good version (`stats["rolled_back_to"]`), so downstream
-    readers never consume a QA-failed table.
+    ``versioned_root``: two-phase QA-gated publish of the mapping table
+    as a snapshot version (sources.versioned) — the reference's manual
+    RESTORE runbook (05_prod_dev.py:1163-1191) as pipeline behavior,
+    strengthened: the snapshot is STAGED (pointer untouched), QA runs on
+    the staged data, and the pointer flips only on pass. A failing run's
+    snapshot stays on disk for forensics (`stats["written_version"]`)
+    while readers keep the previous version (`stats["published_version"]`
+    — None if no run has ever passed), with no transient window where a
+    failed table is live (publish-then-rollback had one, and left a
+    FAILED FIRST run published).
     """
     cfg = config or MappingConfig()
     run_id = run_id or uuid.uuid4().hex[:12]
@@ -175,6 +178,7 @@ def _run_pipeline_body(
     t2 = canonicalize(table2, key_col, time_col, value2_col, VALUE2, "table2")
     merged = merge_series(t1, t2)
 
+    route_counts: dict[str, int] | None = None
     if recommendations is None:
         corr = best_lag_correlation(merged, cfg.max_lag)
         mapped = build_correlation_mappings(t1, t2, corr, cfg.min_correlation).select(
@@ -182,6 +186,15 @@ def _run_pipeline_body(
         )
     else:
         routed = route_entities(t1.select(KEY).distinct(), recommendations)
+        # one tiny agg over the per-entity routed frame: the
+        # manual_review bucket produces ZERO mapping rows by design, and
+        # an unexplained coverage dip is the alternative to counting it
+        route_counts = {
+            r["route"]: r["n"]
+            for r in routed.groupBy("route")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
         mapped = _mappings_for_route(t1, t2, merged, routed, cfg)
 
     mapped = mapped.withColumn("pipeline_run_id", F.lit(run_id)).withColumn(
@@ -193,17 +206,33 @@ def _run_pipeline_body(
         obs, F.count(F.lit(1)).alias("total_mappings")
     )
 
-    published_version = None
-    if versioned_root:
-        from ..sources.versioned import current_version, write_versioned
+    # persist: the mapping frame feeds the sink AND qa_report — without
+    # the pin, QA re-executes the whole mapping computation (correlation
+    # windows/joins or the DTW mapInPandas) a second time after the
+    # write. Same cfg flag the engine facade honors.
+    if cfg.cache_intermediate:
+        mapped = mapped.persist()
 
-        # the POINTER, not max(history): after an earlier rollback the
-        # newest allocated snapshot is exactly the one we must not
-        # restore to
-        last_good = current_version(versioned_root)
-        published_version = write_versioned(
-            mapped, versioned_root, note=f"pipeline run {run_id}"
+    written_version = None
+    if versioned_root:
+        from ..sources.versioned import publish_version, write_versioned
+
+        # two-phase publish: STAGE the snapshot (pointer untouched), QA
+        # the staged data, publish only on pass — readers never see a
+        # QA-failed table, not even transiently, and a FIRST run that
+        # fails QA leaves the table unpublished instead of live
+        # (a publish-then-rollback flow has both holes)
+        written_version = write_versioned(
+            mapped, versioned_root, note=f"pipeline run {run_id}",
+            publish=False,
         )
+        if output_path:
+            # both sinks requested: the partitioned path feeds
+            # read_incremental consumers and must not be silently
+            # skipped (run metadata lands under output_path either way)
+            write_partitioned(
+                mapped, os.path.join(output_path, "mappings"), "time1"
+            )
         total_mappings = obs.get["total_mappings"]
     elif output_path:
         write_partitioned(mapped, os.path.join(output_path, "mappings"), "time1")
@@ -212,16 +241,10 @@ def _run_pipeline_body(
         total_mappings = mapped.count()
 
     qa = qa_report(mapped, t1)
-    rolled_back_to = None
-    if versioned_root and not qa["passed"]:
-        # auto-rollback (05_prod_dev.py:1163-1191 as behavior): snap the
-        # pointer back to the last good version; the failed snapshot
-        # stays on disk under published_version for forensics
-        from ..sources.versioned import restore_version
-
-        if last_good is not None:
-            restore_version(versioned_root, last_good)
-            rolled_back_to = last_good
+    if versioned_root and qa["passed"]:
+        publish_version(versioned_root, written_version)
+    if cfg.cache_intermediate:
+        mapped.unpersist()
     duration = time.time() - t_start
 
     # SLA gates (05_prod_dev.py:703-745) via the structured monitor
@@ -246,9 +269,13 @@ def _run_pipeline_body(
         "sla_duration_ok": not any(a.code == "long_duration" for a in alerts),
         "sla_nonempty_ok": not any(a.code == "empty_output" for a in alerts),
     }
+    if route_counts is not None:
+        stats["route_counts"] = route_counts
     if versioned_root:
-        stats["published_version"] = published_version
-        stats["rolled_back_to"] = rolled_back_to
+        from ..sources.versioned import current_version
+
+        stats["written_version"] = written_version
+        stats["published_version"] = current_version(versioned_root)
     if output_path:
         write_run_metadata(
             os.path.join(output_path, f"run_{run_id}.json"),
@@ -271,21 +298,31 @@ def run_incremental(
     **kwargs,
 ) -> PipelineResult:
     """Incremental date-range run (05_prod_dev.py:1054-1101): re-run the
-    batch pipeline over only the [start, end] slice of both inputs.
+    batch pipeline over the [start, end] slice of table1 and the
+    [start, end + max_lag] slice of table2.
 
-    The range predicate lands in the parquet scan (min/max row-group skip;
-    partition pruning when the inputs are partitioned by the time column),
-    so an incremental month touches O(selected months) of input — the
-    reference's approach, minus its unused checkpoint path.
+    The range predicates land in the parquet scans (min/max row-group
+    skip; partition pruning when the inputs are partitioned by the time
+    column), so an incremental month touches O(selected months) of input
+    — the reference's approach, minus its unused checkpoint path.
 
-    Correlation lags reach up to max_lag months back, so the model
-    (``recommendations``) should come from a full-history training run;
-    the incremental slice only *applies* it.
+    The t2 slice reaches ``max_lag`` months PAST ``end`` because the lag
+    join maps time1 -> time1 + optimal_lag: an entity with lag 2 in a
+    single-month run needs t2 rows two months ahead, and slicing both
+    tables to the same range would silently produce zero mappings for
+    every entity whose lag exceeds (end - start) — unrecoverable by any
+    later run, since the run covering those t2 months excludes the t1
+    month. (Backward reach needs no widening: the model trains on full
+    history; the slice only applies it.)
     """
+    from ..functions.dates import month_add
     from ..sources.readers import read_incremental
 
+    cfg = kwargs.get("config") or MappingConfig()
     t1 = read_incremental(spark, table1_path, time_col, start, end)
-    t2 = read_incremental(spark, table2_path, time_col, start, end)
+    t2 = read_incremental(
+        spark, table2_path, time_col, start, month_add(end, cfg.max_lag)
+    )
     return run_pipeline(
         spark, t1, t2, recommendations,
         key_col, time_col, value1_col, value2_col, **kwargs,

@@ -100,10 +100,20 @@ def current_version(root: str) -> int | None:
         return None
 
 
-def write_versioned(df: DataFrame, root: str, note: str = "") -> int:
-    """Write ``df`` as the table's next immutable version and publish it.
-    Returns the new version number. The snapshot is fully written before
-    the pointer flips, so readers never observe a partial version."""
+def write_versioned(
+    df: DataFrame, root: str, note: str = "", publish: bool = True
+) -> int:
+    """Write ``df`` as the table's next immutable version and (by
+    default) publish it. Returns the new version number. The snapshot is
+    fully written before the pointer flips, so readers never observe a
+    partial version.
+
+    ``publish=False`` stages the snapshot without moving the pointer —
+    the two-phase publish a QA-gated pipeline needs: write, validate the
+    STAGED version, then :func:`publish_version` on pass. A staged
+    version that never publishes stays on disk for forensics and is
+    invisible to ``read_versioned`` readers (no transient window where
+    a failing table is live, unlike publish-then-rollback)."""
     os.makedirs(root, exist_ok=True)
     history = _read_history(root)
     version = 1 + max((h["version"] for h in history), default=0)
@@ -116,8 +126,17 @@ def write_versioned(df: DataFrame, root: str, note: str = "") -> int:
         }
     )
     _write_history(root, history)
-    _set_pointer(root, version)
+    if publish:
+        _set_pointer(root, version)
     return version
+
+
+def publish_version(root: str, version: int) -> None:
+    """Atomically point the table at an already-written (staged)
+    version — the second phase of ``write_versioned(publish=False)``."""
+    if not os.path.isdir(_vdir(root, version)):
+        raise ValueError(f"cannot publish missing version {version}")
+    _set_pointer(root, version)
 
 
 def read_versioned(

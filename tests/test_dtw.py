@@ -159,3 +159,64 @@ def test_per_entity_spark(spark):
         "cus_code", "time1", "value1", "time2", "value2",
         "lag_offset", "method", "dtw_cost",
     ]
+
+
+def test_batched_path_survives_null_values_in_series(spark):
+    """A null value inside one entity's series must not kill the whole
+    task: numpy converts None to NaN silently and Arrow maps NaN back to
+    NULL — with the old non-nullable schema that was a task-killing
+    IllegalStateException for one dirty entity. The dirty entity now
+    comes back with a null cost the caller can filter, and the CLEAN
+    entity in the same bucket keeps its exact normal result."""
+    from mapping_timeseries_spark.operators.dtw import dtw_summary
+
+    rows = []
+    for i in range(6):
+        rows.append(("CLEAN", f"2024-{i+1:02d}", float(i + 1), float(2 * i + 1)))
+        rows.append(
+            ("DIRTY", f"2024-{i+1:02d}",
+             None if i == 3 else float(i + 1), float(i + 2))
+        )
+    df = spark.createDataFrame(
+        rows, "cus_code string, month string, txn_amount double, revenue double"
+    )
+    got = {r["cus_code"]: r for r in dtw_summary(df).collect()}
+    assert set(got) == {"CLEAN", "DIRTY"}
+    # clean entity: identical to its isolated (all-clean) run
+    alone = dtw_summary(df.where(df.cus_code == "CLEAN")).collect()[0]
+    assert got["CLEAN"]["total_cost"] == pytest.approx(alone["total_cost"])
+    assert got["CLEAN"]["num_mappings"] == alone["num_mappings"]
+    # dirty entity: present with a null (was-NaN) cost, never dropped
+    assert got["DIRTY"]["total_cost"] is None
+    assert got["DIRTY"]["num_mappings"] >= 1
+
+
+def test_batched_path_scalar_fallback_on_undecodable_bucket(spark):
+    """The per-bucket scalar retry itself: feed _bucket_results inputs
+    the vectorized path genuinely cannot stack (ragged object content),
+    via the run()-level try/except, by checking _scalar_bucket_results
+    directly — per-entity dtw_align, identity-path degradation for an
+    entity that still fails (mapping_engine.py:313-316)."""
+    import numpy as np
+
+    from mapping_timeseries_spark.operators.dtw import (
+        _scalar_bucket_results,
+        dtw_align,
+    )
+
+    keys = np.array(["OK", "BAD"])
+    months = [np.array(["2024-01", "2024-02"]), np.array(["2024-01", "2024-02"])]
+    txn = [np.array([1.0, 2.0]), np.array([object(), 2.0], dtype=object)]
+    rev = [np.array([2.0, 4.0]), np.array([1.0, 2.0])]
+    out = list(
+        _scalar_bucket_results(keys, months, txn, rev, None, True, False)
+    )
+    by_key = {str(o["cus_code"][0]): o for o in out}
+    want_cost, want_path = dtw_align(
+        np.array([1.0, 2.0]), np.array([2.0, 4.0]), normalize=True
+    )
+    assert by_key["OK"]["total_cost"][0] == pytest.approx(want_cost)
+    assert by_key["OK"]["num_mappings"][0] == len(want_path)
+    # BAD's float() conversion raises -> identity path, cost 0.0
+    assert by_key["BAD"]["total_cost"][0] == 0.0
+    assert by_key["BAD"]["num_mappings"][0] == 2

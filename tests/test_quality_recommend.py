@@ -160,13 +160,14 @@ def test_pipeline_versioned_publish_and_qa_rollback(spark, pair, tmp_path):
         "cus_code", "month", "txn_amount", "revenue",
         versioned_root=root, run_id="good",
     )
+    assert good.stats["written_version"] == 1
     assert good.stats["published_version"] == 1
-    assert good.stats["rolled_back_to"] is None
     v1_rows = read_versioned(spark, root).count()
     assert v1_rows == good.stats["total_mappings"]
 
     # second run with table2 gutted to one entity: coverage craters, QA
-    # fails, pointer must snap back to v1
+    # fails, the staged v2 must never be published (pointer stays at v1
+    # with no transient window)
     one_entity = t2.where(
         F.col("cus_code") == t2.select("cus_code").first()["cus_code"]
     )
@@ -176,15 +177,69 @@ def test_pipeline_versioned_publish_and_qa_rollback(spark, pair, tmp_path):
         versioned_root=root, run_id="bad",
     )
     assert not bad.qa["passed"]
-    assert bad.stats["published_version"] == 2
-    assert bad.stats["rolled_back_to"] == 1
-    # readers see v1 again; the failed snapshot remains for forensics
+    assert bad.stats["written_version"] == 2
+    assert bad.stats["published_version"] == 1
+    # readers still see v1; the failed snapshot remains for forensics
     assert read_versioned(spark, root).count() == v1_rows
     assert read_versioned(spark, root, version=2).count() == bad.stats[
         "total_mappings"
     ]
+    # two-phase publish: the failed run stages v2 but never publishes, so
+    # history records only the writes (no restore entry needed — the
+    # pointer never moved off v1)
     notes = [h["note"] for h in table_history(root)]
-    assert notes == ["pipeline run good", "pipeline run bad", "restore to v1"]
+    assert notes == ["pipeline run good", "pipeline run bad"]
+
+
+def test_pipeline_first_run_qa_failure_stays_unpublished(spark, pair, tmp_path):
+    """Fresh versioned table whose FIRST run fails QA: the staged
+    snapshot must never become the published pointer (the old
+    publish-then-rollback flow had nothing to roll back to and left the
+    failed table live for readers)."""
+    from mapping_timeseries_spark.sources.versioned import (
+        current_version,
+        read_versioned,
+    )
+
+    t1, t2 = pair
+    one_entity = t2.where(
+        F.col("cus_code") == t2.select("cus_code").first()["cus_code"]
+    )
+    root = str(tmp_path / "fresh_vt")
+    bad = run_pipeline(
+        spark, t1, one_entity, None,
+        "cus_code", "month", "txn_amount", "revenue",
+        versioned_root=root, run_id="firstbad",
+    )
+    assert not bad.qa["passed"]
+    assert bad.stats["written_version"] == 1
+    assert bad.stats["published_version"] is None
+    assert current_version(root) is None
+    with pytest.raises(Exception):
+        read_versioned(spark, root)  # nothing published to read
+    # forensics: the staged snapshot is still addressable by number
+    assert read_versioned(spark, root, version=1).count() == bad.stats[
+        "total_mappings"
+    ]
+
+
+def test_pipeline_writes_both_sinks_when_both_given(spark, pair, tmp_path):
+    import os as _os
+
+    t1, t2 = pair
+    root = str(tmp_path / "both_vt")
+    out = str(tmp_path / "both_out")
+    res = run_pipeline(
+        spark, t1, t2, None,
+        "cus_code", "month", "txn_amount", "revenue",
+        versioned_root=root, output_path=out, run_id="both",
+    )
+    assert res.qa["passed"]
+    # versioned snapshot published AND the partitioned path written
+    assert res.stats["published_version"] == 1
+    mdir = _os.path.join(out, "mappings")
+    assert _os.path.isdir(mdir)
+    assert spark.read.parquet(mdir).count() == res.stats["total_mappings"]
 
 
 def test_incremental_pipeline_date_slice(spark, pair, tmp_path):
@@ -205,12 +260,45 @@ def test_incremental_pipeline_date_slice(spark, pair, tmp_path):
     }
     assert months
     assert all("2023-04" <= m <= "2023-09" for m in months)
-    # lag join can only land inside the slice too (t2 also sliced)
+    # the t2 slice reaches max_lag months PAST end (the lag join maps
+    # time1 -> time1 + lag); slicing t2 to [start, end] silently
+    # dropped every mapping whose lag exceeded the slice width
     months2 = {
         r["time2"]
         for r in result.mapped.select("time2").distinct().collect()
     }
-    assert all("2023-04" <= m <= "2023-09" for m in months2)
+    assert all("2023-04" <= m <= "2024-03" for m in months2)  # end + 6
+
+
+def test_incremental_single_month_recovers_lagged_mappings(spark, tmp_path):
+    """The regression the forward reach exists for: a one-month slice
+    must still produce mappings for an entity whose model lag is 2 —
+    its t2 rows live two months PAST the slice, and no other run could
+    ever produce the pair (the later run excludes the t1 month)."""
+    from mapping_timeseries_spark.plans.pipeline import run_incremental
+
+    rows1 = [("L2", f"2024-{m:02d}", 100.0 + m) for m in range(1, 9)]
+    rows2 = [("L2", f"2024-{m:02d}", 50.0 + m) for m in range(1, 9)]
+    t1 = spark.createDataFrame(rows1, "cus_code string, month string, txn_amount double")
+    t2 = spark.createDataFrame(rows2, "cus_code string, month string, revenue double")
+    p1, p2 = str(tmp_path / "li_t1"), str(tmp_path / "li_t2")
+    t1.write.parquet(p1)
+    t2.write.parquet(p2)
+    model = spark.createDataFrame(
+        [("L2", "Correlation", 2)],
+        "cus_code string, recommended_method string, optimal_lag int",
+    )
+    result = run_incremental(
+        spark, p1, p2, model,
+        "cus_code", "month", "txn_amount", "revenue",
+        start="2024-05", end="2024-05",
+    )
+    got = [
+        (r["time1"], r["time2"], r["lag_offset"])
+        for r in result.mapped.collect()
+    ]
+    assert got == [("2024-05", "2024-07", 2)]
+    assert result.stats["route_counts"] == {"correlation": 1}
 
 
 def test_pipeline_without_model_trains_inline(spark, pair):
