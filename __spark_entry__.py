@@ -562,7 +562,7 @@ def q_topk_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("o_totalprice").alias("total_spend"),
     )
     top = top_k(
-        per_cust, None, [F.col("n_orders").desc(), F.col("o_custkey").asc()], 20
+        per_cust, [F.col("n_orders").desc(), F.col("o_custkey").asc()], 20
     )
     return top.select(
         "o_custkey",

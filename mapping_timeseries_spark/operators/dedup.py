@@ -14,6 +14,14 @@ Scale design
 - SimHash gives a 64-bit fingerprint; near-dup = small Hamming distance.
   The block-join by fingerprint prefix bounds the pair space.
 - Embedding near-dup reuses the cosine machinery from similarity.py.
+
+Caching note: the multi-consumer intermediates (shingle tables, band
+tables, fingerprints) are ``persist()``-ed inside the operators and NOT
+unpersisted — they back the lazily-returned result, so releasing them
+here would defeat the reuse. In a long-lived session that invokes these
+operators repeatedly, clear them between corpora
+(``spark.catalog.clearCache()`` — what bench.py does between reps) or
+they accumulate until LRU eviction.
 """
 
 from __future__ import annotations
@@ -275,8 +283,20 @@ def minhash_lsh_pairs(
     the exact operator asserted in pytest) for parity with
     xxhash64-sketch ecosystems.
     """
+    if bands < 1 or num_hashes % bands != 0:
+        # a silent truncation changes the S-curve 1-(1-J^r)^b the
+        # band/row tuning is calibrated against; rows_per_band=0 would
+        # put the whole corpus in one bucket per band (n^2 join)
+        raise ValueError(
+            f"bands ({bands}) must divide num_hashes ({num_hashes})"
+        )
     rows_per_band = num_hashes // bands
-    sh = _shingled(docs, text_col, n).persist()
+    # zero-shingle docs (null text, or fewer than n tokens) all share
+    # the degenerate empty-aggregate signature, so they would meet in
+    # EVERY band — a quadratic candidate clique the verifier then
+    # discards (their Jaccard is 0/0 -> null). They can never clear a
+    # positive threshold, so drop them before banding.
+    sh = _shingled(docs, text_col, n).where(F.col("n_shingles") > 0).persist()
     if portable:
         sig = minhash_signature_portable(F.col("shingles"), num_hashes)
 
@@ -350,9 +370,15 @@ def simhash_fingerprints(
     md5-derived engine-portable hash (functions.text.portable_hash64) —
     bit-identical in DuckDB, so the whole fingerprint->block->Hamming
     pipeline hash-verifies end-to-end.
+
+    Docs with NULL text carry no tokens and therefore NO fingerprint
+    row — stated contract, filtered EXPLICITLY below rather than left to
+    ``explode``'s silent null-drop (a defined empty-doc fingerprint like
+    0 would be worse: every empty doc would Hamming-0 "near-dup" every
+    other empty doc).
     """
     nbits = 60 if portable else 64
-    tok = _ensure_parallel(docs).select(
+    tok = _ensure_parallel(docs).where(F.col(text_col).isNotNull()).select(
         "doc_id", F.explode(tokens(F.col(text_col))).alias("tk")
     ).withColumn(
         "h", portable_hash64(F.col("tk")) if portable else F.xxhash64("tk")
@@ -562,14 +588,13 @@ def dedup_clusters_star(
     with a 1-row anti-join probe per round (the documented iterative
     exception); non-convergence raises, never returns a split component.
     """
-    edges = pairs.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).where(F.col("src") != F.col("dst"))
-    # star rounds assume the symmetric closure on entry
+    # checkpoint the DEDUPLICATED DIRECTED pairs only: every round
+    # (including the first) builds the symmetric closure itself, so a
+    # pre-loop symmetrize+distinct would pay an extra full shuffle over
+    # the largest frame just to have round 1 re-symmetrize its output
     edges = (
-        edges.unionByName(
-            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
         .distinct()
         .localCheckpoint(eager=True)
     )

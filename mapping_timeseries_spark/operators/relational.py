@@ -22,11 +22,17 @@ __all__ = [
     "anti_join",
     "semi_join",
     "series_window_features",
+    "summary_stats",
+    "join_distinct_dim",
+    "sample_fraction",
+    "sample_portable",
+    "sample_stratified",
+    "sample_weighted_mix",
+    "salted_agg",
     "exact_median_grouped",
     "merge_upsert",
     "month_arithmetic",
     "shard_assign",
-    "sample_weighted_mix",
 ]
 
 
@@ -49,7 +55,7 @@ def segment_case(customers: DataFrame) -> DataFrame:
     )
 
 
-def top_k(df: DataFrame, measure, order_cols: list, k: int = 20) -> DataFrame:
+def top_k(df: DataFrame, order_cols: list, k: int = 20) -> DataFrame:
     """O1/O3 global top-k: orderBy + limit — Catalyst plans
     TakeOrderedAndProject (no full sort at scale)."""
     return df.orderBy(*order_cols).limit(k)

@@ -73,23 +73,28 @@ def cosine_topk(
     """
     from ..sources.readers import ensure_parallel as _ensure_parallel
 
+    # norms are per-ROW facts: project them before the join, or each of
+    # the Q x N candidate pairs re-runs two O(d) interpreted array
+    # aggregates that only depend on one side (same rounded similarity,
+    # ~1/3 the expression work on the brute-force hot path)
     q = queries.select(
         F.col("vec_id").alias("query_id"),
         _as_double(F.col(vec_col)).alias("qv"),
-    )
+    ).withColumn("qn", _norm(F.col("qv")))
     # the corpus is the streamed (map-side) relation: make sure its scan
     # is wide — a single local parquet file arrives as ONE partition and
     # serializes all Q x N similarity math on one core
     c = _ensure_parallel(embeddings).select(
         "vec_id", "label", _as_double(F.col(vec_col)).alias("cv")
-    )
+    ).withColumn("cn", _norm(F.col("cv")))
     sim = F.col("__sim_raw") if round_to is None else F.round("__sim_raw", round_to)
     pairs = (
         F.broadcast(q)
         .crossJoin(c)
         .where(F.col("query_id") != F.col("vec_id"))
         .withColumn(
-            "__sim_raw", _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))
+            "__sim_raw",
+            _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
         )
         .withColumn("similarity", sim)
     )
@@ -157,15 +162,17 @@ def ann_bucketed_topk(
     q = queries.select(
         F.col("vec_id").alias("query_id"),
         _as_double(F.col(vec_col)).alias("qv"),
-    ).withColumn(
+    ).withColumn("qn", _norm(F.col("qv"))).withColumn(
         "bucket", F.explode(_probe_buckets(F.col("qv"), bits, nprobe))
     )
     # corpus side streams map-side against the broadcast query set — keep
     # its scan wide (single-file local input otherwise serializes on one
-    # core; see cosine_topk)
+    # core; see cosine_topk); norms projected per row, not per pair
     c = _ensure_parallel(embeddings).select(
         "vec_id", "label", _as_double(F.col(vec_col)).alias("cv")
-    ).withColumn("bucket", _sign_bucket(F.col("cv"), bits))
+    ).withColumn("cn", _norm(F.col("cv"))).withColumn(
+        "bucket", _sign_bucket(F.col("cv"), bits)
+    )
     pairs = (
         F.broadcast(q)
         .join(c, on="bucket")
@@ -173,8 +180,7 @@ def ann_bucketed_topk(
         .withColumn(
             "similarity",
             F.round(
-                _dot(F.col("qv"), F.col("cv"))
-                / (_norm(F.col("qv")) * _norm(F.col("cv"))),
+                _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
                 6,
             ),
         )
@@ -324,13 +330,20 @@ def ivf_assign(
         *(["label"] if "label" in vectors.columns else []),
         _as_double(F.col(vec_col)).alias("v"),
     )
+    # per-row norms projected BEFORE the centroid fan-out: each vector
+    # meets nlist centroids, so an inline _norm(v) would re-run the O(d)
+    # aggregate nlist times per vector (and _norm(cv) once per pair)
+    v = v.withColumn("__vn", _norm(F.col("v")))
+    cent = F.broadcast(
+        centroids.withColumn("__cn", _norm(F.col("cv")))
+    )
     sims = (
-        v.crossJoin(F.broadcast(centroids))
+        v.crossJoin(cent)
         .withColumn(
             "__csim",
             F.round(
                 _dot(F.col("v"), F.col("cv"))
-                / (_norm(F.col("v")) * _norm(F.col("cv"))),
+                / (F.col("__vn") * F.col("__cn")),
                 6,
             ),
         )
@@ -341,7 +354,7 @@ def ivf_assign(
     return (
         sims.withColumn("__pr", F.row_number().over(w))
         .where(F.col("__pr") <= nprobe)
-        .drop("cv", "__csim", "__pr")
+        .drop("cv", "__csim", "__pr", "__vn", "__cn")
     )
 
 
@@ -417,16 +430,18 @@ def _ivf_probes(
 
 def _ivf_score_topk(probes: DataFrame, corpus: DataFrame, k: int) -> DataFrame:
     """Shared IVF tail: probe×list equi-join on centroid_id, exact cosine,
-    per-query top-k."""
+    per-query top-k. Norms are projected per ROW before the join (an
+    inline _norm would re-run the O(d) aggregate once per candidate
+    pair on both sides)."""
     pairs = (
-        F.broadcast(probes)
-        .join(corpus, on="centroid_id")
+        F.broadcast(probes.withColumn("__qn", _norm(F.col("qv"))))
+        .join(corpus.withColumn("__cn", _norm(F.col("v"))), on="centroid_id")
         .where(F.col("query_id") != F.col("vec_id"))
         .withColumn(
             "similarity",
             F.round(
                 _dot(F.col("qv"), F.col("v"))
-                / (_norm(F.col("qv")) * _norm(F.col("v"))),
+                / (F.col("__qn") * F.col("__cn")),
                 6,
             ),
         )
