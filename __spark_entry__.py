@@ -2082,9 +2082,9 @@ GROUP BY o_orderpriority
 ORACLE_TOKEN_COUNTS = r"""
 WITH tok AS (
   SELECT doc_id,
-         len(string_split_regex(trim(text), '\s+')) AS ws_tokens,
+         len(list_filter(string_split_regex(trim(text), '\s+'), __t -> __t != '')) AS ws_tokens,
          len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe_ish_tokens,
-         round(length(text) * 1.0 / greatest(len(string_split_regex(trim(text), '\s+')), 1), 6)
+         round(length(text) * 1.0 / greatest(len(list_filter(string_split_regex(trim(text), '\s+'), __t -> __t != '')), 1), 6)
            AS chars_per_token
   FROM documents
 ),
@@ -2107,8 +2107,8 @@ ch AS (
            AS sum_chunk_tokens
   FROM (
     SELECT doc_id,
-           len(string_split_regex(trim(text), '\s+')) AS n,
-           1 + ceil(greatest(len(string_split_regex(trim(text), '\s+')) - 128, 0)
+           len(list_filter(string_split_regex(trim(text), '\s+'), __t -> __t != '')) AS n,
+           1 + ceil(greatest(len(list_filter(string_split_regex(trim(text), '\s+'), __t -> __t != '')) - 128, 0)
                     / 112.0) AS n_chunks
     FROM documents
   )
@@ -2124,7 +2124,7 @@ pk AS (
          ws_tokens AS t_pk
   FROM (
     SELECT doc_id,
-           len(string_split_regex(trim(text), '\s+')) AS ws_tokens,
+           len(list_filter(string_split_regex(trim(text), '\s+'), __t -> __t != '')) AS ws_tokens,
            CAST(('0x' || substring(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS BIGINT) AS hk
     FROM documents
   )
@@ -2163,7 +2163,7 @@ shingled AS (
          list_distinct(list_transform(range(1, len(t)),
              i -> list_extract(t, i) || ' ' || list_extract(t, i + 1)))
            AS shingles
-  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+  FROM (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), __t -> __t != '') AS t
         FROM documents)
 ),
 inv AS (
@@ -2283,7 +2283,7 @@ FROM reach GROUP BY id
 # token hashes, per-bit majority vote, top-12-bit blocking, Hamming <= 8.
 ORACLE_SIMHASH = r"""
 WITH tok AS (
-  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tk
+  SELECT doc_id, unnest(list_filter(string_split_regex(trim(text), '\s+'), __t -> __t != '')) AS tk
   FROM documents
 ),
 hashed AS (
@@ -2311,7 +2311,7 @@ FROM blocked a JOIN blocked b
 WHERE bit_count(xor(a.fingerprint, b.fingerprint)) <= 8
 """
 
-_SQL_TOKENS = r"string_split_regex(trim(text), '\s+')"
+_SQL_TOKENS = r"list_filter(string_split_regex(trim(text), '\s+'), __t -> __t != '')"
 
 _STOPWORD_LIST = "('the','a','of','and','to','in','is','it','for','on')"
 

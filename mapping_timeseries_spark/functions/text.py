@@ -20,8 +20,17 @@ FP_MOD = 1_000_000_007
 
 
 def tokens(text: Column | str) -> Column:
-    """Whitespace tokenization of trimmed text."""
-    return F.split(F.trim(text), r"\s+")
+    """Whitespace tokenization of trimmed text.
+
+    Empty tokens are filtered: ``split(trim(''), '\\s+')`` returns
+    ``['']`` in both Spark and DuckDB, which would count an empty or
+    whitespace-only document as having ONE token — and give it a nonzero
+    quality score, letting blank docs through a pretraining min-quality
+    filter. The SQL twins apply the same ``list_filter`` (_SQL_TOKENS),
+    so engine parity holds on the edge as well as the bulk."""
+    return F.filter(
+        F.split(F.trim(text), r"\s+"), lambda t: t != F.lit("")
+    )
 
 
 def token_count(text: Column | str) -> Column:

@@ -35,7 +35,16 @@ def profile_columns(df: DataFrame, value_cols: list[str]) -> DataFrame:
     aggs = [F.count(F.lit(1)).alias("total_rows")]
     for c in value_cols:
         aggs.append(F.sum(F.col(c).isNull().cast("bigint")).alias(f"__null_{c}"))
-        aggs.append(F.sum((F.col(c) < 0).cast("bigint")).alias(f"__neg_{c}"))
+        # when/otherwise, not a bare boolean cast: (c < 0) is NULL for a
+        # NULL value, and summing all-NULLs returns NULL — an all-NULL
+        # column (exactly what a profiler must flag) would report
+        # negative_count=None instead of 0 (the DuckDB twin's CASE WHEN
+        # already counted 0; this side silently disagreed on that edge)
+        aggs.append(
+            F.sum(
+                F.when(F.col(c) < 0, F.lit(1)).otherwise(F.lit(0))
+            ).alias(f"__neg_{c}")
+        )
         aggs.append(F.min(c).alias(f"__min_{c}"))
         aggs.append(F.max(c).alias(f"__max_{c}"))
     wide = df.agg(*aggs)
@@ -56,8 +65,13 @@ def profile_columns(df: DataFrame, value_cols: list[str]) -> DataFrame:
 def alignment_coverage(table1: DataFrame, table2: DataFrame) -> DataFrame:
     """Full-outer alignment diagnosis (J5, 01_setup.oy:250-259): how many
     (entity, month) cells exist in both tables vs only one."""
-    t1 = table1.select(KEY, TIME, F.lit(1).alias("__in1"))
-    t2 = table2.select(KEY, TIME, F.lit(1).alias("__in2"))
+    # distinct BEFORE the full-outer join: duplicate (entity, month)
+    # cells on both sides would multiply (2 dup rows x 3 dup rows = 6
+    # joined rows for ONE cell) and every count would inflate — and
+    # input duplicates are precisely what a quality operator must
+    # tolerate (duplicate_stats exists to count them)
+    t1 = table1.select(KEY, TIME).distinct().withColumn("__in1", F.lit(1))
+    t2 = table2.select(KEY, TIME).distinct().withColumn("__in2", F.lit(1))
     both = t1.join(t2, on=[KEY, TIME], how="full_outer")
     return both.agg(
         F.count(F.lit(1)).alias("total_cells"),
@@ -77,12 +91,16 @@ def duplicate_stats(df: DataFrame, key_cols: list[str]) -> DataFrame:
     """Duplicate detection (A5, 05_prod_dev.py:510-530): total vs distinct
     on the key columns, as one aggregation (count_distinct instead of the
     reference's second scan)."""
+    # countDistinct over a STRUCT, not bare columns: multi-arg
+    # count_distinct drops any row with a NULL in any column, so a
+    # single null-keyed row would report a phantom duplicate (the
+    # struct itself is never null, so every row counts — matching the
+    # DuckDB twin's SELECT DISTINCT)
+    dk = F.count_distinct(F.struct(*[F.col(c) for c in key_cols]))
     return df.agg(
         F.count(F.lit(1)).alias("total_rows"),
-        F.count_distinct(*[F.col(c) for c in key_cols]).alias("distinct_rows"),
-        (
-            F.count(F.lit(1)) - F.count_distinct(*[F.col(c) for c in key_cols])
-        ).alias("duplicates"),
+        dk.alias("distinct_rows"),
+        (F.count(F.lit(1)) - dk).alias("duplicates"),
     )
 
 
@@ -112,9 +130,12 @@ def qa_invariants(
     agg = mapped.agg(
         F.count(F.lit(1)).alias("total_mappings"),
         F.count_distinct(KEY).alias("mapped_entities"),
+        # struct for the same null-key reason as duplicate_stats
         (
             F.count(F.lit(1))
-            - F.count_distinct(KEY, F.col(time1_col), F.col(time2_col))
+            - F.count_distinct(
+                F.struct(F.col(KEY), F.col(time1_col), F.col(time2_col))
+            )
         ).alias("duplicates"),
         F.min(lag_col).alias("min_lag"),
         F.max(lag_col).alias("max_lag"),
@@ -123,10 +144,18 @@ def qa_invariants(
         F.max(ratio).alias("max_ratio"),
         F.avg(ratio).alias("avg_ratio"),
         F.stddev(ratio).alias("std_ratio"),
-        F.sum(
-            (F.to_date(F.col(time2_col)) < F.to_date(F.col(time1_col))).cast(
-                "bigint"
-            )
+        # coalesce: sum over an EMPTY mapped frame returns NULL, and
+        # qa_report's `violations == 0` check would then FAIL a run with
+        # zero violations (when/otherwise also keeps null-dated rows
+        # from nulling the sum)
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.to_date(F.col(time2_col)) < F.to_date(F.col(time1_col)),
+                    F.lit(1),
+                ).otherwise(F.lit(0))
+            ),
+            F.lit(0),
         ).alias("temporal_violations"),
     )
     totals = table1.agg(F.count_distinct(KEY).alias("total_entities"))

@@ -164,7 +164,12 @@ def method_agreement(
         _lattice_mean_rounded,
     )
 
-    if lattice_dp:
+    # `is not None`, never truthiness: lattice_dp=0 (round to whole
+    # units) is a valid lattice and must take the portable path — the
+    # same trap monitoring_summary already guards against
+    if lattice_dp is not None:
+        if lattice_dp < 0:
+            raise ValueError(f"lattice_dp must be >= 0, got {lattice_dp}")
         scale = 10**lattice_dp
         k_corr = F.round(F.col("correlation") * scale).cast("bigint")
         k_cost = F.round(F.col("total_cost") * scale).cast("bigint")

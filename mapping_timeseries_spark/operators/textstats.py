@@ -22,6 +22,7 @@ from ..functions.text import (
 
 __all__ = [
     "text_stats",
+    "token_counts",
     "quality_score",
     "lang_marker_scores",
     "lang_trigram_scores",
@@ -407,8 +408,18 @@ def chunk_documents(
     stride = chunk_tokens - overlap_tokens
     # bind the token array first: a raw tokens(text) expression inside
     # the transform lambda re-runs the split per chunk (see
-    # repetition_stats for the measured cost of that pattern)
-    toks = docs.select("doc_id", tokens(F.col(text_col)).alias("__t"))
+    # repetition_stats for the measured cost of that pattern).
+    # coalesce: tokens(NULL) is NULL and posexplode over a NULL array
+    # emits NO rows — the doc would vanish from the chunk output while
+    # every sibling operator keeps it (explode_outer); a null/empty doc
+    # yields its one empty chunk instead, matching the closed form
+    # n_chunks(0) = 1 the twin checks
+    toks = docs.select(
+        "doc_id",
+        F.coalesce(
+            tokens(F.col(text_col)), F.array().cast("array<string>")
+        ).alias("__t"),
+    )
     t = F.col("__t")
     n = F.size(t)
     n_chunks = F.lit(1) + F.ceil(

@@ -711,6 +711,32 @@ def test_boilerplate_signals_planted_template(spark):
     assert clean.agg(F.sum("n_boiler_grams")).first()[0] == 0
 
 
+def test_edge_docs_empty_null_whitespace(spark):
+    """Edge contract sweep the review demanded: empty / whitespace-only /
+    null documents must not fabricate tokens, vanish from chunk output,
+    or earn a nonzero quality score."""
+    from mapping_timeseries_spark.operators.textstats import (
+        chunk_documents,
+        quality_score,
+        text_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "real words here", "en"), (2, "", "en"),
+         (3, "   ", "en"), (4, None, "en")],
+        "doc_id long, text string, lang string",
+    )
+    stats = {r["doc_id"]: r for r in text_stats(docs).collect()}
+    # split(trim('')) = [''] would have counted ONE token for 2 and 3
+    assert stats[1]["n_tokens"] == 3
+    assert stats[2]["n_tokens"] == 0 and stats[3]["n_tokens"] == 0
+    q = {r["doc_id"]: r["quality_score"] for r in quality_score(docs).collect()}
+    assert q[2] == 0.0 and q[3] == 0.0  # blank docs score zero
+    # chunking keeps every doc: null/empty text -> exactly one empty chunk
+    ch = chunk_documents(docs).groupBy("doc_id").count().collect()
+    assert {r["doc_id"]: r["count"] for r in ch} == {1: 1, 2: 1, 3: 1, 4: 1}
+
+
 def test_vocab_counts_matches_duckdb_and_plans_topk(spark, sf_dir="/root/testdata/sf0.001"):
     """Corpus token-frequency table vs the DuckDB twin (same gate shape
     the driver applies, run locally), plus the plan assertion that top-k

@@ -99,6 +99,46 @@ def test_route_entities_fallback(spark):
     assert routed["C"]["route"] == "default" and routed["C"]["optimal_lag"] == 1
 
 
+def test_quality_null_and_empty_edges(spark):
+    """Null-key rows must not fabricate duplicates, an all-NULL column
+    must profile negative_count=0 (not None), duplicate cells must not
+    multiply alignment counts, and an empty mapped frame must report 0
+    temporal violations (not None -> spurious FAIL)."""
+    # duplicate_stats: 3 unique keys, one carrying a NULL column
+    df = spark.createDataFrame(
+        [("a", "x"), ("b", None), ("c", "y")], "k string, t string"
+    )
+    row = duplicate_stats(df, ["k", "t"]).first()
+    assert (row["total_rows"], row["distinct_rows"], row["duplicates"]) == (3, 3, 0)
+
+    # profile: all-NULL value column
+    nulls = spark.createDataFrame([(None,), (None,)], "v double")
+    prow = profile_columns(nulls, ["v"]).first()
+    assert prow["null_count"] == 2 and prow["negative_count"] == 0
+
+    # alignment: duplicated cells on both sides count as ONE cell
+    t1 = spark.createDataFrame(
+        [("C1", "2024-01"), ("C1", "2024-01")], "cus_code string, month string"
+    )
+    t2 = spark.createDataFrame(
+        [("C1", "2024-01")] * 3 + [("C1", "2024-02")],
+        "cus_code string, month string",
+    )
+    arow = alignment_coverage(t1, t2).first()
+    assert (arow["total_cells"], arow["matched"], arow["table2_only"]) == (2, 1, 1)
+
+    # qa on an empty mapping: violations 0, not None
+    from mapping_timeseries_spark.operators.quality import qa_invariants
+
+    empty = spark.createDataFrame(
+        [], "cus_code string, time1 string, value1 double, time2 string, "
+            "value2 double, lag_offset int",
+    )
+    inp = spark.createDataFrame([("C1", "2024-01")], "cus_code string, month string")
+    qrow = qa_invariants(empty, inp).first()
+    assert qrow["temporal_violations"] == 0
+
+
 def test_qa_report_gates(spark, pair):
     t1, t2 = pair
     t1c = canonicalize(t1, "cus_code", "month", "txn_amount", VALUE1)
