@@ -92,14 +92,12 @@ def betainc_regularized(
     if xa.size:
         front = np.exp(ln_front[use_direct]) / aa
         out[use_direct] = front * _betacf(aa, ba, xa)
-    # symmetric branch
+    # symmetric branch — the log-front is symmetric in (a,x)<->(b,1-x),
+    # so ln_front computed above already covers it; recomputing it here
+    # would run the _lbeta lgamma loop (the costly part) a second time
     xs, as_, bs = x[~use_direct], a[~use_direct], b[~use_direct]
     if xs.size:
-        front = np.exp(
-            bs * np.log(np.clip(1.0 - xs, _TINY, None))
-            + as_ * np.log(np.clip(xs, _TINY, None))
-            - _lbeta(as_, bs)
-        ) / bs
+        front = np.exp(ln_front[~use_direct]) / bs
         out[~use_direct] = 1.0 - front * _betacf(bs, as_, 1.0 - xs)
 
     out[x <= 0.0] = 0.0

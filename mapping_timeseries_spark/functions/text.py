@@ -66,10 +66,17 @@ def word_shingles(text: Column | str, n: int = 2) -> Column:
 
 
 def char_shingles(text: Column | str, n: int = 3) -> Column:
-    """Character n-gram shingles (distinct)."""
+    """Character n-gram shingles (distinct). An empty/whitespace-only
+    document yields an EMPTY array (same contract as tokens() /
+    word_shingles: blank docs must not share a degenerate [''] shingle
+    and form spurious perfect-Jaccard cliques); a doc shorter than ``n``
+    chars yields its whole text as the single shingle."""
     s = F.trim(text)
     idx = F.sequence(F.lit(1), F.greatest(F.length(s) - n + 1, F.lit(1)))
-    return F.array_distinct(F.transform(idx, lambda i: F.substring(s, i, n)))
+    grams = F.array_distinct(F.transform(idx, lambda i: F.substring(s, i, n)))
+    return F.when(F.length(s) > 0, grams).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 def avg_token_length(text: Column | str) -> Column:
@@ -215,7 +222,11 @@ def simhash64(tokens_col: Column) -> Column:
     out = bits[0]
     for piece in bits[1:]:
         out = out + piece
-    return out
+    # empty token array: `0*2 >= 0` is true for EVERY bit, which would
+    # emit the all-bits-set fingerprint -1 and put blank docs at small
+    # hamming distance from dense-hash real docs; no tokens = no
+    # evidence for any bit = fingerprint 0
+    return F.when(n > 0, out).otherwise(F.lit(0).cast("bigint"))
 
 
 def hamming64(a: Column, b: Column) -> Column:

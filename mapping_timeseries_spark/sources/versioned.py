@@ -116,7 +116,22 @@ def write_versioned(
     a failing table is live, unlike publish-then-rollback)."""
     os.makedirs(root, exist_ok=True)
     history = _read_history(root)
-    version = 1 + max((h["version"] for h in history), default=0)
+    # allocate past BOTH the history max and any on-disk v=* directory:
+    # a crash between the snapshot write and the history append leaves
+    # an orphan dir, and re-allocating its number would make
+    # errorifexists throw on every subsequent write (a permanently
+    # wedged table needing manual cleanup)
+    on_disk = max(
+        (
+            int(d.split("=", 1)[1])
+            for d in os.listdir(root)
+            if d.startswith("v=") and d.split("=", 1)[1].isdigit()
+        ),
+        default=0,
+    )
+    version = 1 + max(
+        max((h["version"] for h in history), default=0), on_disk
+    )
     df.write.mode("errorifexists").parquet(_vdir(root, version))
     history.append(
         {

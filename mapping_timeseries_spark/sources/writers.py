@@ -53,6 +53,8 @@ def compact_parquet(
     Spark cannot overwrite a dataset it is reading; callers swap
     directories atomically afterwards (rename / view flip).
     """
+    from pyspark.sql import functions as F
+
     if os.path.abspath(out_path) == os.path.abspath(path):
         raise ValueError("out_path must differ from path (read-under-write)")
     jvm = spark.sparkContext._jvm
@@ -63,10 +65,23 @@ def compact_parquet(
     n_files = max(1, -(-total // (target_file_mb << 20)))
     df = spark.read.parquet(path)
     if partition_col:
-        # repartition by the partition column so each directory gets
-        # coherent files instead of n_files fragments per directory
+        # repartition on (partition_col, salt), NOT the bare column: a
+        # hash on the partition column alone routes EVERY row of a value
+        # to one task — one file per directory regardless of
+        # target_file_mb, i.e. a 10 GB month back in one unsplittable
+        # write task. The salt spreads each value over
+        # ceil(n_files / n_values) tasks so directories get coherent,
+        # target-sized files.
+        n_values = df.select(partition_col).distinct().count()
+        per_value = max(1, -(-int(n_files) // max(n_values, 1)))
+        salt = F.pmod(
+            F.xxhash64(*[c for c in df.columns if c != partition_col]),
+            F.lit(per_value),
+        )
         writer = (
-            df.repartition(int(n_files), partition_col)
+            df.withColumn("__salt", salt)
+            .repartition(int(n_files), partition_col, F.col("__salt"))
+            .drop("__salt")
             .write.mode("overwrite")
             .partitionBy(partition_col)
         )

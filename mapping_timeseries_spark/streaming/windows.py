@@ -42,12 +42,21 @@ DEFAULT_WATERMARK = "2 hours"
 
 
 def read_events_stream(
-    spark: SparkSession, path: str, schema=None
+    spark: SparkSession, path: str, schema=None, ts_col: str = "ts"
 ) -> DataFrame:
-    """File-source stream over an events parquet directory/file."""
+    """File-source stream over an events parquet directory/file.
+
+    Applies the same physical-type ts normalization as the batch
+    ``read_table`` (pandas-written parquet carries TIMESTAMP(NANOS),
+    which arrives as bigint under nanosAsLong or as timestamp_ntz
+    otherwise): without it, ``withWatermark('ts', ...)`` rejects the
+    raw column outright — every caller was hand-applying the fix."""
+    from ..sources.readers import normalize_ts
+
     if schema is None:
         schema = spark.read.parquet(path).schema
-    return spark.readStream.schema(schema).parquet(path)
+    stream = spark.readStream.schema(schema).parquet(path)
+    return normalize_ts(stream, ts_col) if ts_col in stream.columns else stream
 
 
 def stream_tumbling_agg(

@@ -34,13 +34,9 @@ def stream_dir(tmp_path_factory):
 
 
 def _stream_events(spark, stream_dir):
-    # stream the raw parquet, then apply the same ts normalization the batch
-    # reader does (raw physical type varies by data-gen writer: bigint nanos
-    # or tz-naive micros)
-    from mapping_timeseries_spark.sources.readers import normalize_ts
-
-    raw = read_events_stream(spark, stream_dir)
-    return normalize_ts(raw, "ts")
+    # ts normalization now lives inside the reader itself (the batch
+    # reader's physical-type handling, applied symmetrically)
+    return read_events_stream(spark, stream_dir)
 
 
 def _as_sorted_rows(df, cols):

@@ -66,3 +66,24 @@ def test_versioned_vacuum_keeps_pointer_and_tail(spark, tmp_path):
 def test_versioned_rejects_non_table(spark, tmp_path):
     with pytest.raises(FileNotFoundError, match="not a versioned table"):
         read_versioned(spark, str(tmp_path / "nope"))
+
+
+def test_write_versioned_recovers_from_orphan_snapshot_dir(spark, tmp_path):
+    """A crash between the snapshot write and the history append leaves
+    an orphan v=N directory; the next write must allocate PAST it
+    instead of permanently wedging on errorifexists."""
+    import os
+
+    from mapping_timeseries_spark.sources.versioned import (
+        read_versioned,
+        write_versioned,
+    )
+
+    root = str(tmp_path / "orphan_vt")
+    df = spark.range(5).toDF("n")
+    assert write_versioned(df, root, note="v1") == 1
+    # simulate the crash: snapshot dir exists, history never updated
+    os.makedirs(os.path.join(root, "v=000002", "_simulated_orphan"))
+    v = write_versioned(df, root, note="after crash")
+    assert v == 3  # allocated past the orphan, not wedged on it
+    assert read_versioned(spark, root).count() == 5

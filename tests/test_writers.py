@@ -349,3 +349,27 @@ def test_jsonl_roundtrip_and_corrupt_line_audit(spark, tmp_path):
     assert audited.where(F.col("_corrupt_record").isNotNull()).count() == 1
     assert audited.where(F.col("doc_id").isNotNull()).count() == 2
     audited.unpersist()
+
+
+def test_compact_parquet_partitioned_splits_large_partitions(spark, tmp_path):
+    """With partition_col, compaction must still honor target_file_mb:
+    hashing on the bare partition column routed every row of a value to
+    ONE task (one giant file per directory). The salted repartition
+    spreads a single large partition value over multiple files."""
+    from mapping_timeseries_spark.sources.writers import compact_parquet
+
+    src = str(tmp_path / "frag_src")
+    out = str(tmp_path / "frag_out")
+    # ~3 MB of incompressible doubles under ONE partition value, written
+    # as many fragments
+    df = (
+        spark.range(300_000)
+        .selectExpr("'m1' AS month", "rand(7) AS v1", "rand(8) AS v2")
+        .repartition(40)
+    )
+    df.write.partitionBy("month").parquet(src)
+    n = compact_parquet(spark, src, out, target_file_mb=1, partition_col="month")
+    assert n >= 2, "single partition value must split across files"
+    back = spark.read.parquet(out)
+    assert back.count() == 300_000
+    assert {r["month"] for r in back.select("month").distinct().collect()} == {"m1"}
