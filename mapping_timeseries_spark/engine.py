@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .config import AUTO_SIMPLE_THRESHOLD, MappingConfig
-from .operators.canonicalize import VALUE1, VALUE2, canonicalize
+from .operators.canonicalize import KEY, VALUE1, VALUE2, canonicalize
 from .operators.correlation import best_lag_correlation
 from .operators.dtw import build_dtw_mappings
 from .operators.lag_join import build_correlation_mappings
@@ -48,17 +48,38 @@ def map_tables(
     processed_at:timestamp``.
     """
     cfg = config or MappingConfig()
+    if cfg.broadcast_threshold != MappingConfig.broadcast_threshold:
+        # reference-parity knob (mapping_engine.py:78): the one
+        # session conf the engine sets, and only when the caller
+        # explicitly moved it off the default (e.g. -1 to forbid
+        # broadcast at 10^10-entity scale)
+        table1.sparkSession.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold",
+            str(cfg.broadcast_threshold),
+        )
     t1 = canonicalize(table1, key_col, time_col, value1_col, VALUE1, "table1")
     t2 = canonicalize(table2, key_col, time_col, value2_col, VALUE2, "table2")
     if cfg.cache_intermediate and cfg.method != "dtw":
-        # correlation/auto consume each canonical series twice: once through
-        # the merged frame feeding the correlation grid, once as a side of
-        # the lag join. Persisting the (entity, month) aggregates — tiny
-        # relative to the raw fact tables they derive from — turns two full
-        # upstream scans into one. (DTW consumes only the merged frame.)
+        # correlation/auto consume each canonical series twice: once
+        # through the merged frame feeding the correlation grid, once as
+        # a side of the lag join; persisting turns two full upstream
+        # scans into one. NOTE the cost honestly: canonicalize is a pure
+        # projection, so what gets pinned is INPUT-cardinality data (the
+        # engine API contract is that inputs are already (entity, month)
+        # series tables — small next to the fact tables they derive
+        # from, but not free). The blocks back the lazily-returned
+        # result, so they cannot be unpersisted here; long-lived
+        # sessions calling map_tables repeatedly should
+        # spark.catalog.clearCache() between runs (same contract as the
+        # dedup operators).
         t1 = t1.persist()
         t2 = t2.persist()
     merged = merge_series(t1, t2)
+    if cfg.shuffle_partitions is not None:
+        # the caller pinned an explicit parallelism for the per-entity
+        # stages (reference fixes repartition(200, key),
+        # mapping_engine.py:530-531); default None lets AQE size them
+        merged = merged.repartition(cfg.shuffle_partitions, F.col(KEY))
 
     if cfg.method == "correlation":
         corr = best_lag_correlation(merged, cfg.max_lag)
@@ -71,9 +92,15 @@ def map_tables(
         corr = best_lag_correlation(merged, cfg.max_lag)
         if cfg.cache_intermediate:
             corr = corr.cache()
-        simple = corr.where(F.col("correlation") >= AUTO_SIMPLE_THRESHOLD)
+        # the routing split is the MAX of the auto threshold and the
+        # caller's min_correlation: with min_correlation > 0.7, an
+        # entity in [0.7, min_correlation) would otherwise route to the
+        # correlation branch, be filtered there, and never reach DTW —
+        # silently vanishing from the output with no route at all
+        split = max(AUTO_SIMPLE_THRESHOLD, cfg.min_correlation)
+        simple = corr.where(F.col("correlation") >= split)
         complex_keys = corr.where(
-            F.col("correlation") < AUTO_SIMPLE_THRESHOLD
+            F.col("correlation") < split
         ).select("cus_code")
         corr_part = build_correlation_mappings(t1, t2, simple, cfg.min_correlation)
         dtw_part = build_dtw_mappings(

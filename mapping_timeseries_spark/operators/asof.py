@@ -63,13 +63,21 @@ def interval_join(
     executor. Intervals spanning more granules than the cap raise a
     runtime error naming the offending key rather than silently
     truncating; raise the cap or pre-filter if genuinely long intervals
-    are expected.
+    are expected. Intervals with a NULL/unparseable bound or with
+    ``end < start`` contribute NO matches (they contain no point —
+    consistent with the inner-join contract) instead of aborting the
+    job: a CASE over a NULL span takes the ELSE branch, so the naive
+    ``when(span_ok, ...).otherwise(raise_error)`` formulation fired the
+    error for exactly the rows that span nothing — and a negative span
+    would have slipped past a one-sided cap into ``sequence``'s
+    DESCENDING default (~29M elements for an epoch-0 end at 60s
+    granules: the precise explosion the cap exists to stop).
     """
     g = F.lit(int(granule_seconds))
     start_g = F.floor(F.unix_timestamp(F.col(start_col).cast("timestamp")) / g)
     end_g = F.floor(F.unix_timestamp(F.col(end_col).cast("timestamp")) / g)
-    span_ok = (end_g - start_g) <= F.lit(int(max_granules))
-    guarded_end = F.when(span_ok, end_g).otherwise(
+    span = end_g - start_g
+    guarded_end = F.when(span <= F.lit(int(max_granules)), end_g).otherwise(
         F.raise_error(
             F.concat(
                 F.lit(
@@ -80,7 +88,9 @@ def interval_join(
             )
         ).cast("long")
     )
-    iv = intervals.withColumn("__g", F.explode(F.sequence(start_g, guarded_end)))
+    iv = intervals.where(
+        start_g.isNotNull() & end_g.isNotNull() & (span >= 0)
+    ).withColumn("__g", F.explode(F.sequence(start_g, guarded_end)))
     pt = points.withColumn(
         "__g", F.floor(F.unix_timestamp(F.col(ts_col).cast("timestamp")) / g)
     )
@@ -141,14 +151,21 @@ def asof_join(
         .orderBy(F.col(time_col).asc(), F.col("__is_left").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    right_time = F.when(F.col("__is_left") == 0, F.col(time_col))
-    carried = [
-        F.last(v, ignorenulls=True).over(w).alias(f"{v}{suffix}")
-        for v in value_cols
-    ]
+    # carry the matched right row as ONE struct, then unpack: per-column
+    # last(v, ignorenulls=True) would skip a matched row whose value is
+    # NULL and fall back to an OLDER row's value — time{suffix} and the
+    # value columns could then come from DIFFERENT right rows (a
+    # "frankenrow" the DuckDB ASOF twin never produces). The struct is
+    # non-null for every right row, so ignorenulls selects matched ROWS
+    # atomically and NULL values ride through as the matched row's NULLs.
+    right_row = F.when(
+        F.col("__is_left") == 0,
+        F.struct(F.col(time_col).alias("__t"), *[F.col(v) for v in value_cols]),
+    )
+    matched = F.last(right_row, ignorenulls=True).over(w)
     out = unioned.select(
         "*",
-        F.last(right_time, ignorenulls=True).over(w).alias(f"{time_col}{suffix}"),
-        *carried,
+        matched["__t"].alias(f"{time_col}{suffix}"),
+        *[matched[v].alias(f"{v}{suffix}") for v in value_cols],
     )
     return out.where(F.col("__is_left") == 1).drop("__is_left", *value_cols)

@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.dates import shift_month
-from .canonicalize import KEY, TIME
+from .canonicalize import KEY, TIME, VALUE1, VALUE2
 
 __all__ = ["build_correlation_mappings"]
 
@@ -62,23 +62,30 @@ def build_correlation_mappings(
     Output schema (README.md:165-178): ``cus_code, time1, value1, time2,
     value2, lag_offset:int, method:'correlation', correlation:double``.
     """
-    valid = correlations.where(F.col("correlation") >= min_correlation).select(
-        KEY, "optimal_lag", "correlation"
-    )
+    # the NaN guard matters for callers feeding RAW grid output: Spark
+    # orders NaN greater than every numeric, so `NaN >= threshold` is
+    # TRUE and constant-series entities (corr = NaN under non-ANSI
+    # conf) would emit mapping rows the threshold was meant to exclude
+    # (best_lag_correlation's sanitized output never carries NaN, so
+    # the engine paths are unaffected)
+    valid = correlations.where(
+        (F.col("correlation") >= min_correlation)
+        & ~F.isnan(F.col("correlation"))
+    ).select(KEY, "optimal_lag", "correlation")
     if broadcast_dim:
         valid = F.broadcast(valid)
     t1 = table1.join(valid, on=KEY, how="inner").withColumn(
         "__month2", shift_month(F.col(TIME), F.col("optimal_lag"))
     )
     t2 = table2.select(
-        F.col(KEY), F.col(TIME).alias("__month2"), F.col("revenue")
+        F.col(KEY), F.col(TIME).alias("__month2"), F.col(VALUE2)
     )
     return t1.join(t2, on=[KEY, "__month2"], how="inner").select(
         KEY,
         F.col(TIME).alias("time1"),
-        F.col("txn_amount").alias("value1"),
+        F.col(VALUE1).alias("value1"),
         F.col("__month2").alias("time2"),
-        F.col("revenue").alias("value2"),
+        F.col(VALUE2).alias("value2"),
         F.col("optimal_lag").cast("int").alias("lag_offset"),
         F.lit("correlation").alias("method"),
         F.col("correlation"),

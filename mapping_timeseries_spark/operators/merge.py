@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-from .canonicalize import KEY, TIME
+from .canonicalize import KEY, TIME, VALUE1, VALUE2
 
 
 def merge_series(table1: DataFrame, table2: DataFrame) -> DataFrame:
@@ -27,5 +27,5 @@ def merge_series(table1: DataFrame, table2: DataFrame) -> DataFrame:
     reference's merged frame (mapping_engine.py:545-550).
     """
     return table1.join(table2, on=[KEY, TIME], how="inner").select(
-        KEY, TIME, "txn_amount", "revenue"
+        KEY, TIME, VALUE1, VALUE2
     )

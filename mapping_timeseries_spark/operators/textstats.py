@@ -48,11 +48,15 @@ LANG_MARKERS = {
 
 def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document token statistics: counts, distinct tokens, average
-    token length, stopword and punctuation ratios."""
+    token length, stopword and punctuation ratios. ``lang`` passes
+    through when present — it is NOT required (a bare (doc_id, text)
+    corpus is the natural input for quality_score and the corpus
+    pipeline, which would otherwise fail resolving an incidental
+    column)."""
     t = F.col(text_col)
     return docs.select(
         "doc_id",
-        "lang",
+        *(["lang"] if "lang" in docs.columns else []),
         F.length(t).alias("n_chars"),
         token_count(t).alias("n_tokens"),
         F.size(F.array_distinct(tokens(t))).alias("n_unique_tokens"),

@@ -83,6 +83,18 @@ def flag_corpus(
     All three default to None = stage off (no flag column), keeping the
     base pipeline's contract unchanged.
     """
+    # survival flags are a RESERVED namespace: a pre-existing pass_*
+    # column would silently be ANDed into the survival predicate,
+    # summed into the stats, and dropped from the export — refuse
+    # loudly instead
+    preexisting = [c for c in docs.columns if c.startswith("pass_")]
+    if preexisting:
+        raise ValueError(
+            f"input corpus already has pass_-prefixed columns "
+            f"{preexisting}; rename them — pass_* is the pipeline's "
+            f"stage-flag namespace"
+        )
+
     # exact: keeper = smallest doc_id per content digest
     from pyspark.sql import Window
 
@@ -202,4 +214,24 @@ def run_corpus_pipeline(
     )
     survivors = flagged.where(keep_all).drop(*flag_cols)
     write_training_shards(survivors, out_path, "doc_id", n_shards)
-    return CorpusPipelineResult(out_path=out_path, stats=dict(obs.get))
+    try:
+        stats = dict(obs.get)
+    except Exception:
+        # when EVERY doc is rejected, AQE's PropagateEmptyRelation can
+        # replace the filtered-empty subtree with an empty LocalRelation,
+        # wiping the CollectMetrics node — obs.get then dies in toPyRow
+        # (observed: AssertionError for an all-rejected corpus). The
+        # stats still matter most on exactly that run ("why did
+        # everything get filtered?"), so recompute them with one direct
+        # aggregate over the flagged frame.
+        row = (
+            flagged.agg(
+                F.count(F.lit(1)).alias("n_input"),
+                *[F.sum(c).alias(f"n_{c}") for c in flag_cols],
+                F.sum(keep_all.cast("int")).alias("n_retained"),
+            )
+            .first()
+            .asDict()
+        )
+        stats = {k: (0 if v is None else v) for k, v in row.items()}
+    return CorpusPipelineResult(out_path=out_path, stats=stats)

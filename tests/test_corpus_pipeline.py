@@ -140,3 +140,37 @@ def test_run_corpus_pipeline_end_to_end(spark, tmp_path):
     # stats came from the export's single materialization: flags are gone
     # from the written output, quality_score is retained
     assert "pass_exact" not in got.columns and "quality_score" in got.columns
+
+
+def test_corpus_pipeline_langless_and_all_rejected(spark, tmp_path):
+    """Two input-shape edges: a bare (doc_id, text) corpus (no lang
+    column) must run — the quality stage's lang passthrough is optional
+    — and a corpus where EVERY doc is rejected must still return stats
+    (AQE's empty-relation propagation wipes the CollectMetrics node, so
+    obs.get dies; the pipeline recomputes directly on that path)."""
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"word{i}x{j}" for j in range(15))) for i in range(6)],
+        "doc_id long, text string",
+    )
+    hold = spark.createDataFrame([(99, "held out item")], "doc_id long, text string")
+    ok = run_corpus_pipeline(
+        docs, hold, str(tmp_path / "langless"), min_quality=0.2, n_shards=2
+    )
+    assert ok.stats["n_retained"] == 6
+
+    docs_lang = docs.withColumn("lang", docs.doc_id.cast("string"))
+    rejected = run_corpus_pipeline(
+        docs_lang, hold, str(tmp_path / "allrej"), min_quality=0.99, n_shards=2
+    )
+    assert rejected.stats["n_input"] == 6
+    assert rejected.stats["n_retained"] == 0
+    assert rejected.stats["n_pass_quality"] == 0
+
+    # reserved namespace: pre-existing pass_* columns are refused loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="pass_"):
+        run_corpus_pipeline(
+            docs.withColumn("pass_manual", docs.doc_id % 2),
+            hold, str(tmp_path / "ns"),
+        )
