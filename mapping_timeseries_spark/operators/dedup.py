@@ -295,8 +295,14 @@ def minhash_lsh_pairs(
     # the degenerate empty-aggregate signature, so they would meet in
     # EVERY band — a quadratic candidate clique the verifier then
     # discards (their Jaccard is 0/0 -> null). They can never clear a
-    # positive threshold, so drop them before banding.
-    sh = _shingled(docs, text_col, n).where(F.col("n_shingles") > 0).persist()
+    # positive threshold, so drop them before banding — but filter the
+    # PERSISTED frame, not the plan: a where on the computed n_shingles
+    # pushes through the widening repartition down to the single-file
+    # scan, evaluating the whole tokenize+shingle expression serially
+    # there and AGAIN in the projection (measured 0.55 s -> 7 s at
+    # sf0.1 before this ordering).
+    sh = _shingled(docs, text_col, n).persist()
+    sh = sh.where(F.col("n_shingles") > 0)
     if portable:
         sig = minhash_signature_portable(F.col("shingles"), num_hashes)
 
