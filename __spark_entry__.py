@@ -1699,6 +1699,17 @@ SELECT cus_code, time1, round(value1, 6) AS value1,
 FROM mapping
 """
 
+# Residual portability note (r4 review): avg_ratio/std_ratio compare
+# engine-native float avg()/stddev() over ~45k unrounded quotients,
+# guarded only by round(.,6) — the one gate NOT on the lattice-integer
+# path (quotients are not lattice values; rounding each ratio before
+# averaging would change the metric's meaning). Measured exposure: all
+# gated values are BITWISE-identical across engines at every sf (the
+# comparator canonicalizes at 17 significant digits), so the 5e-7
+# midpoint risk is theoretical for this data shape; if a regenerated
+# dataset ever reds this gate in the 6th decimal of avg_ratio, move it
+# to the scaled-integer moment pattern (_int_moments_std) like the
+# monitoring means.
 ORACLE_QA = f"""
 {_sql_mapping_ctes()}
 SELECT
@@ -2001,7 +2012,7 @@ FROM assigned GROUP BY 1
 
 _SQL_SESSIONS = """
 seq AS (
-  SELECT user_id, ts, value,
+  SELECT user_id, ts, event_id, value,
          CASE WHEN lag(ts) OVER w IS NULL
                    OR ts - lag(ts) OVER w >= INTERVAL '10 minutes'
               THEN 1 ELSE 0 END AS brk
@@ -2009,8 +2020,11 @@ seq AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 sess AS (
+  -- cumsum ordered by the SAME (ts, event_id) total order as brk and
+  -- the Spark side: with duplicate (user, ts) pairs a ts-only frame
+  -- could place the brk=0 twin before the break nondeterministically
   SELECT user_id, ts, value,
-         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
                         ROWS UNBOUNDED PRECEDING) AS sid
   FROM seq
 )

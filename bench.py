@@ -134,8 +134,14 @@ def main() -> None:
         med = statistics.median(reps)
         times[name] = round(med, 3)
         # rep-to-rep spread alongside the median, so a judge/reader can
-        # tell a real regression from box noise (max-min relative to it)
-        spreads[name] = round((max(reps) - min(reps)) / max(med, 1e-9), 3)
+        # tell a real regression from box noise — over the STEADY-STATE
+        # reps only (the first rep carries JVM/codegen warmup the median
+        # already excludes; including it made every compile-heavy query
+        # read ~1.0 spread on a perfectly quiet box)
+        steady = reps[1:] if len(reps) > 1 else reps
+        spreads[name] = round(
+            (max(steady) - min(steady)) / max(med, 1e-9), 3
+        )
 
     total = round(sum(v for k, v in times.items() if k not in CONTROLS), 3)
     controls = {k: times.pop(k) for k in list(times) if k in CONTROLS}

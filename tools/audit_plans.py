@@ -50,8 +50,18 @@ def main() -> int:
         with contextlib.redirect_stdout(buf):
             df.explain("formatted")
         plan = buf.getvalue()
-        exchanges = plan.count("Exchange")
-        broadcasts = plan.count("BroadcastExchange")
+        # count operators from the detail headers "(N) Exchange" ONLY: a
+        # raw substring count doubles every node (formatted explain
+        # prints the tree line "Exchange (N)" AND the detail header) and
+        # further counts ReusedExchange nodes, which are references to
+        # an existing shuffle, not additional ones. The r4 review caught
+        # the published counts being ~2x for exactly this reason.
+        import re as _re
+
+        headers = _re.findall(r"^\(\d+\) (\w+)", plan, flags=_re.M)
+        exchanges = sum(1 for h in headers if h in ("Exchange", "BroadcastExchange"))
+        broadcasts = sum(1 for h in headers if h == "BroadcastExchange")
+        reused = sum(1 for h in headers if h == "ReusedExchange")
         # under AQE the pre-execution plan is an AdaptiveSparkPlan shell
         # with no codegen subtrees yet (they materialize per stage at
         # runtime), so probe the codegen count with AQE off — the static
@@ -72,8 +82,8 @@ def main() -> int:
         finally:
             spark.conf.set("spark.sql.adaptive.enabled", "true")
         print(
-            f"=== {name}: Exchange={exchanges} (broadcast={broadcasts}) "
-            f"codegen_spans={codegen_spans}"
+            f"=== {name}: Exchange={exchanges} (broadcast={broadcasts}, "
+            f"reused={reused}) codegen_spans={codegen_spans}"
         )
         for line in plan.splitlines():
             stripped = line.strip()

@@ -24,7 +24,12 @@ def canon(v) -> str:
     if isinstance(v, float):
         if v == int(v) and abs(v) < 1e15:
             return str(int(v))
-        return f"{v:.10g}"
+        # 17 significant digits: round-trips a double exactly. 10g
+        # masked genuine 6th-decimal divergences on money-magnitude
+        # values (>= 1e4 loses decimals) — the gated queries are
+        # integer-arithmetic-portable, so bitwise-equal doubles is the
+        # correct bar, not "close enough at 10 digits".
+        return f"{v:.17g}"
     if isinstance(v, bool):
         return str(int(v))
     return str(v)
@@ -58,6 +63,10 @@ def main() -> int:
 
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:  # a typo must not pass as a zero-comparison "success"
+        print(f"unknown queries: {sorted(unknown)}; known: {sorted(qs)}")
+        return 2
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:

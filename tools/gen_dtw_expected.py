@@ -143,8 +143,22 @@ def main() -> None:
         mappings.append(mdf)
     all_s = pd.concat(summaries, ignore_index=True)
     all_m = pd.concat(mappings, ignore_index=True)
-    all_s.to_parquet(os.path.join(ARTIFACTS, "dtw_expected_summary.parquet"))
-    all_m.to_parquet(os.path.join(ARTIFACTS, "dtw_expected_mapping.parquet"))
+    # MERGE with any slices not regenerated in this run: invoking the
+    # generator with one explicit sf_dir (the documented usage) must
+    # refresh that slice, not clobber every other scale factor's
+    # expected rows (which would red all DTW-family gates at the other
+    # sfs on the next run)
+    s_path = os.path.join(ARTIFACTS, "dtw_expected_summary.parquet")
+    m_path = os.path.join(ARTIFACTS, "dtw_expected_mapping.parquet")
+    new_tags = set(all_s["sf_tag"])
+    for path, new in ((s_path, all_s), (m_path, all_m)):
+        if os.path.exists(path):
+            old = pd.read_parquet(path)
+            keep = old[~old["sf_tag"].isin(new_tags)]
+            if len(keep):
+                print(f"keeping {len(keep)} rows of other sf slices in {path}")
+                new = pd.concat([keep, new], ignore_index=True)
+        new.to_parquet(path)
     print(
         f"wrote {len(all_s)} summary / {len(all_m)} mapping rows -> {ARTIFACTS}"
     )

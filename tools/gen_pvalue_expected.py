@@ -146,8 +146,18 @@ def main() -> None:
         print(f"{sf_dir}: {len(df)} grid cells")
         frames.append(df)
     allf = pd.concat(frames, ignore_index=True)
-    allf.to_parquet(os.path.join(ARTIFACTS, "pvalue_expected.parquet"))
-    print(f"wrote {len(allf)} rows -> {ARTIFACTS}/pvalue_expected.parquet")
+    # merge with slices not regenerated in this run — same clobber
+    # guard as gen_dtw_expected (an explicit sf_dir must not destroy
+    # the other scale factors' expected rows)
+    path = os.path.join(ARTIFACTS, "pvalue_expected.parquet")
+    if os.path.exists(path):
+        old = pd.read_parquet(path)
+        keep = old[~old["sf_tag"].isin(set(allf["sf_tag"]))]
+        if len(keep):
+            print(f"keeping {len(keep)} rows of other sf slices")
+            allf = pd.concat([keep, allf], ignore_index=True)
+    allf.to_parquet(path)
+    print(f"wrote {len(allf)} rows -> {path}")
 
 
 if __name__ == "__main__":

@@ -72,13 +72,17 @@ def main() -> int:
     import __spark_entry__ as entry_mod
     from mapping_timeseries_spark.session import get_spark
 
-    spark = get_spark("shuffle-measure", master="local[32]")
     qs = dict(entry_mod.queries())
     qs["pack_export"] = entry_mod.q_pack_export
     if not names:
         names = ["merged_series", "corr_mapping", "auto_mapping",
                  "minhash_dedup", "embedding_near_dups", "exact_dedup",
                  "quality_score", "pack_export"]
+    unknown = [n for n in names if n not in qs]
+    if unknown:  # fail before Spark startup and partial measurements
+        print(f"unknown queries: {unknown}; known: {sorted(qs)}")
+        return 2
+    spark = get_spark("shuffle-measure", master="local[32]")
     for name in names:
         df = qs[name](spark, sf_dir)
         m = measure(df)
