@@ -61,7 +61,10 @@ from mapping_timeseries_spark.operators.similarity import (
     ann_bucketed_topk,
     cosine_topk,
     embedding_near_dups,
+    ivf_build_index,
+    ivf_seed_centroids,
     ivf_topk,
+    ivf_topk_indexed,
 )
 from mapping_timeseries_spark.operators.textstats import (
     LANG_TRIGRAMS,
@@ -1269,6 +1272,40 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     queries_df = emb.where(F.col("vec_id") < 20)
     t = ivf_topk(emb, queries_df, k=5, nlist=16, nprobe=3)
+    return t.select(
+        "query_id",
+        "vec_id",
+        F.col("label").cast("int").alias("label"),
+        "similarity",
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+def q_ivf_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENCH-ONLY twin of q_ivf_topk over the pre-built
+    partitionBy(centroid_id) index (ivf_build_index): same seed
+    centroids/k/nprobe, so results are identical — what the bench pair
+    measures is the partition-PRUNED scan (static isin pushdown;
+    inputFiles() plan proof in test_llm_ops.py) against ivf_topk's
+    full-corpus assignment pass. The index build is a one-time indexing
+    job, not query work: cached per sf_dir under /tmp across reps (the
+    seed quantizer is deterministic, so reuse is sound)."""
+    ensure_runtime_conf(spark)
+    import hashlib as _hashlib
+    import tempfile as _tempfile
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cents = ivf_seed_centroids(emb, 16)
+    tag = _hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    idx_path = os.path.join(
+        _tempfile.gettempdir(), f"spark_graft_ivf_idx_{tag}"
+    )
+    if not os.path.isdir(idx_path):
+        ivf_build_index(emb, cents, idx_path)
+    queries_df = emb.where(F.col("vec_id") < 20)
+    t = ivf_topk_indexed(
+        spark, idx_path, queries_df, cents, k=5, nprobe=3, static_prune=True
+    )
     return t.select(
         "query_id",
         "vec_id",

@@ -47,7 +47,13 @@ class MappingConfig:
         Cache the merged frame when it is consumed more than once
         (auto mode); reference caches unconditionally (mapping_engine.py:77).
     broadcast_threshold:
-        autoBroadcastJoinThreshold in bytes (mapping_engine.py:78).
+        Reference-parity knob (mapping_engine.py:78 sets
+        autoBroadcastJoinThreshold on the live session). This engine
+        NEVER mutates session conf: values <= 0 ("forbid broadcast", the
+        10^10-entity posture) become a query-scoped SHUFFLE_MERGE hint
+        on the dim side of the lag join; any positive value defers to
+        the session's own threshold/AQE (set a custom byte limit at
+        builder time via :mod:`mapping_timeseries_spark.session`).
     """
 
     method: str = "auto"

@@ -48,15 +48,19 @@ def map_tables(
     processed_at:timestamp``.
     """
     cfg = config or MappingConfig()
-    if cfg.broadcast_threshold != MappingConfig.broadcast_threshold:
-        # reference-parity knob (mapping_engine.py:78): the one
-        # session conf the engine sets, and only when the caller
-        # explicitly moved it off the default (e.g. -1 to forbid
-        # broadcast at 10^10-entity scale)
-        table1.sparkSession.conf.set(
-            "spark.sql.autoBroadcastJoinThreshold",
-            str(cfg.broadcast_threshold),
-        )
+    # reference-parity knob (mapping_engine.py:78), expressed as a
+    # QUERY-SCOPED join-strategy policy instead of mutating the shared
+    # session conf (which would leak into every subsequent job on the
+    # session — config.py's contract is that the engine never touches
+    # live session conf). The realistic non-default is <= 0 ("forbid
+    # broadcast" at 10^10-entity scale, where a forced broadcast of the
+    # per-entity dim would OOM the driver): that maps exactly onto a
+    # SHUFFLE_MERGE hint on the dim side of the lag join, which Catalyst
+    # honors over the threshold for just this plan. Positive non-default
+    # byte values cannot be expressed as a hint; callers who need one
+    # should set autoBroadcastJoinThreshold at session-builder time
+    # (mapping_timeseries_spark.session).
+    forbid_broadcast = cfg.broadcast_threshold <= 0
     t1 = canonicalize(table1, key_col, time_col, value1_col, VALUE1, "table1")
     t2 = canonicalize(table2, key_col, time_col, value2_col, VALUE2, "table2")
     if cfg.cache_intermediate and cfg.method != "dtw":
@@ -83,7 +87,10 @@ def map_tables(
 
     if cfg.method == "correlation":
         corr = best_lag_correlation(merged, cfg.max_lag)
-        result = build_correlation_mappings(t1, t2, corr, cfg.min_correlation)
+        result = build_correlation_mappings(
+            t1, t2, corr, cfg.min_correlation,
+            forbid_broadcast=forbid_broadcast,
+        )
     elif cfg.method == "dtw":
         result = build_dtw_mappings(merged, cfg.window_size, cfg.normalize)
     else:  # auto — one correlation pass, route entities on it
@@ -102,7 +109,12 @@ def map_tables(
         complex_keys = corr.where(
             F.col("correlation") < split
         ).select("cus_code")
-        corr_part = build_correlation_mappings(t1, t2, simple, cfg.min_correlation)
+        corr_part = build_correlation_mappings(
+            t1, t2, simple, cfg.min_correlation,
+            forbid_broadcast=forbid_broadcast,
+        )
+        if forbid_broadcast:
+            complex_keys = complex_keys.hint("shuffle_merge")
         dtw_part = build_dtw_mappings(
             merged.join(complex_keys, on="cus_code", how="left_semi"),
             cfg.window_size,

@@ -18,13 +18,18 @@ The one place per-group dynamic programming genuinely requires Python
 - per-group failure falls back to the identity path with cost 0.0
   (mapping_engine.py:311-316).
 
-Implementation is NOT a transcription: each DP row is computed as a
-vectorized min-plus scan. With ``m[j] = cost[j] + min(prev[j], prev[j-1])``
-the row recurrence ``acc[j] = min(m[j], cost[j] + acc[j-1])`` unrolls to
-``acc[j] = C[j] + running_min(m - C)[j]`` where ``C = cumsum(cost)`` — one
-``np.minimum.accumulate`` per row instead of a Python inner loop (~50x on
-typical series). Values can differ from the sequential recurrence by float
-rounding in the last ulp; tests compare costs with tolerance.
+Implementation is NOT a transcription: the DP matrix is filled over
+anti-diagonal WAVEFRONTS — cells on one anti-diagonal have no mutual
+dependency, so each is one vectorized ``cost + min(up, left, diag)``
+over the diagonal (and across entities in the batched variant) instead
+of a Python inner loop. Crucially that is the EXACT per-cell float
+expression of the sequential naive DP (min is a selection; the single
+addition rounds identically), so acc is bitwise-equal to the
+reference-style sequential recurrence and backtrack tie decisions land
+on the same side. An earlier min-plus prefix-scan formulation
+(``C[j] + running_min(entered - C)``) was ulp-inexact and broke the
+tie preference on symmetric series — equal-cost but different paths,
+first exposed at sf0.1 (r5 fix).
 
 Scale notes
 -----------
@@ -72,21 +77,42 @@ def _accumulate(
     a: np.ndarray, b: np.ndarray, window: int | None
 ) -> np.ndarray:
     """Fill the (n+1, m+1) DTW accumulation matrix, banded, vectorized
-    per row (min-plus scan; see module docstring)."""
+    over anti-diagonals (wavefront).
+
+    Each cell is computed as ``cost + min(up, left, diag)`` — the EXACT
+    float expression of the sequential naive DP (min is a selection, so
+    the single addition is the only rounding, identical on both sides).
+    Cells on one anti-diagonal have no mutual dependency, so the
+    wavefront vectorizes without changing any per-cell arithmetic.
+
+    This bitwise parity is load-bearing for path determinism: the
+    previous formulation (min-plus prefix scan, ``entered[k] +
+    (C[j] - C[k])`` over cumsums) computed the same values only up to
+    ulps, and on mathematically-tied cells — common for symmetric
+    series — the backtrack's up>left>diag tie preference then fired on
+    the wrong side, yielding equal-cost but DIFFERENT alignment paths
+    than the reference's sequential DP (first seen at sf0.1:
+    dtw_mapping hash-diverged on 14/14k entities while dtw_summary's
+    rounded costs still matched)."""
     n, m = len(a), len(b)
     acc = np.full((n + 1, m + 1), np.inf)
     acc[0, 0] = 0.0
-    for i in range(1, n + 1):
-        lo = max(1, i - window) if window is not None else 1
-        hi = min(m + 1, i + window + 1) if window is not None else m + 1
-        if lo >= hi:
+    for d in range(2, n + m + 1):
+        i_lo, i_hi = max(1, d - m), min(n, d - 1)
+        if i_lo > i_hi:
             continue
-        cost = np.abs(a[i - 1] - b[lo - 1 : hi - 1])
-        best_prev = np.minimum(acc[i - 1, lo:hi], acc[i - 1, lo - 1 : hi - 1])
-        entered = cost + best_prev  # reach (i,j) from up/diag
-        c_sum = np.cumsum(cost)
-        # acc[i, j] = min over k<=j of entered[k] + (C[j] - C[k])
-        acc[i, lo:hi] = c_sum + np.minimum.accumulate(entered - c_sum)
+        ii = np.arange(i_lo, i_hi + 1)
+        jj = d - ii
+        if window is not None:
+            keep = np.abs(ii - jj) <= window
+            ii, jj = ii[keep], jj[keep]
+            if len(ii) == 0:
+                continue
+        cost = np.abs(a[ii - 1] - b[jj - 1])
+        prev = np.minimum(
+            np.minimum(acc[ii - 1, jj], acc[ii, jj - 1]), acc[ii - 1, jj - 1]
+        )
+        acc[ii, jj] = cost + prev
     return acc
 
 
@@ -275,21 +301,31 @@ def _zscore_rows(x: np.ndarray) -> np.ndarray:
 def _batched_accumulate(
     a: np.ndarray, b: np.ndarray, window: int | None
 ) -> np.ndarray:
-    """(E, n) x (E, n) -> acc tensor (E, n+1, n+1); same recurrence as
-    :func:`_accumulate`, vectorized across entities."""
+    """(E, n) x (E, n) -> acc tensor (E, n+1, n+1); same per-cell float
+    expression as :func:`_accumulate` (anti-diagonal wavefront,
+    ``cost + min(up, left, diag)``), additionally vectorized across
+    entities. Bitwise-identical to the sequential naive DP — see
+    :func:`_accumulate` for why that parity is load-bearing."""
     e, n = a.shape
     acc = np.full((e, n + 1, n + 1), np.inf)
     acc[:, 0, 0] = 0.0
-    for i in range(1, n + 1):
-        lo = max(1, i - window) if window is not None else 1
-        hi = min(n + 1, i + window + 1) if window is not None else n + 1
-        if lo >= hi:
+    for d in range(2, 2 * n + 1):
+        i_lo, i_hi = max(1, d - n), min(n, d - 1)
+        if i_lo > i_hi:
             continue
-        cost = np.abs(a[:, i - 1 : i] - b[:, lo - 1 : hi - 1])
-        best_prev = np.minimum(acc[:, i - 1, lo:hi], acc[:, i - 1, lo - 1 : hi - 1])
-        entered = cost + best_prev
-        c_sum = np.cumsum(cost, axis=1)
-        acc[:, i, lo:hi] = c_sum + np.minimum.accumulate(entered - c_sum, axis=1)
+        ii = np.arange(i_lo, i_hi + 1)
+        jj = d - ii
+        if window is not None:
+            keep = np.abs(ii - jj) <= window
+            ii, jj = ii[keep], jj[keep]
+            if len(ii) == 0:
+                continue
+        cost = np.abs(a[:, ii - 1] - b[:, jj - 1])
+        prev = np.minimum(
+            np.minimum(acc[:, ii - 1, jj], acc[:, ii, jj - 1]),
+            acc[:, ii - 1, jj - 1],
+        )
+        acc[:, ii, jj] = cost + prev
     return acc
 
 

@@ -42,6 +42,7 @@ def build_correlation_mappings(
     correlations: DataFrame,
     min_correlation: float = 0.3,
     broadcast_dim: bool = False,
+    forbid_broadcast: bool = False,
 ) -> DataFrame:
     """Mapping table for the correlation method.
 
@@ -57,7 +58,11 @@ def build_correlation_mappings(
     means a session with AQE off (or the threshold at -1) plans a
     sort-merge join on the fact table; callers at moderate scale who run
     such sessions can pass ``broadcast_dim=True`` to restore the
-    reference's explicit hint (mapping_engine.py:617,641).
+    reference's explicit hint (mapping_engine.py:617,641). The inverse
+    knob ``forbid_broadcast=True`` pins a sort-merge join via a
+    query-scoped SHUFFLE_MERGE hint (MappingConfig.broadcast_threshold
+    <= 0 routes here) so "never broadcast this dim" needs no session
+    conf mutation.
 
     Output schema (README.md:165-178): ``cus_code, time1, value1, time2,
     value2, lag_offset:int, method:'correlation', correlation:double``.
@@ -74,6 +79,12 @@ def build_correlation_mappings(
     ).select(KEY, "optimal_lag", "correlation")
     if broadcast_dim:
         valid = F.broadcast(valid)
+    elif forbid_broadcast:
+        # query-scoped "threshold <= 0": the SHUFFLE_MERGE hint pins a
+        # sort-merge join for THIS plan without touching the shared
+        # session's autoBroadcastJoinThreshold (engine.py routes
+        # MappingConfig.broadcast_threshold <= 0 here)
+        valid = valid.hint("shuffle_merge")
     t1 = table1.join(valid, on=KEY, how="inner").withColumn(
         "__month2", shift_month(F.col(TIME), F.col("optimal_lag"))
     )

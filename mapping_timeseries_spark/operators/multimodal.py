@@ -641,12 +641,28 @@ def extract_features(media: DataFrame) -> DataFrame:
             raise ValueError(f"no decoder for mime {mime!r}") from None
         return dec(payload)
 
+    # pandas puts a missing key (e.g. `width` on an audio row) as NaN in
+    # a float64 column; Arrow must then unsafely down-cast float64 ->
+    # int32/int64 to meet the schema, which raises outright on sessions
+    # running spark.sql.execution.pandas.convertToArrowArraySafely=true.
+    # Coercing to pandas NULLABLE integer dtypes makes the missing
+    # values genuine nulls and the conversion exact on any session conf.
+    _nullable_dtype = {
+        T.IntegerType(): "Int32",
+        T.LongType(): "Int64",
+    }
+    feature_dtypes = {
+        f.name: _nullable_dtype[f.dataType]
+        for f in _FEATURE_SCHEMA.fields
+        if f.name in feature_cols and f.dataType in _nullable_dtype
+    }
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = pd.DataFrame(
                 [decode(m, p) for m, p in zip(pdf["mime"], pdf["payload"])],
                 columns=feature_cols,
-            )
+            ).astype(feature_dtypes)
             out = pd.concat(
                 [pdf[["doc_id", "mime", "lang", "n_bytes"]].reset_index(drop=True), feats],
                 axis=1,

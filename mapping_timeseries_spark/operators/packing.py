@@ -351,21 +351,31 @@ def packing_stats(ffd: DataFrame, budget: int) -> DataFrame:
         F.max(F.col("oversize").cast("int")).alias("over"),
     )
     b = F.lit(int(budget)).cast("bigint")
+    # coalesce the sums: SUM over zero rows is NULL, and an empty shard
+    # set must read as a 0-waste gauge (n_bins=0, waste 0.0), not as
+    # silent nulls on a dashboard
     return per_bin.select(
         F.count(F.lit(1)).cast("bigint").alias("n_bins"),
-        F.sum("fill").cast("bigint").alias("total_tokens"),
-        F.sum(F.when(F.col("over") == 1, F.col("fill")).otherwise(b))
+        F.coalesce(F.sum("fill"), F.lit(0)).cast("bigint").alias("total_tokens"),
+        F.coalesce(
+            F.sum(F.when(F.col("over") == 1, F.col("fill")).otherwise(b)),
+            F.lit(0),
+        )
         .cast("bigint")
         .alias("padded_capacity"),
-        F.sum("over").cast("bigint").alias("oversize_bins"),
+        F.coalesce(F.sum("over"), F.lit(0)).cast("bigint").alias("oversize_bins"),
     ).select(
         "n_bins",
         "total_tokens",
         "padded_capacity",
         "oversize_bins",
-        F.round(
-            (F.col("padded_capacity") - F.col("total_tokens"))
-            / F.col("padded_capacity"),
-            6,
-        ).alias("waste_frac"),
+        F.when(F.col("padded_capacity") == 0, F.lit(0.0))
+        .otherwise(
+            F.round(
+                (F.col("padded_capacity") - F.col("total_tokens"))
+                / F.col("padded_capacity"),
+                6,
+            )
+        )
+        .alias("waste_frac"),
     )

@@ -127,7 +127,10 @@ def run_pipeline(
     while readers keep the previous version (`stats["published_version"]`
     — None if no run has ever passed), with no transient window where a
     failed table is live (publish-then-rollback had one, and left a
-    FAILED FIRST run published).
+    FAILED FIRST run published). When ``output_path`` is ALSO set, the
+    partitioned mappings sink under it is gated by the same QA pass —
+    the "readers never consume a QA-failed table" guarantee covers both
+    sinks, not just the version pointer.
     """
     cfg = config or MappingConfig()
     run_id = run_id or uuid.uuid4().hex[:12]
@@ -226,13 +229,6 @@ def _run_pipeline_body(
             mapped, versioned_root, note=f"pipeline run {run_id}",
             publish=False,
         )
-        if output_path:
-            # both sinks requested: the partitioned path feeds
-            # read_incremental consumers and must not be silently
-            # skipped (run metadata lands under output_path either way)
-            write_partitioned(
-                mapped, os.path.join(output_path, "mappings"), "time1"
-            )
         total_mappings = obs.get["total_mappings"]
     elif output_path:
         write_partitioned(mapped, os.path.join(output_path, "mappings"), "time1")
@@ -243,6 +239,17 @@ def _run_pipeline_body(
     qa = qa_report(mapped, t1)
     if versioned_root and qa["passed"]:
         publish_version(versioned_root, written_version)
+        if output_path:
+            # both sinks requested: in the versioned (QA-gated) flow
+            # the partitioned path that feeds read_incremental consumers
+            # is gated the same way as the pointer flip — a QA-failed
+            # run must not expose data through EITHER sink (the staged
+            # snapshot stays on disk for forensics; the plain
+            # output_path-only branch above remains ungated by design,
+            # matching the reference's batch path)
+            write_partitioned(
+                mapped, os.path.join(output_path, "mappings"), "time1"
+            )
     if cfg.cache_intermediate:
         mapped.unpersist()
     duration = time.time() - t_start

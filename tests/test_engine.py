@@ -52,6 +52,37 @@ def test_auto_method_routes_both(spark, pair):
     assert methods == {"correlation", "dtw"}
 
 
+def test_forbid_broadcast_is_query_scoped(spark, pair):
+    """broadcast_threshold <= 0 must pin a sort-merge lag join WITHOUT
+    mutating the shared session's autoBroadcastJoinThreshold (the r4
+    advice: the old conf.set leaked into every later job on the
+    session and contradicted config.py's no-mutation contract)."""
+    t1, t2 = pair
+    before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    out = map_tables(
+        t1, t2, "cus_code", "month", "txn_amount", "revenue",
+        MappingConfig(method="correlation", broadcast_threshold=-1),
+    )
+    out_rows = out.drop("processed_at").collect()
+    assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == before
+    default = map_tables(
+        t1, t2, "cus_code", "month", "txn_amount", "revenue",
+        MappingConfig(method="correlation"),
+    )
+    default_rows = default.drop("processed_at").collect()
+    # compare the FINAL adaptive plans (AQE rewrites joins at runtime;
+    # the static plan is all-SMJ before stats exist): at this tiny
+    # scale AQE broadcast-converts every unhinted join, so the forbid
+    # plan keeping >= 1 SortMergeJoin — and strictly fewer broadcasts
+    # than default — can only come from the query-scoped hint
+    fplan = out._jdf.queryExecution().executedPlan().toString()
+    dplan = default._jdf.queryExecution().executedPlan().toString()
+    assert fplan.count("SortMergeJoin") >= 1
+    assert dplan.count("BroadcastHashJoin") > fplan.count("BroadcastHashJoin")
+    # and the policy changes the plan only, never the result
+    assert sorted(map(tuple, out_rows)) == sorted(map(tuple, default_rows))
+
+
 def test_missing_column_raises(spark, pair):
     t1, t2 = pair
     with pytest.raises(ValueError, match="missing required columns"):

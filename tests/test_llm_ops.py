@@ -304,6 +304,32 @@ def test_multimodal_mixed_modality_pipeline(spark):
     assert bmp["sum_b"] == sum((ord(c) * 3 + k * 11 + 3) % 256 for k, c in enumerate(text))
 
 
+def test_multimodal_extract_safe_arrow_conversion(spark):
+    """r4 advice: cross-modality missing features were float64 NaN that
+    Arrow had to unsafely down-cast to int columns — raising on sessions
+    with convertToArrowArraySafely=true. The nullable-Int coercion must
+    survive the strict conf."""
+    from mapping_timeseries_spark.operators.multimodal import (
+        attach_image_payload,
+    )
+
+    docs = spark.createDataFrame(
+        [(9, "strict arrow conversion row", "en")],
+        "doc_id long, text string, lang string",
+    )
+    media = attach_binary_payload(docs).unionByName(attach_image_payload(docs))
+    key = "spark.sql.execution.pandas.convertToArrowArraySafely"
+    before = spark.conf.get(key)
+    spark.conf.set(key, "true")
+    try:
+        rows = {r["mime"]: r for r in extract_features(media).collect()}
+    finally:
+        spark.conf.set(key, before)
+    assert rows["audio/wav"]["width"] is None
+    assert rows["image/bmp"]["pcm_sum"] is None
+    assert rows["image/bmp"]["width"] == 15
+
+
 def test_bmp_parser_rejects_malformed():
     from mapping_timeseries_spark.operators.multimodal import parse_bmp, synth_bmp
 

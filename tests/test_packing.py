@@ -133,6 +133,19 @@ def test_ffd_respects_budget_and_covers(docs):
     packed.unpersist()
 
 
+def test_packing_stats_empty_frame_reads_zero(spark):
+    """r4 advice: SUM over zero rows is NULL, so an empty shard set made
+    the owner's waste gauge read null. Must read 0s instead."""
+    empty = spark.createDataFrame([], "doc_id long, tokens long")
+    packed = pack_greedy_ffd(empty, "doc_id", "tokens", BUDGET, n_shards=4)
+    stats = packing_stats(packed, BUDGET).first()
+    assert stats.n_bins == 0
+    assert stats.total_tokens == 0
+    assert stats.padded_capacity == 0
+    assert stats.oversize_bins == 0
+    assert stats.waste_frac == 0.0
+
+
 def test_ffd_deterministic_across_layouts(spark, docs):
     a = pack_greedy_ffd(docs, "doc_id", "tokens", BUDGET, n_shards=8)
     b = pack_greedy_ffd(

@@ -282,6 +282,33 @@ def test_pipeline_writes_both_sinks_when_both_given(spark, pair, tmp_path):
     assert spark.read.parquet(mdir).count() == res.stats["total_mappings"]
 
 
+def test_pipeline_qa_fail_gates_both_sinks(spark, pair, tmp_path):
+    """r4 advice: with versioned_root AND output_path set, the
+    partitioned sink used to be written BEFORE QA ran, so a QA-failed
+    run exposed data through output_path/mappings even though the
+    version pointer correctly stayed unflipped. Both sinks are now
+    behind the same gate."""
+    import os as _os
+
+    t1, t2 = pair
+    one_entity = t2.where(
+        F.col("cus_code") == t2.select("cus_code").first()["cus_code"]
+    )
+    root = str(tmp_path / "gate_vt")
+    out = str(tmp_path / "gate_out")
+    bad = run_pipeline(
+        spark, t1, one_entity, None,
+        "cus_code", "month", "txn_amount", "revenue",
+        versioned_root=root, output_path=out, run_id="gatedbad",
+    )
+    assert not bad.qa["passed"]
+    assert bad.stats["published_version"] is None
+    # the partitioned sink must not exist — no reader path sees the data
+    assert not _os.path.isdir(_os.path.join(out, "mappings"))
+    # run metadata still lands for forensics
+    assert _os.path.isfile(_os.path.join(out, "run_gatedbad.json"))
+
+
 def test_incremental_pipeline_date_slice(spark, pair, tmp_path):
     from mapping_timeseries_spark.plans.pipeline import run_incremental
 

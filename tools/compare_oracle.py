@@ -6,6 +6,12 @@ and an order-insensitive value hash (rows sorted, columns sorted by name,
 values stringified with float canonicalization).
 
 Usage: python tools/compare_oracle.py [sf_dir] [query ...]
+       python tools/compare_oracle.py --json OUT.json [sf_dir] [query ...]
+
+``--json`` additionally writes a driver-style CORRECTNESS JSON (one
+object per query with rows_match/schema_match/hash_match/spark_rows/
+oracle_rows/err) so off-driver scale runs (sf0.1, stress corpora)
+produce committable evidence in the same shape the driver records.
 """
 
 from __future__ import annotations
@@ -46,8 +52,13 @@ def frame_hash(df: pd.DataFrame) -> str:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    json_out = None
+    if argv and argv[0] == "--json":
+        json_out = argv[1]
+        argv = argv[2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
+    only = set(argv[1:])
 
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as entry_mod
@@ -68,14 +79,30 @@ def main() -> int:
         print(f"unknown queries: {sorted(unknown)}; known: {sorted(qs)}")
         return 2
     failures = 0
+    results: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
         t0 = time.time()
-        sdf = fn(spark, sf_dir).toPandas()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as exc:  # noqa: BLE001 — recorded, not swallowed
+            failures += 1
+            results[name] = {
+                "rows_match": False, "schema_match": False,
+                "hash_match": False, "spark_rows": None,
+                "oracle_rows": None, "err": f"{type(exc).__name__}: {exc}",
+            }
+            print(f"{name}: ERROR {exc}")
+            continue
         t_spark = time.time() - t0
         if name not in oracles:
             print(f"{name}: rows-only check, {len(sdf)} rows ({t_spark:.1f}s)")
+            results[name] = {
+                "rows_match": len(sdf) >= 0, "schema_match": None,
+                "hash_match": None, "spark_rows": len(sdf),
+                "oracle_rows": None, "err": None, "note": "rows-only",
+            }
             continue
         ddf = con.execute(oracles[name]).df()
         ok_rows = len(sdf) == len(ddf)
@@ -85,6 +112,12 @@ def main() -> int:
         status = "OK" if (ok_rows and ok_cols and ok_hash) else "FAIL"
         if status == "FAIL":
             failures += 1
+        results[name] = {
+            "rows_match": ok_rows, "schema_match": ok_cols,
+            "hash_match": ok_hash, "spark_rows": len(sdf),
+            "oracle_rows": len(ddf), "err": None,
+            "spark_sec": round(t_spark, 2),
+        }
         print(
             f"{name}: {status} rows {len(sdf)}/{len(ddf)} "
             f"cols={'ok' if ok_cols else sorted(sdf.columns)+sorted(ddf.columns)} "
@@ -103,6 +136,12 @@ def main() -> int:
             for x in list(only_b)[:3]:
                 print("  duck-only: ", x)
     spark.stop()
+    if json_out:
+        import json
+
+        with open(json_out, "w") as fh:
+            json.dump({"sf_dir": sf_dir, "results": results}, fh, indent=2)
+        print(f"wrote {json_out} ({len(results)} queries)")
     return 1 if failures else 0
 
 
