@@ -175,6 +175,7 @@ def main() -> None:
                 "controls": controls,
                 "rep_spread": spreads,
                 "n": N_REPS,
+                "rep_override": REP_OVERRIDE,
                 "added_this_round": ADDED_THIS_ROUND,
                 "like_for_like_total": round(
                     sum(

@@ -19,12 +19,24 @@ Caching note: the multi-consumer intermediates (shingle tables, band
 tables, fingerprints) are ``persist()``-ed inside the operators and NOT
 unpersisted — they back the lazily-returned result, so releasing them
 here would defeat the reuse. In a long-lived session that invokes these
-operators repeatedly, clear them between corpora
-(``spark.catalog.clearCache()`` — what bench.py does between reps) or
-they accumulate until LRU eviction.
+operators repeatedly, either clear them between corpora
+(``spark.catalog.clearCache()`` — what bench.py does between reps) or —
+the ENFORCEABLE form of this contract — wrap each
+build-consume-discard cycle in :func:`dedup_cache_scope`, which
+unpersists every intermediate these operators pinned when the scope
+exits:
+
+    with dedup_cache_scope():
+        pairs = minhash_lsh_pairs(docs).collect()   # consume INSIDE
+    # zero dedup-pinned RDDs remain cached here
+
+Materialize the result inside the scope: the pins back the lazy result,
+so consuming it after exit recomputes from scratch (correct, just slow).
 """
 
 from __future__ import annotations
+
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -40,6 +52,7 @@ from ..functions.text import (
 from ..sources.readers import ensure_parallel
 
 __all__ = [
+    "dedup_cache_scope",
     "exact_dedup",
     "content_hash_dedup",
     "ngram_jaccard_pairs",
@@ -50,6 +63,39 @@ __all__ = [
     "dedup_clusters",
     "dedup_clusters_star",
 ]
+
+#: Stack of active cache scopes; _pin registers every persist into the
+#: innermost one so dedup_cache_scope can release them on exit. A plain
+#: module-level stack (not a ContextVar): Spark drivers are
+#: single-threaded per session in this engine's usage, and a stack keeps
+#: nested scopes correct.
+_CACHE_SCOPES: list[list[DataFrame]] = []
+
+
+def _pin(df: DataFrame) -> DataFrame:
+    """persist() + register with the innermost dedup_cache_scope (no-op
+    registration outside any scope — the documented bench/clearCache
+    contract applies there)."""
+    df = df.persist()
+    if _CACHE_SCOPES:
+        _CACHE_SCOPES[-1].append(df)
+    return df
+
+
+@contextmanager
+def dedup_cache_scope():
+    """Scope that unpersists every intermediate the dedup operators
+    pinned inside it — the enforceable form of the module's caching
+    contract (a long-lived service wraps each corpus pass; see module
+    docstring). Consume results INSIDE the scope."""
+    pinned: list[DataFrame] = []
+    _CACHE_SCOPES.append(pinned)
+    try:
+        yield
+    finally:
+        _CACHE_SCOPES.pop()
+        for df in pinned:
+            df.unpersist()
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -143,7 +189,7 @@ def ngram_jaccard_pairs(
     """
     from pyspark.sql import Window
 
-    sh = _shingled(docs, text_col, n).persist()
+    sh = _pin(_shingled(docs, text_col, n))
     inv = sh.select("doc_id", "n_shingles", F.explode("shingles").alias("shingle"))
     freq = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
     w = Window.partitionBy("doc_id").orderBy(F.col("__df").asc(), F.col("shingle").asc())
@@ -167,7 +213,8 @@ def ngram_jaccard_pairs(
         .withColumn("__pos", F.row_number().over(w))
         .where(F.col("__pos") <= prefix_len)
         .select("doc_id", "n_shingles", "__pos", "shingle")
-    ).persist()
+    )
+    prefix = _pin(prefix)
     # PPJoin's OTHER two filters on the candidate join — the prefix match
     # alone still floods candidates on shared vocabulary (measured at
     # sf0.1: 7.9M prefix-matched pairs collapsing to 256 real ones, with
@@ -301,7 +348,7 @@ def minhash_lsh_pairs(
     # scan, evaluating the whole tokenize+shingle expression serially
     # there and AGAIN in the projection (measured 0.55 s -> 7 s at
     # sf0.1 before this ordering).
-    sh = _shingled(docs, text_col, n).persist()
+    sh = _pin(_shingled(docs, text_col, n))
     sh = sh.where(F.col("n_shingles") > 0)
     if portable:
         sig = minhash_signature_portable(F.col("shingles"), num_hashes)
@@ -340,7 +387,8 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket").persist()
+    ).select("doc_id", "bb.band", "bb.bucket")
+    banded = _pin(banded)
     # persisted: the self-join would otherwise recompute the full
     # signature pipeline once per side
     cand = (
@@ -427,7 +475,8 @@ def simhash_near_dups(
     nbits = 60 if portable else 64
     fp = simhash_fingerprints(docs, text_col, portable=portable).withColumn(
         "block", F.shiftrightunsigned("fingerprint", nbits - prefix_bits)
-    ).persist()
+    )
+    fp = _pin(fp)
     a = fp.alias("a")
     b = fp.alias("b")
     return (

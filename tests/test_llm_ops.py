@@ -6,6 +6,7 @@ from pyspark.sql import functions as F
 
 from mapping_timeseries_spark.operators.dedup import (
     content_hash_dedup,
+    dedup_cache_scope,
     exact_dedup,
     minhash_lsh_pairs,
     ngram_decontaminate,
@@ -46,6 +47,33 @@ def noisy_docs(spark):
             twin[int(rng.integers(0, 40))] = str(rng.choice(WORDS))
         rows.append((doc_id, " ".join(twin), "en")); doc_id += 1
     return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_dedup_cache_scope_releases_pins(spark, noisy_docs):
+    """The enforceable cache contract (r4 verdict wart): inside a
+    dedup_cache_scope the operators' persisted intermediates are live;
+    after exit, the cached-RDD count is back to its pre-scope value —
+    a pipeline wrapping each corpus pass leaks nothing. Results inside
+    the scope equal the bare-operator results."""
+    jsc = spark.sparkContext._jsc.sc()
+    spark.catalog.clearCache()
+    before = jsc.getPersistentRDDs().size()
+    with dedup_cache_scope():
+        scoped = sorted(
+            (r["doc_a"], r["doc_b"])
+            for r in minhash_lsh_pairs(noisy_docs, threshold=0.6).collect()
+        )
+        assert jsc.getPersistentRDDs().size() > before  # pins live inside
+        # nested scope: inner pins release at inner exit only
+        with dedup_cache_scope():
+            simhash_near_dups(noisy_docs, max_hamming=6).collect()
+    assert jsc.getPersistentRDDs().size() == before
+    bare = sorted(
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(noisy_docs, threshold=0.6).collect()
+    )
+    assert scoped == bare
+    spark.catalog.clearCache()  # release the bare run's pins
 
 
 def test_ngram_decontaminate_planted_containment(spark):

@@ -65,12 +65,20 @@ def main() -> int:
     from mapping_timeseries_spark.session import get_spark
     from mapping_timeseries_spark.sources.readers import TPCH_TABLES
 
-    spark = get_spark("oracle-compare")
+    # 16g driver: the comparison toPandas()-es both sides, and the 10x
+    # stress corpus OOM-killed the JVM at the 1g default mid-sweep
+    spark = get_spark(
+        "oracle-compare", extra_conf={"spark.driver.memory": "16g"}
+    )
     con = duckdb.connect()
+    import os
+
     for t in TPCH_TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-        )
+        p = f"{sf_dir}/{t}.parquet"
+        # driver testdata is one file per table; Spark-written corpora
+        # (e.g. the scale-stress replicas) are directories of part files
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
 
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
