@@ -106,10 +106,14 @@ def run_pipeline(
     run_id: str | None = None,
     on_alert: Any = None,
     versioned_root: str | None = None,
+    model: DataFrame | None = None,
 ) -> PipelineResult:
     """End-to-end production run. With ``recommendations=None`` the model
     is trained inline (best-lag correlation over the merged frame), which
-    is the research-flow bootstrap.
+    is the research-flow bootstrap; passing ``model`` (a
+    best_lag_correlation-shaped frame, e.g. from
+    ``plans.incremental.model_from_state``) skips the inline training —
+    the stateful incremental mode's hook.
 
     SLA gates (operators.monitoring.check_sla) run on the stats and the
     resulting alerts are returned on the result (and pushed to ``on_alert``
@@ -138,7 +142,7 @@ def run_pipeline(
         return _run_pipeline_body(
             spark, table1, table2, recommendations, key_col, time_col,
             value1_col, value2_col, output_path, cfg, run_id, on_alert,
-            versioned_root,
+            versioned_root, model,
         )
     except Exception as exc:  # noqa: BLE001 — failure path mirrors reference
         import traceback
@@ -174,6 +178,7 @@ def _run_pipeline_body(
     run_id: str,
     on_alert: Any,
     versioned_root: str | None = None,
+    model: DataFrame | None = None,
 ) -> PipelineResult:
     t_start = time.time()
 
@@ -183,7 +188,14 @@ def _run_pipeline_body(
 
     route_counts: dict[str, int] | None = None
     if recommendations is None:
-        corr = best_lag_correlation(merged, cfg.max_lag)
+        # a caller-supplied model (stateful incremental: full-history
+        # best lags finished from persisted moment state) replaces the
+        # inline training pass — the slice is only APPLIED, never
+        # trained on (training on one month's slice is the reference
+        # behavior SURVEY §4 flags as meaningless)
+        corr = model if model is not None else best_lag_correlation(
+            merged, cfg.max_lag
+        )
         mapped = build_correlation_mappings(t1, t2, corr, cfg.min_correlation).select(
             KEY, "time1", "value1", "time2", "value2", "lag_offset", "method"
         )
@@ -302,11 +314,22 @@ def run_incremental(
     value2_col: str,
     start: str,
     end: str,
+    state_root: str | None = None,
     **kwargs,
 ) -> PipelineResult:
     """Incremental date-range run (05_prod_dev.py:1054-1101): re-run the
     batch pipeline over the [start, end] slice of table1 and the
     [start, end + max_lag] slice of table2.
+
+    ``state_root``: stateful mode (plans/incremental.py). The persisted
+    moment/tail/entity state — initialized once from full history via
+    ``init_corr_state`` — is advanced with the new slice, and the
+    full-history model finished from state replaces the slice-trained
+    inline model. The job's history-side input is O(entities x max_lag)
+    state rows instead of a full re-scan, and the model quality equals
+    the batch pipeline's full-history training (the reference's
+    incremental mode trains on the slice alone — a lag model with no
+    lag reach). Requires an initialized state; raises otherwise.
 
     The range predicates land in the parquet scans (min/max row-group
     skip; partition pruning when the inputs are partitioned by the time
@@ -330,7 +353,23 @@ def run_incremental(
     t2 = read_incremental(
         spark, table2_path, time_col, start, month_add(end, cfg.max_lag)
     )
+    model = None
+    if state_root is not None:
+        import os as _os
+
+        from .incremental import advance_corr_state, model_from_state
+
+        if not _os.path.exists(_os.path.join(state_root, "_meta.json")):
+            raise ValueError(
+                f"state_root {state_root!r} is not an initialized corr "
+                "state — run plans.incremental.init_corr_state over full "
+                "history first (the one-time backfill)"
+            )
+        c1 = canonicalize(t1, key_col, time_col, value1_col, VALUE1, "table1")
+        c2 = canonicalize(t2, key_col, time_col, value2_col, VALUE2, "table2")
+        advance_corr_state(spark, state_root, merge_series(c1, c2))
+        model = model_from_state(spark, state_root)
     return run_pipeline(
         spark, t1, t2, recommendations,
-        key_col, time_col, value1_col, value2_col, **kwargs,
+        key_col, time_col, value1_col, value2_col, model=model, **kwargs,
     )

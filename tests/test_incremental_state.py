@@ -118,6 +118,57 @@ def test_state_rejects_out_of_order_append(spark, merged, tmp_path):
     assert meta["through_month"] == months[-2]
 
 
+def test_run_incremental_stateful_mode(spark, tables, merged, tmp_path):
+    """run_incremental(state_root=...) — the integrated production
+    entry: advances the persisted state with the slice and applies the
+    FULL-history model to it, so the mappings equal the batch pipeline's
+    full-history-trained rows for those months (the reference's
+    incremental mode trains on the slice alone and can't see any lag
+    past the slice width). An uninitialized state_root raises."""
+    from mapping_timeseries_spark.plans.pipeline import (
+        run_incremental,
+        run_pipeline,
+    )
+
+    t1, t2 = tables
+    months = _months(merged)
+    cut = months[-3]
+    p1, p2 = str(tmp_path / "t1"), str(tmp_path / "t2")
+    t1.write.parquet(p1)
+    t2.write.parquet(p2)
+    root = str(tmp_path / "state")
+
+    with pytest.raises(ValueError, match="not an initialized corr state"):
+        run_incremental(
+            spark, p1, p2, None,
+            "cus_code", "month", "txn_amount", "revenue",
+            start=cut, end=months[-1], state_root=root,
+        )
+
+    init_corr_state(merged.where(F.col("month") < cut), root, MAX_LAG)
+    res = run_incremental(
+        spark, p1, p2, None,
+        "cus_code", "month", "txn_amount", "revenue",
+        start=cut, end=months[-1], state_root=root,
+    )
+    got = {
+        (r["cus_code"], r["time1"], r["time2"])
+        for r in res.mapped.collect()
+    }
+    assert got and all(m >= cut for _, m, _ in got)
+
+    # batch twin: full pipeline on ALL history, rows restricted to the
+    # slice months — identical key set (same model, same lag join)
+    batch = run_pipeline(
+        spark, t1, t2, None, "cus_code", "month", "txn_amount", "revenue"
+    )
+    want = {
+        (r["cus_code"], r["time1"], r["time2"])
+        for r in batch.mapped.where(F.col("time1") >= cut).collect()
+    }
+    assert got == want
+
+
 def test_incremental_state_pipeline_end_to_end(spark, tables, merged, tmp_path):
     """Full month-append step: mappings emitted for the new slice equal
     the batch pipeline's rows for those months (the model is identical
