@@ -16,14 +16,25 @@ input rows — never the full history. The finished model (best lag +
 correlation per entity over ALL history) is then applied to the new
 slice only, via the same lag join the batch path uses.
 
-State layout (each a versioned parquet table, sources.versioned — the
-pointer flip makes a crashed advance invisible to the next reader)::
+State layout (each a versioned parquet table, sources.versioned)::
 
     state_root/
       moments/   (cus_code, lag, n, sx, sy, sxx, syy, sxy)
       tail/      last max_lag merged rows per entity
       entity/    (cus_code, num_months, sum_txn, sum_rev)
-      _meta.json max_lag + months covered (advance-order guard)
+      _meta.json max_lag + months covered + the COMMITTED version of
+                 each state table
+
+Crash consistency: the three tables advance as a GROUP, so readers
+resolve versions from ``_meta.json`` (one atomic ``os.replace``), never
+from the per-table pointers. An advance stages all three snapshots
+first and writes meta last — a crash anywhere before the meta write
+leaves only orphaned staged snapshots, and the retried append (the
+guard still sees the old ``through_month``) advances cleanly from the
+old committed trio. Publishing the per-table pointers too (cosmetic,
+for ad-hoc ``read_versioned`` browsing) would re-introduce a
+torn-group window for pointer-readers, so the snapshots stay
+pointer-unpublished by design.
 
 Scale: every state table is O(entities x max_lag) rows — independent of
 history length. The advance is two shuffles (delta state agg keyed
@@ -93,6 +104,18 @@ def _write_meta(state_root: str, meta: dict) -> None:
     os.replace(tmp, os.path.join(state_root, _META))
 
 
+def _read_state(spark: SparkSession, state_root: str, meta: dict):
+    """The committed state trio — resolved from meta's version map (the
+    atomic commit point), never from per-table pointers."""
+    v = meta["versions"]
+    return tuple(
+        read_versioned(
+            spark, os.path.join(state_root, name), version=v[name]
+        )
+        for name in ("moments", "tail", "entity")
+    )
+
+
 def init_corr_state(
     merged: DataFrame, state_root: str, max_lag: int = 6
 ) -> dict:
@@ -104,25 +127,31 @@ def init_corr_state(
     # writes don't re-scan upstream three times
     merged = merged.persist()
     try:
-        write_versioned(
-            corr_moment_state(merged, max_lag),
-            os.path.join(state_root, "moments"),
-            note="bootstrap",
-        )
-        write_versioned(
-            _tail(merged, max_lag),
-            os.path.join(state_root, "tail"),
-            note="bootstrap",
-        )
-        write_versioned(
-            _entity_state(merged),
-            os.path.join(state_root, "entity"),
-            note="bootstrap",
-        )
+        versions = {
+            "moments": write_versioned(
+                corr_moment_state(merged, max_lag),
+                os.path.join(state_root, "moments"),
+                note="bootstrap", publish=False,
+            ),
+            "tail": write_versioned(
+                _tail(merged, max_lag),
+                os.path.join(state_root, "tail"),
+                note="bootstrap", publish=False,
+            ),
+            "entity": write_versioned(
+                _entity_state(merged),
+                os.path.join(state_root, "entity"),
+                note="bootstrap", publish=False,
+            ),
+        }
         max_month = merged.agg(F.max(TIME).alias("m")).first()["m"]
     finally:
         merged.unpersist()
-    meta = {"max_lag": max_lag, "through_month": max_month}
+    meta = {
+        "max_lag": max_lag,
+        "through_month": max_month,
+        "versions": versions,
+    }
     _write_meta(state_root, meta)
     return meta
 
@@ -137,7 +166,13 @@ def advance_corr_state(
     STRICTLY AFTER the state's ``through_month``: the delta algebra is
     append-only (an out-of-order backfill needs a re-bootstrap, same as
     any watermark-late row), and the guard makes that a loud error
-    instead of silent double-count."""
+    instead of silent double-count.
+
+    Crash-safe: the three new snapshots are STAGED, then the meta
+    rewrite (atomic os.replace) commits them as a group — a crash at
+    any earlier point leaves the previous committed trio intact and the
+    retried append passes the guard and advances cleanly (the orphaned
+    staged snapshots are dead weight until a vacuum, never read)."""
     meta = _read_meta(state_root)
     max_lag = meta["max_lag"]
     new_rows = new_rows.persist()
@@ -153,9 +188,7 @@ def advance_corr_state(
                 f"append-only state: new month {bounds['lo']!r} <= "
                 f"covered {meta['through_month']!r} (re-bootstrap to backfill)"
             )
-        tail = read_versioned(spark, os.path.join(state_root, "tail"))
-        moments = read_versioned(spark, os.path.join(state_root, "moments"))
-        entity = read_versioned(spark, os.path.join(state_root, "entity"))
+        moments, tail, entity = _read_state(spark, state_root, meta)
 
         delta = corr_moments_delta(tail, new_rows, max_lag)
         new_moments = merge_moment_states(moments, delta)
@@ -170,21 +203,28 @@ def advance_corr_state(
         )
         new_tail = _tail(tail.unionByName(new_rows), max_lag)
 
-        write_versioned(
-            new_moments, os.path.join(state_root, "moments"),
-            note=f"advance through {bounds['hi']}",
-        )
-        write_versioned(
-            new_tail, os.path.join(state_root, "tail"),
-            note=f"advance through {bounds['hi']}",
-        )
-        write_versioned(
-            new_entity, os.path.join(state_root, "entity"),
-            note=f"advance through {bounds['hi']}",
-        )
+        note = f"advance through {bounds['hi']}"
+        versions = {
+            "moments": write_versioned(
+                new_moments, os.path.join(state_root, "moments"),
+                note=note, publish=False,
+            ),
+            "tail": write_versioned(
+                new_tail, os.path.join(state_root, "tail"),
+                note=note, publish=False,
+            ),
+            "entity": write_versioned(
+                new_entity, os.path.join(state_root, "entity"),
+                note=note, publish=False,
+            ),
+        }
     finally:
         new_rows.unpersist()
-    meta = {"max_lag": max_lag, "through_month": bounds["hi"]}
+    meta = {
+        "max_lag": max_lag,
+        "through_month": bounds["hi"],
+        "versions": versions,
+    }
     _write_meta(state_root, meta)
     return meta
 
@@ -196,8 +236,7 @@ def model_from_state(spark: SparkSession, state_root: str) -> DataFrame:
     from O(entities x max_lag) state rows. Fallback semantics match the
     one-shot path exactly (correlation.py:26-29): no valid lag ->
     (0, -1.0) for n >= 2, (0, 0.0) for n < 2."""
-    moments = read_versioned(spark, os.path.join(state_root, "moments"))
-    entity = read_versioned(spark, os.path.join(state_root, "entity"))
+    moments, _, entity = _read_state(spark, state_root, _read_meta(state_root))
     grid = corr_from_moments(moments)
     valid = grid.where(
         (F.col("n_pairs") >= 2)

@@ -82,25 +82,61 @@ def test_state_is_bounded_not_history_sized(spark, merged, tmp_path):
     guarantee: advance_corr_state has no path to full history at all;
     this pins the size so a tail regression can't silently reintroduce
     an O(history) input.)"""
-    from mapping_timeseries_spark.sources.versioned import read_versioned
+    from mapping_timeseries_spark.plans.incremental import (
+        _read_meta,
+        _read_state,
+    )
 
     months = _months(merged)
     root = str(tmp_path / "state")
     init_corr_state(merged.where(F.col("month") < months[-1]), root, MAX_LAG)
     n_entities = merged.select("cus_code").distinct().count()
 
-    tail = read_versioned(spark, f"{root}/tail")
+    moments, tail, entity = _read_state(spark, root, _read_meta(root))
     assert tail.count() <= n_entities * MAX_LAG
     per_entity = tail.groupBy("cus_code").count().agg(F.max("count")).first()[0]
     assert per_entity <= MAX_LAG
-    moments = read_versioned(spark, f"{root}/moments")
     assert moments.count() <= n_entities * (MAX_LAG + 1)
-    entity = read_versioned(spark, f"{root}/entity")
     assert entity.count() == n_entities
 
     # advancing keeps the bound (tail never accretes)
     advance_corr_state(spark, root, merged.where(F.col("month") == months[-1]))
-    assert read_versioned(spark, f"{root}/tail").count() <= n_entities * MAX_LAG
+    _, tail2, _ = _read_state(spark, root, _read_meta(root))
+    assert tail2.count() <= n_entities * MAX_LAG
+
+
+def test_state_crash_retry_is_clean(spark, merged, tmp_path):
+    """A crashed advance stages snapshots but never commits meta; the
+    retried append must read the COMMITTED trio (resolved from meta's
+    version map), ignore the orphans, and produce the same model as an
+    uncrashed run."""
+    from mapping_timeseries_spark.sources.versioned import write_versioned
+
+    months = _months(merged)
+    cut = months[-2]
+    root = str(tmp_path / "state")
+    init_corr_state(merged.where(F.col("month") < cut), root, MAX_LAG)
+
+    # simulate the crash: a half-finished advance left staged (never
+    # committed) snapshots — here deliberately WRONG data, so any code
+    # path that resolves "latest staged" instead of "meta-committed"
+    # produces a detectably corrupt model
+    poison = merged.limit(3)
+    for name in ("moments", "tail", "entity"):
+        write_versioned(
+            poison, f"{root}/{name}", note="crashed advance", publish=False
+        )
+
+    advance_corr_state(spark, root, merged.where(F.col("month") >= cut))
+    got = {
+        r["cus_code"]: (r["optimal_lag"], r["num_months"])
+        for r in model_from_state(spark, root).collect()
+    }
+    want = {
+        r["cus_code"]: (r["optimal_lag"], r["num_months"])
+        for r in best_lag_correlation(merged, MAX_LAG).collect()
+    }
+    assert got == want
 
 
 def test_state_rejects_out_of_order_append(spark, merged, tmp_path):
