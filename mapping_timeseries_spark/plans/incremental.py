@@ -64,6 +64,7 @@ __all__ = [
     "advance_corr_state",
     "model_from_state",
     "run_pipeline_incremental_state",
+    "vacuum_corr_state",
 ]
 
 _META = "_meta.json"
@@ -266,6 +267,36 @@ def model_from_state(spark: SparkSession, state_root: str) -> DataFrame:
         (F.col("sum_txn") / F.col("num_months")).alias("txn_mean"),
         (F.col("sum_rev") / F.col("num_months")).alias("rev_mean"),
     )
+
+
+def vacuum_corr_state(state_root: str, keep_last: int = 2) -> dict[str, list[int]]:
+    """Delete snapshot directories beyond the newest ``keep_last``
+    versions per state table, ALWAYS keeping the meta-committed version
+    (the only one readers resolve). This is the retention path for the
+    orphans a crashed advance stages and never commits —
+    ``sources.versioned.vacuum_versions`` cannot serve here because the
+    state tables deliberately never publish a pointer (see module
+    docstring). Returns {table: [removed versions]}."""
+    import shutil
+
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    meta = _read_meta(state_root)
+    removed: dict[str, list[int]] = {}
+    for name, committed in meta["versions"].items():
+        root = os.path.join(state_root, name)
+        on_disk = sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(root)
+            if d.startswith("v=") and os.path.isdir(os.path.join(root, d))
+        )
+        keep = set(on_disk[-keep_last:]) | {committed}
+        removed[name] = []
+        for v in on_disk:
+            if v not in keep:
+                shutil.rmtree(os.path.join(root, f"v={v:06d}"))
+                removed[name].append(v)
+    return removed
 
 
 def run_pipeline_incremental_state(

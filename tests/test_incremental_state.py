@@ -138,6 +138,26 @@ def test_state_crash_retry_is_clean(spark, merged, tmp_path):
     }
     assert got == want
 
+    # vacuum clears the orphaned staged snapshots but never the
+    # committed version — the model is identical after
+    from mapping_timeseries_spark.plans.incremental import (
+        _read_meta,
+        vacuum_corr_state,
+    )
+
+    removed = vacuum_corr_state(root, keep_last=1)
+    assert any(removed.values())  # the poison snapshots are gone
+    meta = _read_meta(root)
+    import os as _os
+
+    for name, v in meta["versions"].items():
+        assert _os.path.isdir(f"{root}/{name}/v={v:06d}")
+    got2 = {
+        r["cus_code"]: (r["optimal_lag"], r["num_months"])
+        for r in model_from_state(spark, root).collect()
+    }
+    assert got2 == want
+
 
 def test_state_rejects_out_of_order_append(spark, merged, tmp_path):
     months = _months(merged)
