@@ -1296,7 +1296,14 @@ def q_ivf_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = read_table(spark, sf_dir, "embeddings")
     cents = ivf_seed_centroids(emb, 16)
-    tag = _hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    # the cache tag covers the source file's identity (mtime+size), not
+    # just its path — a regenerated testdata dir must not silently
+    # serve a stale index built from the old vectors
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    tag = _hashlib.md5(
+        f"{os.path.abspath(src)}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:12]
     idx_path = os.path.join(
         _tempfile.gettempdir(), f"spark_graft_ivf_idx_{tag}"
     )
