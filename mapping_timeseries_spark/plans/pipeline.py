@@ -250,7 +250,6 @@ def _run_pipeline_body(
 
     qa = qa_report(mapped, t1)
     if versioned_root and qa["passed"]:
-        publish_version(versioned_root, written_version)
         if output_path:
             # both sinks requested: in the versioned (QA-gated) flow
             # the partitioned path that feeds read_incremental consumers
@@ -258,10 +257,15 @@ def _run_pipeline_body(
             # run must not expose data through EITHER sink (the staged
             # snapshot stays on disk for forensics; the plain
             # output_path-only branch above remains ungated by design,
-            # matching the reference's batch path)
+            # matching the reference's batch path). Ordered BEFORE the
+            # pointer flip: the flip is the one atomic step, so it goes
+            # last — a crash mid-partitioned-write leaves versioned
+            # readers on the previous version instead of publishing a
+            # run whose second sink is torn.
             write_partitioned(
                 mapped, os.path.join(output_path, "mappings"), "time1"
             )
+        publish_version(versioned_root, written_version)
     if cfg.cache_intermediate:
         mapped.unpersist()
     duration = time.time() - t_start
