@@ -19,6 +19,23 @@ def test_quickstart_example_runs(spark, tmp_path):
     assert stats["history"] == ["quickstart run"]
 
 
+def test_incremental_production_example_runs(spark, tmp_path):
+    """The stateful month-append walkthrough must run end to end:
+    bootstrap, advance+apply via run_incremental(state_root=...), and
+    vacuum — with mappings emitted for the appended month."""
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "examples")
+    )
+    import incremental_production
+
+    stats = incremental_production.main(
+        spark=spark, out_root=str(tmp_path), show=False
+    )
+    assert stats["new_month_mappings"] > 0
+    assert stats["qa_passed"] in (True, False)  # QA ran either way
+    assert os.path.isfile(os.path.join(stats["state_root"], "_meta.json"))
+
+
 def test_training_export_example_runs(spark, tmp_path):
     """The training-export walkthrough must run end to end: rejects the
     planted defects, realizes the de x2 mixture, packs, and shards."""
