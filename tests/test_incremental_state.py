@@ -105,6 +105,53 @@ def test_state_is_bounded_not_history_sized(spark, merged, tmp_path):
     assert tail2.count() <= n_entities * MAX_LAG
 
 
+def test_state_multi_chunk_advance_fuzz(spark, tmp_path):
+    """Randomized month series WITH NULLS advanced in random chunk
+    splits: K successive advances must equal the one-shot model exactly
+    (lags/counts) — the null-pair filter and the delta subtraction must
+    agree under every split point, not just the fixture's."""
+    import numpy as np
+
+    rng = np.random.default_rng(41)
+    rows = []
+    for e in range(12):
+        n = int(rng.integers(2, 30))
+        for mi in range(n):
+            tx = None if rng.random() < 0.12 else round(float(rng.normal(50, 20)), 2)
+            rv = None if rng.random() < 0.12 else round(float(rng.normal(5, 2)), 2)
+            rows.append((f"E{e:02d}", f"{2000 + mi // 12}-{mi % 12 + 1:02d}", tx, rv))
+    df = spark.createDataFrame(
+        rows, "cus_code string, month string, txn_amount double, revenue double"
+    ).cache()
+    months = sorted(r["month"] for r in df.select("month").distinct().collect())
+
+    for trial in range(3):
+        cuts = sorted(
+            rng.choice(range(2, len(months) - 1), size=2, replace=False)
+        )
+        root = str(tmp_path / f"fuzz{trial}")
+        init_corr_state(df.where(F.col("month") < months[cuts[0]]), root, MAX_LAG)
+        advance_corr_state(
+            spark, root,
+            df.where(
+                (F.col("month") >= months[cuts[0]])
+                & (F.col("month") < months[cuts[1]])
+            ),
+        )
+        advance_corr_state(
+            spark, root, df.where(F.col("month") >= months[cuts[1]])
+        )
+        got = {
+            r["cus_code"]: (r["optimal_lag"], r["num_months"])
+            for r in model_from_state(spark, root).collect()
+        }
+        want = {
+            r["cus_code"]: (r["optimal_lag"], r["num_months"])
+            for r in best_lag_correlation(df, MAX_LAG).collect()
+        }
+        assert got == want, (trial, cuts)
+
+
 def test_state_crash_retry_is_clean(spark, merged, tmp_path):
     """A crashed advance stages snapshots but never commits meta; the
     retried append must read the COMMITTED trio (resolved from meta's

@@ -26,11 +26,10 @@ def test_dtw_property(a, b, window, normalize):
     if np.isinf(ocost):
         assert np.isinf(cost)
         return
-    assert cost == pytest.approx(ocost, rel=1e-9, abs=1e-9)
-    # path validity invariants always hold
-    assert path[-1] == (len(a) - 1, len(b) - 1)
-    for (i0, j0), (i1, j1) in zip(path, path[1:]):
-        assert (i1 - i0, j1 - j0) in {(0, 1), (1, 0), (1, 1)}
+    # EXACT since r5: wavefront accumulate is bitwise-equal to the
+    # sequential DP, so cost and the tie-broken path match exactly
+    assert cost == ocost
+    assert path == opath
     if window is not None:
         assert all(abs(i - j) <= window for i, j in path)
 
