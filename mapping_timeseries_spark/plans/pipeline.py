@@ -138,6 +138,15 @@ def run_pipeline(
     """
     cfg = config or MappingConfig()
     run_id = run_id or uuid.uuid4().hex[:12]
+    if model is not None and recommendations is not None:
+        # the model hook exists to REPLACE inline training on the
+        # no-recommendations path; with recommendations given the
+        # routing would silently win and the model be ignored — make
+        # the ambiguity a loud error instead
+        raise ValueError(
+            "pass either a recommendations routing table or a "
+            "pre-trained model, not both"
+        )
     try:
         return _run_pipeline_body(
             spark, table1, table2, recommendations, key_col, time_col,
@@ -372,7 +381,12 @@ def run_incremental(
         c1 = canonicalize(t1, key_col, time_col, value1_col, VALUE1, "table1")
         c2 = canonicalize(t2, key_col, time_col, value2_col, VALUE2, "table2")
         advance_corr_state(spark, state_root, merge_series(c1, c2))
-        model = model_from_state(spark, state_root)
+        # with a recommendations routing table the routed flow drives
+        # the mappings (run_pipeline rejects model+recommendations as
+        # ambiguous); the state still advanced above so it stays
+        # current for future model-driven runs
+        if recommendations is None:
+            model = model_from_state(spark, state_root)
     return run_pipeline(
         spark, t1, t2, recommendations,
         key_col, time_col, value1_col, value2_col, model=model, **kwargs,
