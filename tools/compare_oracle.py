@@ -66,9 +66,20 @@ def main() -> int:
     from mapping_timeseries_spark.sources.readers import TPCH_TABLES
 
     # 16g driver: the comparison toPandas()-es both sides, and the 10x
-    # stress corpus OOM-killed the JVM at the 1g default mid-sweep
+    # stress corpus OOM-killed the JVM at the 1g default mid-sweep.
+    # SPARK_GRAFT_ORACLE_CPUS / _PARTITIONS: run the same gate under an
+    # adversarial layout (odd core/partition counts) — a hash that
+    # changes with layout is a portability bug, and the default-layout
+    # sweep cannot see it.
+    import os as _os
+
+    cpus = _os.environ.get("SPARK_GRAFT_ORACLE_CPUS", "*")
+    parts = int(_os.environ.get("SPARK_GRAFT_ORACLE_PARTITIONS", "32"))
     spark = get_spark(
-        "oracle-compare", extra_conf={"spark.driver.memory": "16g"}
+        "oracle-compare",
+        master=f"local[{cpus}]",
+        shuffle_partitions=parts,
+        extra_conf={"spark.driver.memory": "16g"},
     )
     con = duckdb.connect()
     import os
