@@ -1,6 +1,7 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from mapping_timeseries_spark.operators.sessionize import (
     session_agg_native,
@@ -73,6 +74,44 @@ def test_stream_multimodal_extract_matches_batch(spark, tmp_path):
         output_mode="append",
     )
     got = _as_sorted_rows(out, ["doc_id", "n_bytes", "pcm_sum", "pcm_sumsq"])
+    assert got == want
+    assert len(got) == batch_docs.count()
+
+
+def test_stream_bpe_encode_matches_batch(spark, tmp_path):
+    """BPE encoding is map-only (broadcast ranks + mapInPandas), so a
+    merge table trained in batch applies unchanged to a stream: stream
+    the documents fixture and require token-for-token agreement with
+    the batch encoding."""
+    import shutil
+
+    from mapping_timeseries_spark.operators.tokenizer import (
+        encode_bpe,
+        train_bpe,
+    )
+
+    d = tmp_path / "docs_bpe_stream"
+    d.mkdir()
+    shutil.copy(f"{SF_DIR}/documents.parquet", d / "part-0.parquet")
+
+    batch_docs = spark.read.parquet(str(d))
+    merges = train_bpe(batch_docs, num_merges=20)
+    want = _as_sorted_rows(
+        encode_bpe(batch_docs, merges).select(
+            "doc_id", F.col("bpe_tokens").cast("string").alias("toks")
+        ),
+        ["doc_id", "toks"],
+    )
+
+    stream_docs = spark.readStream.schema(batch_docs.schema).parquet(str(d))
+    out = run_to_memory(
+        encode_bpe(stream_docs, merges).select(
+            "doc_id", F.col("bpe_tokens").cast("string").alias("toks")
+        ),
+        "t_bpe_encode",
+        output_mode="append",
+    )
+    got = _as_sorted_rows(out, ["doc_id", "toks"])
     assert got == want
     assert len(got) == batch_docs.count()
 
