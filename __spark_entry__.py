@@ -65,6 +65,7 @@ from mapping_timeseries_spark.operators.similarity import (
     ivf_seed_centroids,
     ivf_topk,
     ivf_topk_indexed,
+    semantic_dedup,
 )
 from mapping_timeseries_spark.operators.textstats import (
     LANG_TRIGRAMS,
@@ -1122,16 +1123,39 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the MinHash near-dup pairs -> per-doc
     cluster id + canonical keeper (the final step of a corpus dedup
-    pipeline). Hash-gated against a DuckDB recursive-CTE twin over the
-    same portable-hash pair set."""
+    pipeline), hash-gated against a DuckDB recursive-CTE twin over the
+    same portable-hash pair set.
+
+    Folded r5 (registry at the 50-entry driver cap): the SemDeDup
+    semantic verdict (similarity.semantic_dedup — IVF coarse clusters,
+    in-cluster cosine edges at 0.4, CC groups, farthest-from-centroid
+    keeper) rides the same frame via a left join on doc_id = vec_id —
+    lexical and semantic dedup are the two halves of a real corpus
+    pipeline, and this frame exposes their (dis)agreement per document.
+    The sem_* columns are hash-gated against an independent recursive-CTE
+    + list_dot_product DuckDB twin."""
     ensure_runtime_conf(spark)
     docs = read_table(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(docs, threshold=0.5, portable=True)
     cl = dedup_clusters(docs, pairs)
+    sem = semantic_dedup(
+        read_table(spark, sf_dir, "embeddings"), nlist=16, threshold=0.4
+    )
     return cl.select(
         "doc_id",
         F.col("cluster_id").cast("bigint").alias("cluster_id"),
         F.col("is_keeper").cast("int").alias("is_keeper"),
+    ).join(
+        sem.select(
+            F.col("vec_id").alias("doc_id"),
+            F.col("centroid_id").cast("bigint").alias("sem_centroid"),
+            F.col("centroid_sim").alias("sem_sim"),
+            F.col("group_id").cast("bigint").alias("sem_group"),
+            F.col("group_size").cast("int").alias("sem_group_size"),
+            F.col("is_keeper").cast("int").alias("sem_keeper"),
+        ),
+        "doc_id",
+        "left",
     )
 
 
@@ -2331,10 +2355,74 @@ reach(id, lbl) AS (
   SELECT doc_id, doc_id FROM documents
   UNION
   SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+),
+lexical AS (
+  SELECT id AS doc_id, min(lbl) AS cluster_id,
+         CAST(CASE WHEN id = min(lbl) THEN 1 ELSE 0 END AS INT) AS is_keeper
+  FROM reach GROUP BY id
+),
+-- SemDeDup twin (folded r5): IVF seed assignment + in-cluster cosine
+-- edges at 0.4 + recursive-CTE components + farthest-from-centroid keeper
+vecs AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+cents AS (
+  SELECT vec_id AS centroid_id, v AS cv FROM vecs ORDER BY vec_id LIMIT 16
+),
+sem_assigned AS (
+  SELECT vec_id, centroid_id, csim FROM (
+    SELECT t.*, row_number() OVER (PARTITION BY vec_id
+             ORDER BY csim DESC, centroid_id ASC) AS pr
+    FROM (
+      SELECT vecs.vec_id, cents.centroid_id,
+             round(list_dot_product(vecs.v, cents.cv)
+                   / (sqrt(list_dot_product(vecs.v, vecs.v))
+                      * sqrt(list_dot_product(cents.cv, cents.cv))), 6) AS csim
+      FROM vecs CROSS JOIN cents) t
+  ) WHERE pr = 1
+),
+unit AS (
+  SELECT vec_id,
+         list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS uv
+  FROM vecs
+),
+sem_edges AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst
+  FROM sem_assigned a
+  JOIN sem_assigned b
+    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+  JOIN unit ua ON ua.vec_id = a.vec_id
+  JOIN unit ub ON ub.vec_id = b.vec_id
+  WHERE round(list_dot_product(ua.uv, ub.uv), 6) >= 0.4
+),
+sem_sym AS (
+  SELECT src, dst FROM sem_edges
+  UNION ALL
+  SELECT dst, src FROM sem_edges
+),
+sem_reach(id, lbl) AS (
+  SELECT vec_id, vec_id FROM vecs
+  UNION
+  SELECT e.dst, r.lbl FROM sem_reach r JOIN sem_sym e ON e.src = r.id
+),
+sem_groups AS (
+  SELECT id AS vec_id, min(lbl) AS group_id FROM sem_reach GROUP BY id
+),
+sem AS (
+  SELECT g.vec_id, a.centroid_id, a.csim, g.group_id,
+         CAST(count(*) OVER (PARTITION BY g.group_id) AS INT) AS group_size,
+         CAST(CASE WHEN row_number() OVER (PARTITION BY g.group_id
+                ORDER BY a.csim ASC, g.vec_id ASC) = 1
+              THEN 1 ELSE 0 END AS INT) AS is_keeper
+  FROM sem_groups g JOIN sem_assigned a USING (vec_id)
 )
-SELECT id AS doc_id, min(lbl) AS cluster_id,
-       CAST(CASE WHEN id = min(lbl) THEN 1 ELSE 0 END AS INT) AS is_keeper
-FROM reach GROUP BY id
+SELECT l.doc_id, l.cluster_id, l.is_keeper,
+       s.centroid_id AS sem_centroid,
+       s.csim AS sem_sim,
+       s.group_id AS sem_group,
+       s.group_size AS sem_group_size,
+       s.is_keeper AS sem_keeper
+FROM lexical l LEFT JOIN sem s ON s.vec_id = l.doc_id
 """
 
 # DuckDB twin of simhash_near_dups(portable=True): 60-bit md5-derived

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 __all__ = ["cosine", "with_unit_norm", "cosine_topk", "ann_bucketed_topk",
            "embedding_near_dups", "ivf_seed_centroids", "ivf_assign",
            "ivf_refine_centroids", "ivf_topk", "ivf_build_index",
-           "ivf_topk_indexed"]
+           "ivf_topk_indexed", "semantic_dedup"]
 
 
 def _as_double(vec: Column) -> Column:
@@ -312,6 +312,7 @@ def ivf_assign(
     centroids: DataFrame,
     nprobe: int = 1,
     vec_col: str = "embedding",
+    keep_sim: bool = False,
 ) -> DataFrame:
     """Rank centroids per vector by cosine (rounded to 6dp, centroid_id
     tie-break — engine-portable ordering) and keep the top ``nprobe``.
@@ -321,7 +322,12 @@ def ivf_assign(
     broadcast (nlist rows), so assignment is a map-only pass over the
     corpus — no shuffle (and the corpus scan is widened first: a
     single-file local input would otherwise run the nlist x N centroid
-    ranking on one core)."""
+    ranking on one core).
+
+    ``keep_sim=True`` retains the 6dp-rounded cosine to the assigned
+    centroid as ``centroid_sim`` — consumed by :func:`semantic_dedup`'s
+    keep-policy (recomputing it downstream would re-run the O(d)
+    aggregate per vector)."""
     from ..sources.readers import ensure_parallel as _ensure_parallel
 
     vectors = _ensure_parallel(vectors)
@@ -351,11 +357,12 @@ def ivf_assign(
     w = Window.partitionBy("vec_id").orderBy(
         F.col("__csim").desc(), F.col("centroid_id").asc()
     )
-    return (
-        sims.withColumn("__pr", F.row_number().over(w))
-        .where(F.col("__pr") <= nprobe)
-        .drop("cv", "__csim", "__pr", "__vn", "__cn")
+    out = sims.withColumn("__pr", F.row_number().over(w)).where(
+        F.col("__pr") <= nprobe
     )
+    if keep_sim:
+        out = out.withColumn("centroid_sim", F.col("__csim"))
+    return out.drop("cv", "__csim", "__pr", "__vn", "__cn")
 
 
 def ivf_refine_centroids(
@@ -508,3 +515,105 @@ def ivf_topk_indexed(
         ]
         idx = idx.where(F.col("centroid_id").isin(probe_ids))
     return _ivf_score_topk(probes, idx, k)
+
+
+# ---------------------------------------------------------------------------
+# Semantic deduplication (SemDeDup)
+# ---------------------------------------------------------------------------
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    nlist: int = 16,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    prefilter_dims: int = 8,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): coarse-cluster the corpus embeddings, find
+    near-duplicate pairs WITHIN each cluster (cosine >= threshold over
+    unit vectors), collapse pairs into duplicate groups, and keep ONE
+    representative per group — the member FARTHEST from its cluster
+    centroid (the paper's best-performing keep-policy: low-centroid-sim
+    examples maximize retained diversity), vec_id as the deterministic
+    tie-break.
+
+    Output, one row per corpus vector (singletons are their own group):
+    ``(vec_id, centroid_id, centroid_sim, group_id, group_size,
+    is_keeper:int)`` where ``group_id`` is the min vec_id in the
+    duplicate group and ``centroid_sim`` the 6dp-rounded cosine to the
+    assigned centroid. Fully deterministic (seed quantizer, rounded
+    sims, id tie-breaks), so the whole operator is oracle-checkable
+    against a DuckDB recursive-CTE twin.
+
+    Scale design: the quantizer pass is map-only (broadcast nlist
+    centroids — ivf_assign); the candidate generator is the in-cluster
+    self-join, which at this fixture broadcasts the corpus side exactly
+    like embedding_near_dups (same parallelism note: the probe side is
+    widened so pair generation spreads across cores despite the
+    nlist-ary join key). At corpus sizes past broadcast, drop the hint
+    and raise nlist — the paper operates at nlist ~ sqrt(N) (50k
+    clusters for 5B points), which keeps per-cluster candidate sets
+    near-constant so the pair volume grows ~linearly with N, and the
+    edge join becomes an ordinary shuffle join on a 50k-ary key. Pairs
+    pass the exact partial-distance prefilter before the full dot
+    (``cos >= t  <=>  ||a-b||^2 <= 2-2t`` on unit vectors — same bound
+    and slack as embedding_near_dups). Grouping is
+    :func:`~.dedup.dedup_clusters_star` — O(log n) rounds independent
+    of component diameter.
+    """
+    from ..sources.readers import ensure_parallel as _ensure_parallel
+    from .dedup import dedup_clusters_star
+
+    cents = ivf_seed_centroids(embeddings, nlist, vec_col=vec_col)
+    assigned = ivf_assign(
+        embeddings, cents, nprobe=1, vec_col=vec_col, keep_sim=True
+    ).select("vec_id", "centroid_id", "centroid_sim", "v")
+    # one unit-normalize pass, reused by every pair this vector meets
+    n = _norm(F.col("v"))
+    unit = assigned.withColumn(
+        "uv", F.transform(F.col("v"), lambda x: x / n)
+    ).drop("v")
+    # within-cluster near-dup edges; persist via localCheckpoint so the
+    # CC rounds and the final verdict join don't re-run the self-join
+    a = _ensure_parallel(unit.select("vec_id", "centroid_id", "uv")).alias("a")
+    b = unit.select("vec_id", "centroid_id", "uv").alias("b")
+    bound = 2.0 - 2.0 * (threshold - 1e-6) + 1e-9
+    edges = (
+        a.join(
+            F.broadcast(b),
+            (F.col("a.centroid_id") == F.col("b.centroid_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .where(
+            _partial_sqdist(F.col("a.uv"), F.col("b.uv"), prefilter_dims)
+            <= F.lit(bound)
+        )
+        .where(
+            F.round(_dot(F.col("a.uv"), F.col("b.uv")), 6)
+            >= F.lit(threshold)
+        )
+        .select(
+            F.col("a.vec_id").alias("doc_a"), F.col("b.vec_id").alias("doc_b")
+        )
+    )
+    groups = dedup_clusters_star(
+        unit.select("vec_id"), edges, doc_id_col="vec_id"
+    ).select(
+        F.col("doc_id").alias("vec_id"), F.col("cluster_id").alias("group_id")
+    )
+    w = Window.partitionBy("group_id")
+    w_keep = w.orderBy(F.col("centroid_sim").asc(), F.col("vec_id").asc())
+    return (
+        unit.select("vec_id", "centroid_id", "centroid_sim")
+        .join(groups, "vec_id")
+        .withColumn("group_size", F.count(F.lit(1)).over(w))
+        .withColumn(
+            "is_keeper",
+            (F.row_number().over(w_keep) == 1).cast("int"),
+        )
+        .select(
+            "vec_id", "centroid_id", "centroid_sim",
+            "group_id", "group_size", "is_keeper",
+        )
+    )

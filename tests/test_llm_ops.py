@@ -23,7 +23,9 @@ from mapping_timeseries_spark.operators.similarity import (
     ann_bucketed_topk,
     cosine_topk,
     embedding_near_dups,
+    semantic_dedup,
 )
+from mapping_timeseries_spark.sources.readers import read_table
 from mapping_timeseries_spark.operators.textstats import quality_score, text_stats
 
 WORDS = [
@@ -912,3 +914,137 @@ def test_lang_trigram_scores(spark):
     assert preds.count() == corpus.count()
     labels = {r["trigram_lang"] for r in preds.select("trigram_lang").distinct().collect()}
     assert labels <= {"en", "de", "fr", "es", "unknown"}
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup semantic deduplication (r5)
+# ---------------------------------------------------------------------------
+
+
+def _semdedup_fixture(spark):
+    """Planted corpus for semantic_dedup with nlist=2: vec 0/1 seed the
+    two centroids (lowest vec_ids); 2-4 are a near-dup chain in cluster
+    A, 5 sits in A but far from everything, 6/7 are a near-dup pair in
+    cluster B, and 8/9 are nearly identical to EACH OTHER but land in
+    different clusters — the pair SemDeDup must NOT emit (edges are
+    in-cluster only)."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (2, [1.0, 0.010, 0.0, 0.0]),
+        (3, [1.0, 0.011, 0.0, 0.0]),
+        (4, [0.9, 0.005, 0.1, 0.0]),
+        (5, [0.7, 0.0, 0.7, 0.1]),
+        (6, [0.0, 1.0, 0.010, 0.0]),
+        (7, [0.0, 1.0, 0.012, 0.0]),
+        (8, [0.72, 0.69, 0.0, 0.0]),
+        (9, [0.69, 0.72, 0.0, 0.0]),
+    ]
+    return rows, spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+
+
+def _semdedup_numpy_oracle(rows, nlist, threshold):
+    """Independent numpy re-derivation: assignment by rounded cosine,
+    in-cluster edges, union-find components, farthest-from-centroid
+    keeper."""
+    ids = [r[0] for r in rows]
+    vecs = {r[0]: np.asarray(r[1], dtype=np.float64) for r in rows}
+    cents = {i: vecs[i] for i in sorted(ids)[:nlist]}
+
+    def cos(a, b):
+        return round(
+            float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b))), 6
+        )
+
+    assign, csim = {}, {}
+    for i in ids:
+        best = sorted(
+            ((-cos(vecs[i], cv), cid) for cid, cv in cents.items())
+        )[0]
+        assign[i], csim[i] = best[1], -best[0]
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            x = parent[x]
+        return x
+
+    for a in ids:
+        for b in ids:
+            if a < b and assign[a] == assign[b]:
+                ua = vecs[a] / np.linalg.norm(vecs[a])
+                ub = vecs[b] / np.linalg.norm(vecs[b])
+                if round(float(np.dot(ua, ub)), 6) >= threshold:
+                    ra, rb = find(a), find(b)
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+    groups = {}
+    for i in ids:
+        groups.setdefault(find(i), []).append(i)
+    keepers = {
+        min(members, key=lambda m: (csim[m], m)): root
+        for root, members in groups.items()
+    }
+    return assign, csim, groups, set(keepers)
+
+
+def test_semantic_dedup_planted(spark):
+    rows, emb = _semdedup_fixture(spark)
+    out = {r["vec_id"]: r for r in semantic_dedup(emb, nlist=2, threshold=0.95).collect()}
+    assign, csim, groups, keepers = _semdedup_numpy_oracle(rows, 2, 0.95)
+    assert set(out) == set(assign)
+    for i, r in out.items():
+        assert r["centroid_id"] == assign[i]
+        assert r["centroid_sim"] == pytest.approx(csim[i], abs=2e-6)
+        assert r["group_id"] == min(groups[_root_of(groups, i)])
+        assert r["group_size"] == len(groups[_root_of(groups, i)])
+        assert r["is_keeper"] == (1 if i in keepers else 0)
+    # the discriminating SemDeDup property: 8 and 9 are near-identical
+    # (cos ~0.9991) but straddle the centroid boundary -> separate
+    # singleton groups, both kept
+    assert out[8]["group_id"] == 8 and out[9]["group_id"] == 9
+    assert out[8]["is_keeper"] == 1 and out[9]["is_keeper"] == 1
+    assert out[8]["centroid_id"] != out[9]["centroid_id"]
+    # the in-cluster chain collapsed to one group with ONE keeper, and
+    # that keeper is the member farthest from the centroid
+    chain = [out[i] for i in (2, 3, 4)]
+    assert len({r["group_id"] for r in chain}) == 1
+    assert sum(r["is_keeper"] for r in chain) == 1
+    kept = [r for r in chain if r["is_keeper"]][0]
+    assert kept["centroid_sim"] == min(r["centroid_sim"] for r in chain)
+
+
+def _root_of(groups, i):
+    for root, members in groups.items():
+        if i in members:
+            return root
+    raise AssertionError(i)
+
+
+def test_semantic_dedup_invariants_and_determinism(spark):
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    a = semantic_dedup(emb, nlist=16, threshold=0.4)
+    rows = a.collect()
+    n = emb.count()
+    # total coverage, exactly one keeper per group, keeper is the
+    # farthest-from-centroid member
+    assert len(rows) == n
+    by_group = {}
+    for r in rows:
+        by_group.setdefault(r["group_id"], []).append(r)
+    for members in by_group.values():
+        assert sum(m["is_keeper"] for m in members) == 1
+        assert all(m["group_size"] == len(members) for m in members)
+        kept = [m for m in members if m["is_keeper"]][0]
+        assert (kept["centroid_sim"], kept["vec_id"]) == min(
+            (m["centroid_sim"], m["vec_id"]) for m in members
+        )
+        # group members share a centroid (edges are in-cluster; a CC
+        # group is connected through in-cluster edges only)
+        assert len({m["centroid_id"] for m in members}) == 1
+    # layout determinism: a 7-partition shuffle of the input changes
+    # nothing (portable rounding + id tie-breaks)
+    b = semantic_dedup(emb.repartition(7), nlist=16, threshold=0.4)
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, b.collect()))
