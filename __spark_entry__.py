@@ -46,6 +46,8 @@ from mapping_timeseries_spark.operators.dedup import (
     content_hash_dedup,
     dedup_clusters,
     exact_dedup,
+    minhash_dedup_incremental,
+    minhash_index_frames,
     minhash_lsh_pairs,
     ngram_decontaminate,
     ngram_jaccard_pairs,
@@ -1114,10 +1116,30 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     variant (portable=False) shares every other code path and is pinned by
     pytest recall tests."""
     ensure_runtime_conf(spark)
-    p = minhash_lsh_pairs(
-        read_table(spark, sf_dir, "documents"), threshold=0.5, portable=True
+    docs = read_table(spark, sf_dir, "documents")
+    full = minhash_lsh_pairs(docs, threshold=0.5, portable=True)
+    # folded r5: the incremental path — index the 80% "already ingested"
+    # slice (doc_id % 5 != 0), dedup the 20% "new batch" against it.
+    # Exactness contract: incremental == full pairs with >= 1 new side,
+    # which is exactly what the oracle's filtered arm selects — so the
+    # hash gate proves the new-vs-index bucket join + stored-shingle
+    # verification end-to-end, not just the pytest equality.
+    old = docs.where(F.col("doc_id") % 5 != 0)
+    new = docs.where(F.col("doc_id") % 5 == 0)
+    bands_df, sh_df = minhash_index_frames(old, portable=True)
+    incr = minhash_dedup_incremental(
+        new, bands_df, sh_df, threshold=0.5, portable=True
     )
-    return p.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+
+    def _sel(p: DataFrame, tag: str) -> DataFrame:
+        return p.select(
+            "doc_a",
+            "doc_b",
+            F.round("jaccard", 6).alias("jaccard"),
+            F.lit(tag).alias("src"),
+        )
+
+    return _sel(full, "full").unionByName(_sel(incr, "incr"))
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2335,7 +2357,15 @@ HAVING count(*) * 1.0
 """
 
 
-ORACLE_MINHASH = _build_minhash_oracle()
+ORACLE_MINHASH = f"""
+WITH pairs AS (
+  {_build_minhash_oracle()}
+)
+SELECT doc_a, doc_b, jaccard, 'full' AS src FROM pairs
+UNION ALL
+SELECT doc_a, doc_b, jaccard, 'incr' AS src FROM pairs
+WHERE doc_a % 5 = 0 OR doc_b % 5 = 0
+"""
 
 # Connected-components twin: min reachable doc_id per vertex via a
 # recursive CTE over the symmetrized minhash pair graph (nested WITH —

@@ -58,6 +58,12 @@ __all__ = [
     "ngram_jaccard_pairs",
     "ngram_decontaminate",
     "minhash_lsh_pairs",
+    "minhash_index_frames",
+    "build_minhash_index",
+    "load_minhash_index",
+    "minhash_dedup_incremental",
+    "minhash_dedup_incremental_path",
+    "append_minhash_index",
     "simhash_fingerprints",
     "simhash_near_dups",
     "dedup_clusters",
@@ -298,6 +304,57 @@ def ngram_decontaminate(
     )
 
 
+def _band_frame(
+    sh: DataFrame, num_hashes: int, bands: int, portable: bool
+) -> DataFrame:
+    """LSH banding of a shingled frame: (doc_id, band, bucket:string) —
+    the shared candidate-key generator for the batch self-join
+    (:func:`minhash_lsh_pairs`) and the incremental new-vs-index join
+    (:func:`minhash_dedup_incremental`). Both sides of any join MUST use
+    identical (num_hashes, bands, portable): bucket strings from
+    different parameters never collide, which reads as 'no duplicates'
+    rather than an error — the meta.json guard in the index functions
+    exists for exactly this."""
+    rows_per_band = num_hashes // bands
+    if portable:
+        sig = minhash_signature_portable(F.col("shingles"), num_hashes)
+
+        def bucket_key(band: int):
+            return F.concat_ws(
+                ",",
+                *[
+                    F.col("sig")[band * rows_per_band + r]
+                    for r in range(rows_per_band)
+                ],
+            )
+
+    else:
+        sig = minhash_signature(F.col("shingles"), num_hashes)
+
+        def bucket_key(band: int):
+            return F.hash(
+                *[
+                    F.col("sig")[band * rows_per_band + r]
+                    for r in range(rows_per_band)
+                ]
+            )
+
+    return sh.withColumn("sig", sig).select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).alias("band"),
+                        bucket_key(band).cast("string").alias("bucket"),
+                    )
+                    for band in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -337,7 +394,6 @@ def minhash_lsh_pairs(
         raise ValueError(
             f"bands ({bands}) must divide num_hashes ({num_hashes})"
         )
-    rows_per_band = num_hashes // bands
     # zero-shingle docs (null text, or fewer than n tokens) all share
     # the degenerate empty-aggregate signature, so they would meet in
     # EVERY band — a quadratic candidate clique the verifier then
@@ -350,45 +406,7 @@ def minhash_lsh_pairs(
     # sf0.1 before this ordering).
     sh = _pin(_shingled(docs, text_col, n))
     sh = sh.where(F.col("n_shingles") > 0)
-    if portable:
-        sig = minhash_signature_portable(F.col("shingles"), num_hashes)
-
-        def bucket_key(band: int):
-            return F.concat_ws(
-                ",",
-                *[
-                    F.col("sig")[band * rows_per_band + r]
-                    for r in range(rows_per_band)
-                ],
-            )
-
-    else:
-        sig = minhash_signature(F.col("shingles"), num_hashes)
-
-        def bucket_key(band: int):
-            return F.hash(
-                *[
-                    F.col("sig")[band * rows_per_band + r]
-                    for r in range(rows_per_band)
-                ]
-            )
-
-    signed = sh.withColumn("sig", sig)
-    banded = signed.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(band).alias("band"),
-                        bucket_key(band).cast("string").alias("bucket"),
-                    )
-                    for band in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket")
-    banded = _pin(banded)
+    banded = _pin(_band_frame(sh, num_hashes, bands, portable))
     # persisted: the self-join would otherwise recompute the full
     # signature pipeline once per side
     cand = (
@@ -405,6 +423,235 @@ def minhash_lsh_pairs(
         .distinct()
     )
     return _verify_jaccard(cand, sh, threshold)
+
+
+# ---------------------------------------------------------------------------
+# Incremental MinHash dedup against a persisted index
+# ---------------------------------------------------------------------------
+#
+# Continuous-ingestion dedup: a production corpus is not deduped once — a
+# new crawl batch must be deduped against EVERYTHING ingested so far
+# without re-running LSH over the full corpus. The persisted index holds
+# the banded bucket keys (the candidate generator) and the shingle sets
+# (the exact verifier) of every indexed document; deduping a new batch
+# reads the new docs + the index, never the original corpus text.
+#
+# Exactness contract (pytest-pinned):
+#   minhash_dedup_incremental(new, index(old))
+#     == minhash_lsh_pairs(old ∪ new) restricted to pairs with >= 1 new side
+# — bit-for-bit, because banding/verification run the identical portable
+# expressions on both paths.
+#
+# 100 TB posture: the index's bands table is (doc_id, band, bucket) —
+# tiny next to the corpus — and the incremental candidate join touches
+# only buckets the NEW batch occupies (a broadcast of the new batch's
+# bands when the batch is small, an ordinary shuffle join otherwise).
+# Verification joins shingle sets for candidate doc_ids only; the
+# shingle table is the heavy store (≈ tokenized corpus), so at scale
+# write it bucketed by doc_id (sources.writers.write_bucketed_table) to
+# make the candidate join shuffle-free. Appends are atomic via the
+# meta.json commit marker: readers require it, and append_minhash_index
+# rewrites it LAST.
+
+
+def minhash_index_frames(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 2,
+    num_hashes: int = 32,
+    bands: int = 8,
+    portable: bool = True,
+):
+    """The disk-free form of the LSH index -> (bands_df, shingles_df):
+    for composing an old-vs-new dedup inside one job (the driver query
+    does this), or for unit-testing the join logic without a filesystem.
+    :func:`build_minhash_index` is the persisted form with the same
+    frames."""
+    sh = _pin(_shingled(docs, text_col, n))
+    sh = sh.where(F.col("n_shingles") > 0)
+    return _band_frame(sh, num_hashes, bands, portable), sh
+
+
+def build_minhash_index(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    n: int = 2,
+    num_hashes: int = 32,
+    bands: int = 8,
+    portable: bool = True,
+) -> None:
+    """Build the persisted LSH index for :func:`minhash_dedup_incremental`:
+    ``path/bands`` (doc_id, band, bucket), ``path/shingles`` (doc_id,
+    shingles, n_shingles), and ``path/meta.json`` (the LSH parameters,
+    written last as the commit marker — a partially-written index is
+    unloadable, not silently wrong)."""
+    import json
+    import os
+
+    sh = _shingled(docs, text_col, n).where(F.col("n_shingles") > 0)
+    sh.write.mode("overwrite").parquet(os.path.join(path, "shingles"))
+    # re-read the committed shingles rather than recomputing the
+    # tokenize+shingle pipeline a second time for the band pass
+    spark = docs.sparkSession
+    sh_stored = spark.read.parquet(os.path.join(path, "shingles"))
+    _band_frame(sh_stored, num_hashes, bands, portable).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(path, "bands"))
+    meta = {
+        "n": n,
+        "num_hashes": num_hashes,
+        "bands": bands,
+        "portable": portable,
+        "text_col": text_col,
+    }
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(meta, f)
+
+
+def load_minhash_index(spark, path: str):
+    """Load a persisted LSH index -> (bands_df, shingles_df, meta dict).
+    Raises if the commit marker is missing (interrupted build/append)."""
+    import json
+    import os
+
+    meta_path = os.path.join(path, "meta.json")
+    if not os.path.exists(meta_path):
+        raise FileNotFoundError(
+            f"{meta_path} missing — index at {path} was never committed"
+        )
+    with open(meta_path) as f:
+        meta = json.load(f)
+    return (
+        spark.read.parquet(os.path.join(path, "bands")),
+        spark.read.parquet(os.path.join(path, "shingles")),
+        meta,
+    )
+
+
+def minhash_dedup_incremental(
+    new_docs: DataFrame,
+    index_bands: DataFrame,
+    index_shingles: DataFrame,
+    text_col: str = "text",
+    n: int = 2,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    portable: bool = True,
+) -> DataFrame:
+    """Near-dup pairs (doc_a < doc_b, jaccard >= threshold) where at
+    least one side is in ``new_docs``: new-vs-index candidates from the
+    bucket join against the persisted bands, new-vs-new from the batch
+    self-join — both verified with exact Jaccard against the stored +
+    fresh shingle sets. Parameters MUST match the index's (see
+    :func:`_band_frame`); use :func:`minhash_dedup_incremental_path` to
+    have meta.json enforce that.
+
+    doc_ids must be globally unique across the index and every batch
+    (the standard ingestion contract); a reused id would alias two
+    documents under one vertex."""
+    new_sh = _pin(_shingled(new_docs, text_col, n))
+    new_sh = new_sh.where(F.col("n_shingles") > 0)
+    new_banded = _pin(_band_frame(new_sh, num_hashes, bands, portable))
+    # new-vs-index: each pair keyed once per colliding band -> distinct;
+    # orientation by least/greatest so output keeps the doc_a < doc_b
+    # convention regardless of id interleaving across batches
+    cross = (
+        new_banded.alias("x")
+        .join(
+            index_bands.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.doc_id") != F.col("y.doc_id")),
+        )
+        .select(
+            F.least(F.col("x.doc_id"), F.col("y.doc_id")).alias("doc_a"),
+            F.greatest(F.col("x.doc_id"), F.col("y.doc_id")).alias("doc_b"),
+        )
+    )
+    within = (
+        new_banded.alias("x")
+        .join(
+            new_banded.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+    )
+    cand = cross.unionByName(within).distinct()
+    # the verifier's shingle universe: stored sets for indexed docs,
+    # fresh sets for the batch. An id present in both would alias —
+    # excluded by the unique-id contract above (and by the append guard).
+    all_sh = index_shingles.select(
+        "doc_id", "shingles", "n_shingles"
+    ).unionByName(new_sh.select("doc_id", "shingles", "n_shingles"))
+    return _verify_jaccard(cand, all_sh, threshold)
+
+
+def minhash_dedup_incremental_path(
+    spark,
+    new_docs: DataFrame,
+    path: str,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """:func:`minhash_dedup_incremental` with parameters read from the
+    index's meta.json — the mismatch-proof entry point."""
+    bands_df, shingles_df, meta = load_minhash_index(spark, path)
+    return minhash_dedup_incremental(
+        new_docs,
+        bands_df,
+        shingles_df,
+        text_col=meta["text_col"],
+        n=meta["n"],
+        num_hashes=meta["num_hashes"],
+        bands=meta["bands"],
+        threshold=threshold,
+        portable=meta["portable"],
+    )
+
+
+def append_minhash_index(new_docs: DataFrame, path: str) -> None:
+    """Fold a new batch into a persisted index (after deduping against
+    it): appends the batch's shingles and bands with the index's own
+    parameters, refusing ids already present (an id collision would
+    silently alias two documents). meta.json is untouched — parameters
+    are immutable for the index's lifetime, which is what keeps every
+    batch's bucket keys collidable with every other's.
+
+    Invariant (pytest-pinned): build(old) + append(new) reads equal to
+    build(old ∪ new) row-for-row."""
+    import os
+
+    spark = new_docs.sparkSession
+    _, index_shingles, meta = load_minhash_index(spark, path)
+    sh = _shingled(new_docs, meta["text_col"], meta["n"]).where(
+        F.col("n_shingles") > 0
+    )
+    clash = (
+        sh.select("doc_id")
+        .join(index_shingles.select("doc_id"), "doc_id", "left_semi")
+        .limit(1)
+        .count()
+    )
+    if clash:
+        raise ValueError(
+            f"append_minhash_index: batch contains doc_ids already in the "
+            f"index at {path}"
+        )
+    sh.write.mode("append").parquet(os.path.join(path, "shingles"))
+    # band from the just-written parquet for the same
+    # no-double-computation reason as build_minhash_index; restrict to
+    # this batch's ids via the batch frame (cheap broadcast semi-join)
+    sh_stored = spark.read.parquet(os.path.join(path, "shingles")).join(
+        sh.select("doc_id"), "doc_id", "left_semi"
+    )
+    _band_frame(
+        sh_stored, meta["num_hashes"], meta["bands"], meta["portable"]
+    ).write.mode("append").parquet(os.path.join(path, "bands"))
 
 
 def simhash_fingerprints(

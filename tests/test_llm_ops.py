@@ -1048,3 +1048,61 @@ def test_semantic_dedup_invariants_and_determinism(spark):
     # nothing (portable rounding + id tie-breaks)
     b = semantic_dedup(emb.repartition(7), nlist=16, threshold=0.4)
     assert sorted(map(tuple, rows)) == sorted(map(tuple, b.collect()))
+
+
+# ---------------------------------------------------------------------------
+# Incremental MinHash dedup against a persisted index (r5)
+# ---------------------------------------------------------------------------
+
+
+def test_minhash_incremental_index_roundtrip(spark, tmp_path):
+    from mapping_timeseries_spark.operators.dedup import (
+        append_minhash_index,
+        build_minhash_index,
+        load_minhash_index,
+        minhash_dedup_incremental_path,
+        minhash_lsh_pairs,
+    )
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    old = docs.where(F.col("doc_id") % 5 != 0)
+    new = docs.where(F.col("doc_id") % 5 == 0)
+    path = str(tmp_path / "lsh_index")
+
+    # loading an uncommitted index must fail loudly, not return empties
+    with pytest.raises(FileNotFoundError):
+        load_minhash_index(spark, str(tmp_path / "nowhere"))
+
+    build_minhash_index(old, path)
+
+    # exactness contract: incremental(new, index(old)) == full-batch
+    # pairs over old+new restricted to >= 1 new side
+    incr = {
+        (r["doc_a"], r["doc_b"], round(r["jaccard"], 6))
+        for r in minhash_dedup_incremental_path(
+            spark, new, path, threshold=0.5
+        ).collect()
+    }
+    full = {
+        (r["doc_a"], r["doc_b"], round(r["jaccard"], 6))
+        for r in minhash_lsh_pairs(docs, threshold=0.5, portable=True).collect()
+        if r["doc_a"] % 5 == 0 or r["doc_b"] % 5 == 0
+    }
+    assert incr == full and incr  # non-vacuous: the fixture has new-side dups
+
+    # append invariant: build(old) + append(new) == build(old ∪ new)
+    append_minhash_index(new, path)
+    bands_df, shingles_df, meta = load_minhash_index(spark, path)
+    ref_path = str(tmp_path / "lsh_index_ref")
+    build_minhash_index(docs, ref_path)
+    ref_bands, ref_shingles, _ = load_minhash_index(spark, ref_path)
+    assert sorted(map(tuple, bands_df.collect())) == sorted(
+        map(tuple, ref_bands.collect())
+    )
+    assert sorted(
+        (r["doc_id"], r["n_shingles"]) for r in shingles_df.collect()
+    ) == sorted((r["doc_id"], r["n_shingles"]) for r in ref_shingles.collect())
+
+    # a reused doc_id would alias two documents under one vertex
+    with pytest.raises(ValueError, match="already in the index"):
+        append_minhash_index(new, path)
