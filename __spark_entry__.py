@@ -45,6 +45,7 @@ from mapping_timeseries_spark.operators.recommend import (
 from mapping_timeseries_spark.operators.dedup import (
     content_hash_dedup,
     dedup_clusters,
+    dup_span_stats,
     exact_dedup,
     minhash_dedup_incremental,
     minhash_index_frames,
@@ -1022,8 +1023,12 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     CONTENT is pytest-pinned) AND the concat-and-chunk sequence-packing
     span (packing.concat_pack_spans over ws_tokens, budget 256: the
     distributed two-phase cumsum vs the twin's single ORDER BY window —
-    same md5 order key, same integer arithmetic) — four operators in one
-    frame (registry capped at 50)."""
+    same md5 order key, same integer arithmetic) AND the duplicate-
+    passage spans (dedup.dup_span_stats, folded r5 — word 5-grams shared
+    by >= 2 distinct docs, hashed to 60-bit ints pre-shuffle, merged to
+    maximal per-doc intervals in one doc-partitioned window pass; the
+    Lee-et-al-2022 substring-dedup proxy) — five operators in one frame
+    (registry capped at 50)."""
     ensure_runtime_conf(spark)
     docs = read_table(spark, sf_dir, "documents")
     t = token_counts(docs)
@@ -1043,18 +1048,30 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     pk = concat_pack_spans(
         t.select("doc_id", "ws_tokens"), "doc_id", "ws_tokens", 256
     ).select("doc_id", "tok_start", "pack_first", "pack_last")
-    return t.join(fp, "doc_id").join(ch, "doc_id").join(pk, "doc_id").select(
-        "doc_id",
-        F.col("ws_tokens").cast("bigint").alias("ws_tokens"),
-        F.col("bpe_ish_tokens").cast("bigint").alias("bpe_ish_tokens"),
-        F.round("chars_per_token", 6).alias("chars_per_token"),
-        "fingerprint",
-        "n_chars",
-        "n_chunks",
-        "sum_chunk_tokens",
-        "tok_start",
-        "pack_first",
-        "pack_last",
+    ds = dup_span_stats(docs, k=5, min_docs=2).select(
+        "doc_id", "n_dup_spans", "dup_tokens", "dup_frac"
+    )
+    return (
+        t.join(fp, "doc_id")
+        .join(ch, "doc_id")
+        .join(pk, "doc_id")
+        .join(ds, "doc_id")
+        .select(
+            "doc_id",
+            F.col("ws_tokens").cast("bigint").alias("ws_tokens"),
+            F.col("bpe_ish_tokens").cast("bigint").alias("bpe_ish_tokens"),
+            F.round("chars_per_token", 6).alias("chars_per_token"),
+            "fingerprint",
+            "n_chars",
+            "n_chunks",
+            "sum_chunk_tokens",
+            "tok_start",
+            "pack_first",
+            "pack_last",
+            "n_dup_spans",
+            "dup_tokens",
+            "dup_frac",
+        )
     )
 
 
@@ -2240,11 +2257,58 @@ pk2 AS (
          CAST(greatest(floor((tok_end_pk - t_pk) / 256),
                        floor((tok_end_pk - 1) / 256)) AS BIGINT) AS pack_last
   FROM pk
+),
+-- duplicate-passage twin (dedup.dup_span_stats): positional word
+-- 5-grams hashed with the same md5 60-bit reduction, corpus
+-- doc-frequency >= 2 distinct docs, intervals [pos, pos+5) merged to
+-- maximal spans per doc by the running-max window
+dsg AS (
+  SELECT doc_id, pos, ('0x' || substring(md5(gram), 1, 15))::BIGINT AS gh
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(0, len(t) - 4),
+             i -> list_extract(t,i+1)||' '||list_extract(t,i+2)||' '||list_extract(t,i+3)
+                  ||' '||list_extract(t,i+4)||' '||list_extract(t,i+5))) AS gram,
+           unnest(range(0, len(t) - 4)) AS pos
+    FROM (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), __t -> __t != '') AS t
+          FROM documents)
+    WHERE len(t) >= 5
+  )
+),
+dsdup AS (SELECT gh FROM dsg GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
+dshit AS (SELECT doc_id, pos, pos + 5 AS e FROM dsg JOIN dsdup USING (gh)),
+dsflag AS (
+  SELECT doc_id, pos, e,
+         CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+              OR pos > max(e) OVER (PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         THEN 1 ELSE 0 END AS nw
+  FROM dshit
+),
+dsspan AS (
+  SELECT doc_id, span_id, min(pos) AS s, max(e) AS e2
+  FROM (SELECT doc_id, pos, e,
+               sum(nw) OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+        FROM dsflag)
+  GROUP BY doc_id, span_id
+),
+ds AS (
+  SELECT tok.doc_id,
+         CAST(coalesce(a.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+         CAST(coalesce(a.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+         round(coalesce(a.dup_tokens, 0) * 1.0 / greatest(tok.ws_tokens, 1), 6)
+           AS dup_frac
+  FROM tok
+  LEFT JOIN (SELECT doc_id, count(*) AS n_dup_spans, sum(e2 - s) AS dup_tokens
+             FROM dsspan GROUP BY doc_id) a USING (doc_id)
 )
 SELECT tok.doc_id, ws_tokens, bpe_ish_tokens, chars_per_token, fingerprint, n_chars,
-       ch.n_chunks, ch.sum_chunk_tokens, pk2.tok_start, pk2.pack_first, pk2.pack_last
+       ch.n_chunks, ch.sum_chunk_tokens, pk2.tok_start, pk2.pack_first, pk2.pack_last,
+       ds.n_dup_spans, ds.dup_tokens, ds.dup_frac
 FROM tok JOIN fp ON tok.doc_id = fp.doc_id JOIN ch ON tok.doc_id = ch.doc_id
-         JOIN pk2 ON tok.doc_id = pk2.doc_id
+         JOIN pk2 ON tok.doc_id = pk2.doc_id JOIN ds ON tok.doc_id = ds.doc_id
 """
 
 ORACLE_EXACT_DEDUP = """

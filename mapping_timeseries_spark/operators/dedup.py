@@ -68,6 +68,7 @@ __all__ = [
     "simhash_near_dups",
     "dedup_clusters",
     "dedup_clusters_star",
+    "dup_span_stats",
 ]
 
 #: Stack of active cache scopes; _pin registers every persist into the
@@ -931,5 +932,113 @@ def dedup_clusters_star(
             F.col("id").alias("doc_id"),
             F.coalesce("label", "id").alias("cluster_id"),
             (F.col("id") == F.coalesce("label", "id")).cast("int").alias("is_keeper"),
+        )
+    )
+
+
+def dup_span_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Duplicate-passage detection: per-document maximal spans of token
+    positions covered by word ``k``-grams that occur in at least
+    ``min_docs`` DISTINCT documents — the scalable k-gram proxy for
+    suffix-array substring dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): a passage shared
+    verbatim across documents is a chain of shared k-grams, and the
+    merged interval recovers the full span without ever materializing a
+    suffix array. Complements doc-level dedup (exact/MinHash/SimHash
+    find near-identical DOCUMENTS; this finds copied PASSAGES inside
+    otherwise-distinct documents — licenses, quoted boilerplate,
+    templated intros) and within-doc ``repetition_stats``.
+
+    Plan (scale posture): positional k-grams are reduced to 60-bit
+    portable hashes BEFORE any shuffle (exchanges carry (doc_id, pos,
+    gh) fixed-width ints, never gram strings). One count-distinct agg
+    keyed by gh finds cross-doc grams (partial aggregation applies: the
+    per-partition distinct (gh, doc_id) collapse happens map-side); the
+    duplicated-gram set semi-joins back to positions on the same key;
+    interval merging is ONE window pass partitioned by doc_id, and both
+    downstream aggregations reuse that partitioning (HashPartitioning
+    (doc_id) satisfies the (doc_id, span_id) clustering), so the span
+    rollup adds no exchange. Hash collisions (2^-60, deterministic,
+    identical in the DuckDB twin) are the documented approximation.
+
+    Output: one row per input document — (doc_id, n_tokens,
+    n_dup_spans, dup_tokens, dup_frac); docs with no duplicated passage
+    (or fewer than k tokens) report 0 / 0 / 0.0.
+    """
+    from pyspark.sql import Window
+
+    toked = ensure_parallel(docs).select(
+        "doc_id", tokens(F.col(text_col)).alias("__toks")
+    )
+    nt = toked.select(
+        "doc_id", F.size("__toks").cast("bigint").alias("n_tokens")
+    )
+    # positional (NON-distinct) k-grams: pos is the 0-based start token
+    grams = F.when(
+        F.size("__toks") >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size("__toks") - k),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at("__toks", i + j + 1) for j in range(k)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = _pin(
+        toked.select("doc_id", F.posexplode(grams).alias("pos", "gram"))
+        .select("doc_id", "pos", portable_hash64(F.col("gram")).alias("gh"))
+    )
+    dup_grams = (
+        g.groupBy("gh")
+        .agg(F.countDistinct("doc_id").alias("__df"))
+        .where(F.col("__df") >= min_docs)
+        .select("gh")
+    )
+    hits = g.join(dup_grams, "gh").select(
+        "doc_id", "pos", (F.col("pos") + k).alias("end")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max("end").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    spans = (
+        hits.withColumn(
+            "__new", (prev_end.isNull() | (F.col("pos") > prev_end)).cast("int")
+        )
+        .withColumn(
+            "span_id",
+            F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("doc_id", "span_id")
+        .agg(
+            F.min("pos").alias("__start"),
+            F.max("end").alias("__end"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_dup_spans"),
+            F.sum(F.col("__end") - F.col("__start"))
+            .cast("bigint")
+            .alias("dup_tokens"),
+        )
+    )
+    return (
+        nt.join(spans, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_dup_spans", F.lit(0)).cast("bigint").alias("n_dup_spans"),
+            F.coalesce("dup_tokens", F.lit(0)).cast("bigint").alias("dup_tokens"),
+        )
+        .withColumn(
+            "dup_frac",
+            F.round(
+                F.col("dup_tokens") / F.greatest(F.col("n_tokens"), F.lit(1)),
+                6,
+            ),
         )
     )

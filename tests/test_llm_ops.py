@@ -1106,3 +1106,79 @@ def test_minhash_incremental_index_roundtrip(spark, tmp_path):
     # a reused doc_id would alias two documents under one vertex
     with pytest.raises(ValueError, match="already in the index"):
         append_minhash_index(new, path)
+
+
+def test_dup_span_stats_planted_passages(spark):
+    """Lee-et-al substring-dedup proxy: a passage shared verbatim across
+    two documents is recovered as ONE maximal merged span covering the
+    full passage length in each; unique prose, sub-k docs, and
+    WITHIN-doc-only repetition (min_docs counts DISTINCT docs) must all
+    report zero."""
+    from mapping_timeseries_spark.operators.dedup import dup_span_stats
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            # docs 0/1 embed the 10-token passage at different offsets
+            (0, "intro words here " + shared + " trailing tail tokens"),
+            (1, shared + " completely different continuation text"),
+            # unique prose, >= k tokens, no cross-doc 5-gram
+            (2, "unique prose sentence nothing shared with anything else at all"),
+            # shorter than k tokens
+            (3, "tiny doc"),
+            # within-doc repetition only: the repeated 5-gram lives in ONE doc
+            (4, "loop loop loop loop loop loop loop loop loop loop"),
+        ],
+        ["doc_id", "text"],
+    )
+    res = {
+        r["doc_id"]: r
+        for r in dup_span_stats(docs, k=5, min_docs=2).collect()
+    }
+    assert len(res) == 5
+    # doc 0: tokens 3..13 covered (10 passage tokens), one span
+    assert res[0]["n_dup_spans"] == 1 and res[0]["dup_tokens"] == 10
+    # doc 1: passage at offset 0, one span of 10
+    assert res[1]["n_dup_spans"] == 1 and res[1]["dup_tokens"] == 10
+    assert res[1]["dup_frac"] == round(10 / res[1]["n_tokens"], 6)
+    for d in (2, 3, 4):
+        assert res[d]["n_dup_spans"] == 0 and res[d]["dup_tokens"] == 0
+        assert res[d]["dup_frac"] == 0.0
+
+
+def test_dup_span_stats_merges_disjoint_and_overlapping(spark):
+    """Two separate shared passages in one doc yield two spans; chained
+    overlapping shared k-grams merge into one maximal interval (the
+    merged length is end-max minus start-min, not the sum of k-sized
+    windows). Result is stable under repartitioning."""
+    from mapping_timeseries_spark.operators.dedup import dup_span_stats
+
+    p1 = "one two three four five six"          # 6 tokens
+    p2 = "red orange yellow green blue indigo violet"  # 7 tokens
+    docs = spark.createDataFrame(
+        [
+            (0, p1 + " xx yy zz ww vv " + p2),   # both passages, split by unique filler
+            (1, p1 + " unrelated middle words entirely " + p2),
+            (2, "filler opening words then nothing shared here at all today"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dup_span_stats(docs, k=5, min_docs=2).collect()
+    }
+    # doc 0: spans of 6 and 7 tokens, NOT 2 and 3 disjoint 5-gram windows
+    assert out[0]["n_dup_spans"] == 2 and out[0]["dup_tokens"] == 13
+    assert out[1]["n_dup_spans"] == 2 and out[1]["dup_tokens"] == 13
+    assert out[2]["n_dup_spans"] == 0
+
+    rep = {
+        r["doc_id"]: (r["n_dup_spans"], r["dup_tokens"], r["dup_frac"])
+        for r in dup_span_stats(
+            docs.repartition(7, "text"), k=5, min_docs=2
+        ).collect()
+    }
+    assert rep == {
+        k: (v["n_dup_spans"], v["dup_tokens"], v["dup_frac"])
+        for k, v in out.items()
+    }
