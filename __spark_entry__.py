@@ -70,6 +70,12 @@ from mapping_timeseries_spark.operators.similarity import (
     ivf_topk_indexed,
     semantic_dedup,
 )
+from mapping_timeseries_spark.operators.textmodels import (
+    bigram_lm_counts,
+    lm_perplexity,
+    nb_score,
+    nb_train,
+)
 from mapping_timeseries_spark.operators.textstats import (
     LANG_TRIGRAMS,
     boilerplate_signals,
@@ -1261,7 +1267,14 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_training_shards export), and the corpus-frequency boilerplate
     signal (textstats.boilerplate_signals: share of a doc's distinct
     3-grams occurring in >= 4 docs, hashed before the shuffle) — five
-    operators verified in one frame (registry capped at 50)."""
+    operators verified in one frame (registry capped at 50), PLUS (r5)
+    the two model-based quality signals from operators/textmodels.py:
+    bigram-LM perplexity (trained on the non-src0 corpus, add-0.5
+    smoothing, scored over everything — the CCNet-style signal) and the
+    multinomial Naive-Bayes classifier (label = source=='src0',
+    integer micro-nat log-odds so the per-doc sums are order-independent
+    and the predicted class comes from an integer comparison) — seven
+    operators, one frame."""
     ensure_runtime_conf(spark)
     docs = read_table(spark, sf_dir, "documents")
     s = shard_assign(quality_score(docs), "doc_id", 16)
@@ -1278,22 +1291,48 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "predicted_lang",
     )
     tri = lang_trigram_scores(docs).select("doc_id", "trigram_lang")
-    return s.join(lid, "doc_id").join(tri, "doc_id").join(bp, "doc_id").select(
+    lm_model = bigram_lm_counts(docs.where(F.col("source") != "src0"))
+    lm = lm_perplexity(docs, lm_model, k=0.5).select(
+        "doc_id", "n_trans", "oov_trans", "avg_nll", "ppl"
+    )
+    nb_model = nb_train(
+        docs.withColumn("__y", (F.col("source") == "src0").cast("int")),
+        "__y",
+    )
+    nb = nb_score(docs, nb_model).select(
         "doc_id",
-        F.col("n_tokens").cast("bigint").alias("n_tokens"),
-        F.col("n_unique_tokens").cast("bigint").alias("n_unique_tokens"),
-        F.round("quality_score", 6).alias("quality_score"),
-        "actual_lang",
-        "score_en",
-        "score_de",
-        "score_fr",
-        "score_es",
-        "predicted_lang",
-        "trigram_lang",
-        "shard",
-        "n_grams",
-        "n_boiler_grams",
-        "boilerplate_frac",
+        F.col("log_odds").alias("nb_log_odds"),
+        F.col("predicted").alias("nb_predicted"),
+    )
+    return (
+        s.join(lid, "doc_id")
+        .join(tri, "doc_id")
+        .join(bp, "doc_id")
+        .join(lm, "doc_id")
+        .join(nb, "doc_id")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.col("n_unique_tokens").cast("bigint").alias("n_unique_tokens"),
+            F.round("quality_score", 6).alias("quality_score"),
+            "actual_lang",
+            "score_en",
+            "score_de",
+            "score_fr",
+            "score_es",
+            "predicted_lang",
+            "trigram_lang",
+            "shard",
+            "n_grams",
+            "n_boiler_grams",
+            "boilerplate_frac",
+            "n_trans",
+            "oov_trans",
+            "avg_nll",
+            "ppl",
+            "nb_log_odds",
+            "nb_predicted",
+        )
     )
 
 
@@ -2708,15 +2747,106 @@ bp AS (
            sum(CASE WHEN bf.df >= 4 THEN 1 ELSE 0 END) AS n_boiler
     FROM gx JOIN bf USING (gh) GROUP BY gx.doc_id
   ) cnt USING (doc_id)
+),
+-- bigram-LM twin (textmodels.bigram_lm_counts + lm_perplexity): train
+-- on the non-src0 corpus, score everything, add-0.5 smoothing. Every
+-- ln term is scaled to integer micro-nats BEFORE the per-doc sum —
+-- identical to the engine, so the float columns are pure per-row
+-- functions of one exact integer
+lmtok AS (
+  SELECT doc_id, source, {_SQL_TOKENS} AS t FROM documents
+),
+lmpairs AS (
+  SELECT ('0x' || substring(md5(w1), 1, 15))::BIGINT AS w1h,
+         CASE WHEN w2 IS NOT NULL
+              THEN ('0x' || substring(md5(w1 || ' ' || w2), 1, 15))::BIGINT END AS bh
+  FROM (
+    SELECT unnest(t) AS w1,
+           unnest(list_concat(list_slice(t, 2, len(t)), [NULL])) AS w2
+    FROM lmtok WHERE source <> 'src0'
+  )
+),
+lmuni AS (SELECT w1h, count(*)::BIGINT AS c1 FROM lmpairs GROUP BY w1h),
+lmbi  AS (SELECT bh, count(*)::BIGINT AS c2 FROM lmpairs WHERE bh IS NOT NULL GROUP BY bh),
+lmv   AS (SELECT (count(*) + 1)::BIGINT AS v FROM lmuni),
+lmtrans AS (
+  SELECT doc_id,
+         ('0x' || substring(md5(w1), 1, 15))::BIGINT AS w1h,
+         ('0x' || substring(md5(w1 || ' ' || w2), 1, 15))::BIGINT AS bh
+  FROM (
+    SELECT doc_id, unnest(list_slice(t, 1, len(t)-1)) AS w1,
+           unnest(list_slice(t, 2, len(t))) AS w2
+    FROM lmtok WHERE len(t) >= 2
+  )
+),
+lmsc AS (
+  SELECT t.doc_id, count(*)::BIGINT AS n_trans,
+         sum(CASE WHEN lmbi.c2 IS NULL THEN 1 ELSE 0 END)::BIGINT AS oov_trans,
+         sum(round(ln((coalesce(lmbi.c2, 0) + 0.5)
+                      / (coalesce(lmuni.c1, 0) + 0.5 * lmv.v)) * 1e9)::BIGINT)
+           AS nats
+  FROM lmtrans t
+  LEFT JOIN lmuni USING (w1h) LEFT JOIN lmbi USING (bh) CROSS JOIN lmv
+  GROUP BY t.doc_id
+),
+lm AS (
+  SELECT lmtok.doc_id,
+         coalesce(n_trans, 0)::BIGINT AS n_trans,
+         coalesce(oov_trans, 0)::BIGINT AS oov_trans,
+         CASE WHEN n_trans > 0 THEN round(-nats / (1e9 * n_trans), 6) END AS avg_nll,
+         CASE WHEN n_trans > 0
+              THEN round(exp(round(-nats / (1e9 * n_trans), 6)), 6) END AS ppl
+  FROM lmtok LEFT JOIN lmsc USING (doc_id)
+),
+-- Naive-Bayes twin (textmodels.nb_train + nb_score): label =
+-- source=='src0', alpha 1, per-word weight = micro-nat difference of
+-- the two class log-likelihoods (each rounded SEPARATELY, like the
+-- engine), prediction from the integer log-odds comparison
+nbw AS (
+  SELECT doc_id, y, ('0x' || substring(md5(w), 1, 15))::BIGINT AS wh
+  FROM (SELECT doc_id, (source = 'src0')::INT AS y, unnest(t) AS w FROM lmtok)
+),
+nbcw AS (
+  SELECT wh, sum(y)::BIGINT AS c1, sum(1 - y)::BIGINT AS c0 FROM nbw GROUP BY wh
+),
+nbtot AS (
+  SELECT sum(y)::BIGINT AS t1, sum(1 - y)::BIGINT AS t0,
+         (count(DISTINCT wh) + 1)::BIGINT AS v
+  FROM nbw
+),
+nbnd AS (
+  SELECT sum((source = 'src0')::INT)::BIGINT AS n1,
+         sum((source <> 'src0')::INT)::BIGINT AS n0
+  FROM documents
+),
+nbwt AS (
+  SELECT wh,
+         round(ln((c1 + 1.0) / (t1 + 1.0 * v)) * 1e9)::BIGINT
+       - round(ln((c0 + 1.0) / (t0 + 1.0 * v)) * 1e9)::BIGINT AS w_nats
+  FROM nbcw, nbtot
+),
+nbpri AS (SELECT round(ln(n1 * 1.0 / n0) * 1e9)::BIGINT AS p FROM nbnd),
+nbsc AS (
+  SELECT nbw.doc_id, coalesce(sum(nbwt.w_nats), 0) AS wsum
+  FROM nbw LEFT JOIN nbwt USING (wh) GROUP BY nbw.doc_id
+),
+nb AS (
+  SELECT lmtok.doc_id,
+         round((coalesce(nbsc.wsum, 0) + nbpri.p) / 1e9, 6) AS nb_log_odds,
+         ((coalesce(nbsc.wsum, 0) + nbpri.p) > 0)::INT AS nb_predicted
+  FROM lmtok LEFT JOIN nbsc USING (doc_id) CROSS JOIN nbpri
 )
 SELECT q.doc_id, q.n_tokens, q.n_unique_tokens, q.quality_score,
        lid.actual_lang, lid.score_en, lid.score_de, lid.score_fr, lid.score_es,
        lid.predicted_lang, tri.trigram_lang,
        (('0x' || substring(md5('shard:' || CAST(q.doc_id AS VARCHAR)), 1, 15))::BIGINT
          % 16)::INT AS shard,
-       bp.n_grams, bp.n_boiler_grams, bp.boilerplate_frac
+       bp.n_grams, bp.n_boiler_grams, bp.boilerplate_frac,
+       lm.n_trans, lm.oov_trans, lm.avg_nll, lm.ppl,
+       nb.nb_log_odds, nb.nb_predicted
 FROM q JOIN lid ON q.doc_id = lid.doc_id JOIN tri ON q.doc_id = tri.doc_id
-       JOIN bp ON q.doc_id = bp.doc_id
+       JOIN bp ON q.doc_id = bp.doc_id JOIN lm ON q.doc_id = lm.doc_id
+       JOIN nb ON q.doc_id = nb.doc_id
 """
 
 # WAV decode oracle: the payload is a pure function of (doc_id, text)

@@ -1,0 +1,292 @@
+"""Statistical text models (SURVEY §2.11): corpus-trained bigram-LM
+perplexity scoring and a multinomial Naive-Bayes document classifier —
+the CCNet / fastText-style model-based quality signals that sit between
+the pure-heuristic ``textstats`` scores and a real learned filter.
+
+Both are expression-only DataFrame programs (no Python in the hot path):
+training is count aggregation, scoring is a join + one per-doc sum.
+
+Determinism contract (the part that makes these hash-gateable)
+--------------------------------------------------------------
+A per-document SUM of float ``ln`` terms is order-dependent (double
+addition does not associate, and Spark sums in partition order), so raw
+log-probability sums can NEVER hash-match a single-threaded oracle. The
+same problem the correlation path solves with integer moments is solved
+here by scaling every ``ln`` term to integer MICRO-NATS
+(``round(ln(x) * 1e9)`` as bigint) before aggregation: integer sums are
+exact and order-independent, both engines compute identical IEEE
+divisions and (to well under the 1e-9 grid) identical ``ln``s, and every
+derived float (avg_nll, perplexity, log-odds) is a pure per-row function
+of one integer — bitwise-reproducible across engines, partitionings and
+row counts. The NB predicted label is a comparison on the integer sum
+itself, so classification flips cannot happen at all.
+
+Scale posture: token/bigram keys are reduced to 60-bit portable hashes
+BEFORE any shuffle (exchanges carry fixed-width ints, never strings);
+model tables are Heaps'-law-bounded (vocabulary-sized, not corpus-sized)
+and join back via AQE-eligible equi-joins; scoring reuses the doc_id
+partitioning for its final rollup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import portable_hash64, tokens
+from ..sources.readers import ensure_parallel
+from .dedup import _pin
+
+__all__ = [
+    "bigram_lm_counts",
+    "lm_perplexity",
+    "nb_train",
+    "nb_score",
+]
+
+#: Micro-nat scale: ln terms become round(ln * NAT_SCALE) bigints.
+NAT_SCALE = 1_000_000_000
+
+
+def _micro_nats(col: F.Column) -> F.Column:
+    """ln(col) scaled to integer micro-nats (order-independent sums)."""
+    return F.round(F.log(col) * F.lit(NAT_SCALE), 0).cast("bigint")
+
+
+def bigram_lm_counts(train: DataFrame, text_col: str = "text") -> dict:
+    """Train an add-k-ready bigram LM: unigram counts, bigram counts and
+    the vocabulary size, all as vocabulary-sized frames.
+
+    The corpus is scanned ONCE: tokens explode to (w1h, w2h) transition
+    rows (successor NULL on the final token), and both count tables
+    aggregate from that single exploded frame. Keys are 60-bit portable
+    hashes of the token (and of ``w1 || ' ' || w2`` for bigrams — the
+    space cannot occur inside whitespace tokens, so the key is
+    unambiguous) so the
+    count shuffles carry fixed-width ints. V counts the distinct TRAIN
+    unigrams + 1 (the +1 reserves smoothing mass for unseen words).
+    """
+    toked = ensure_parallel(train).select(
+        "doc_id", tokens(F.col(text_col)).alias("__t")
+    )
+    pairs = toked.select(
+        F.posexplode("__t").alias("pos", "__w"), F.col("__t")
+    ).select(
+        portable_hash64(F.col("__w")).alias("w1h"),
+        F.when(
+            F.col("pos") < F.size("__t") - 1,
+            portable_hash64(
+                F.concat_ws(
+                    " ",
+                    F.col("__w"),
+                    F.element_at(F.col("__t"), F.col("pos") + 2),
+                )
+            ),
+        ).alias("bh"),
+    )
+    pairs = _pin(pairs)
+    uni = pairs.groupBy("w1h").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c1")
+    )
+    bi = (
+        pairs.where(F.col("bh").isNotNull())
+        .groupBy("bh")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c2"))
+    )
+    vocab = uni.agg(F.count(F.lit(1)).cast("bigint").alias("v")).collect()[0][
+        "v"
+    ]
+    return {"uni": uni, "bi": bi, "vocab_size": int(vocab) + 1}
+
+
+def lm_perplexity(
+    docs: DataFrame,
+    model: dict,
+    text_col: str = "text",
+    k: float = 0.5,
+) -> DataFrame:
+    """Score documents against a trained bigram LM: per-doc transition
+    count, out-of-model transitions, average negative log-likelihood and
+    perplexity under add-``k`` smoothing —
+    ``p(w2|w1) = (c(w1,w2) + k) / (c(w1) + k·V)``.
+
+    Each transition's ``ln p`` is floored to integer micro-nats before
+    the per-doc sum (see module docstring), so the result is independent
+    of partitioning and matches the single-threaded oracle bitwise.
+    Docs with fewer than 2 tokens report n_trans=0 and NULL scores.
+
+    Output: (doc_id, n_trans, oov_trans, avg_nll, ppl).
+    """
+    uni, bi, v = model["uni"], model["bi"], model["vocab_size"]
+    toked = ensure_parallel(docs).select(
+        "doc_id", tokens(F.col(text_col)).alias("__t")
+    )
+    trans = toked.select(
+        "doc_id", F.posexplode("__t").alias("pos", "__w"), F.col("__t")
+    ).where(F.col("pos") < F.size("__t") - 1).select(
+        "doc_id",
+        portable_hash64(F.col("__w")).alias("w1h"),
+        portable_hash64(
+            F.concat_ws(
+                " ",
+                F.col("__w"),
+                F.element_at(F.col("__t"), F.col("pos") + 2),
+            )
+        ).alias("bh"),
+    )
+    c1 = F.coalesce(F.col("c1"), F.lit(0)).cast("double")
+    c2 = F.coalesce(F.col("c2"), F.lit(0)).cast("double")
+    term = _micro_nats((c2 + F.lit(k)) / (c1 + F.lit(k) * F.lit(float(v))))
+    scored = (
+        trans.join(uni, "w1h", "left")
+        .join(bi, "bh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_trans"),
+            F.sum(F.when(F.col("c2").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("oov_trans"),
+            F.sum(term).alias("__nats"),
+        )
+    )
+    avg_nll = -F.col("__nats") / (
+        F.lit(float(NAT_SCALE)) * F.col("n_trans")
+    )
+    base = toked.select("doc_id")
+    return (
+        base.join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_trans", F.lit(0)).cast("bigint").alias("n_trans"),
+            F.coalesce("oov_trans", F.lit(0))
+            .cast("bigint")
+            .alias("oov_trans"),
+            F.when(F.col("n_trans") > 0, F.round(avg_nll, 6)).alias(
+                "avg_nll"
+            ),
+            F.when(
+                F.col("n_trans") > 0, F.round(F.exp(F.round(avg_nll, 6)), 6)
+            ).alias("ppl"),
+        )
+    )
+
+
+def nb_train(
+    train: DataFrame,
+    label_col: str,
+    text_col: str = "text",
+    alpha: float = 1.0,
+) -> dict:
+    """Train a multinomial Naive-Bayes classifier on a 0/1 ``label_col``:
+    per-class token counts, class token totals, doc priors and the
+    vocabulary size. One corpus scan; all model frames vocabulary-sized.
+
+    The returned model stores the per-word log-likelihood DIFFERENCE
+    ``ln p(w|1) - ln p(w|0)`` pre-scaled to integer micro-nats, so
+    scoring is a single join + integer dot product.
+    """
+    toked = ensure_parallel(train).select(
+        F.col(label_col).cast("int").alias("__y"),
+        tokens(F.col(text_col)).alias("__t"),
+    )
+    words = toked.select(
+        "__y", F.explode("__t").alias("__w")
+    ).select("__y", portable_hash64(F.col("__w")).alias("wh"))
+    words = _pin(words)
+    cw = words.groupBy("wh").agg(
+        F.sum(F.col("__y")).cast("bigint").alias("c1"),
+        F.sum(F.lit(1) - F.col("__y")).cast("bigint").alias("c0"),
+    )
+    tot = words.agg(
+        F.sum(F.col("__y")).cast("bigint").alias("t1"),
+        F.sum(F.lit(1) - F.col("__y")).cast("bigint").alias("t0"),
+        F.countDistinct("wh").cast("bigint").alias("v"),
+    ).collect()[0]
+    nd = toked.agg(
+        F.sum(F.col("__y")).cast("bigint").alias("n1"),
+        F.sum(F.lit(1) - F.col("__y")).cast("bigint").alias("n0"),
+    ).collect()[0]
+    if not nd["n1"] or not nd["n0"]:
+        raise ValueError(
+            "nb_train needs at least one document of each class; got "
+            f"n1={nd['n1']} n0={nd['n0']}"
+        )
+    v = int(tot["v"]) + 1
+    a = float(alpha)
+    d1 = (F.coalesce(F.col("c1"), F.lit(0)).cast("double") + F.lit(a)) / (
+        F.lit(float(tot["t1"]) + a * v)
+    )
+    d0 = (F.coalesce(F.col("c0"), F.lit(0)).cast("double") + F.lit(a)) / (
+        F.lit(float(tot["t0"]) + a * v)
+    )
+    weights = cw.select(
+        "wh", (_micro_nats(d1) - _micro_nats(d0)).alias("w_nats")
+    )
+    import math
+
+    prior_nats = int(round(math.log(nd["n1"] / nd["n0"]) * NAT_SCALE))
+    return {
+        "weights": weights,
+        "prior_nats": prior_nats,
+        "vocab_size": v,
+        "alpha": a,
+        "totals": {
+            "t1": int(tot["t1"]),
+            "t0": int(tot["t0"]),
+            "n1": int(nd["n1"]),
+            "n0": int(nd["n0"]),
+        },
+    }
+
+
+def nb_score(
+    docs: DataFrame, model: dict, text_col: str = "text"
+) -> DataFrame:
+    """Score documents with a trained NB model: integer micro-nat
+    log-odds (prior + per-word weight × in-doc count) and the predicted
+    class from the INTEGER comparison — cross-engine classification
+    flips are structurally impossible, not just unlikely.
+
+    Out-of-vocabulary words carry weight 0 (their class likelihoods are
+    both the smoothing floor and cancel in the difference up to the
+    t1/t0 normalizer — the standard "ignore unseen words" NB treatment;
+    n_oov reports how many were ignored).
+
+    Output: (doc_id, n_words, n_oov, log_odds, predicted).
+    """
+    weights, prior = model["weights"], model["prior_nats"]
+    toked = ensure_parallel(docs).select(
+        "doc_id", tokens(F.col(text_col)).alias("__t")
+    )
+    words = toked.select(
+        "doc_id", F.explode_outer("__t").alias("__w")
+    ).select(
+        "doc_id",
+        portable_hash64(F.col("__w")).alias("wh"),
+    )
+    scored = (
+        words.join(weights, "wh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.col("wh")).cast("bigint").alias("n_words"),
+            F.sum(
+                F.when(
+                    F.col("wh").isNotNull() & F.col("w_nats").isNull(), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_oov"),
+            (
+                F.coalesce(F.sum("w_nats"), F.lit(0)) + F.lit(prior)
+            ).alias("__odds_nats"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_words",
+        "n_oov",
+        F.round(
+            F.col("__odds_nats") / F.lit(float(NAT_SCALE)), 6
+        ).alias("log_odds"),
+        (F.col("__odds_nats") > 0).cast("int").alias("predicted"),
+    )

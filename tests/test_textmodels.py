@@ -1,0 +1,215 @@
+"""Statistical text models: bigram-LM perplexity + Naive-Bayes
+classifier vs an independent pure-Python oracle, planted-signal
+behavior, OOV/empty-doc edges, and layout determinism.
+
+The DuckDB hash twin runs in the driver gate (quality_score fold);
+these tests pin SEMANTICS against a from-scratch reimplementation so a
+bug mirrored into the SQL twin cannot self-certify.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapping_timeseries_spark.operators.textmodels import (
+    NAT_SCALE,
+    bigram_lm_counts,
+    lm_perplexity,
+    nb_score,
+    nb_train,
+)
+
+TRAIN = [
+    (0, "the cat sat on the mat", 0),
+    (1, "the dog sat on the rug", 0),
+    (2, "a cat and a dog play", 0),
+    (3, "buy cheap pills now online", 1),
+    (4, "cheap pills cheap pills buy", 1),
+]
+
+
+def _py_lm(train_texts, score_texts, k=0.5):
+    """From-scratch bigram LM with the engine's micro-nat contract."""
+    uni: dict = {}
+    bi: dict = {}
+    for t in train_texts:
+        ws = t.split()
+        for i, w in enumerate(ws):
+            uni[w] = uni.get(w, 0) + 1
+            if i + 1 < len(ws):
+                key = (w, ws[i + 1])
+                bi[key] = bi.get(key, 0) + 1
+    v = len(uni) + 1
+    out = []
+    for t in score_texts:
+        ws = t.split()
+        if len(ws) < 2:
+            out.append((0, 0, None, None))
+            continue
+        nats = 0
+        oov = 0
+        for i in range(len(ws) - 1):
+            c2 = bi.get((ws[i], ws[i + 1]), 0)
+            c1 = uni.get(ws[i], 0)
+            if c2 == 0:
+                oov += 1
+            p = (c2 + k) / (c1 + k * v)
+            nats += int(round(math.log(p) * NAT_SCALE))
+        n = len(ws) - 1
+        avg = round(-nats / (NAT_SCALE * n), 6)
+        out.append((n, oov, avg, round(math.exp(avg), 6)))
+    return out
+
+
+def test_lm_matches_pure_python_oracle(spark):
+    docs = spark.createDataFrame(
+        [(i, t) for i, t, _ in TRAIN] + [(5, "the cat play online"), (6, "hi")],
+        ["doc_id", "text"],
+    )
+    train = docs.where(F.col("doc_id") <= 4)
+    model = bigram_lm_counts(train)
+    assert model["vocab_size"] == len(
+        {w for _, t, _ in TRAIN for w in t.split()}
+    ) + 1
+    got = {
+        r["doc_id"]: (r["n_trans"], r["oov_trans"], r["avg_nll"], r["ppl"])
+        for r in lm_perplexity(docs, model, k=0.5).collect()
+    }
+    texts = [t for _, t, _ in TRAIN] + ["the cat play online", "hi"]
+    want = _py_lm(texts[:5], texts, k=0.5)
+    for i, w in enumerate(want):
+        assert got[i] == w, (i, got[i], w)
+    # single-token and unseen-bigram docs took the edge paths
+    assert got[6] == (0, 0, None, None)
+    assert got[5][1] > 0  # "cat play" / "play online" unseen in train
+
+
+def test_lm_discriminates_in_domain_text(spark):
+    """Text drawn from the training distribution must score lower
+    perplexity than out-of-domain text — the signal the CCNet-style
+    filter thresholds on."""
+    docs = spark.createDataFrame(
+        [(i, t) for i, t, _ in TRAIN]
+        + [
+            (10, "the cat sat on the rug"),      # in-domain recombination
+            (11, "quantum flux harmonics collapse entropy"),  # out-of-domain
+        ],
+        ["doc_id", "text"],
+    )
+    model = bigram_lm_counts(docs.where(F.col("doc_id") <= 4))
+    ppl = {
+        r["doc_id"]: r["ppl"]
+        for r in lm_perplexity(docs, model).collect()
+    }
+    assert ppl[10] < ppl[11]
+
+
+def test_lm_empty_and_repartition_determinism(spark):
+    docs = spark.createDataFrame(
+        [(0, "a b c d e"), (1, ""), (2, "   "), (3, "x")],
+        ["doc_id", "text"],
+    )
+    model = bigram_lm_counts(docs)
+    base = {tuple(r) for r in lm_perplexity(docs, model).collect()}
+    # empty/whitespace/single-token docs present with zero transitions
+    by_id = {r[0]: r for r in base}
+    for d in (1, 2, 3):
+        assert by_id[d][1] == 0 and by_id[d][3] is None
+    model2 = bigram_lm_counts(docs.repartition(7, "text"))
+    again = {
+        tuple(r)
+        for r in lm_perplexity(
+            docs.repartition(5, "doc_id"), model2
+        ).collect()
+    }
+    assert base == again
+
+
+def test_nb_classifies_planted_classes(spark):
+    """A cleanly separable planted corpus: ham words vs spam words.
+    Held-out docs composed of class vocabulary must classify correctly,
+    and log_odds sign must equal the predicted label."""
+    docs = spark.createDataFrame(
+        [(i, t, y) for i, t, y in TRAIN], ["doc_id", "text", "y"]
+    )
+    model = nb_train(docs, "y")
+    test = spark.createDataFrame(
+        [
+            (100, "the cat and the dog"),
+            (101, "cheap pills online now"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in nb_score(test, model).collect()}
+    assert got[100]["predicted"] == 0 and got[100]["log_odds"] < 0
+    assert got[101]["predicted"] == 1 and got[101]["log_odds"] > 0
+    assert got[100]["n_oov"] == 0
+
+
+def test_nb_matches_pure_python_oracle(spark):
+    docs = spark.createDataFrame(
+        [(i, t, y) for i, t, y in TRAIN], ["doc_id", "text", "y"]
+    )
+    model = nb_train(docs, "y", alpha=1.0)
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_oov"], r["log_odds"], r["predicted"])
+        for r in nb_score(docs, model).collect()
+    }
+
+    # from-scratch NB with the same micro-nat contract
+    cw: dict = {}
+    t1 = t0 = 0
+    for _, t, y in TRAIN:
+        for w in t.split():
+            c = cw.setdefault(w, [0, 0])
+            c[y] += 1
+            if y:
+                t1 += 1
+            else:
+                t0 += 1
+    v = len(cw) + 1
+    n1 = sum(1 for r in TRAIN if r[2])
+    n0 = len(TRAIN) - n1
+    prior = int(round(math.log(n1 / n0) * NAT_SCALE))
+    for i, t, _ in TRAIN:
+        nats = prior
+        for w in t.split():
+            c0, c1 = cw[w]
+            w1 = int(round(math.log((c1 + 1.0) / (t1 + v)) * NAT_SCALE))
+            w0 = int(round(math.log((c0 + 1.0) / (t0 + v)) * NAT_SCALE))
+            nats += w1 - w0
+        want = (
+            len(t.split()),
+            0,
+            round(nats / NAT_SCALE, 6),
+            int(nats > 0),
+        )
+        assert got[i] == want, (i, got[i], want)
+
+
+def test_nb_oov_and_empty_docs(spark):
+    docs = spark.createDataFrame(
+        [(i, t, y) for i, t, y in TRAIN], ["doc_id", "text", "y"]
+    )
+    model = nb_train(docs, "y")
+    test = spark.createDataFrame(
+        [(200, "zzz yyy xxx"), (201, "")], ["doc_id", "text"]
+    )
+    got = {r["doc_id"]: r for r in nb_score(test, model).collect()}
+    # fully-OOV doc: every word ignored, decision falls back to the prior
+    assert got[200]["n_oov"] == 3
+    prior_lo = round(model["prior_nats"] / NAT_SCALE, 6)
+    assert got[200]["log_odds"] == prior_lo
+    # empty doc: zero words, same prior fallback
+    assert got[201]["n_words"] == 0 and got[201]["log_odds"] == prior_lo
+
+
+def test_nb_train_rejects_single_class(spark):
+    docs = spark.createDataFrame(
+        [(0, "a b", 1), (1, "c d", 1)], ["doc_id", "text", "y"]
+    )
+    with pytest.raises(ValueError, match="each class"):
+        nb_train(docs, "y")
