@@ -1,0 +1,150 @@
+"""Keyword search: BM25 top-k retrieval over a DataFrame inverted index
+(SURVEY §2.11) — the lexical counterpart to the embedding-side
+cosine/ANN/IVF family in ``similarity.py``.
+
+Scale design
+------------
+- The "index" is the classic inverted layout as a DataFrame:
+  (term-hash, doc_id, tf) plus a per-doc length table and a per-term
+  document-frequency table — all derived in ONE corpus scan and keyed by
+  60-bit portable hashes so no shuffle ever carries term strings.
+- Candidate generation is an equi-join from query terms to postings on
+  the term hash: only documents containing at least one query term are
+  ever touched (inverted-index semantics, not a corpus scan per query).
+  The query-term side is tiny (queries × terms) and broadcasts.
+- Per-(query, doc) accumulation is a groupBy that partial-aggregates
+  map-side; the final top-k is a per-query window over candidate rows
+  only (bounded by postings hit, not corpus size).
+
+Determinism contract: a BM25 score is a float SUM of per-term
+contributions, and float sums are partition-order-dependent — so each
+term contribution is scaled to an integer micro-score
+(``round(score * 1e9)`` bigint) before aggregation, exactly like the
+micro-nat move in ``textmodels``. Ranking orders by the integer sum
+with doc_id as the total tie-break, so result sets and ranks are
+bitwise-stable across engines and layouts.
+
+BM25 variant: Lucene/Robertson non-negative idf
+``ln(1 + (N - df + 0.5) / (df + 0.5))`` with the standard tf saturation
+``tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))``; ``avgdl`` uses exact
+integer corpus totals (sum of lengths / N as one IEEE division).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import portable_hash64, tokens
+from ..sources.readers import ensure_parallel
+from .dedup import _pin
+
+__all__ = ["bm25_index", "bm25_topk"]
+
+#: Integer scale for per-term BM25 contributions (order-independent sums).
+SCORE_SCALE = 1_000_000_000
+
+
+def bm25_index(docs: DataFrame, text_col: str = "text") -> dict:
+    """Build the inverted index frames from one corpus scan: postings
+    (wh, doc_id, tf), doc lengths (doc_id, dl), document frequencies
+    (wh, df) and the exact corpus totals (n_docs, total_len).
+
+    Postings/df are vocabulary×doc-bounded; the corpus text itself is
+    never referenced again after this scan — at 100 TB the index frames
+    are what you persist, not the documents.
+    """
+    words = (
+        ensure_parallel(docs)
+        .select("doc_id", F.explode(tokens(F.col(text_col))).alias("__w"))
+        .select("doc_id", portable_hash64(F.col("__w")).alias("wh"))
+    )
+    words = _pin(words)
+    postings = words.groupBy("wh", "doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    postings = _pin(postings)
+    dl = words.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("dl")
+    )
+    dfreq = postings.groupBy("wh").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    tot = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.coalesce(F.sum("dl"), F.lit(0)).cast("bigint").alias("total_len"),
+    ).collect()[0]
+    return {
+        "postings": postings,
+        "dl": dl,
+        "df": dfreq,
+        "n_docs": int(tot["n_docs"]),
+        "total_len": int(tot["total_len"]),
+    }
+
+
+def bm25_topk(
+    index: dict,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "query_text",
+) -> DataFrame:
+    """BM25 top-``k`` documents per query. ``queries`` is
+    (query_id, query_text); scoring uses DISTINCT query terms (the
+    standard bag-of-query simplification).
+
+    Output: (query_id, doc_id, rank, n_hit_terms, score) — ``score``
+    is the integer-accumulated BM25 value rounded to 6dp, ``rank`` is
+    dense 1..k ordered by (score desc, doc_id asc).
+    """
+    if index["n_docs"] == 0:
+        raise ValueError("bm25_topk: empty index (n_docs == 0)")
+    n = float(index["n_docs"])
+    avgdl = float(index["total_len"]) / n
+    qterms = (
+        queries.select(
+            "query_id", F.explode(tokens(F.col(text_col))).alias("__w")
+        )
+        .select("query_id", portable_hash64(F.col("__w")).alias("wh"))
+        .distinct()
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(n) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tf = F.col("tf").cast("double")
+    dl_norm = F.lit(1.0 - b) + F.lit(b) * (
+        F.col("dl").cast("double") / F.lit(avgdl)
+    )
+    contrib = idf * (
+        tf * F.lit(k1 + 1.0) / (tf + F.lit(k1) * dl_norm)
+    )
+    micro = F.round(contrib * F.lit(SCORE_SCALE), 0).cast("bigint")
+    cand = (
+        F.broadcast(qterms.join(index["df"], "wh"))
+        .join(index["postings"], "wh")
+        .join(index["dl"], "doc_id")
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_hit_terms"),
+            F.sum(micro).alias("__micro"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__micro").desc(), F.col("doc_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "doc_id",
+            F.col("rank").cast("int").alias("rank"),
+            "n_hit_terms",
+            F.round(
+                F.col("__micro") / F.lit(float(SCORE_SCALE)), 6
+            ).alias("score"),
+        )
+    )
