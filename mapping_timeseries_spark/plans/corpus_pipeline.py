@@ -64,13 +64,19 @@ def flag_corpus(
     max_top_bigram_share: float | None = None,
     max_pii_hits: int | None = None,
     max_boilerplate_frac: float | None = None,
+    max_dup_frac: float | None = None,
+    lm_ref: DataFrame | None = None,
+    max_ppl: float | None = None,
+    nb_model: dict | None = None,
+    min_nb_log_odds: float = 0.0,
 ) -> DataFrame:
     """The lazy flagged-corpus frame: input columns + one int flag per
     stage (`pass_exact`, `pass_neardup`, `pass_clean`, `pass_quality`,
     and — when their thresholds are set — `pass_repetition` /
-    `pass_pii` / `pass_boilerplate`) plus `quality_score`. Pure plan —
-    callers decide what to do with it (the pipeline filters AND
-    observes; audits can inspect rejects).
+    `pass_pii` / `pass_boilerplate` / `pass_dupspan` / `pass_ppl` /
+    `pass_classifier`) plus `quality_score`. Pure plan — callers decide
+    what to do with it (the pipeline filters AND observes; audits can
+    inspect rejects).
 
     ``max_top_bigram_share``: reject boilerplate/spam whose most frequent
     word bigram exceeds this share (textstats.repetition_stats).
@@ -80,9 +86,24 @@ def flag_corpus(
     corpus-frequent trigrams exceeds this
     (textstats.boilerplate_signals — WITHIN-doc repetition is the
     bigram-share stage; this one catches ACROSS-doc repetition).
-    All three default to None = stage off (no flag column), keeping the
-    base pipeline's contract unchanged.
+    ``max_dup_frac``: reject docs whose duplicated-PASSAGE token share
+    exceeds this (dedup.dup_span_stats — the substring-level companion
+    to the doc-level neardup stage).
+    ``lm_ref`` + ``max_ppl``: the CCNet pattern — train a bigram LM on
+    a trusted reference corpus and reject docs whose perplexity against
+    it exceeds ``max_ppl`` (both must be given; docs too short to score
+    — under 2 tokens — pass, they carry no LM evidence either way).
+    ``nb_model`` (a ``textmodels.nb_train`` result): reject docs whose
+    NB log-odds fall below ``min_nb_log_odds`` — the fastText-style
+    learned-filter stage.
+    All default to None = stage off (no flag column), keeping the base
+    pipeline's contract unchanged.
     """
+    if (lm_ref is None) != (max_ppl is None):
+        raise ValueError(
+            "the perplexity stage needs BOTH lm_ref and max_ppl "
+            "(got exactly one)"
+        )
     # survival flags are a RESERVED namespace: a pre-existing pass_*
     # column would silently be ANDed into the survival predicate,
     # summed into the stats, and dropped from the export — refuse
@@ -161,6 +182,32 @@ def flag_corpus(
             "pass_boilerplate",
             (F.col("boilerplate_frac") <= max_boilerplate_frac).cast("int"),
         ).drop("boilerplate_frac")
+    if max_dup_frac is not None:
+        from ..operators.dedup import dup_span_stats
+
+        ds = dup_span_stats(docs, text_col).select("doc_id", "dup_frac")
+        flagged = flagged.join(ds, "doc_id").withColumn(
+            "pass_dupspan",
+            (F.col("dup_frac") <= max_dup_frac).cast("int"),
+        ).drop("dup_frac")
+    if lm_ref is not None:
+        from ..operators.textmodels import bigram_lm_counts, lm_perplexity
+
+        lm = lm_perplexity(
+            docs, bigram_lm_counts(lm_ref, text_col), text_col
+        ).select("doc_id", "ppl")
+        flagged = flagged.join(lm, "doc_id").withColumn(
+            "pass_ppl",
+            (F.col("ppl").isNull() | (F.col("ppl") <= max_ppl)).cast("int"),
+        ).drop("ppl")
+    if nb_model is not None:
+        from ..operators.textmodels import nb_score
+
+        nb = nb_score(docs, nb_model, text_col).select("doc_id", "log_odds")
+        flagged = flagged.join(nb, "doc_id").withColumn(
+            "pass_classifier",
+            (F.col("log_odds") >= min_nb_log_odds).cast("int"),
+        ).drop("log_odds")
     return flagged
 
 
@@ -177,6 +224,11 @@ def run_corpus_pipeline(
     max_top_bigram_share: float | None = None,
     max_pii_hits: int | None = None,
     max_boilerplate_frac: float | None = None,
+    max_dup_frac: float | None = None,
+    lm_ref: DataFrame | None = None,
+    max_ppl: float | None = None,
+    nb_model: dict | None = None,
+    min_nb_log_odds: float = 0.0,
 ) -> CorpusPipelineResult:
     """Run the full preprocessing pipeline and export training shards.
 
@@ -199,6 +251,11 @@ def run_corpus_pipeline(
         max_top_bigram_share,
         max_pii_hits,
         max_boilerplate_frac,
+        max_dup_frac,
+        lm_ref,
+        max_ppl,
+        nb_model,
+        min_nb_log_odds,
     )
     flag_cols = [c for c in flagged.columns if c.startswith("pass_")]
     keep_all = None

@@ -174,3 +174,70 @@ def test_corpus_pipeline_langless_and_all_rejected(spark, tmp_path):
             docs.withColumn("pass_manual", docs.doc_id % 2),
             hold, str(tmp_path / "ns"),
         )
+
+
+def test_corpus_pipeline_model_stages(spark, tmp_path):
+    """The three r5 model/substring stages: a copied passage trips
+    pass_dupspan, out-of-reference gibberish trips pass_ppl (LM trained
+    on a trusted reference corpus), and a trained NB classifier rejects
+    spam-vocabulary docs — each rejection attributed to exactly its own
+    stage; a mis-specified perplexity stage is refused."""
+    import pytest
+
+    from mapping_timeseries_spark.operators.textmodels import nb_train
+
+    passage = "shared licensing paragraph that recurs across scraped pages verbatim"
+    spammy = "buy cheap pills online now with free shipping deals"
+    rows = [
+        (0, BASE, "en"),
+        (1, OTHER, "en"),
+        # two docs embedding the same passage -> dup_frac high in both
+        (2, passage + " plus a little extra context of its own", "en"),
+        (3, "different intro words then " + passage, "en"),
+        # gibberish: every bigram unseen by the reference LM -> ppl near
+        # the k*V smoothing ceiling (~60 here), far above in-domain ~20
+        (4, "zorp blick quent mizzle fro gnash plerb wost", "en"),
+        # spam vocabulary for the classifier stage
+        (5, spammy + " " + spammy, "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    lm_ref = spark.createDataFrame(
+        [(100, BASE), (101, OTHER)], "doc_id long, text string"
+    )
+    nb_model = nb_train(
+        spark.createDataFrame(
+            [(200, BASE, 1), (201, OTHER, 1), (202, spammy, 0),
+             (203, "cheap pills buy now free deals", 0)],
+            "doc_id long, text string, y int",
+        ),
+        "y",
+    )
+    out = str(tmp_path / "shards_model")
+    res = run_corpus_pipeline(
+        docs,
+        _holdout(spark),
+        out,
+        max_dup_frac=0.5,
+        lm_ref=lm_ref,
+        max_ppl=40.0,
+        nb_model=nb_model,
+        n_shards=2,
+    )
+    s = res.stats
+    assert s["n_input"] == 6
+    # stages overlap by design (flag semantics, not a cascade): the
+    # reference LM is tiny, so EVERY out-of-reference doc (2,3,4,5)
+    # saturates near the k*V smoothing ceiling (~54 here) while
+    # in-domain docs score ~18 — the ppl stage rejects all four, and
+    # dupspan/classifier still attribute their own rejections
+    assert s["n_pass_dupspan"] == 4       # docs 2 and 3 rejected
+    assert s["n_pass_ppl"] == 2           # only in-reference 0 and 1 pass
+    assert s["n_pass_classifier"] == 5    # doc 5 rejected
+    assert s["n_retained"] == 2           # 0 and 1 survive everything
+    got = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert got == [0, 1]
+
+    with pytest.raises(ValueError, match="BOTH lm_ref and max_ppl"):
+        run_corpus_pipeline(
+            docs, _holdout(spark), out + "_bad", max_ppl=10.0
+        )
