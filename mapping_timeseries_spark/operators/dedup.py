@@ -69,6 +69,8 @@ __all__ = [
     "dedup_clusters",
     "dedup_clusters_star",
     "dup_span_stats",
+    "dup_spans",
+    "remove_dup_spans",
 ]
 
 #: Stack of active cache scopes; _pin registers every persist into the
@@ -936,6 +938,127 @@ def dedup_clusters_star(
     )
 
 
+def dup_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """The maximal duplicated-passage intervals themselves, one row per
+    span: (doc_id, span_start, span_end) in 0-based token positions,
+    end exclusive. :func:`dup_span_stats` aggregates this frame to doc
+    grain; :func:`remove_dup_spans` applies it as a rewrite mask. See
+    dup_span_stats for the k-gram/interval-merge semantics and the
+    scale posture (positional grams 60-bit-hashed pre-shuffle; the
+    merge is one doc-partitioned window pass)."""
+    from pyspark.sql import Window
+
+    toked = ensure_parallel(docs).select(
+        "doc_id", tokens(F.col(text_col)).alias("__toks")
+    )
+    # positional (NON-distinct) k-grams: pos is the 0-based start token
+    grams = F.when(
+        F.size("__toks") >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size("__toks") - k),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at("__toks", i + j + 1) for j in range(k)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = _pin(
+        toked.select("doc_id", F.posexplode(grams).alias("pos", "gram"))
+        .select("doc_id", "pos", portable_hash64(F.col("gram")).alias("gh"))
+    )
+    dup_grams = (
+        g.groupBy("gh")
+        .agg(F.countDistinct("doc_id").alias("__df"))
+        .where(F.col("__df") >= min_docs)
+        .select("gh")
+    )
+    hits = g.join(dup_grams, "gh").select(
+        "doc_id", "pos", (F.col("pos") + k).alias("end")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max("end").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        hits.withColumn(
+            "__new", (prev_end.isNull() | (F.col("pos") > prev_end)).cast("int")
+        )
+        .withColumn(
+            "span_id",
+            F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("doc_id", "span_id")
+        .agg(
+            F.min("pos").cast("bigint").alias("span_start"),
+            F.max("end").cast("bigint").alias("span_end"),
+        )
+        .select("doc_id", "span_start", "span_end")
+    )
+
+
+def remove_dup_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 5,
+    min_docs: int = 2,
+    min_span_tokens: int | None = None,
+) -> DataFrame:
+    """Apply the Lee-et-al dedup ACTION: rewrite each document with its
+    duplicated passages removed. Tokens whose position falls inside a
+    merged duplicate span (of at least ``min_span_tokens`` tokens —
+    default: any span, i.e. >= k; the paper uses 50) are dropped and
+    the survivors re-joined with single spaces, so the rewritten text
+    is whitespace-NORMALIZED (the token sequence, which is what a
+    tokenizer consumes downstream, is exactly the original minus the
+    spans; original inter-token whitespace is not preserved).
+
+    Map-side apply: the span mask per doc is collected to a (small,
+    merged — spans cannot overlap) array and the rewrite is a pure
+    expression (`filter` with positional lambda + `array_join`), so the
+    only shuffles are the ones dup_spans already pays.
+
+    Output: (doc_id, text_clean, n_tokens, n_removed_tokens).
+    """
+    spans = dup_spans(docs, text_col, k, min_docs)
+    if min_span_tokens is not None:
+        spans = spans.where(
+            F.col("span_end") - F.col("span_start") >= min_span_tokens
+        )
+    mask = spans.groupBy("doc_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("span_start", "span_end"))
+        ).alias("__spans")
+    )
+    toked = ensure_parallel(docs).select(
+        "doc_id", tokens(F.col(text_col)).alias("__toks")
+    )
+    def covered(i):
+        return F.exists(
+            F.col("__spans"),
+            lambda s: (i >= s["span_start"]) & (i < s["span_end"]),
+        )
+    kept = F.when(
+        F.col("__spans").isNull(), F.col("__toks")
+    ).otherwise(
+        F.filter("__toks", lambda x, i: ~covered(i))
+    )
+    return (
+        toked.join(mask, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.array_join(kept, " ").alias("text_clean"),
+            F.size("__toks").cast("bigint").alias("n_tokens"),
+            (F.size("__toks") - F.size(kept))
+            .cast("bigint")
+            .alias("n_removed_tokens"),
+        )
+    )
+
+
 def dup_span_stats(
     docs: DataFrame,
     text_col: str = "text",
@@ -970,58 +1093,18 @@ def dup_span_stats(
     n_dup_spans, dup_tokens, dup_frac); docs with no duplicated passage
     (or fewer than k tokens) report 0 / 0 / 0.0.
     """
-    from pyspark.sql import Window
-
     toked = ensure_parallel(docs).select(
         "doc_id", tokens(F.col(text_col)).alias("__toks")
     )
     nt = toked.select(
         "doc_id", F.size("__toks").cast("bigint").alias("n_tokens")
     )
-    # positional (NON-distinct) k-grams: pos is the 0-based start token
-    grams = F.when(
-        F.size("__toks") >= k,
-        F.transform(
-            F.sequence(F.lit(0), F.size("__toks") - k),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at("__toks", i + j + 1) for j in range(k)]
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    g = _pin(
-        toked.select("doc_id", F.posexplode(grams).alias("pos", "gram"))
-        .select("doc_id", "pos", portable_hash64(F.col("gram")).alias("gh"))
-    )
-    dup_grams = (
-        g.groupBy("gh")
-        .agg(F.countDistinct("doc_id").alias("__df"))
-        .where(F.col("__df") >= min_docs)
-        .select("gh")
-    )
-    hits = g.join(dup_grams, "gh").select(
-        "doc_id", "pos", (F.col("pos") + k).alias("end")
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    prev_end = F.max("end").over(
-        w.rowsBetween(Window.unboundedPreceding, -1)
-    )
     spans = (
-        hits.withColumn(
-            "__new", (prev_end.isNull() | (F.col("pos") > prev_end)).cast("int")
-        )
-        .withColumn(
-            "span_id",
-            F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
-        )
-        .groupBy("doc_id", "span_id")
-        .agg(
-            F.min("pos").alias("__start"),
-            F.max("end").alias("__end"),
-        )
+        dup_spans(docs, text_col, k, min_docs)
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_dup_spans"),
-            F.sum(F.col("__end") - F.col("__start"))
+            F.sum(F.col("span_end") - F.col("span_start"))
             .cast("bigint")
             .alias("dup_tokens"),
         )

@@ -1182,3 +1182,68 @@ def test_dup_span_stats_merges_disjoint_and_overlapping(spark):
         k: (v["n_dup_spans"], v["dup_tokens"], v["dup_frac"])
         for k, v in out.items()
     }
+
+
+def test_remove_dup_spans_rewrites_and_reconciles(spark):
+    """The dedup ACTION: rewritten token sequence == original minus the
+    merged spans, n_removed reconciles with dup_span_stats.dup_tokens,
+    min_span_tokens filters short spans, and the rewrite is stable
+    under repartitioning."""
+    from mapping_timeseries_spark.operators.dedup import (
+        dup_span_stats,
+        dup_spans,
+        remove_dup_spans,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    short = "one two three four five"  # exactly one 5-gram
+    docs = spark.createDataFrame(
+        [
+            (0, "intro words here " + shared + " trailing tail tokens"),
+            (1, shared + " completely different continuation text"),
+            (2, "unique prose nothing shared here with anything else at all"),
+            (3, short + " filler unrelated tail"),
+            (4, "prefix words then " + short + " closing"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in remove_dup_spans(docs).collect()}
+    assert out[0]["text_clean"] == "intro words here trailing tail tokens"
+    assert out[1]["text_clean"] == "completely different continuation text"
+    assert out[2]["n_removed_tokens"] == 0
+    assert out[3]["text_clean"] == "filler unrelated tail"
+    stats = {r["doc_id"]: r for r in dup_span_stats(docs).collect()}
+    for d in stats:
+        assert stats[d]["dup_tokens"] == out[d]["n_removed_tokens"]
+
+    # Lee-et-al long-span mode: only spans >= 10 tokens removed — the
+    # 5-token shared phrase survives, the 10-token passage does not
+    long_only = {
+        r["doc_id"]: r
+        for r in remove_dup_spans(docs, min_span_tokens=10).collect()
+    }
+    assert long_only[0]["n_removed_tokens"] == 10
+    assert long_only[3]["n_removed_tokens"] == 0
+    assert short in long_only[3]["text_clean"]
+
+    # span frame contract: 0-based, end-exclusive, non-overlapping
+    sp = dup_spans(docs).collect()
+    by_doc: dict = {}
+    for r in sp:
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_end"])
+        )
+    for d, spans in by_doc.items():
+        spans.sort()
+        assert all(s < e for s, e in spans)
+        assert all(
+            spans[i][1] < spans[i + 1][0] for i in range(len(spans) - 1)
+        )
+
+    rep = {
+        r["doc_id"]: (r["text_clean"], r["n_removed_tokens"])
+        for r in remove_dup_spans(docs.repartition(7, "text")).collect()
+    }
+    assert rep == {
+        d: (v["text_clean"], v["n_removed_tokens"]) for d, v in out.items()
+    }
