@@ -7,16 +7,21 @@ rot).
 
 Stages (each one a first-class operator documented in COVERAGE.md §2.11):
 
-1. corpus preprocessing — exact dedup, MinHash near-dup clustering,
-   benchmark decontamination, quality floor, boilerplate ceiling; all
-   stage counts from ONE Observation on the export write;
-2. weighted dataset mixing — per-domain epoch weights realized as a
+1. duplicated-passage stripping — Lee-et-al substring dedup excises a
+   license paragraph copied verbatim across otherwise-distinct pages
+   (remove_dup_spans), keeping their unique prose;
+2. corpus preprocessing — exact dedup, MinHash near-dup clustering,
+   benchmark decontamination, quality floor, boilerplate ceiling, AND
+   the learned Naive-Bayes filter stage; all stage counts from ONE
+   Observation on the export write;
+3. weighted dataset mixing — per-domain epoch weights realized as a
    deterministic row multiset (no RNG anywhere: re-runs reproduce the
    exact mixture);
-3. sequence packing — concat-and-chunk pack layout at a fixed token
+4. sequence packing — concat-and-chunk pack layout at a fixed token
    budget (hash-order deterministic), plus the FFD bin alternative with
    its measured padding waste;
-4. shard export — portable-hash shuffle-and-shard, one task per shard.
+5. shard export — portable-hash shuffle-and-shard, one task per shard;
+6. BM25 retrieval audit over the exported corpus.
 """
 
 from __future__ import annotations
@@ -64,9 +69,51 @@ def main(spark=None, out_root: str | None = None, show: bool = True) -> dict:
         "doc_id long, text string",
     )
 
+    # ── Step 1.5: strip duplicated PASSAGES (Lee-et-al substring dedup)
+    # Two scraped pages embed the same license paragraph verbatim; doc-
+    # level dedup keeps both (they differ), but remove_dup_spans excises
+    # the copied span from each and the unique prose survives.
+    from mapping_timeseries_spark.operators.dedup import remove_dup_spans
+
+    license_para = (
+        "this work is licensed under the creative commons attribution "
+        "share alike international license"
+    )
+    scraped = spark.createDataFrame(
+        [
+            (20, "mountain weather shifts faster than valley forecasts "
+                 "predict and the climbers know it " + license_para, "en"),
+            (21, license_para + " deep caves keep a constant temperature "
+                 "because rock insulates them from the surface seasons", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    stripped = (
+        remove_dup_spans(scraped, min_span_tokens=8)
+        .join(scraped.select("doc_id", "lang"), "doc_id")
+        .select("doc_id", F.col("text_clean").alias("text"), "lang")
+    )
+    n_stripped = stripped.where(F.col("text") != "").count()
+    docs = docs.unionByName(stripped)
+
     # ── Step 2: preprocess + attribute every rejection ─────────────────
+    # the learned-filter stage: a tiny NB model trained on labeled
+    # ham/spam (in production: curated positives vs crawl negatives)
+    from mapping_timeseries_spark.operators.textmodels import nb_train
     from mapping_timeseries_spark.plans.corpus_pipeline import run_corpus_pipeline
 
+    nb_model = nb_train(
+        spark.createDataFrame(
+            [
+                (800, "careful prose about weather rocks and music", 1),
+                (801, "the reader weighs evidence with patience", 1),
+                (802, "x x x x x buy now", 0),
+                (803, "click here x x cheap deals", 0),
+            ],
+            "doc_id long, text string, y int",
+        ),
+        "y",
+    )
     clean_path = os.path.join(out_root, "clean")
     res = run_corpus_pipeline(
         docs,
@@ -74,6 +121,7 @@ def main(spark=None, out_root: str | None = None, show: bool = True) -> dict:
         clean_path,
         min_quality=0.3,
         max_boilerplate_frac=0.9,  # footer is most of each tiny doc; keep
+        nb_model=nb_model,         # OOV docs fall back to the (0) prior: pass
         n_shards=2,
     )
     clean = spark.read.parquet(clean_path)
@@ -115,10 +163,26 @@ def main(spark=None, out_root: str | None = None, show: bool = True) -> dict:
         n_shards=2,
     )
 
+    # ── Step 6: audit the export with BM25 retrieval ───────────────────
+    # keyword search over what actually shipped — the quickest way to
+    # answer "did the cleaning keep the docs users will look for?"
+    from mapping_timeseries_spark.operators.search import bm25_index, bm25_topk
+
+    hits = bm25_topk(
+        bm25_index(clean),
+        spark.createDataFrame(
+            [(1, "glaciers carve valleys")], ["query_id", "query_text"]
+        ),
+        k=3,
+    )
+    bm25_top_doc = int(hits.where(F.col("rank") == 1).first()["doc_id"])
+
     stats = {
         "stage_counts": {
             k: v for k, v in res.stats.items() if k.startswith("n_")
         },
+        "n_passage_stripped": n_stripped,
+        "bm25_top_doc": bm25_top_doc,
         "mixture_rows": mixed.count(),
         "n_packs": int(
             manifest.agg(F.countDistinct("pack_id")).first()[0]

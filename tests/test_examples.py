@@ -46,11 +46,19 @@ def test_training_export_example_runs(spark, tmp_path):
 
     stats = training_export.main(spark=spark, out_root=str(tmp_path), show=False)
     sc = stats["stage_counts"]
-    assert sc["n_input"] == 9
-    # planted: 1 exact dup, 1 contaminated, 1 junk -> 6 survive
-    assert sc["n_retained"] == 6
-    # 3 de docs doubled + 3 en docs once
-    assert stats["mixture_rows"] == 9
+    # 9 base docs + 2 passage-stripped scraped pages
+    assert sc["n_input"] == 11
+    assert stats["n_passage_stripped"] == 2
+    # planted: 1 exact dup, 1 contaminated, 1 junk -> 8 survive (the
+    # stripped pages keep their unique prose and pass every stage; the
+    # NB stage rejects only spam-vocabulary text — OOV docs fall back
+    # to the balanced prior and pass)
+    assert sc["n_retained"] == 8
+    assert sc["n_pass_classifier"] == 10  # junk doc x-vocab rejected
+    # 3 de docs doubled (6) + 5 en docs once
+    assert stats["mixture_rows"] == 11
+    # the glacier doc survived cleaning and tops its own query
+    assert stats["bm25_top_doc"] == 0
     assert stats["n_packs"] >= 2
     assert 0 <= stats["ffd_waste_frac"] < 0.5
     assert stats["shard_files"] == ["shard=0", "shard=1"]
