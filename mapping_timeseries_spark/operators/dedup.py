@@ -24,7 +24,8 @@ operators repeatedly, either clear them between corpora
 the ENFORCEABLE form of this contract — wrap each
 build-consume-discard cycle in :func:`dedup_cache_scope`, which
 unpersists every intermediate these operators pinned when the scope
-exits:
+exits (the textmodels/search model frames register with the same
+scope):
 
     with dedup_cache_scope():
         pairs = minhash_lsh_pairs(docs).collect()   # consume INSIDE

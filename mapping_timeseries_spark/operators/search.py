@@ -123,7 +123,10 @@ def bm25_topk(
     )
     micro = F.round(contrib * F.lit(SCORE_SCALE), 0).cast("bigint")
     cand = (
-        F.broadcast(qterms.join(index["df"], "wh"))
+        # broadcast the tiny query side INTO the df join (the df table is
+        # vocabulary-sized and must not shuffle for it), then broadcast
+        # the tiny joined result into the postings probe
+        F.broadcast(F.broadcast(qterms).join(index["df"], "wh"))
         .join(index["postings"], "wh")
         .join(index["dl"], "doc_id")
         .groupBy("query_id", "doc_id")
