@@ -1383,6 +1383,34 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENCH-ONLY (r5): BM25 top-10 for a fixed 5-query set over the
+    documents corpus (operators/search.py) — the lexical-retrieval
+    counterpart of the cosine/ANN/IVF bench family. The index frames
+    are built lazily inside the plan; because the bench clears the
+    cache between reps, the timed number is the COLD cost (postings +
+    df + dl recompute and the probe) minus only the one-time corpus
+    totals collect — the conservative end of the operator's range.
+    Correctness is pinned by the bitwise DuckDB twin in
+    tests/test_search.py, so this entry stays outside the 50-query
+    registry (cap) by design."""
+    ensure_runtime_conf(spark)
+    from mapping_timeseries_spark.operators.search import bm25_index, bm25_topk
+
+    docs = read_table(spark, sf_dir, "documents")
+    queries_df = spark.createDataFrame(
+        [
+            (1, "table scan filter pushdown"),
+            (2, "spark shuffle join strategy"),
+            (3, "value row group statistics"),
+            (4, "window aggregate partition"),
+            (5, "hash merge broadcast small"),
+        ],
+        ["query_id", "query_text"],
+    )
+    return bm25_topk(bm25_index(docs), queries_df, k=10)
+
+
 def q_ivf_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BENCH-ONLY twin of q_ivf_topk over the pre-built
     partitionBy(centroid_id) index (ivf_build_index): same seed

@@ -59,6 +59,9 @@ HEADLINE = [
     # r5: partitioned-index twin of ivf_topk — the partition-pruning win
     # as a wall-clock pair, not only the inputFiles() plan proof
     "ivf_topk_indexed",
+    # r5 late: lexical retrieval (BM25 over the hashed inverted index);
+    # cold cost — the cache clear between reps forces index recompute
+    "bm25_topk",
     "embedding_near_dups",
     # hot-key skew pair: the same 3-key lineitem aggregation plain vs
     # salted, so the salting pattern carries a measured number (the
@@ -91,7 +94,7 @@ REP_OVERRIDE = {"corr_best_lag": 8, "corr_mapping": 8}
 # round-over-round composition: queries ADDED to the headline this round
 # (their times are additive noise in total-vs-last-round comparisons;
 # like-for-like totals should exclude them)
-ADDED_THIS_ROUND = ["ngram_jaccard", "ann_topk", "ivf_topk_indexed"]
+ADDED_THIS_ROUND = ["ngram_jaccard", "ann_topk", "ivf_topk_indexed", "bm25_topk"]
 
 
 def time_query(spark, fn, sf_dir: str, n_reps: int) -> list[float]:
@@ -144,6 +147,7 @@ def main() -> None:
     qs["pack_export"] = entry_mod.q_pack_export
     qs["pack_ffd"] = entry_mod.q_pack_ffd
     qs["ivf_topk_indexed"] = entry_mod.q_ivf_topk_indexed
+    qs["bm25_topk"] = entry_mod.q_bm25_topk
     times: dict[str, float] = {}
     spreads: dict[str, float] = {}
     for name in HEADLINE:
