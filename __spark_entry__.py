@@ -1387,10 +1387,12 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BENCH-ONLY (r5): BM25 top-10 for a fixed 5-query set over the
     documents corpus (operators/search.py) — the lexical-retrieval
     counterpart of the cosine/ANN/IVF bench family. The index frames
-    are built lazily inside the plan; because the bench clears the
-    cache between reps, the timed number is the COLD cost (postings +
-    df + dl recompute and the probe) minus only the one-time corpus
-    totals collect — the conservative end of the operator's range.
+    are built lazily inside the plan (bm25_index triggers NO job — the
+    corpus totals are a 1-row frame cross-joined at scoring time), and
+    the bench clears the cache between reps, so the timed number is the
+    TRUE cold cost: corpus scan + tokenize + hash + postings/df/dl +
+    probe. Amortized-index serving reuses the pinned frames and is
+    correspondingly cheaper.
     Correctness is pinned by the bitwise DuckDB twin in
     tests/test_search.py, so this entry stays outside the 50-query
     registry (cap) by design."""
@@ -2785,13 +2787,18 @@ lmtok AS (
   SELECT doc_id, source, {_SQL_TOKENS} AS t FROM documents
 ),
 lmpairs AS (
+  -- len(t) > 0 guard: DuckDB zip-pads dual unnests to the LONGER side,
+  -- so an empty token list against list_concat([], [NULL]) would emit a
+  -- spurious (NULL, NULL) row, inflating the vocabulary by a NULL entry
+  -- relative to the engine (posexplode emits zero rows for empty
+  -- arrays) and shifting every smoothed probability
   SELECT ('0x' || substring(md5(w1), 1, 15))::BIGINT AS w1h,
          CASE WHEN w2 IS NOT NULL
               THEN ('0x' || substring(md5(w1 || ' ' || w2), 1, 15))::BIGINT END AS bh
   FROM (
     SELECT unnest(t) AS w1,
            unnest(list_concat(list_slice(t, 2, len(t)), [NULL])) AS w2
-    FROM lmtok WHERE source <> 'src0'
+    FROM lmtok WHERE source <> 'src0' AND len(t) > 0
   )
 ),
 lmuni AS (SELECT w1h, count(*)::BIGINT AS c1 FROM lmpairs GROUP BY w1h),

@@ -952,11 +952,20 @@ def dup_spans(
     dup_span_stats for the k-gram/interval-merge semantics and the
     scale posture (positional grams 60-bit-hashed pre-shuffle; the
     merge is one doc-partitioned window pass)."""
-    from pyspark.sql import Window
-
     toked = ensure_parallel(docs).select(
         "doc_id", tokens(F.col(text_col)).alias("__toks")
     )
+    return _dup_spans_from_toked(toked, k, min_docs)
+
+
+def _dup_spans_from_toked(
+    toked: DataFrame, k: int, min_docs: int
+) -> DataFrame:
+    """Span detection over a pre-tokenized ``(doc_id, __toks)`` frame —
+    shared by dup_spans / dup_span_stats / remove_dup_spans so each
+    caller tokenizes the corpus exactly once."""
+    from pyspark.sql import Window
+
     # positional (NON-distinct) k-grams: pos is the 0-based start token
     grams = F.when(
         F.size("__toks") >= k,
@@ -1024,7 +1033,10 @@ def remove_dup_spans(
 
     Output: (doc_id, text_clean, n_tokens, n_removed_tokens).
     """
-    spans = dup_spans(docs, text_col, k, min_docs)
+    toked = ensure_parallel(docs).select(
+        "doc_id", tokens(F.col(text_col)).alias("__toks")
+    )
+    spans = _dup_spans_from_toked(toked, k, min_docs)
     if min_span_tokens is not None:
         spans = spans.where(
             F.col("span_end") - F.col("span_start") >= min_span_tokens
@@ -1033,9 +1045,6 @@ def remove_dup_spans(
         F.sort_array(
             F.collect_list(F.struct("span_start", "span_end"))
         ).alias("__spans")
-    )
-    toked = ensure_parallel(docs).select(
-        "doc_id", tokens(F.col(text_col)).alias("__toks")
     )
     def covered(i):
         return F.exists(
@@ -1101,7 +1110,7 @@ def dup_span_stats(
         "doc_id", F.size("__toks").cast("bigint").alias("n_tokens")
     )
     spans = (
-        dup_spans(docs, text_col, k, min_docs)
+        _dup_spans_from_toked(toked, k, min_docs)
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_dup_spans"),

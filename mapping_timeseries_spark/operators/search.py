@@ -48,7 +48,12 @@ SCORE_SCALE = 1_000_000_000
 def bm25_index(docs: DataFrame, text_col: str = "text") -> dict:
     """Build the inverted index frames from one corpus scan: postings
     (wh, doc_id, tf), doc lengths (doc_id, dl), document frequencies
-    (wh, df) and the exact corpus totals (n_docs, total_len).
+    (wh, df) and the corpus totals (n_docs, total_len) as a LAZY 1-row
+    frame — building the index triggers no Spark job (the totals are
+    cross-joined into the scoring expression at query time, not
+    collected to the driver), so an index build composes into larger
+    plans without eager side effects, and a benched cold query pays the
+    REAL full cost including this scan.
 
     Postings/df are vocabulary×doc-bounded; the corpus text itself is
     never referenced again after this scan — at 100 TB the index frames
@@ -67,20 +72,14 @@ def bm25_index(docs: DataFrame, text_col: str = "text") -> dict:
     dl = words.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("dl")
     )
+    totals = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.coalesce(F.sum("dl"), F.lit(0)).cast("bigint").alias("total_len"),
+    )
     dfreq = postings.groupBy("wh").agg(
         F.count(F.lit(1)).cast("bigint").alias("df")
     )
-    tot = dl.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.coalesce(F.sum("dl"), F.lit(0)).cast("bigint").alias("total_len"),
-    ).collect()[0]
-    return {
-        "postings": postings,
-        "dl": dl,
-        "df": dfreq,
-        "n_docs": int(tot["n_docs"]),
-        "total_len": int(tot["total_len"]),
-    }
+    return {"postings": postings, "dl": dl, "df": dfreq, "totals": totals}
 
 
 def bm25_topk(
@@ -97,12 +96,13 @@ def bm25_topk(
 
     Output: (query_id, doc_id, rank, n_hit_terms, score) — ``score``
     is the integer-accumulated BM25 value rounded to 6dp, ``rank`` is
-    dense 1..k ordered by (score desc, doc_id asc).
+    ``row_number`` (a TOTAL order: score desc, then doc_id asc as the
+    tie-break) limited to k. An empty index yields an empty result (no
+    postings → no candidates) rather than an error — the lazy-totals
+    contract means emptiness is not knowable at call time.
     """
-    if index["n_docs"] == 0:
-        raise ValueError("bm25_topk: empty index (n_docs == 0)")
-    n = float(index["n_docs"])
-    avgdl = float(index["total_len"]) / n
+    n = F.col("n_docs").cast("double")
+    avgdl = F.col("total_len").cast("double") / n
     qterms = (
         queries.select(
             "query_id", F.explode(tokens(F.col(text_col))).alias("__w")
@@ -112,11 +112,11 @@ def bm25_topk(
     )
     idf = F.log(
         F.lit(1.0)
-        + (F.lit(n) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        + (n - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
     )
     tf = F.col("tf").cast("double")
     dl_norm = F.lit(1.0 - b) + F.lit(b) * (
-        F.col("dl").cast("double") / F.lit(avgdl)
+        F.col("dl").cast("double") / avgdl
     )
     contrib = idf * (
         tf * F.lit(k1 + 1.0) / (tf + F.lit(k1) * dl_norm)
@@ -129,6 +129,7 @@ def bm25_topk(
         F.broadcast(F.broadcast(qterms).join(index["df"], "wh"))
         .join(index["postings"], "wh")
         .join(index["dl"], "doc_id")
+        .crossJoin(F.broadcast(index["totals"]))
         .groupBy("query_id", "doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_hit_terms"),

@@ -53,25 +53,22 @@ def _micro_nats(col: F.Column) -> F.Column:
     return F.round(F.log(col) * F.lit(NAT_SCALE), 0).cast("bigint")
 
 
-def bigram_lm_counts(train: DataFrame, text_col: str = "text") -> dict:
-    """Train an add-k-ready bigram LM: unigram counts, bigram counts and
-    the vocabulary size, all as vocabulary-sized frames.
-
-    The corpus is scanned ONCE: tokens explode to (w1h, w2h) transition
-    rows (successor NULL on the final token), and both count tables
-    aggregate from that single exploded frame. Keys are 60-bit portable
-    hashes of the token (and of ``w1 || ' ' || w2`` for bigrams — the
-    space cannot occur inside whitespace tokens, so the key is
-    unambiguous) so the
-    count shuffles carry fixed-width ints. V counts the distinct TRAIN
-    unigrams + 1 (the +1 reserves smoothing mass for unseen words).
-    """
-    toked = ensure_parallel(train).select(
-        "doc_id", tokens(F.col(text_col)).alias("__t")
-    )
-    pairs = toked.select(
-        F.posexplode("__t").alias("pos", "__w"), F.col("__t")
+def _transitions(toked: DataFrame, with_doc: bool = False) -> DataFrame:
+    """Token-occurrence rows from a tokenized frame ``(doc_id, __t)``:
+    one row per token, ``w1h`` = 60-bit hash of the token, ``bh`` =
+    hash of ``w1 || ' ' || w2`` (NULL on a doc's final token — no
+    transition starts there). Training aggregates ALL rows (unigram
+    counts); scoring filters ``bh IS NOT NULL``. ONE shared builder so
+    the train/score key constructions cannot drift — a separator or
+    off-by-one divergence between them would silently make every scored
+    bigram OOV (ppl saturates at the smoothing ceiling with no error).
+    The space separator is unambiguous: whitespace tokens cannot
+    contain one."""
+    cols = ["doc_id"] if with_doc else []
+    return toked.select(
+        *cols, F.posexplode("__t").alias("pos", "__w"), F.col("__t")
     ).select(
+        *cols,
         portable_hash64(F.col("__w")).alias("w1h"),
         F.when(
             F.col("pos") < F.size("__t") - 1,
@@ -84,7 +81,26 @@ def bigram_lm_counts(train: DataFrame, text_col: str = "text") -> dict:
             ),
         ).alias("bh"),
     )
-    pairs = _pin(pairs)
+
+
+def bigram_lm_counts(train: DataFrame, text_col: str = "text") -> dict:
+    """Train an add-k-ready bigram LM: unigram counts, bigram counts and
+    the vocabulary size, all as LAZY vocabulary-sized frames — building
+    the model triggers no Spark job (the vocabulary size ``v`` is a
+    1-row frame cross-joined at scoring time, not a driver collect), so
+    plan-composition callers (flag_corpus's perplexity stage) keep
+    their pure-plan contract.
+
+    The corpus is scanned ONCE per action: tokens explode to (w1h, bh)
+    occurrence rows (shared :func:`_transitions` builder; successor NULL
+    on the final token) and both count tables aggregate from that
+    single pinned frame. V counts the distinct TRAIN unigrams + 1 (the
+    +1 reserves smoothing mass for unseen words).
+    """
+    toked = ensure_parallel(train).select(
+        "doc_id", tokens(F.col(text_col)).alias("__t")
+    )
+    pairs = _pin(_transitions(toked))
     uni = pairs.groupBy("w1h").agg(
         F.count(F.lit(1)).cast("bigint").alias("c1")
     )
@@ -93,10 +109,8 @@ def bigram_lm_counts(train: DataFrame, text_col: str = "text") -> dict:
         .groupBy("bh")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c2"))
     )
-    vocab = uni.agg(F.count(F.lit(1)).cast("bigint").alias("v")).collect()[0][
-        "v"
-    ]
-    return {"uni": uni, "bi": bi, "vocab_size": int(vocab) + 1}
+    v = uni.agg((F.count(F.lit(1)) + 1).cast("bigint").alias("v"))
+    return {"uni": uni, "bi": bi, "v": v}
 
 
 def lm_perplexity(
@@ -117,29 +131,22 @@ def lm_perplexity(
 
     Output: (doc_id, n_trans, oov_trans, avg_nll, ppl).
     """
-    uni, bi, v = model["uni"], model["bi"], model["vocab_size"]
+    uni, bi, v = model["uni"], model["bi"], model["v"]
     toked = ensure_parallel(docs).select(
         "doc_id", tokens(F.col(text_col)).alias("__t")
     )
-    trans = toked.select(
-        "doc_id", F.posexplode("__t").alias("pos", "__w"), F.col("__t")
-    ).where(F.col("pos") < F.size("__t") - 1).select(
-        "doc_id",
-        portable_hash64(F.col("__w")).alias("w1h"),
-        portable_hash64(
-            F.concat_ws(
-                " ",
-                F.col("__w"),
-                F.element_at(F.col("__t"), F.col("pos") + 2),
-            )
-        ).alias("bh"),
+    trans = _transitions(toked, with_doc=True).where(
+        F.col("bh").isNotNull()
     )
     c1 = F.coalesce(F.col("c1"), F.lit(0)).cast("double")
     c2 = F.coalesce(F.col("c2"), F.lit(0)).cast("double")
-    term = _micro_nats((c2 + F.lit(k)) / (c1 + F.lit(k) * F.lit(float(v))))
+    term = _micro_nats(
+        (c2 + F.lit(k)) / (c1 + F.lit(k) * F.col("v").cast("double"))
+    )
     scored = (
         trans.join(uni, "w1h", "left")
         .join(bi, "bh", "left")
+        .crossJoin(F.broadcast(v))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_trans"),

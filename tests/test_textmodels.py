@@ -71,7 +71,8 @@ def test_lm_matches_pure_python_oracle(spark):
     )
     train = docs.where(F.col("doc_id") <= 4)
     model = bigram_lm_counts(train)
-    assert model["vocab_size"] == len(
+    # v is a LAZY 1-row frame (model building must trigger no job)
+    assert model["v"].first()["v"] == len(
         {w for _, t, _ in TRAIN for w in t.split()}
     ) + 1
     got = {
@@ -213,3 +214,42 @@ def test_nb_train_rejects_single_class(spark):
     )
     with pytest.raises(ValueError, match="each class"):
         nb_train(docs, "y")
+
+
+def test_quality_score_oracle_survives_blank_docs(spark, tmp_path):
+    """Regression for a latent oracle-twin divergence: DuckDB zip-pads
+    dual unnests to the longer side, so a blank/whitespace-only doc in
+    the LM TRAIN slice emitted a spurious (NULL, NULL) pair row and
+    inflated the twin's vocabulary by one relative to the engine. The
+    driver fixtures happen to contain no blank docs, so the gate never
+    fired — this test runs the REAL registry query and the REAL oracle
+    SQL on a corpus that does."""
+    import duckdb as _duckdb
+    import pandas as pd
+
+    import __spark_entry__ as entry_mod
+    from tools.compare_oracle import frame_hash
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "en", "src1", 43),
+        (1, "", "en", "src1", 0),                       # blank, non-src0: TRAIN side
+        (2, "   ", "en", "src2", 3),                    # whitespace-only, TRAIN side
+        (3, "a holdout style page about mountains", "en", "src0", 36),
+        (4, "another ordinary document with plain words", "en", "src2", 42),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sf_dir = str(tmp_path / "blankcorpus")
+    docs.coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+
+    sdf = entry_mod.queries()["quality_score"](spark, sf_dir).toPandas()
+
+    con = _duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet/*.parquet'"
+    )
+    ddf = con.execute(entry_mod.oracle_sql()["quality_score"]).df()
+    assert len(sdf) == len(ddf) == 5
+    assert sorted(sdf.columns) == sorted(ddf.columns)
+    assert frame_hash(sdf) == frame_hash(ddf)
