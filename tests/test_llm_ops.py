@@ -1247,3 +1247,27 @@ def test_remove_dup_spans_rewrites_and_reconciles(spark):
     assert rep == {
         d: (v["text_clean"], v["n_removed_tokens"]) for d, v in out.items()
     }
+
+
+def test_dup_span_plan_single_sort(spark):
+    """Structural scale pin: interval merging is ONE doc-partitioned
+    sort — both window frames (running max, running sum) share it, and
+    the two downstream rollups reuse the doc_id partitioning
+    (HashPartitioning(doc_id) satisfies the (doc_id, span_id)
+    clustering), so span aggregation adds no exchange after the
+    window."""
+    import contextlib
+    import io
+    import re
+
+    from mapping_timeseries_spark.operators.dedup import dup_span_stats
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        dup_span_stats(docs).explain("formatted")
+    plan = buf.getvalue()
+    headers = re.findall(r"^\(\d+\) (\w+)", plan, flags=re.M)
+    assert headers.count("Sort") == 1
+    assert headers.count("Window") == 2
+    assert "CartesianProduct" not in headers

@@ -139,3 +139,29 @@ def test_bm25_layout_determinism_and_empty_index(spark):
     # lazy-totals contract means emptiness is not knowable at call time)
     empty = docs.where(F.lit(False))
     assert bm25_topk(bm25_index(empty), q).count() == 0
+
+
+def _plan_headers(df):
+    import contextlib
+    import io
+    import re
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return re.findall(r"^\(\d+\) (\w+)", buf.getvalue(), flags=re.M)
+
+
+def test_bm25_plan_shape(spark):
+    """Structural scale pins: the df join and the candidate probe are
+    broadcast joins (the vocabulary-sized tables never shuffle to meet
+    the tiny query side), and nothing in the plan is a cartesian
+    product over corpus-sized inputs (the totals cross join is 1-row
+    broadcast by construction)."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    q = spark.createDataFrame([(1, "table value")], ["query_id", "query_text"])
+    plan = _plan_headers(bm25_topk(bm25_index(docs), q, k=5))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+    # BroadcastNestedLoopJoin appears ONLY for the 1-row totals frame
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
