@@ -259,3 +259,122 @@ def test_exact_median_fuzz_one_pass(spark):
     assert set(got) == set(want)
     for k in want:
         assert got[k] == pytest.approx(want[k], abs=0.0), k
+
+
+def test_dup_span_fuzz_vs_bruteforce(spark):
+    """Random small-vocab corpus (collisions everywhere) in one Spark
+    pass: per-doc span stats and the rewrite must match a brute-force
+    positional-k-gram/interval-merge oracle exactly, including docs
+    shorter than k and the empty doc."""
+    from mapping_timeseries_spark.operators.dedup import (
+        dup_span_stats,
+        remove_dup_spans,
+    )
+
+    rng = np.random.default_rng(73)
+    vocab = ["ax", "bo", "cu", "de", "ek", "fi"]
+    k, min_docs = 3, 2
+    texts = {}
+    for d in range(30):
+        n = int(rng.integers(0, 15))
+        texts[d] = " ".join(rng.choice(vocab, size=n)) if n else ""
+    docs = spark.createDataFrame(
+        [(d, t) for d, t in texts.items()], ["doc_id", "text"]
+    )
+
+    # brute-force oracle
+    grams: dict = {}
+    for d, t in texts.items():
+        ws = t.split()
+        for i in range(len(ws) - k + 1):
+            grams.setdefault(" ".join(ws[i : i + k]), set()).add(d)
+    expect = {}
+    for d, t in texts.items():
+        ws = t.split()
+        covered = set()
+        for i in range(len(ws) - k + 1):
+            if len(grams[" ".join(ws[i : i + k])]) >= min_docs:
+                covered.update(range(i, i + k))
+        spans = 0
+        prev = None
+        for p in sorted(covered):
+            if prev is None or p > prev + 1:
+                spans += 1
+            prev = p
+        clean = " ".join(w for i, w in enumerate(ws) if i not in covered)
+        expect[d] = (len(ws), spans, len(covered), clean)
+
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_dup_spans"], r["dup_tokens"])
+        for r in dup_span_stats(docs, k=k, min_docs=min_docs).collect()
+    }
+    assert got == {d: v[:3] for d, v in expect.items()}
+    clean = {
+        r["doc_id"]: (r["text_clean"], r["n_removed_tokens"])
+        for r in remove_dup_spans(docs, k=k, min_docs=min_docs).collect()
+    }
+    assert clean == {d: (v[3], v[2]) for d, v in expect.items()}
+    assert any(v[2] > 0 for v in expect.values())  # non-vacuous
+
+
+def test_bm25_fuzz_vs_bruteforce(spark):
+    """Random corpus + random queries in one Spark pass vs a from-scratch
+    Python BM25 with the identical integer micro-score contract: full
+    ranked lists (ids, ranks, hit counts, 6dp scores) must be equal."""
+    import math
+
+    from mapping_timeseries_spark.operators.search import (
+        SCORE_SCALE,
+        bm25_index,
+        bm25_topk,
+    )
+
+    rng = np.random.default_rng(97)
+    vocab = ["red", "blue", "iron", "silk", "moon", "rock", "tide", "fern"]
+    texts = {
+        d: " ".join(rng.choice(vocab, size=int(rng.integers(1, 12))))
+        for d in range(25)
+    }
+    queries = {
+        q: " ".join(rng.choice(vocab, size=int(rng.integers(1, 3)), replace=False))
+        for q in range(1, 5)
+    }
+    k1, b, k = 1.2, 0.75, 6
+
+    docs = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
+    qdf = spark.createDataFrame(list(queries.items()), ["query_id", "query_text"])
+    got = sorted(
+        map(tuple, bm25_topk(bm25_index(docs), qdf, k=k, k1=k1, b=b).collect())
+    )
+
+    # oracle
+    tf: dict = {}
+    dl = {}
+    for d, t in texts.items():
+        ws = t.split()
+        dl[d] = len(ws)
+        for w in ws:
+            tf[(w, d)] = tf.get((w, d), 0) + 1
+    df = {}
+    for (w, d) in tf:
+        df[w] = df.get(w, 0) + 1
+    n = len(texts)
+    avgdl = sum(dl.values()) / n
+    want = []
+    for q, qt in queries.items():
+        scores = {}
+        hits = {}
+        for w in set(qt.split()):
+            if w not in df:
+                continue
+            idf = math.log(1.0 + (n - df[w] + 0.5) / (df[w] + 0.5))
+            for d in texts:
+                if (w, d) in tf:
+                    t = tf[(w, d)]
+                    c = idf * (t * (k1 + 1.0) / (t + k1 * (1 - b + b * dl[d] / avgdl)))
+                    scores[d] = scores.get(d, 0) + int(round(c * SCORE_SCALE))
+                    hits[d] = hits.get(d, 0) + 1
+        ranked = sorted(scores, key=lambda d: (-scores[d], d))[:k]
+        for r, d in enumerate(ranked, 1):
+            want.append((q, d, r, hits[d], round(scores[d] / SCORE_SCALE, 6)))
+    assert got == sorted(want) and got
