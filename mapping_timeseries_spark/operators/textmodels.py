@@ -42,6 +42,7 @@ __all__ = [
     "lm_perplexity",
     "nb_train",
     "nb_score",
+    "nb_score_map",
 ]
 
 #: Micro-nat scale: ln terms become round(ln * NAT_SCALE) bigints.
@@ -296,4 +297,82 @@ def nb_score(
             F.col("__odds_nats") / F.lit(float(NAT_SCALE)), 6
         ).alias("log_odds"),
         (F.col("__odds_nats") > 0).cast("int").alias("predicted"),
+    )
+
+
+def nb_score_map(
+    docs: DataFrame, model: dict, text_col: str = "text"
+) -> DataFrame:
+    """Map-only scoring twin of :func:`nb_score` for STREAMING and other
+    aggregation-free contexts: the (wh -> w_nats) weight table is
+    collected once (vocabulary-sized — the same Heaps'-law bound that
+    justifies the BPE rank broadcast in ``tokenizer.encode_bpe``) and
+    broadcast into one Arrow-batched ``mapInPandas``, so scoring a
+    document touches no shuffle and carries no state — it runs
+    unchanged on a Structured Streaming source in append mode, where
+    the joined+grouped :func:`nb_score` would demand watermarks or
+    complete-mode state.
+
+    Integer micro-nat arithmetic is identical (Python md5 reduction ==
+    ``portable_hash64``), so outputs are bitwise-equal to nb_score —
+    pytest pins stream==batch==nb_score. Output schema matches
+    nb_score: (doc_id, n_words, n_oov, log_odds, predicted).
+    """
+    import hashlib
+    from decimal import ROUND_HALF_UP, Decimal
+
+    spark = docs.sparkSession
+    weights = {
+        r["wh"]: r["w_nats"] for r in model["weights"].collect()
+    }
+    prior = model["prior_nats"]
+    bweights = spark.sparkContext.broadcast(weights)
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
+                ws = text.split() if isinstance(text, str) else []
+                nats = prior
+                n_oov = 0
+                for w in ws:
+                    wh = int(
+                        hashlib.md5(w.encode("utf-8")).hexdigest()[:15], 16
+                    )
+                    wn = bweights.value.get(wh)
+                    if wn is None:
+                        n_oov += 1
+                    else:
+                        nats += wn
+                # Spark's round() is HALF_UP over BigDecimal.valueOf
+                # (the double's SHORTEST string repr, not its exact
+                # binary expansion — java.math.BigDecimal.valueOf goes
+                # through Double.toString), and Python's round() is
+                # half-to-even; both flip 6dp midpoints against it
+                # (seen live: nats=-3135626500 -> binary-exact
+                # ...64999999872 rounds to ...26, but Spark sees the
+                # shortest repr "-3.1356265" and HALF_UPs to ...27).
+                # Decimal(repr(v)) is Python's shortest round-trip
+                # string — the same value valueOf sees.
+                lo = float(
+                    Decimal(repr(nats / NAT_SCALE)).quantize(
+                        Decimal("0.000001"), rounding=ROUND_HALF_UP
+                    )
+                )
+                out.append((doc_id, len(ws), n_oov, lo, int(nats > 0)))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "n_words", "n_oov", "log_odds", "predicted"
+                ],
+            )
+
+    return docs.select("doc_id", text_col).mapInPandas(
+        score,
+        schema=(
+            "doc_id long, n_words bigint, n_oov bigint, "
+            "log_odds double, predicted int"
+        ),
     )

@@ -1271,3 +1271,38 @@ def test_dup_span_plan_single_sort(spark):
     assert headers.count("Sort") == 1
     assert headers.count("Window") == 2
     assert "CartesianProduct" not in headers
+
+
+def test_cache_scope_covers_model_operators(spark):
+    """The scope contract extends to the r5 model operators: BM25 index
+    frames and LM/NB training frames register their pins with
+    dedup_cache_scope, so a scoped build-consume cycle leaves zero
+    extra cached RDDs."""
+    from pyspark.sql import functions as F
+
+    from mapping_timeseries_spark.operators.dedup import dedup_cache_scope
+    from mapping_timeseries_spark.operators.search import bm25_index, bm25_topk
+    from mapping_timeseries_spark.operators.textmodels import (
+        bigram_lm_counts,
+        lm_perplexity,
+        nb_score,
+        nb_train,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).limit(120)
+    jsc = spark.sparkContext._jsc.sc()
+    spark.catalog.clearCache()
+    before = jsc.getPersistentRDDs().size()
+    q = spark.createDataFrame([(1, "table value")], ["query_id", "query_text"])
+    with dedup_cache_scope():
+        assert bm25_topk(bm25_index(docs), q, k=3).count() >= 0
+        lm = bigram_lm_counts(docs)
+        assert lm_perplexity(docs, lm).count() == 120
+        nb = nb_train(
+            docs.withColumn("__y", (F.col("doc_id") % 2).cast("int")), "__y"
+        )
+        assert nb_score(docs, nb).count() == 120
+        assert jsc.getPersistentRDDs().size() > before
+    assert jsc.getPersistentRDDs().size() == before

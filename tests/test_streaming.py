@@ -329,3 +329,42 @@ def test_stream_to_parquet_checkpoint_exactly_once(spark, tmp_path):
     stream_to_parquet(stream2, out, ckpt)
     ids = sorted(r["id"] for r in spark.read.parquet(out).collect())
     assert ids == list(range(140))  # exactly once: no dup of first 100
+
+
+def test_stream_nb_quality_filter_matches_batch(spark, tmp_path):
+    """Continuous-ingestion quality filtering: a Naive-Bayes model
+    trained in batch scores a STREAM of documents through the map-only
+    nb_score_map twin (broadcast weights, Arrow mapInPandas, zero
+    state, append mode) — bitwise agreement with BOTH the batch run of
+    the same twin and the joined+grouped nb_score reference."""
+    import shutil
+
+    from mapping_timeseries_spark.operators.textmodels import (
+        nb_score,
+        nb_score_map,
+        nb_train,
+    )
+
+    d = tmp_path / "docs_nb_stream"
+    d.mkdir()
+    shutil.copy(f"{SF_DIR}/documents.parquet", d / "part-0.parquet")
+
+    batch_docs = spark.read.parquet(str(d))
+    model = nb_train(
+        batch_docs.withColumn(
+            "__y", (F.col("source") == "src0").cast("int")
+        ),
+        "__y",
+    )
+    cols = ["doc_id", "n_words", "n_oov", "log_odds", "predicted"]
+    ref = _as_sorted_rows(nb_score(batch_docs, model), cols)
+    batch_twin = _as_sorted_rows(nb_score_map(batch_docs, model), cols)
+    assert batch_twin == ref  # map twin == joined+grouped reference
+
+    stream_docs = spark.readStream.schema(batch_docs.schema).parquet(str(d))
+    out = run_to_memory(
+        nb_score_map(stream_docs, model), "t_nb_stream", output_mode="append"
+    )
+    got = _as_sorted_rows(out, cols)
+    assert got == ref
+    assert len(got) == batch_docs.count()
