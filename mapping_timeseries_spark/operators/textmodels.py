@@ -40,6 +40,7 @@ from .dedup import _pin
 __all__ = [
     "bigram_lm_counts",
     "lm_perplexity",
+    "lm_score_map",
     "nb_train",
     "nb_score",
     "nb_score_map",
@@ -108,7 +109,13 @@ def bigram_lm_counts(train: DataFrame, text_col: str = "text") -> dict:
     bi = (
         pairs.where(F.col("bh").isNotNull())
         .groupBy("bh")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("c2"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("c2"),
+            # bh functionally determines w1 (the key embeds it); carry
+            # the prefix hash so scoring-term tables can be derived
+            # from the MODEL alone (lm_score_map's engine-side terms)
+            F.min("w1h").alias("w1h"),
+        )
     )
     v = uni.agg((F.count(F.lit(1)) + 1).cast("bigint").alias("v"))
     return {"uni": uni, "bi": bi, "v": v}
@@ -146,7 +153,7 @@ def lm_perplexity(
     )
     scored = (
         trans.join(uni, "w1h", "left")
-        .join(bi, "bh", "left")
+        .join(bi.select("bh", "c2"), "bh", "left")
         .crossJoin(F.broadcast(v))
         .groupBy("doc_id")
         .agg(
@@ -374,5 +381,121 @@ def nb_score_map(
         schema=(
             "doc_id long, n_words bigint, n_oov bigint, "
             "log_odds double, predicted int"
+        ),
+    )
+
+
+def lm_score_map(
+    docs: DataFrame,
+    model: dict,
+    text_col: str = "text",
+    k: float = 0.5,
+) -> DataFrame:
+    """Map-only scoring twin of :func:`lm_perplexity` for STREAMING:
+    the per-bigram and per-prefix micro-nat terms are computed
+    ENGINE-SIDE from the model frames (so no Python ``ln`` enters the
+    integer contract — a 1-ulp libm divergence would flip micro-nats),
+    collected once (vocabulary-bounded), and broadcast into one
+    Arrow-batched ``mapInPandas``. Scoring then is pure integer
+    lookups + sums per document: no shuffle, no state — it runs on a
+    Structured Streaming source in append mode.
+
+    ``k`` binds at twin-build time (the term tables embed it). Output
+    schema and values are bitwise-equal to lm_perplexity — pytest pins
+    stream == batch == lm_perplexity.
+    """
+    import hashlib
+    from decimal import ROUND_HALF_UP, Decimal
+
+    spark = docs.sparkSession
+    uni, bi, v = model["uni"], model["bi"], model["v"]
+    kv = F.lit(k) * F.col("v").cast("double")
+    c1d = F.col("c1").cast("double")
+    known = {
+        r["bh"]: r["t"]
+        for r in bi.join(uni, "w1h")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "bh",
+            _micro_nats(
+                (F.col("c2").cast("double") + F.lit(k)) / (c1d + kv)
+            ).alias("t"),
+        )
+        .collect()
+    }
+    seen_w1 = {
+        r["w1h"]: r["t"]
+        for r in uni.crossJoin(F.broadcast(v))
+        .select(
+            "w1h", _micro_nats(F.lit(k) / (c1d + kv)).alias("t")
+        )
+        .collect()
+    }
+    unseen_w1 = v.select(
+        _micro_nats(F.lit(k) / (F.lit(k) * F.col("v").cast("double"))).alias(
+            "t"
+        )
+    ).first()["t"]
+    b_known = spark.sparkContext.broadcast(known)
+    b_seen = spark.sparkContext.broadcast(seen_w1)
+
+    def _round6(value: float) -> float:
+        # Spark round() = HALF_UP over the double's SHORTEST repr
+        # (BigDecimal.valueOf) — see nb_score_map
+        return float(
+            Decimal(repr(value)).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+        )
+
+    def score(batches):
+        import math
+
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
+                ws = text.split() if isinstance(text, str) else []
+                n = max(len(ws) - 1, 0)
+                if n == 0:
+                    out.append((doc_id, 0, 0, None, None))
+                    continue
+                nats = 0
+                oov = 0
+                for i in range(n):
+                    bh = int(
+                        hashlib.md5(
+                            f"{ws[i]} {ws[i + 1]}".encode("utf-8")
+                        ).hexdigest()[:15],
+                        16,
+                    )
+                    t = b_known.value.get(bh)
+                    if t is None:
+                        oov += 1
+                        w1h = int(
+                            hashlib.md5(ws[i].encode("utf-8")).hexdigest()[
+                                :15
+                            ],
+                            16,
+                        )
+                        t = b_seen.value.get(w1h, unseen_w1)
+                    nats += t
+                avg = _round6(-nats / (NAT_SCALE * float(n)))
+                out.append(
+                    (doc_id, n, oov, avg, _round6(math.exp(avg)))
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "n_trans", "oov_trans", "avg_nll", "ppl"
+                ],
+            )
+
+    return docs.select("doc_id", text_col).mapInPandas(
+        score,
+        schema=(
+            "doc_id long, n_trans bigint, oov_trans bigint, "
+            "avg_nll double, ppl double"
         ),
     )

@@ -368,3 +368,62 @@ def test_stream_nb_quality_filter_matches_batch(spark, tmp_path):
     got = _as_sorted_rows(out, cols)
     assert got == ref
     assert len(got) == batch_docs.count()
+
+
+def test_stream_lm_perplexity_filter_matches_batch(spark, tmp_path):
+    """The CCNet-style perplexity filter on a document STREAM: term
+    tables are derived engine-side from the batch-trained model (no
+    Python ln enters the integer contract) and broadcast into the
+    map-only lm_score_map — bitwise agreement with the batch twin and
+    with the joined+grouped lm_perplexity reference."""
+    import shutil
+
+    from mapping_timeseries_spark.operators.textmodels import (
+        bigram_lm_counts,
+        lm_perplexity,
+        lm_score_map,
+    )
+
+    d = tmp_path / "docs_lm_stream"
+    d.mkdir()
+    shutil.copy(f"{SF_DIR}/documents.parquet", d / "part-0.parquet")
+
+    batch_docs = spark.read.parquet(str(d))
+    model = bigram_lm_counts(batch_docs.where(F.col("source") != "src0"))
+    cols = ["doc_id", "n_trans", "oov_trans", "avg_nll", "ppl"]
+    ref = _as_sorted_rows(lm_perplexity(batch_docs, model), cols)
+    assert _as_sorted_rows(lm_score_map(batch_docs, model), cols) == ref
+
+    stream_docs = spark.readStream.schema(batch_docs.schema).parquet(str(d))
+    out = run_to_memory(
+        lm_score_map(stream_docs, model), "t_lm_stream", output_mode="append"
+    )
+    got = _as_sorted_rows(out, cols)
+    assert got == ref and len(got) == batch_docs.count()
+
+
+def test_stream_quality_heuristics_native(spark, tmp_path):
+    """The heuristic quality stack (quality_score, text_stats family)
+    is expression-only and therefore streams NATIVELY — no twin needed:
+    the same function applied to a readStream source in append mode
+    equals its batch run row-for-row."""
+    import shutil
+
+    from mapping_timeseries_spark.operators.textstats import quality_score
+
+    d = tmp_path / "docs_q_stream"
+    d.mkdir()
+    shutil.copy(f"{SF_DIR}/documents.parquet", d / "part-0.parquet")
+
+    batch_docs = spark.read.parquet(str(d))
+    cols = ["doc_id", "n_tokens", "quality_score"]
+    want = _as_sorted_rows(
+        quality_score(batch_docs).select(*cols), cols
+    )
+    stream_docs = spark.readStream.schema(batch_docs.schema).parquet(str(d))
+    out = run_to_memory(
+        quality_score(stream_docs).select(*cols),
+        "t_quality_stream",
+        output_mode="append",
+    )
+    assert _as_sorted_rows(out, cols) == want
