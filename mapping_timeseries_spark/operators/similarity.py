@@ -22,7 +22,8 @@ from pyspark.sql import functions as F
 __all__ = ["cosine", "with_unit_norm", "cosine_topk", "ann_bucketed_topk",
            "embedding_near_dups", "ivf_seed_centroids", "ivf_assign",
            "ivf_refine_centroids", "ivf_topk", "ivf_build_index",
-           "ivf_topk_indexed", "semantic_dedup"]
+           "ivf_topk_indexed", "semantic_dedup"           "embedding_decontaminate",
+]
 
 
 def _as_double(vec: Column) -> Column:
@@ -616,4 +617,70 @@ def semantic_dedup(
             "vec_id", "centroid_id", "centroid_sim",
             "group_id", "group_size", "is_keeper",
         )
+    )
+
+
+def embedding_decontaminate(
+    corpus: DataFrame,
+    holdout: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic benchmark decontamination — the embedding-side
+    counterpart of ``dedup.ngram_decontaminate``: lexical containment
+    misses PARAPHRASED benchmark leakage, but a paraphrase's embedding
+    still sits next to the benchmark item's. Flags every corpus vector
+    whose cosine similarity to ANY holdout vector reaches
+    ``threshold``, with the best-matching holdout item attributed.
+
+    Scale posture: the holdout suite is the small side by nature
+    (benchmark items, not a crawl) and BROADCASTS; the corpus side is
+    map-only through the |corpus| × |holdout| similarity sweep (same
+    shape as cosine_topk's broadcast(Q) design — the corpus never
+    shuffles to meet the holdout), and only ABOVE-THRESHOLD pairs enter
+    the per-doc argmax shuffle, which is sized by the leak count, not
+    the corpus. Determinism: similarity rounded to 6dp, ties broken by
+    smallest holdout id.
+
+    Output: (vec_id, label, best_holdout_id, best_sim) — flagged
+    corpus vectors only.
+    """
+    from pyspark.sql import Window
+
+    from ..sources.readers import ensure_parallel as _ensure_parallel
+
+    h = holdout.select(
+        F.col("vec_id").alias("holdout_id"),
+        _as_double(F.col(vec_col)).alias("hv"),
+    ).withColumn("hn", _norm(F.col("hv")))
+    c = _ensure_parallel(corpus).select(
+        "vec_id",
+        *(["label"] if "label" in corpus.columns else []),
+        _as_double(F.col(vec_col)).alias("cv"),
+    ).withColumn("cn", _norm(F.col("cv")))
+    pairs = (
+        c.crossJoin(F.broadcast(h))
+        .withColumn(
+            "__sim",
+            F.round(
+                _dot(F.col("cv"), F.col("hv"))
+                / (F.col("cn") * F.col("hn")),
+                6,
+            ),
+        )
+        .where(F.col("__sim") >= threshold)
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("__sim").desc(), F.col("holdout_id").asc()
+    )
+    return (
+        pairs.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(
+            "vec_id",
+            *(["label"] if "label" in corpus.columns else []),
+            "holdout_id",
+            F.col("__sim").alias("best_sim"),
+        )
+        .withColumnRenamed("holdout_id", "best_holdout_id")
     )

@@ -1306,3 +1306,93 @@ def test_cache_scope_covers_model_operators(spark):
         assert nb_score(docs, nb).count() == 120
         assert jsc.getPersistentRDDs().size() > before
     assert jsc.getPersistentRDDs().size() == before
+
+
+def test_embedding_decontaminate_planted_paraphrase(spark):
+    """Semantic decontamination: a corpus vector that is a tiny
+    perturbation of a holdout item (the embedding of a paraphrase)
+    is flagged with the right attribution; orthogonal corpus vectors
+    are not; output is deterministic under repartitioning and matches
+    a DuckDB cosine twin bitwise."""
+    import duckdb
+    import numpy as np
+
+    from mapping_timeseries_spark.operators.similarity import (
+        embedding_decontaminate,
+    )
+
+    rng = np.random.default_rng(11)
+    d = 16
+
+    def unit(v):
+        return (v / np.linalg.norm(v)).tolist()
+
+    h0 = rng.normal(size=d)
+    h1 = rng.normal(size=d)
+    leak = h0 + rng.normal(scale=0.02, size=d)   # paraphrase of holdout 0
+    clean = rng.normal(size=d)                   # unrelated
+    corpus = spark.createDataFrame(
+        [
+            (0, unit(leak), 7),
+            (1, unit(clean), 7),
+            (2, unit(h1 * 1.5), 7),              # verbatim (scaled) holdout 1
+        ],
+        "vec_id long, embedding array<double>, label int",
+    )
+    holdout = spark.createDataFrame(
+        [(100, unit(h0)), (101, unit(h1))],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["vec_id"]: (r["best_holdout_id"], r["best_sim"])
+        for r in embedding_decontaminate(corpus, holdout, 0.95).collect()
+    }
+    assert set(got) == {0, 2}
+    assert got[0][0] == 100 and got[0][1] >= 0.95
+    assert got[2][0] == 101 and got[2][1] == 1.0  # scale-invariant cosine
+
+    rep = {
+        r["vec_id"]: (r["best_holdout_id"], r["best_sim"])
+        for r in embedding_decontaminate(
+            corpus.repartition(5), holdout, 0.95
+        ).collect()
+    }
+    assert rep == got
+
+    # DuckDB twin on the real fixture: flag corpus vs the first 10
+    # vectors as a stand-in holdout, bitwise row parity. Threshold 0.3
+    # sits inside the fixture's real similarity range (max ~0.39) so
+    # the comparison is NON-vacuous — 0.9 would compare empty sets.
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    hold = emb.where(F.col("vec_id") < 10).select("vec_id", "embedding")
+    body = emb.where(F.col("vec_id") >= 10)
+    got2 = sorted(
+        (r["vec_id"], r["best_holdout_id"], r["best_sim"])
+        for r in embedding_decontaminate(body, hold, 0.3).collect()
+    )
+    want = sorted(
+        tuple(t)
+        for t in duckdb.sql(
+            """
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM '/root/testdata/sf0.001/embeddings.parquet'
+    ),
+    p AS (
+      SELECT c.vec_id, h.vec_id AS hid,
+             round(list_dot_product(c.v, h.v)
+                   / (sqrt(list_dot_product(c.v, c.v))
+                      * sqrt(list_dot_product(h.v, h.v))), 6) AS sim
+      FROM (SELECT * FROM e WHERE vec_id >= 10) c,
+           (SELECT * FROM e WHERE vec_id < 10) h
+    )
+    SELECT vec_id, hid, sim FROM (
+      SELECT vec_id, hid, sim,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY sim DESC, hid ASC) AS rn
+      FROM p WHERE sim >= 0.3
+    ) WHERE rn = 1
+    """
+        ).fetchall()
+    )
+    assert got2 == want and got2  # non-vacuous
