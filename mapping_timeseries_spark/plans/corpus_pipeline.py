@@ -69,12 +69,15 @@ def flag_corpus(
     max_ppl: float | None = None,
     nb_model: dict | None = None,
     min_nb_log_odds: float = 0.0,
+    corpus_vecs: DataFrame | None = None,
+    holdout_vecs: DataFrame | None = None,
+    semantic_contam_threshold: float = 0.95,
 ) -> DataFrame:
     """The lazy flagged-corpus frame: input columns + one int flag per
     stage (`pass_exact`, `pass_neardup`, `pass_clean`, `pass_quality`,
     and — when their thresholds are set — `pass_repetition` /
     `pass_pii` / `pass_boilerplate` / `pass_dupspan` / `pass_ppl` /
-    `pass_classifier`) plus `quality_score`. Pure plan — callers decide
+    `pass_classifier` / `pass_semclean`) plus `quality_score`. Pure plan — callers decide
     what to do with it (the pipeline filters AND observes; audits can
     inspect rejects).
 
@@ -96,6 +99,12 @@ def flag_corpus(
     ``nb_model`` (a ``textmodels.nb_train`` result): reject docs whose
     NB log-odds fall below ``min_nb_log_odds`` — the fastText-style
     learned-filter stage.
+    ``corpus_vecs`` + ``holdout_vecs`` (both (vec_id, embedding),
+    vec_id == doc_id): reject docs whose embedding sits within
+    ``semantic_contam_threshold`` cosine of ANY holdout item
+    (similarity.embedding_decontaminate — catches the PARAPHRASED
+    benchmark leakage the lexical ``pass_clean`` stage misses; docs
+    without a vector pass, they carry no semantic evidence).
     All default to None = stage off (no flag column), keeping the base
     pipeline's contract unchanged.
     """
@@ -103,6 +112,11 @@ def flag_corpus(
         raise ValueError(
             "the perplexity stage needs BOTH lm_ref and max_ppl "
             "(got exactly one)"
+        )
+    if (corpus_vecs is None) != (holdout_vecs is None):
+        raise ValueError(
+            "the semantic-contamination stage needs BOTH corpus_vecs "
+            "and holdout_vecs (got exactly one)"
         )
     # survival flags are a RESERVED namespace: a pre-existing pass_*
     # column would silently be ANDed into the survival predicate,
@@ -208,6 +222,20 @@ def flag_corpus(
             "pass_classifier",
             (F.col("log_odds") >= min_nb_log_odds).cast("int"),
         ).drop("log_odds")
+    if corpus_vecs is not None:
+        from ..operators.similarity import embedding_decontaminate
+
+        sem = (
+            embedding_decontaminate(
+                corpus_vecs, holdout_vecs, semantic_contam_threshold
+            )
+            .select(F.col("vec_id").alias("doc_id"))
+            .distinct()
+            .withColumn("__semhit", F.lit(1))
+        )
+        flagged = flagged.join(sem, "doc_id", "left").withColumn(
+            "pass_semclean", F.col("__semhit").isNull().cast("int")
+        ).drop("__semhit")
     return flagged
 
 
@@ -229,6 +257,9 @@ def run_corpus_pipeline(
     max_ppl: float | None = None,
     nb_model: dict | None = None,
     min_nb_log_odds: float = 0.0,
+    corpus_vecs: DataFrame | None = None,
+    holdout_vecs: DataFrame | None = None,
+    semantic_contam_threshold: float = 0.95,
 ) -> CorpusPipelineResult:
     """Run the full preprocessing pipeline and export training shards.
 
@@ -256,6 +287,9 @@ def run_corpus_pipeline(
         max_ppl,
         nb_model,
         min_nb_log_odds,
+        corpus_vecs,
+        holdout_vecs,
+        semantic_contam_threshold,
     )
     flag_cols = [c for c in flagged.columns if c.startswith("pass_")]
     keep_all = None

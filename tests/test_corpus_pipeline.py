@@ -241,3 +241,61 @@ def test_corpus_pipeline_model_stages(spark, tmp_path):
         run_corpus_pipeline(
             docs, _holdout(spark), out + "_bad", max_ppl=10.0
         )
+
+
+def test_corpus_pipeline_semantic_contamination_stage(spark, tmp_path):
+    """Paraphrased benchmark leakage: a doc whose EMBEDDING sits next to
+    a holdout item is rejected by pass_semclean even though its TEXT
+    shares no n-grams with the holdout (the lexical pass_clean stage
+    keeps it); docs without a vector pass; a half-specified stage is
+    refused."""
+    import numpy as np
+    import pytest
+
+    rng = np.random.default_rng(5)
+    d = 12
+
+    def unit(v):
+        return (v / np.linalg.norm(v)).tolist()
+
+    hvec = rng.normal(size=d)
+    rows = [
+        (0, BASE, "en"),
+        (1, OTHER, "en"),
+        # paraphrase: lexically clean (no shared n-grams with the
+        # holdout text), semantically adjacent (embedding ~ holdout's)
+        (2, "peak elevation measured relative to the ocean surface", "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    corpus_vecs = spark.createDataFrame(
+        [
+            (0, unit(rng.normal(size=d))),
+            (2, unit(hvec + rng.normal(scale=0.02, size=d))),
+            # doc 1 has NO vector -> passes by construction
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    holdout_vecs = spark.createDataFrame(
+        [(900, unit(hvec))], "vec_id long, embedding array<double>"
+    )
+    out = str(tmp_path / "shards_sem")
+    res = run_corpus_pipeline(
+        docs,
+        _holdout(spark),
+        out,
+        corpus_vecs=corpus_vecs,
+        holdout_vecs=holdout_vecs,
+        semantic_contam_threshold=0.95,
+        n_shards=2,
+    )
+    s = res.stats
+    assert s["n_pass_clean"] == 3       # lexical stage sees nothing
+    assert s["n_pass_semclean"] == 2    # doc 2 caught semantically
+    assert s["n_retained"] == 2
+    got = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert got == [0, 1]
+
+    with pytest.raises(ValueError, match="BOTH corpus_vecs"):
+        run_corpus_pipeline(
+            docs, _holdout(spark), out + "_bad", corpus_vecs=corpus_vecs
+        )
