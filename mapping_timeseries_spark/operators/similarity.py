@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 __all__ = ["cosine", "with_unit_norm", "cosine_topk", "ann_bucketed_topk",
            "embedding_near_dups", "ivf_seed_centroids", "ivf_assign",
            "ivf_refine_centroids", "ivf_topk", "ivf_build_index",
-           "ivf_topk_indexed", "semantic_dedup"           "embedding_decontaminate",
+           "ivf_topk_indexed", "semantic_dedup", "embedding_decontaminate",
 ]
 
 
@@ -642,22 +642,27 @@ def embedding_decontaminate(
     the corpus. Determinism: similarity rounded to 6dp, ties broken by
     smallest holdout id.
 
+    Zero-norm vectors (an empty/failed embedding) are EXCLUDED from
+    the sweep on both sides — cosine is undefined for them, and the
+    bare division would silently NULL-drop under non-ANSI sessions but
+    throw DIVIDE_BY_ZERO under ANSI ones; the guard makes the "no
+    semantic evidence -> not flagged" semantics explicit and
+    session-independent.
+
     Output: (vec_id, label, best_holdout_id, best_sim) — flagged
     corpus vectors only.
     """
-    from pyspark.sql import Window
-
     from ..sources.readers import ensure_parallel as _ensure_parallel
 
     h = holdout.select(
         F.col("vec_id").alias("holdout_id"),
         _as_double(F.col(vec_col)).alias("hv"),
-    ).withColumn("hn", _norm(F.col("hv")))
+    ).withColumn("hn", _norm(F.col("hv"))).where(F.col("hn") > 0)
     c = _ensure_parallel(corpus).select(
         "vec_id",
         *(["label"] if "label" in corpus.columns else []),
         _as_double(F.col(vec_col)).alias("cv"),
-    ).withColumn("cn", _norm(F.col("cv")))
+    ).withColumn("cn", _norm(F.col("cv"))).where(F.col("cn") > 0)
     pairs = (
         c.crossJoin(F.broadcast(h))
         .withColumn(

@@ -307,6 +307,26 @@ def nb_score(
     )
 
 
+#: Java-regex \s is ASCII-only ([ \t\n\x0B\f\r]); Python str.split()
+#: splits on Unicode whitespace (NBSP, \u2028, \x1c, ...) — a crawl
+#: document with an NBSP would tokenize DIFFERENTLY in the map twins
+#: than in the batch operators, breaking bitwise stream==batch parity.
+_ASCII_WS = None
+
+
+def _py_tokens(text) -> list:
+    """Python twin of functions.text.tokens(): split on the SAME ASCII
+    whitespace class Spark's Java-regex \s+ uses, drop empties."""
+    global _ASCII_WS
+    if _ASCII_WS is None:
+        import re
+
+        _ASCII_WS = re.compile(r"[ \t\n\x0b\f\r]+")
+    if not isinstance(text, str):
+        return []
+    return [t for t in _ASCII_WS.split(text) if t]
+
+
 def nb_score_map(
     docs: DataFrame, model: dict, text_col: str = "text"
 ) -> DataFrame:
@@ -341,7 +361,7 @@ def nb_score_map(
         for pdf in batches:
             out = []
             for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
-                ws = text.split() if isinstance(text, str) else []
+                ws = _py_tokens(text)
                 nats = prior
                 n_oov = 0
                 for w in ws:
@@ -363,8 +383,12 @@ def nb_score_map(
                 # shortest repr "-3.1356265" and HALF_UPs to ...27).
                 # Decimal(repr(v)) is Python's shortest round-trip
                 # string — the same value valueOf sees.
+                # float(nats) FIRST: Spark casts the bigint to double
+                # before dividing; CPython's int/int is the correctly-
+                # rounded exact quotient and diverges by 1 ulp once
+                # |nats| exceeds 2^53 (a ~450k-token document)
                 lo = float(
-                    Decimal(repr(nats / NAT_SCALE)).quantize(
+                    Decimal(repr(float(nats) / NAT_SCALE)).quantize(
                         Decimal("0.000001"), rounding=ROUND_HALF_UP
                     )
                 )
@@ -449,14 +473,12 @@ def lm_score_map(
         )
 
     def score(batches):
-        import math
-
         import pandas as pd
 
         for pdf in batches:
             out = []
             for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
-                ws = text.split() if isinstance(text, str) else []
+                ws = _py_tokens(text)
                 n = max(len(ws) - 1, 0)
                 if n == 0:
                     out.append((doc_id, 0, 0, None, None))
@@ -481,21 +503,29 @@ def lm_score_map(
                         )
                         t = b_seen.value.get(w1h, unseen_w1)
                     nats += t
-                avg = _round6(-nats / (NAT_SCALE * float(n)))
-                out.append(
-                    (doc_id, n, oov, avg, _round6(math.exp(avg)))
-                )
+                avg = _round6(-float(nats) / (NAT_SCALE * float(n)))
+                out.append((doc_id, n, oov, avg))
             yield pd.DataFrame(
                 out,
-                columns=[
-                    "doc_id", "n_trans", "oov_trans", "avg_nll", "ppl"
-                ],
+                columns=["doc_id", "n_trans", "oov_trans", "avg_nll"],
             )
 
-    return docs.select("doc_id", text_col).mapInPandas(
+    scored = docs.select("doc_id", text_col).mapInPandas(
         score,
         schema=(
             "doc_id long, n_trans bigint, oov_trans bigint, "
-            "avg_nll double, ppl double"
+            "avg_nll double"
+        ),
+    )
+    # ppl stays JVM-side: Python math.exp (C libm) and Java Math.exp
+    # can disagree by 1 ulp, which flips a 6dp midpoint — the exact
+    # failure class the engine-side term tables exist to prevent. A
+    # projection over the map output keeps the twin map-only AND
+    # routes exp through the same JVM intrinsic the batch path uses
+    # (batch: round(exp(round(avg,6)),6); avg_nll here IS round(avg,6)).
+    return scored.withColumn(
+        "ppl",
+        F.when(
+            F.col("n_trans") > 0, F.round(F.exp(F.col("avg_nll")), 6)
         ),
     )

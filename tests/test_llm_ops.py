@@ -1396,3 +1396,30 @@ def test_embedding_decontaminate_planted_paraphrase(spark):
         ).fetchall()
     )
     assert got2 == want and got2  # non-vacuous
+
+
+def test_embedding_decontaminate_zero_norm_guard(spark):
+    """Zero-norm vectors (failed embeddings) are excluded on BOTH sides
+    instead of silently NULL-dropping (non-ANSI) or throwing
+    DIVIDE_BY_ZERO (ANSI): a zero corpus vector is never flagged, a
+    zero holdout vector flags nothing, and real pairs still match."""
+    from mapping_timeseries_spark.operators.similarity import (
+        embedding_decontaminate,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (0, [0.0, 0.0, 0.0]),
+            (1, [1.0, 0.0, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    holdout = spark.createDataFrame(
+        [(100, [0.0, 0.0, 0.0]), (101, [2.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["vec_id"]: (r["best_holdout_id"], r["best_sim"])
+        for r in embedding_decontaminate(corpus, holdout, 0.9).collect()
+    }
+    assert got == {1: (101, 1.0)}

@@ -253,3 +253,52 @@ def test_quality_score_oracle_survives_blank_docs(spark, tmp_path):
     assert len(sdf) == len(ddf) == 5
     assert sorted(sdf.columns) == sorted(ddf.columns)
     assert frame_hash(sdf) == frame_hash(ddf)
+
+
+def test_map_twins_match_batch_on_unicode_whitespace(spark):
+    """Java-regex \\s is ASCII-only; Python str.split() splits on NBSP /
+    U+2028 / FS too. The map twins must tokenize exactly like the batch
+    operators or stream==batch parity silently breaks on crawl text —
+    regression for the live finding (_py_tokens)."""
+    from mapping_timeseries_spark.operators.textmodels import (
+        lm_score_map,
+        nb_score,
+        nb_score_map,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "foo\u00a0bar baz"),          # NBSP glues a token pair
+            (1, "alpha\u2028beta gamma"),      # line separator
+            (2, "plain ascii words here"),
+            (3, "mixed ws\ttabs and\nnewlines"),
+        ],
+        ["doc_id", "text"],
+    )
+    model = nb_train(
+        docs.withColumn("y", (F.col("doc_id") % 2).cast("int")), "y"
+    )
+    cols = ["doc_id", "n_words", "n_oov", "log_odds", "predicted"]
+    ref = sorted(
+        tuple(r[c] for c in cols) for r in nb_score(docs, model).collect()
+    )
+    twin = sorted(
+        tuple(r[c] for c in cols)
+        for r in nb_score_map(docs, model).collect()
+    )
+    assert twin == ref
+    # NBSP doc: ONE glued token, not two
+    by_id = {r[0]: r for r in twin}
+    assert by_id[0][1] == 2  # ["foo\xa0bar", "baz"]
+
+    lm = bigram_lm_counts(docs)
+    lcols = ["doc_id", "n_trans", "oov_trans", "avg_nll", "ppl"]
+    lref = sorted(
+        tuple(r[c] for c in lcols)
+        for r in lm_perplexity(docs, lm).collect()
+    )
+    ltwin = sorted(
+        tuple(r[c] for c in lcols)
+        for r in lm_score_map(docs, lm).collect()
+    )
+    assert ltwin == lref
