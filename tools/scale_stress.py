@@ -102,7 +102,10 @@ def main() -> int:
               f"got non-integer factor {sys.argv[1]!r}")
         return 2
     names = sys.argv[2:] or ["corr_mapping", "minhash_dedup", "dtw_summary",
-                             "exact_dedup", "pack_export"]
+                             "exact_dedup", "pack_export",
+                             # r5 text folds (dup-span; LM+NB) — tracked
+                             # so a scaling regression in them is visible
+                             "token_counts", "quality_score"]
 
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as entry_mod
