@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 __all__ = ["cosine", "with_unit_norm", "cosine_topk", "ann_bucketed_topk",
            "embedding_near_dups", "ivf_seed_centroids", "ivf_assign",
            "ivf_refine_centroids", "ivf_topk", "ivf_build_index",
-           "ivf_topk_indexed", "semantic_dedup", "embedding_decontaminate",
+           "ivf_topk_indexed", "semantic_dedup", "embedding_decontaminate", "diversity_profile",
 ]
 
 
@@ -688,4 +688,99 @@ def embedding_decontaminate(
             F.col("__sim").alias("best_sim"),
         )
         .withColumnRenamed("holdout_id", "best_holdout_id")
+    )
+
+
+def diversity_profile(
+    embeddings: DataFrame,
+    nlist: int = 16,
+    vec_col: str = "embedding",
+    label_col: str | None = "label",
+    refine_iters: int = 0,
+) -> DataFrame:
+    """Corpus diversity audit over embedding clusters — the data-mixture
+    diagnostic a curation run reads before choosing dedup/mixing knobs:
+    a dominant cluster with high centroid cohesion means over-
+    represented near-identical content (raise dedup aggressiveness or
+    down-weight the source); many small low-cohesion clusters are the
+    long diversity tail worth protecting.
+
+    Plan: assignment is the broadcast-quantizer map-only pass
+    (:func:`ivf_assign`, optionally Lloyd-refined seeds); the profile is
+    ONE groupBy(centroid_id) producing nlist rows. Per cluster:
+    n_vecs, corpus share, mean 6dp cosine to the centroid (cohesion),
+    and — when ``label_col`` exists — the dominant label with its
+    share (ties by smallest label, deterministic).
+
+    Output: (centroid_id, n_vecs, share, mean_centroid_sim
+    [, dominant_label, dominant_share]) — floats rounded to 6dp.
+    """
+    cents = ivf_seed_centroids(embeddings, nlist, vec_col)
+    if refine_iters > 0:
+        cents = ivf_refine_centroids(
+            embeddings, cents, iters=refine_iters, vec_col=vec_col
+        )
+    has_label = label_col is not None and label_col in embeddings.columns
+    assigned = ivf_assign(
+        embeddings, cents, nprobe=1, vec_col=vec_col, keep_sim=True
+    )
+    # ivf_assign passes a column literally named "label" through; any
+    # other label column joins back on vec_id
+    if has_label and label_col not in assigned.columns:
+        assigned = assigned.join(
+            embeddings.select("vec_id", label_col), "vec_id"
+        )
+    total = embeddings.agg(
+        F.count(F.lit(1)).cast("bigint").alias("__total")
+    )
+    prof = (
+        assigned.groupBy("centroid_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.round(F.avg("centroid_sim"), 6).alias("mean_centroid_sim"),
+        )
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "share", F.round(F.col("n_vecs") / F.col("__total"), 6)
+        )
+        .drop("__total")
+    )
+    if not has_label:
+        return prof.select(
+            "centroid_id", "n_vecs", "share", "mean_centroid_sim"
+        )
+    from pyspark.sql import Window
+
+    lab = (
+        assigned.groupBy("centroid_id", label_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("centroid_id").orderBy(
+                    F.col("__n").desc(), F.col(label_col).asc()
+                )
+            ),
+        )
+        .where(F.col("__rn") == 1)
+        .select(
+            "centroid_id",
+            F.col(label_col).alias("dominant_label"),
+            F.col("__n").alias("__dom_n"),
+        )
+    )
+    return (
+        prof.join(lab, "centroid_id")
+        .withColumn(
+            "dominant_share",
+            F.round(F.col("__dom_n") / F.col("n_vecs"), 6),
+        )
+        .select(
+            "centroid_id",
+            "n_vecs",
+            "share",
+            "mean_centroid_sim",
+            "dominant_label",
+            "dominant_share",
+        )
     )

@@ -1423,3 +1423,54 @@ def test_embedding_decontaminate_zero_norm_guard(spark):
         for r in embedding_decontaminate(corpus, holdout, 0.9).collect()
     }
     assert got == {1: (101, 1.0)}
+
+
+def test_diversity_profile_recovers_planted_blobs(spark):
+    """Three well-separated gaussian blobs with distinct labels: every
+    cluster with members is label-pure, shares sum to 1, cohesion is
+    high inside blobs, and the profile is deterministic under
+    repartitioning. A blob made of near-copies shows higher cohesion
+    than a diffuse one — the over-representation signal the audit
+    exists to surface."""
+    import numpy as np
+
+    from mapping_timeseries_spark.operators.similarity import (
+        diversity_profile,
+    )
+
+    rng = np.random.default_rng(23)
+    d = 8
+    centers = [rng.normal(size=d) * 5 for _ in range(3)]
+    rows = []
+    # INTERLEAVE blobs by vec_id: the deterministic seed quantizer takes
+    # the nlist lowest vec_ids as centroids, so ids 0/1/2 must land one
+    # per blob for the profile to see three clusters
+    for i in range(20):
+        for li, c in enumerate(centers):
+            scale = 0.01 if li == 0 else 0.6   # blob 0 = near-duplicates
+            v = c + rng.normal(scale=scale, size=d)
+            rows.append((i * 3 + li, (v / np.linalg.norm(v)).tolist(), li))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    prof = diversity_profile(emb, nlist=3).collect()
+    assert sum(r["n_vecs"] for r in prof) == 60
+    assert abs(sum(r["share"] for r in prof) - 1.0) < 2e-6  # 6dp thirds
+    assert all(r["dominant_share"] == 1.0 for r in prof)  # pure blobs
+    by_label = {r["dominant_label"]: r for r in prof}
+    assert set(by_label) == {0, 1, 2}
+    # near-duplicate blob is more cohesive than the diffuse ones
+    assert by_label[0]["mean_centroid_sim"] > by_label[1]["mean_centroid_sim"]
+    assert by_label[0]["mean_centroid_sim"] > by_label[2]["mean_centroid_sim"]
+
+    again = diversity_profile(emb.repartition(7), nlist=3).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, prof))
+
+    # label-free corpora get the size/cohesion profile without the
+    # dominance columns
+    plain = diversity_profile(
+        emb.select("vec_id", "embedding"), nlist=3
+    )
+    assert plain.columns == [
+        "centroid_id", "n_vecs", "share", "mean_centroid_sim"
+    ]
