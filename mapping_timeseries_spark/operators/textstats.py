@@ -33,6 +33,7 @@ __all__ = [
     "pii_counts",
     "boilerplate_signals",
     "vocab_counts",
+    "normalize_text",
 ]
 
 #: Function-word markers per language for the marker-count heuristic;
@@ -452,3 +453,61 @@ def lang_distribution(docs: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .withColumn("share", F.col("n_docs") / F.lit(total))
     )
+
+
+def normalize_text(
+    docs: DataFrame,
+    text_col: str = "text",
+    form: str | None = "NFC",
+    lowercase: bool = False,
+    collapse_ws: bool = True,
+) -> DataFrame:
+    """Text canonicalization — the stage that runs BEFORE dedup, or
+    encoding-variant duplicates (decomposed vs precomposed accents,
+    compatibility ligatures, stray whitespace runs, case) evade every
+    content-hash/MinHash/SimHash stage downstream: 'école' composed and
+    decomposed are different sha256 digests and different shingles.
+
+    ``form``: a ``unicodedata.normalize`` form (NFC/NFKC/NFD/NFKD) or
+    None to skip Unicode normalization. Spark has no built-in Unicode
+    normalizer, so that step is an Arrow-batched ``mapInPandas``
+    (map-only — the documented Python-boundary class); lowercasing and
+    ASCII-whitespace collapsing are JVM expressions and are applied
+    AFTER normalization (NFKC can produce case/space-relevant output,
+    e.g. the fi ligature). Output replaces ``text_col`` in place,
+    preserving every other column.
+
+    DuckDB twin: ``nfc_normalize`` covers the NFC form (pytest-pinned);
+    other forms pin against ``unicodedata`` directly.
+    """
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in docs.schema.fields
+    )
+    result = docs
+    if form is not None:
+        import unicodedata
+
+        valid = {"NFC", "NFKC", "NFD", "NFKD"}
+        if form not in valid:
+            raise ValueError(f"form must be one of {sorted(valid)} or None")
+
+        def norm(batches):
+            for pdf in batches:
+                pdf = pdf.copy()
+                pdf[text_col] = [
+                    unicodedata.normalize(form, t)
+                    if isinstance(t, str)
+                    else t
+                    for t in pdf[text_col]
+                ]
+                yield pdf
+
+        result = result.mapInPandas(norm, schema=out_schema)
+    col = F.col(text_col)
+    if lowercase:
+        col = F.lower(col)
+    if collapse_ws:
+        # same ASCII class as tokens()' Java-regex \s+, then trim —
+        # canonical text re-tokenizes identically to the original
+        col = F.trim(F.regexp_replace(col, r"\s+", " "))
+    return result.withColumn(text_col, col)

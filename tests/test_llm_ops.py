@@ -1474,3 +1474,53 @@ def test_diversity_profile_recovers_planted_blobs(spark):
     assert plain.columns == [
         "centroid_id", "n_vecs", "share", "mean_centroid_sim"
     ]
+
+
+def test_normalize_text_canonicalizes_encoding_variants(spark):
+    """Canonicalization closes the encoding-variant dedup hole: composed
+    vs decomposed accents become one digest under NFC (DuckDB
+    nfc_normalize twin), NFKC folds compatibility ligatures, whitespace
+    runs collapse to the same token stream, and exact_dedup AFTER
+    normalization catches the planted variant pair it misses before."""
+    import duckdb
+
+    from mapping_timeseries_spark.operators.dedup import exact_dedup
+    from mapping_timeseries_spark.operators.textstats import normalize_text
+
+    composed = "l'école est ouverte"            # é precomposed
+    decomposed = "l'école est ouverte"         # e + combining acute
+    rows = [
+        (0, composed, "fr"),
+        (1, decomposed, "fr"),
+        (2, "the  quick\tbrown   fox", "en"),
+        (3, "the quick brown fox", "en"),
+        (4, "an ﬁne ligature", "en"),           # fi ligature
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    # before: the variant pairs are distinct texts
+    assert exact_dedup(docs).count() == 5
+
+    nfc = normalize_text(docs, form="NFC")
+    got = {r["doc_id"]: r["text"] for r in nfc.collect()}
+    assert got[0] == got[1]                          # accents unified
+    assert got[2] == got[3]                          # whitespace collapsed
+    assert "ﬁ" in got[4]                        # NFC keeps ligatures
+    assert got[1] == duckdb.sql(
+        "select trim(regexp_replace(nfc_normalize(?), '[ \t\n\x0b\f\r]+', ' ', 'g'))",
+        params=[decomposed],
+    ).fetchone()[0]
+    # other columns pass through untouched
+    assert nfc.columns == ["doc_id", "text", "lang"]
+    assert {r["doc_id"]: r["lang"] for r in nfc.collect()}[0] == "fr"
+
+    nfkc = {r["doc_id"]: r["text"] for r in normalize_text(docs, form="NFKC").collect()}
+    assert nfkc[4] == "an fine ligature"             # ligature folded
+
+    # dedup after canonicalization: 0/1 and 2/3 collapse
+    assert exact_dedup(normalize_text(docs, form="NFC")).count() == 3
+
+    import pytest
+
+    with pytest.raises(ValueError, match="form must be"):
+        normalize_text(docs, form="NFX").collect()
