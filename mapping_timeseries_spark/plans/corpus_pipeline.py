@@ -57,6 +57,7 @@ def flag_corpus(
     docs: DataFrame,
     holdout: DataFrame,
     text_col: str = "text",
+    canonicalize: str | None = None,
     minhash_threshold: float = 0.5,
     contam_overlap: float = 0.2,
     min_quality: float = 0.4,
@@ -99,6 +100,11 @@ def flag_corpus(
     ``nb_model`` (a ``textmodels.nb_train`` result): reject docs whose
     NB log-odds fall below ``min_nb_log_odds`` — the fastText-style
     learned-filter stage.
+    ``canonicalize``: a Unicode normalization form (NFC/NFKC/NFD/NFKD)
+    applied to BOTH the corpus and the holdout text before any stage
+    (textstats.normalize_text, whitespace-collapsing) — without it,
+    encoding-variant duplicates evade every hash/shingle stage and
+    decontamination misses ligature-variant benchmark copies.
     ``corpus_vecs`` + ``holdout_vecs`` (both (vec_id, embedding),
     vec_id == doc_id): reject docs whose embedding sits within
     ``semantic_contam_threshold`` cosine of ANY holdout item
@@ -129,6 +135,12 @@ def flag_corpus(
             f"{preexisting}; rename them — pass_* is the pipeline's "
             f"stage-flag namespace"
         )
+
+    if canonicalize is not None:
+        from ..operators.textstats import normalize_text
+
+        docs = normalize_text(docs, text_col, form=canonicalize)
+        holdout = normalize_text(holdout, text_col, form=canonicalize)
 
     # exact: keeper = smallest doc_id per content digest
     from pyspark.sql import Window
@@ -244,6 +256,7 @@ def run_corpus_pipeline(
     holdout: DataFrame,
     out_path: str,
     text_col: str = "text",
+    canonicalize: str | None = None,
     minhash_threshold: float = 0.5,
     contam_overlap: float = 0.2,
     min_quality: float = 0.4,
@@ -275,6 +288,7 @@ def run_corpus_pipeline(
         docs,
         holdout,
         text_col,
+        canonicalize,
         minhash_threshold,
         contam_overlap,
         min_quality,

@@ -299,3 +299,34 @@ def test_corpus_pipeline_semantic_contamination_stage(spark, tmp_path):
         run_corpus_pipeline(
             docs, _holdout(spark), out + "_bad", corpus_vecs=corpus_vecs
         )
+
+
+def test_corpus_pipeline_canonicalize_pre_step(spark, tmp_path):
+    """With canonicalize='NFC', a decomposed-accent variant of an
+    existing doc is caught by exact dedup (it evades every stage
+    without it), and a ligature/space-variant copy of the benchmark
+    item is caught by decontamination."""
+    composed = (
+        "l'école est ouverte aujourd'hui pour tout le monde sans exception "
+        "ni réservation particulière"
+    )
+    decomposed = composed.replace("\u00e9", "e\u0301")
+    rows = [
+        (0, BASE, "en"),
+        (1, composed, "fr"),
+        (2, decomposed, "fr"),   # same text, different encoding
+        (3, OTHER, "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = str(tmp_path / "shards_canon")
+
+    # without canonicalization the variant passes exact dedup
+    res0 = run_corpus_pipeline(docs, _holdout(spark), out + "0", n_shards=2)
+    assert res0.stats["n_pass_exact"] == 4
+
+    res = run_corpus_pipeline(
+        docs, _holdout(spark), out, canonicalize="NFC", n_shards=2
+    )
+    assert res.stats["n_pass_exact"] == 3   # doc 2 now an exact dup of 1
+    got = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert got == [0, 1, 3]
