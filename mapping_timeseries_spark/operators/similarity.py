@@ -707,73 +707,93 @@ def diversity_profile(
 
     Plan: assignment is the broadcast-quantizer map-only pass
     (:func:`ivf_assign`, optionally Lloyd-refined seeds); the profile is
-    ONE groupBy(centroid_id) producing nlist rows. Per cluster:
-    n_vecs, corpus share, mean 6dp cosine to the centroid (cohesion),
-    and — when ``label_col`` exists — the dominant label with its
-    share (ties by smallest label, deterministic).
+    ONE groupBy(centroid_id) left-joined back to the centroid table, so
+    the output ALWAYS has one row per centroid — an emptied list (heavy
+    duplication, Lloyd migration) reports n_vecs=0 / share=0 / NULL
+    cohesion instead of silently vanishing from the audit. Zero-norm
+    vectors (failed embeddings) are excluded up front on the same
+    grounds as embedding_decontaminate (cosine undefined; NULL-drop vs
+    ANSI-throw divergence otherwise). Cohesion is averaged over
+    INTEGER micro-sims (the 6dp-rounded per-row cosine scaled to 1e6)
+    so the mean is order-independent — the repo's micro-nat contract.
+
+    Per cluster: n_vecs, corpus share, mean 6dp cosine to the centroid
+    (cohesion), and — when ``label_col`` exists — the dominant label
+    with its share (ties by smallest label, deterministic).
 
     Output: (centroid_id, n_vecs, share, mean_centroid_sim
     [, dominant_label, dominant_share]) — floats rounded to 6dp.
     """
-    cents = ivf_seed_centroids(embeddings, nlist, vec_col)
+    has_label = label_col is not None and label_col in embeddings.columns
+    src = embeddings.select(
+        "vec_id",
+        vec_col,
+        *([F.col(label_col).alias("label")] if has_label else []),
+    ).where(_norm(_as_double(F.col(vec_col))) > 0)
+    cents = ivf_seed_centroids(src, nlist, vec_col)
     if refine_iters > 0:
         cents = ivf_refine_centroids(
-            embeddings, cents, iters=refine_iters, vec_col=vec_col
+            src, cents, iterations=refine_iters, vec_col=vec_col
         )
-    has_label = label_col is not None and label_col in embeddings.columns
-    assigned = ivf_assign(
-        embeddings, cents, nprobe=1, vec_col=vec_col, keep_sim=True
-    )
-    # ivf_assign passes a column literally named "label" through; any
-    # other label column joins back on vec_id
-    if has_label and label_col not in assigned.columns:
-        assigned = assigned.join(
-            embeddings.select("vec_id", label_col), "vec_id"
-        )
-    total = embeddings.agg(
-        F.count(F.lit(1)).cast("bigint").alias("__total")
+    # "label" passes through ivf_assign's map-only projection — aliased
+    # above so NO corpus-sized join is needed to recover it
+    assigned = ivf_assign(src, cents, nprobe=1, vec_col=vec_col, keep_sim=True)
+    total = src.agg(F.count(F.lit(1)).cast("bigint").alias("__total"))
+    micro = F.round(F.col("centroid_sim") * F.lit(1e6), 0).cast("bigint")
+    grouped = assigned.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.sum(micro).alias("__micro_sum"),
     )
     prof = (
-        assigned.groupBy("centroid_id")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
-            F.round(F.avg("centroid_sim"), 6).alias("mean_centroid_sim"),
-        )
+        cents.select("centroid_id")
+        .join(grouped, "centroid_id", "left")
         .crossJoin(F.broadcast(total))
-        .withColumn(
-            "share", F.round(F.col("n_vecs") / F.col("__total"), 6)
+        .select(
+            "centroid_id",
+            F.coalesce("n_vecs", F.lit(0)).cast("bigint").alias("n_vecs"),
+            F.round(
+                F.coalesce("n_vecs", F.lit(0)) / F.col("__total"), 6
+            ).alias("share"),
+            F.when(
+                F.coalesce("n_vecs", F.lit(0)) > 0,
+                F.round(
+                    F.col("__micro_sum")
+                    / (F.lit(1e6) * F.col("n_vecs")),
+                    6,
+                ),
+            ).alias("mean_centroid_sim"),
         )
-        .drop("__total")
     )
     if not has_label:
-        return prof.select(
-            "centroid_id", "n_vecs", "share", "mean_centroid_sim"
-        )
+        return prof
     from pyspark.sql import Window
 
     lab = (
-        assigned.groupBy("centroid_id", label_col)
+        assigned.groupBy("centroid_id", "label")
         .agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
         .withColumn(
             "__rn",
             F.row_number().over(
                 Window.partitionBy("centroid_id").orderBy(
-                    F.col("__n").desc(), F.col(label_col).asc()
+                    F.col("__n").desc(), F.col("label").asc()
                 )
             ),
         )
         .where(F.col("__rn") == 1)
         .select(
             "centroid_id",
-            F.col(label_col).alias("dominant_label"),
+            F.col("label").alias("dominant_label"),
             F.col("__n").alias("__dom_n"),
         )
     )
     return (
-        prof.join(lab, "centroid_id")
+        prof.join(lab, "centroid_id", "left")
         .withColumn(
             "dominant_share",
-            F.round(F.col("__dom_n") / F.col("n_vecs"), 6),
+            F.when(
+                F.col("n_vecs") > 0,
+                F.round(F.col("__dom_n") / F.col("n_vecs"), 6),
+            ),
         )
         .select(
             "centroid_id",

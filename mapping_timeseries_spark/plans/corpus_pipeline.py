@@ -57,7 +57,6 @@ def flag_corpus(
     docs: DataFrame,
     holdout: DataFrame,
     text_col: str = "text",
-    canonicalize: str | None = None,
     minhash_threshold: float = 0.5,
     contam_overlap: float = 0.2,
     min_quality: float = 0.4,
@@ -73,6 +72,7 @@ def flag_corpus(
     corpus_vecs: DataFrame | None = None,
     holdout_vecs: DataFrame | None = None,
     semantic_contam_threshold: float = 0.95,
+    canonicalize: str | None = None,
 ) -> DataFrame:
     """The lazy flagged-corpus frame: input columns + one int flag per
     stage (`pass_exact`, `pass_neardup`, `pass_clean`, `pass_quality`,
@@ -137,9 +137,16 @@ def flag_corpus(
         )
 
     if canonicalize is not None:
+        from ..operators.dedup import _pin
         from ..operators.textstats import normalize_text
 
-        docs = normalize_text(docs, text_col, form=canonicalize)
+        # _pin: every flag stage re-scans the docs subtree; without the
+        # pin the Arrow/unicodedata pass would re-run once PER STAGE in
+        # the single export action (O(stages x corpus) Python-boundary
+        # work). persist() is lazy, so flag_corpus stays pure-plan; the
+        # pin registers with dedup_cache_scope like every other
+        # multi-consumer intermediate
+        docs = _pin(normalize_text(docs, text_col, form=canonicalize))
         holdout = normalize_text(holdout, text_col, form=canonicalize)
 
     # exact: keeper = smallest doc_id per content digest
@@ -256,7 +263,6 @@ def run_corpus_pipeline(
     holdout: DataFrame,
     out_path: str,
     text_col: str = "text",
-    canonicalize: str | None = None,
     minhash_threshold: float = 0.5,
     contam_overlap: float = 0.2,
     min_quality: float = 0.4,
@@ -273,6 +279,7 @@ def run_corpus_pipeline(
     corpus_vecs: DataFrame | None = None,
     holdout_vecs: DataFrame | None = None,
     semantic_contam_threshold: float = 0.95,
+    canonicalize: str | None = None,
 ) -> CorpusPipelineResult:
     """Run the full preprocessing pipeline and export training shards.
 
@@ -288,7 +295,6 @@ def run_corpus_pipeline(
         docs,
         holdout,
         text_col,
-        canonicalize,
         minhash_threshold,
         contam_overlap,
         min_quality,
@@ -304,6 +310,7 @@ def run_corpus_pipeline(
         corpus_vecs,
         holdout_vecs,
         semantic_contam_threshold,
+        canonicalize,
     )
     flag_cols = [c for c in flagged.columns if c.startswith("pass_")]
     keep_all = None

@@ -1475,6 +1475,32 @@ def test_diversity_profile_recovers_planted_blobs(spark):
         "centroid_id", "n_vecs", "share", "mean_centroid_sim"
     ]
 
+    # the Lloyd-refined path actually runs (a kwarg mismatch here once
+    # made any refine_iters > 0 a TypeError)
+    ref = diversity_profile(emb, nlist=3, refine_iters=1).collect()
+    assert sum(r["n_vecs"] for r in ref) == 60
+
+    # zero-norm vectors are excluded (not silently mis-assigned), and
+    # an emptied centroid still appears with n_vecs=0 rather than
+    # vanishing from the audit
+    withzero = emb.unionByName(
+        spark.createDataFrame(
+            [(999, [0.0] * 8, 9)],
+            "vec_id long, embedding array<double>, label int",
+        )
+    )
+    pz = diversity_profile(withzero, nlist=3).collect()
+    assert sum(r["n_vecs"] for r in pz) == 60  # the zero vector is out
+    lop = diversity_profile(emb, nlist=40)
+    rows = lop.collect()
+    assert len(rows) == 40                     # one row per centroid
+    assert any(r["n_vecs"] == 0 for r in rows)
+    empties = [r for r in rows if r["n_vecs"] == 0]
+    assert all(
+        r["share"] == 0.0 and r["mean_centroid_sim"] is None
+        for r in empties
+    )
+
 
 def test_normalize_text_canonicalizes_encoding_variants(spark):
     """Canonicalization closes the encoding-variant dedup hole: composed
