@@ -21,7 +21,13 @@ incomparable.
 
 Run this ALONE: concurrent Spark sessions on the same box skew
 individual queries by 2-5x with small within-run spread (measured —
-medians are robust to a noisy rep, not to a busy machine).
+medians are robust to a noisy rep, not to a busy machine). Because
+that cannot always be guaranteed for an unattended run, the output
+carries "box_calibration" (a fixed single-core CPU probe + load
+averages, bracketing the run): compare totals across rounds only
+after checking the probes are comparable — a busy box inflates every
+query uniformly, controls included, and the probe makes that visible
+inside the JSON itself.
 """
 
 from __future__ import annotations
@@ -116,9 +122,41 @@ def time_query(spark, fn, sf_dir: str, n_reps: int) -> list[float]:
     return reps
 
 
+def box_calibration() -> dict:
+    """Fixed pure-CPU probe + load averages, so a reader can tell box
+    contention from a code regression inside the JSON itself. Measured
+    need: an otherwise-identical full bench run read 66 s on a busy box
+    vs ~45 s quiet — every query inflated uniformly, INCLUDING the
+    frozen anti-pattern controls. The probe is a constant workload —
+    a pure-Python integer loop (median of 5), deliberately NOT numpy:
+    a BLAS matmul probe measured 3x faster post-run than pre-run
+    (thread-pool/warmup effects), while the interpreter loop is
+    GIL-bound single-threaded with nothing to warm, so its time moves
+    only with CPU availability. Cross-round totals should be compared
+    after checking this number is comparable."""
+    reps = []
+    for _ in range(5):
+        t0 = time.time()
+        acc = 0
+        for i in range(2_000_000):
+            acc += i * i
+        assert acc > 0
+        reps.append(time.time() - t0)
+    try:
+        load1, load5, load15 = os.getloadavg()
+    except OSError:  # platform without getloadavg
+        load1 = load5 = load15 = -1.0
+    return {
+        "py_loop_sec": round(statistics.median(reps), 4),
+        "loadavg_1m": round(load1, 2),
+        "loadavg_5m": round(load5, 2),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    calib = box_calibration()
 
     import __spark_entry__ as entry_mod
     from mapping_timeseries_spark.session import get_spark
@@ -180,6 +218,15 @@ def main() -> None:
                 "rep_spread": spreads,
                 "n": N_REPS,
                 "rep_override": REP_OVERRIDE,
+                # measured before the Spark session starts AND after the
+                # last query, bracketing the run: if either probe is off
+                # its quiet-box value (~0.1 s) or loadavg exceeds the
+                # bench's own parallelism, treat the totals as
+                # contention-inflated before reading them as regressions
+                "box_calibration": {
+                    "pre": calib,
+                    "post": box_calibration(),
+                },
                 "added_this_round": ADDED_THIS_ROUND,
                 "like_for_like_total": round(
                     sum(
