@@ -35,6 +35,7 @@ __all__ = [
     "stream_interval_join",
     "stream_monitoring_summary",
     "stream_to_parquet",
+    "stream_to_versioned",
     "run_to_memory",
 ]
 
@@ -185,4 +186,61 @@ def stream_to_parquet(
     if partition_col:
         writer = writer.partitionBy(partition_col)
     query = writer.start()
+    query.awaitTermination()
+
+
+def stream_to_versioned(
+    stream_df: DataFrame,
+    root: str,
+    checkpoint: str,
+    qa_check=None,
+    output_mode: str = "complete",
+    note_prefix: str = "stream",
+) -> None:
+    """Continuously refresh a versioned table (sources/versioned.py) from
+    a streaming aggregation: each micro-batch is staged as a new immutable
+    snapshot and the pointer flips ATOMICALLY only after the optional QA
+    gate passes — the streaming twin of run_pipeline's two-phase publish.
+    Readers of the versioned table only ever see complete, QA-passed
+    snapshots; a failing batch stays staged on disk for forensics and the
+    published version simply doesn't advance.
+
+    Designed for COMPLETE output mode (each trigger emits the full
+    updated result — e.g. ``stream_monitoring_summary``), where a
+    micro-batch IS a whole-table snapshot, matching the versioned
+    table's snapshot-per-version layout. Append-mode micro-batches are
+    per-batch slices, not table states — use ``stream_to_parquet`` for
+    those.
+
+    ``qa_check``: callable(batch_df) -> bool, evaluated on the staged
+    snapshot before the pointer flip (e.g. a check_sla wrapper).
+
+    Honest delivery contract: foreachBatch is at-least-once — a retry
+    after a crash between the snapshot write and the checkpoint commit
+    re-stages the same content under a fresh version number (never a
+    corrupt or partial published table; write_versioned allocates past
+    orphans). ``vacuum_versions`` reclaims superseded snapshots on a
+    maintenance schedule. Empty first triggers are skipped rather than
+    published as an empty table version."""
+    from ..sources.versioned import publish_version, write_versioned
+
+    def _stage_and_publish(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        version = write_versioned(
+            batch_df,
+            root,
+            note=f"{note_prefix} batch={batch_id}",
+            publish=False,
+        )
+        if qa_check is None or qa_check(batch_df):
+            publish_version(root, version)
+
+    query = (
+        stream_df.writeStream.foreachBatch(_stage_and_publish)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
     query.awaitTermination()

@@ -427,3 +427,97 @@ def test_stream_quality_heuristics_native(spark, tmp_path):
         output_mode="append",
     )
     assert _as_sorted_rows(out, cols) == want
+
+
+def test_stream_to_versioned_qa_gated_publish(spark, tmp_path):
+    """Continuous refresh of a versioned table: each micro-batch of a
+    complete-mode aggregate stages one immutable snapshot, the pointer
+    flips only on QA pass, and earlier published versions stay readable
+    (time travel across refreshes)."""
+    import shutil
+
+    from mapping_timeseries_spark.sources.versioned import (
+        current_version,
+        read_versioned,
+        table_history,
+    )
+    from mapping_timeseries_spark.streaming.windows import stream_to_versioned
+
+    src = tmp_path / "src"
+    src.mkdir()
+    root = str(tmp_path / "vtable")
+
+    spark.range(100).selectExpr("id % 5 AS grp", "id AS v").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "b1"))
+    shutil.copy(
+        next((tmp_path / "b1").glob("part-*.parquet")), src / "f1.parquet"
+    )
+    schema = spark.read.parquet(str(src)).schema
+
+    def agg(stream):
+        return stream.groupBy("grp").agg(F.sum("v").alias("total"))
+
+    stream_to_versioned(
+        agg(spark.readStream.schema(schema).parquet(str(src))),
+        root,
+        str(tmp_path / "ckpt"),
+    )
+    v1 = current_version(root)
+    assert v1 is not None
+    want1 = sorted(
+        (r["grp"], r["total"])
+        for r in agg(spark.read.parquet(str(src))).collect()
+    )
+    got1 = sorted(
+        (r["grp"], r["total"]) for r in read_versioned(spark, root).collect()
+    )
+    assert got1 == want1
+
+    # new source file arrives; same checkpoint -> one more snapshot with
+    # the FULL updated aggregate (complete mode), published as v2
+    spark.range(100, 160).selectExpr(
+        "id % 5 AS grp", "id AS v"
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "b2"))
+    shutil.copy(
+        next((tmp_path / "b2").glob("part-*.parquet")), src / "f2.parquet"
+    )
+    stream_to_versioned(
+        agg(spark.readStream.schema(schema).parquet(str(src))),
+        root,
+        str(tmp_path / "ckpt"),
+    )
+    v2 = current_version(root)
+    assert v2 is not None and v2 > v1
+    want2 = sorted(
+        (r["grp"], r["total"])
+        for r in agg(spark.read.parquet(str(src))).collect()
+    )
+    got2 = sorted(
+        (r["grp"], r["total"]) for r in read_versioned(spark, root).collect()
+    )
+    assert got2 == want2
+    # time travel: the pre-refresh snapshot is still exactly readable
+    got1_again = sorted(
+        (r["grp"], r["total"])
+        for r in read_versioned(spark, root, version=v1).collect()
+    )
+    assert got1_again == want1
+
+    # QA-fail path: the batch stages a snapshot but the pointer must NOT
+    # advance — readers keep seeing v2
+    spark.range(160, 170).selectExpr(
+        "id % 5 AS grp", "id AS v"
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "b3"))
+    shutil.copy(
+        next((tmp_path / "b3").glob("part-*.parquet")), src / "f3.parquet"
+    )
+    stream_to_versioned(
+        agg(spark.readStream.schema(schema).parquet(str(src))),
+        root,
+        str(tmp_path / "ckpt"),
+        qa_check=lambda df: False,
+    )
+    assert current_version(root) == v2  # pointer unmoved
+    # the failed snapshot was still staged (forensics), so history grew
+    assert max(h["version"] for h in table_history(root)) > v2
