@@ -196,6 +196,7 @@ def stream_to_versioned(
     qa_check=None,
     output_mode: str = "complete",
     note_prefix: str = "stream",
+    vacuum_keep: int | None = None,
 ) -> None:
     """Continuously refresh a versioned table (sources/versioned.py) from
     a streaming aggregation: each micro-batch is staged as a new immutable
@@ -219,10 +220,21 @@ def stream_to_versioned(
     after a crash between the snapshot write and the checkpoint commit
     re-stages the same content under a fresh version number (never a
     corrupt or partial published table; write_versioned allocates past
-    orphans). ``vacuum_versions`` reclaims superseded snapshots on a
-    maintenance schedule. Empty first triggers are skipped rather than
-    published as an empty table version."""
-    from ..sources.versioned import publish_version, write_versioned
+    orphans). Empty first triggers are skipped rather than published as
+    an empty table version.
+
+    ``vacuum_keep``: a continuous refresh allocates one snapshot per
+    drain forever; pass N to run ``vacuum_versions(keep_last=N)`` once
+    after the drain completes, bounding retained snapshots. Leave None
+    (default) when older versions must stay time-travelable — vacuum
+    then belongs on a separate maintenance schedule. The pointed-at
+    version is never vacuumed, so a drain whose last batch failed QA
+    keeps its published (older) version intact."""
+    from ..sources.versioned import (
+        publish_version,
+        vacuum_versions,
+        write_versioned,
+    )
 
     def _stage_and_publish(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.head(1):
@@ -244,3 +256,5 @@ def stream_to_versioned(
         .start()
     )
     query.awaitTermination()
+    if vacuum_keep is not None:
+        vacuum_versions(root, keep_last=vacuum_keep)

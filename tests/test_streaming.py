@@ -521,3 +521,51 @@ def test_stream_to_versioned_qa_gated_publish(spark, tmp_path):
     assert current_version(root) == v2  # pointer unmoved
     # the failed snapshot was still staged (forensics), so history grew
     assert max(h["version"] for h in table_history(root)) > v2
+
+
+def test_stream_to_versioned_vacuum_bounds_snapshots(spark, tmp_path):
+    """vacuum_keep bounds the snapshot count a continuous refresh
+    accumulates: after the drain, only the newest keep_last snapshot
+    dirs (plus the pointed-at one) remain on disk."""
+    import os
+    import shutil
+
+    from mapping_timeseries_spark.sources.versioned import (
+        current_version,
+        read_versioned,
+    )
+    from mapping_timeseries_spark.streaming.windows import stream_to_versioned
+
+    src = tmp_path / "src"
+    src.mkdir()
+    root = str(tmp_path / "vtable")
+
+    def agg(stream):
+        return stream.groupBy("grp").agg(F.count("*").alias("n"))
+
+    # three drains = three versions, each fed one more file
+    schema = None
+    for i in range(3):
+        spark.range(i * 10, (i + 1) * 10).selectExpr(
+            "id % 2 AS grp", "id AS v"
+        ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / f"b{i}"))
+        shutil.copy(
+            next((tmp_path / f"b{i}").glob("part-*.parquet")),
+            src / f"f{i}.parquet",
+        )
+        if schema is None:
+            schema = spark.read.parquet(str(src)).schema
+        stream_to_versioned(
+            agg(spark.readStream.schema(schema).parquet(str(src))),
+            root,
+            str(tmp_path / "ckpt"),
+            vacuum_keep=1 if i == 2 else None,
+        )
+
+    # after the final drain with vacuum_keep=1 only one snapshot dir
+    # survives, and it is the published one
+    dirs = sorted(d for d in os.listdir(root) if d.startswith("v="))
+    v = current_version(root)
+    assert dirs == [f"v={v:06d}"]
+    got = sorted((r["grp"], r["n"]) for r in read_versioned(spark, root).collect())
+    assert got == [(0, 15), (1, 15)]
