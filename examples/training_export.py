@@ -175,7 +175,11 @@ def main(spark=None, out_root: str | None = None, show: bool = True) -> dict:
         ),
         k=3,
     )
-    bm25_top_doc = int(hits.where(F.col("rank") == 1).first()["doc_id"])
+    # the hit set is data-dependent — an upstream threshold tweak could
+    # legitimately filter every match, which must read as "no hit", not
+    # a crash
+    top_row = hits.where(F.col("rank") == 1).first()
+    bm25_top_doc = int(top_row["doc_id"]) if top_row is not None else None
 
     stats = {
         "stage_counts": {

@@ -55,6 +55,54 @@ def _micro_nats(col: F.Column) -> F.Column:
     return F.round(F.log(col) * F.lit(NAT_SCALE), 0).cast("bigint")
 
 
+#: Default driver-collect ceiling for the map-twins' broadcast model
+#: tables. Unigram vocabularies are Heaps'-bounded (~1e7 types even at
+#: web scale) but BIGRAM type counts are not — a 100 TB crawl yields
+#: 1e8–1e9 distinct bigrams, tens of GB, which would kill both the
+#: driver collect and the broadcast. 2e7 rows ≈ low-hundreds of MB of
+#: Python dict: large enough that sf-scale models never trip it, small
+#: enough that the driver survives a misconfigured corpus.
+MAX_MODEL_ROWS = 20_000_000
+
+
+def _bound_model(
+    table: DataFrame,
+    order_cols: list,
+    max_model_rows: int,
+    on_overflow: str,
+    label: str,
+) -> DataFrame:
+    """Enforce the driver-collect ceiling on a broadcast model table.
+
+    Counts ``table`` first (one cheap vocabulary-sized job); if it
+    exceeds ``max_model_rows`` either raise (default — silent unbounded
+    collects are the #1 way a streaming scorer kills a driver at
+    scale) or deterministically prune to the top-``max_model_rows``
+    rows by ``order_cols`` (count-descending with a hash tie-break, so
+    the kept set is unique). Pruned entries fall through to the
+    caller's existing backoff path (prefix backoff for the LM, OOV for
+    NB), so a pruned model is a well-defined smaller model, not a
+    corrupted one — pytest pins pruned==full whenever the cap covers
+    the whole table.
+    """
+    if on_overflow not in ("raise", "prune"):
+        raise ValueError(
+            f"on_overflow must be 'raise' or 'prune', got {on_overflow!r}"
+        )
+    n = table.count()
+    if n <= max_model_rows:
+        return table
+    if on_overflow == "raise":
+        raise ValueError(
+            f"{label} model table has {n} rows > max_model_rows="
+            f"{max_model_rows}; raise the cap only with driver memory "
+            "to match, or pass on_overflow='prune' to keep the "
+            f"top-{max_model_rows} entries (the tail scores through "
+            "the backoff path)"
+        )
+    return table.orderBy(*order_cols).limit(max_model_rows)
+
+
 def _transitions(toked: DataFrame, with_doc: bool = False) -> DataFrame:
     """Token-occurrence rows from a tokenized frame ``(doc_id, __t)``:
     one row per token, ``w1h`` = 60-bit hash of the token, ``bh`` =
@@ -328,7 +376,11 @@ def _py_tokens(text) -> list:
 
 
 def nb_score_map(
-    docs: DataFrame, model: dict, text_col: str = "text"
+    docs: DataFrame,
+    model: dict,
+    text_col: str = "text",
+    max_model_rows: int = MAX_MODEL_ROWS,
+    on_overflow: str = "raise",
 ) -> DataFrame:
     """Map-only scoring twin of :func:`nb_score` for STREAMING and other
     aggregation-free contexts: the (wh -> w_nats) weight table is
@@ -349,9 +401,19 @@ def nb_score_map(
     from decimal import ROUND_HALF_UP, Decimal
 
     spark = docs.sparkSession
-    weights = {
-        r["wh"]: r["w_nats"] for r in model["weights"].collect()
-    }
+    # Vocabulary tables are Heaps-bounded so sf-scale corpora never
+    # trip this, but the same ceiling applies for symmetry with
+    # lm_score_map: pruning keeps the most discriminative words (by
+    # |weight|, wh tie-break); a pruned word scores as OOV — exactly
+    # how nb_score treats an unseen word.
+    wtable = _bound_model(
+        model["weights"],
+        [F.abs(F.col("w_nats")).desc(), F.col("wh").asc()],
+        max_model_rows,
+        on_overflow,
+        "naive-bayes",
+    )
+    weights = {r["wh"]: r["w_nats"] for r in wtable.collect()}
     prior = model["prior_nats"]
     bweights = spark.sparkContext.broadcast(weights)
 
@@ -414,6 +476,8 @@ def lm_score_map(
     model: dict,
     text_col: str = "text",
     k: float = 0.5,
+    max_model_rows: int = MAX_MODEL_ROWS,
+    on_overflow: str = "raise",
 ) -> DataFrame:
     """Map-only scoring twin of :func:`lm_perplexity` for STREAMING:
     the per-bigram and per-prefix micro-nat terms are computed
@@ -433,6 +497,18 @@ def lm_score_map(
 
     spark = docs.sparkSession
     uni, bi, v = model["uni"], model["bi"], model["v"]
+    # Bigram type counts are NOT Heaps-bounded — gate the collect. A
+    # pruned bigram scores through the seen-prefix backoff below, so
+    # pruning trades fidelity (higher measured oov_trans), never
+    # correctness. The unigram/prefix table IS vocabulary-bounded and
+    # strictly smaller than bi, so one gate suffices.
+    bi = _bound_model(
+        bi,
+        [F.col("c2").desc(), F.col("bh").asc()],
+        max_model_rows,
+        on_overflow,
+        "bigram-LM",
+    )
     kv = F.lit(k) * F.col("v").cast("double")
     c1d = F.col("c1").cast("double")
     known = {
@@ -481,7 +557,12 @@ def lm_score_map(
                 ws = _py_tokens(text)
                 n = max(len(ws) - 1, 0)
                 if n == 0:
-                    out.append((doc_id, 0, 0, None, None))
+                    # 4 fields only — ppl is derived JVM-side below; a
+                    # 5th element here desyncs the pandas column list
+                    # and aborts the whole (possibly streaming) task on
+                    # the first empty/one-word doc, which are routine
+                    # in crawl data and which lm_perplexity handles.
+                    out.append((doc_id, 0, 0, None))
                     continue
                 nats = 0
                 oov = 0

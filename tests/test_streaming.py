@@ -348,6 +348,11 @@ def test_stream_nb_quality_filter_matches_batch(spark, tmp_path):
     d = tmp_path / "docs_nb_stream"
     d.mkdir()
     shutil.copy(f"{SF_DIR}/documents.parquet", d / "part-0.parquet")
+    # short/empty docs must stream-score like batch, not abort the task
+    spark.createDataFrame(
+        [(9001, "solitary", "en", "srcx", 8), (9002, "", "en", "srcx", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("append").parquet(str(d))
 
     batch_docs = spark.read.parquet(str(d))
     model = nb_train(
@@ -387,6 +392,14 @@ def test_stream_lm_perplexity_filter_matches_batch(spark, tmp_path):
     d = tmp_path / "docs_lm_stream"
     d.mkdir()
     shutil.copy(f"{SF_DIR}/documents.parquet", d / "part-0.parquet")
+    # empty/one-word docs are routine crawl content the batch operator
+    # supports (n_trans=0, NULL scores) — the streaming twin must score
+    # them identically rather than abort the query (regression: the
+    # short-doc branch once emitted a 5-tuple into a 4-column frame)
+    spark.createDataFrame(
+        [(9001, "solitary", "en", "srcx", 8), (9002, "", "en", "srcx", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("append").parquet(str(d))
 
     batch_docs = spark.read.parquet(str(d))
     model = bigram_lm_counts(batch_docs.where(F.col("source") != "src0"))

@@ -271,6 +271,8 @@ def test_map_twins_match_batch_on_unicode_whitespace(spark):
             (0, "foo\u00a0bar baz"),          # NBSP glues a token pair
             (1, "alpha\u2028beta gamma"),      # line separator
             (2, "plain ascii words here"),
+            (4, "solitary"),  # 1 token: zero transitions (LM short-doc)
+            (5, ""),          # 0 tokens
             (3, "mixed ws\ttabs and\nnewlines"),
         ],
         ["doc_id", "text"],
@@ -302,3 +304,79 @@ def test_map_twins_match_batch_on_unicode_whitespace(spark):
         for r in lm_score_map(docs, lm).collect()
     )
     assert ltwin == lref
+
+
+def test_map_twin_model_collect_is_bounded(spark):
+    """The map twins' driver collect of the broadcast model is gated by
+    max_model_rows: the default raises on oversized tables instead of
+    silently collecting (the 100 TB bigram table would kill the
+    driver); on_overflow='prune' keeps a deterministic top-K whose tail
+    scores through the existing backoff; a cap that covers the whole
+    table is a no-op (pruned == full, bitwise)."""
+    from mapping_timeseries_spark.operators.textmodels import (
+        lm_score_map,
+        nb_score_map,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, (_, t, _) in enumerate(TRAIN)], ["doc_id", "text"]
+    )
+    lm = bigram_lm_counts(docs)
+    n_bi = lm["bi"].count()
+    assert n_bi > 4
+
+    cols = ["doc_id", "n_trans", "oov_trans", "avg_nll", "ppl"]
+    full = sorted(
+        tuple(r[c] for c in cols)
+        for r in lm_score_map(docs, lm).collect()
+    )
+    # covering cap == full model, bitwise
+    capped = sorted(
+        tuple(r[c] for c in cols)
+        for r in lm_score_map(docs, lm, max_model_rows=n_bi).collect()
+    )
+    assert capped == full
+    # undersized cap: default raises with guidance, never collects
+    with pytest.raises(ValueError, match="max_model_rows"):
+        lm_score_map(docs, lm, max_model_rows=3).collect()
+    # pruned: still scores every doc, pruned bigrams surface as backoff
+    # transitions (oov_trans can only grow, n_trans is structural)
+    pruned = sorted(
+        tuple(r[c] for c in cols)
+        for r in lm_score_map(
+            docs, lm, max_model_rows=3, on_overflow="prune"
+        ).collect()
+    )
+    assert [p[0:2] for p in pruned] == [f[0:2] for f in full]
+    assert all(p[2] >= f[2] for p, f in zip(pruned, full))
+    assert sum(p[2] for p in pruned) > sum(f[2] for f in full)
+    with pytest.raises(ValueError, match="on_overflow"):
+        lm_score_map(docs, lm, on_overflow="bogus").collect()
+
+    model = nb_train(
+        docs.withColumn("y", (F.col("doc_id") > 2).cast("int")), "y"
+    )
+    n_w = model["weights"].count()
+    ncols = ["doc_id", "n_words", "n_oov", "log_odds", "predicted"]
+    nfull = sorted(
+        tuple(r[c] for c in ncols)
+        for r in nb_score_map(docs, model).collect()
+    )
+    assert (
+        sorted(
+            tuple(r[c] for c in ncols)
+            for r in nb_score_map(
+                docs, model, max_model_rows=n_w
+            ).collect()
+        )
+        == nfull
+    )
+    with pytest.raises(ValueError, match="max_model_rows"):
+        nb_score_map(docs, model, max_model_rows=2).collect()
+    npruned = sorted(
+        tuple(r[c] for c in ncols)
+        for r in nb_score_map(
+            docs, model, max_model_rows=2, on_overflow="prune"
+        ).collect()
+    )
+    assert sum(p[2] for p in npruned) > sum(f[2] for f in nfull)
