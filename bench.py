@@ -54,6 +54,9 @@ HEADLINE = [
     "tumbling_window",
     "exact_dedup",
     "minhash_dedup",
+    # r6: the incremental-index leg as its own metric (see note on
+    # ADDED_THIS_ROUND)
+    "minhash_incr",
     # r5: the heaviest-at-scale query (PPJoin filter stack — 58 s at
     # ~sf1 in SCALE.md) finally gets a tracked per-round number
     "ngram_jaccard",
@@ -69,6 +72,11 @@ HEADLINE = [
     # cold cost — the cache clear between reps forces index recompute
     "bm25_topk",
     "embedding_near_dups",
+    # r6: newly driver-gated legs (decontam sweep, cluster diversity
+    # audit, NFC canonicalization fingerprint)
+    "semantic_decontam",
+    "diversity_profile",
+    "normalize_text",
     # hot-key skew pair: the same 3-key lineitem aggregation plain vs
     # salted, so the salting pattern carries a measured number (the
     # registry's salted_agg query hash-gates correctness; this measures)
@@ -99,8 +107,16 @@ REP_OVERRIDE = {"corr_best_lag": 8, "corr_mapping": 8}
 
 # round-over-round composition: queries ADDED to the headline this round
 # (their times are additive noise in total-vs-last-round comparisons;
-# like-for-like totals should exclude them)
-ADDED_THIS_ROUND = ["ngram_jaccard", "ann_topk", "ivf_topk_indexed", "bm25_topk"]
+# like-for-like totals should exclude them). r6: the incremental
+# MinHash leg is now its own metric (it rode inside minhash_dedup in
+# r5, which made that number read as a 2x regression), plus the three
+# newly driver-gated legs.
+ADDED_THIS_ROUND = [
+    "minhash_incr",
+    "semantic_decontam",
+    "diversity_profile",
+    "normalize_text",
+]
 
 
 def time_query(spark, fn, sf_dir: str, n_reps: int) -> list[float]:
@@ -186,6 +202,22 @@ def main() -> None:
     qs["pack_ffd"] = entry_mod.q_pack_ffd
     qs["ivf_topk_indexed"] = entry_mod.q_ivf_topk_indexed
     qs["bm25_topk"] = entry_mod.q_bm25_topk
+    # r6: several registry entries became multi-leg FOLDS (bm25 into
+    # ann_topk, indexed into ivf_topk, decontam/diversity into
+    # embedding_near_dups, canonicalization into text_stats, the
+    # incremental leg into minhash_dedup). The bench keeps timing the
+    # historical single-leg work under the historical names so
+    # round-over-round totals stay like-for-like; the new legs get
+    # their own keys below.
+    qs["ann_topk"] = entry_mod.q_ann_lsh
+    qs["ivf_topk"] = entry_mod.q_ivf_assign
+    qs["embedding_near_dups"] = entry_mod.q_emb_neardup_pairs
+    qs["text_stats"] = entry_mod.q_text_stats_core
+    qs["minhash_dedup"] = entry_mod.q_minhash_full
+    qs["minhash_incr"] = entry_mod.q_minhash_incr
+    qs["semantic_decontam"] = entry_mod.q_semantic_decontam
+    qs["diversity_profile"] = entry_mod.q_diversity_profile
+    qs["normalize_text"] = entry_mod.q_normalize_fingerprint
     times: dict[str, float] = {}
     spreads: dict[str, float] = {}
     for name in HEADLINE:
