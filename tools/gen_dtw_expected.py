@@ -75,7 +75,11 @@ def input_fingerprint(con: "duckdb.DuckDBPyConnection") -> str:
 def connect_views(sf_dir: str) -> "duckdb.DuckDBPyConnection":
     con = duckdb.connect()
     for t in ("orders", "lineitem"):
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        p = f"{sf_dir}/{t}.parquet"
+        # Spark-written tables (the scale_stress corpora) are DIRECTORIES
+        # of part files — glob them, same as tools/compare_oracle.py
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     return con
 
 
