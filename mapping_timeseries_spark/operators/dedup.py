@@ -180,6 +180,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 2,
     threshold: float = 0.5,
+    candidates_only: bool = False,
 ) -> DataFrame:
     """Exact word-n-gram Jaccard pairs with J >= threshold (doc_a < doc_b).
 
@@ -253,6 +254,12 @@ def ngram_jaccard_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+    if candidates_only:
+        # measurement hook (tools/ppjoin_growth.py): the post-filter
+        # candidate set BEFORE exact verification — counting it at 1x vs
+        # 10x corpus scale empirically pins the filter stack's
+        # sub-quadratic candidate growth. Not a query surface.
+        return cand
     return _verify_jaccard(cand, sh, threshold)
 
 

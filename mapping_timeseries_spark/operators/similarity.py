@@ -525,10 +525,11 @@ def ivf_topk_indexed(
 
 def semantic_dedup(
     embeddings: DataFrame,
-    nlist: int = 16,
+    nlist: int | str = 16,
     threshold: float = 0.9,
     vec_col: str = "embedding",
     prefilter_dims: int = 8,
+    broadcast_pairs: bool = True,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): coarse-cluster the corpus embeddings, find
@@ -552,12 +553,17 @@ def semantic_dedup(
     self-join, which at this fixture broadcasts the corpus side exactly
     like embedding_near_dups (same parallelism note: the probe side is
     widened so pair generation spreads across cores despite the
-    nlist-ary join key). At corpus sizes past broadcast, drop the hint
-    and raise nlist — the paper operates at nlist ~ sqrt(N) (50k
-    clusters for 5B points), which keeps per-cluster candidate sets
-    near-constant so the pair volume grows ~linearly with N, and the
-    edge join becomes an ordinary shuffle join on a 50k-ary key. Pairs
-    pass the exact partial-distance prefilter before the full dot
+    nlist-ary join key). At corpus sizes past broadcast, pass
+    ``broadcast_pairs=False`` and ``nlist="auto"`` — the 100 TB
+    configuration, and a tested code path (pytest pins its output
+    bitwise-equal to the broadcast plan): the paper operates at
+    nlist ~ sqrt(N) (50k clusters for 5B points), which keeps
+    per-cluster candidate sets near-constant so the pair volume grows
+    ~linearly with N, and the edge join becomes an ordinary shuffle
+    join on a 50k-ary key (``nlist="auto"`` spends one count() job to
+    set nlist = isqrt(N); the centroid seed-scan stays nlist-bounded
+    and broadcastable either way). Pairs pass the exact
+    partial-distance prefilter before the full dot
     (``cos >= t  <=>  ||a-b||^2 <= 2-2t`` on unit vectors — same bound
     and slack as embedding_near_dups). Grouping is
     :func:`~.dedup.dedup_clusters_star` — O(log n) rounds independent
@@ -566,6 +572,12 @@ def semantic_dedup(
     from ..sources.readers import ensure_parallel as _ensure_parallel
     from .dedup import dedup_clusters_star
 
+    if nlist == "auto":
+        import math
+
+        nlist = max(1, math.isqrt(max(embeddings.count(), 1)))
+    elif not isinstance(nlist, int):
+        raise ValueError(f"nlist must be an int or 'auto', got {nlist!r}")
     cents = ivf_seed_centroids(embeddings, nlist, vec_col=vec_col)
     assigned = ivf_assign(
         embeddings, cents, nprobe=1, vec_col=vec_col, keep_sim=True
@@ -580,9 +592,13 @@ def semantic_dedup(
     a = _ensure_parallel(unit.select("vec_id", "centroid_id", "uv")).alias("a")
     b = unit.select("vec_id", "centroid_id", "uv").alias("b")
     bound = 2.0 - 2.0 * (threshold - 1e-6) + 1e-9
+    # broadcast_pairs=False: no hint — the self-join shuffles both sides
+    # on centroid_id (sort-merge/shuffle-hash per AQE), the only plan
+    # that exists once the corpus outgrows a broadcast
+    b_side = F.broadcast(b) if broadcast_pairs else b
     edges = (
         a.join(
-            F.broadcast(b),
+            b_side,
             (F.col("a.centroid_id") == F.col("b.centroid_id"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )

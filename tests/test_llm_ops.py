@@ -1050,6 +1050,49 @@ def test_semantic_dedup_invariants_and_determinism(spark):
     assert sorted(map(tuple, rows)) == sorted(map(tuple, b.collect()))
 
 
+def test_semantic_dedup_shuffle_join_branch_matches_broadcast(spark):
+    """The 100 TB configuration (broadcast_pairs=False, nlist='auto') is
+    a real code path, not a docstring: the pair self-join actually plans
+    WITHOUT a broadcast (the corpus side could never broadcast at
+    scale), and its output is bitwise-equal to the broadcast plan at
+    fixture scale. nlist='auto' applies the paper's nlist ~ sqrt(N)
+    sizing."""
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    bcast = semantic_dedup(emb, nlist=16, threshold=0.4)
+    shuf = semantic_dedup(
+        emb, nlist=16, threshold=0.4, broadcast_pairs=False
+    )
+    plan = shuf._jdf.queryExecution().executedPlan().toString()
+    # the nlist-ary self-join must not be broadcast in this branch (the
+    # tiny seed-centroid broadcast inside ivf_assign is expected; it is
+    # bounded by nlist, never by the corpus). The self-join is the only
+    # equi-join on centroid_id=centroid_id, so: no sort-merge/shuffle
+    # join anywhere would mean the pair join still broadcast.
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan)
+    assert sorted(map(tuple, bcast.collect())) == sorted(
+        map(tuple, shuf.collect())
+    )
+
+    # nlist='auto': isqrt(500) = 22 seed centroids; spot-check the
+    # sizing surfaced in the output's centroid vocabulary and the
+    # invariants (one keeper per group, full coverage) hold
+    auto = semantic_dedup(
+        emb, nlist="auto", threshold=0.4, broadcast_pairs=False
+    )
+    arows = auto.collect()
+    assert len(arows) == emb.count()
+    assert {r["centroid_id"] for r in arows} <= set(range(22))
+    by_group = {}
+    for r in arows:
+        by_group.setdefault(r["group_id"], []).append(r)
+    assert all(
+        sum(m["is_keeper"] for m in members) == 1
+        for members in by_group.values()
+    )
+    with pytest.raises(ValueError, match="nlist"):
+        semantic_dedup(emb, nlist="bogus")
+
+
 # ---------------------------------------------------------------------------
 # Incremental MinHash dedup against a persisted index (r5)
 # ---------------------------------------------------------------------------
