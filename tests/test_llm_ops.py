@@ -131,6 +131,59 @@ def test_exact_dedup_with_real_duplicates(spark):
     assert hashed == {1: 2, 3: 1}
 
 
+def test_ngram_jaccard_bruteforce_fuzz_adversarial_vocab(spark):
+    """Completeness/exactness of the PPJoin filter stack against a
+    brute-force all-pairs oracle on an ADVERSARIAL fixture: a 30-word
+    vocabulary over 80 docs of wildly varying length, so prefixes
+    collide constantly and the length/pair-grouped-positional bounds do
+    real work at several thresholds. Guards the r6 refinement (grouped
+    c + min(|A|-maxPosA, |B|-maxPosB) bound): any over-pruning of a
+    true pair fails here before it could reach the driver gate."""
+    import random
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = [
+        (
+            i,
+            " ".join(
+                rng.choice(vocab) for _ in range(rng.randint(1, 25))
+            ),
+        )
+        for i in range(60)
+    ]
+    # planted near-dup twins: one word substituted / one appended —
+    # true pairs exist at every tested threshold, not only collisions
+    for i in range(0, 60, 6):
+        ws = rows[i][1].split()
+        k = rng.randrange(len(ws))
+        mutated = ws[:k] + [rng.choice(vocab)] + ws[k + 1 :]
+        rows.append((1000 + i, " ".join(mutated)))
+        rows.append((2000 + i, rows[i][1] + " " + rng.choice(vocab)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def shingle_set(text):
+        ws = text.split()
+        return {f"{ws[i]} {ws[i + 1]}" for i in range(len(ws) - 1)}
+
+    for t in (0.3, 0.5, 0.8):
+        got = {
+            (r["doc_a"], r["doc_b"], round(r["jaccard"], 6))
+            for r in ngram_jaccard_pairs(docs, threshold=t).collect()
+        }
+        want = set()
+        for i in range(len(rows)):
+            for j in range(i + 1, len(rows)):
+                sa, sb = shingle_set(rows[i][1]), shingle_set(rows[j][1])
+                if not sa or not sb:
+                    continue
+                jac = len(sa & sb) / len(sa | sb)
+                if jac >= t:
+                    want.add((rows[i][0], rows[j][0], round(jac, 6)))
+        assert got == want, (t, len(got), len(want))
+        assert want, t  # non-vacuous at every threshold
+
+
 def test_minhash_recall_vs_exact(spark, noisy_docs):
     exact = {
         (r["doc_a"], r["doc_b"])

@@ -13,10 +13,15 @@ This script counts, at both corpora and the registry settings
 - PPJoin candidates (``ngram_jaccard_pairs(..., candidates_only=True)``),
 - true result pairs,
 
-and writes one JSON artifact. A 10x corpus has ~100x naive candidates;
-the PPJoin count growing far slower than 100x is the empirical pin for
-the in-code claim at operators/dedup.py (the r5 verdict asked for
-exactly this measurement).
+and writes one JSON artifact. The stress corpus renames every shingle
+per replica (tools/scale_stress.py: cross-replica Jaccard is exactly 0
+by design), so the TRUE pair graph is 10 disjoint copies of 1x and the
+correct candidate growth is exactly 10x — the measurement pins that the
+join machinery adds no super-linear term of its own (shared-vocabulary
+blowup lives WITHIN each replica, where the filter stack's collapse
+ratio — naive 36.5M -> PPJoin 1.5M -> 256 true at 1x — is the
+evidence). Wall-clock growth of the full query is the spill check (the
+r5 verdict asked for exactly this measurement).
 
 Usage: python tools/ppjoin_growth.py [out.json]
 """
