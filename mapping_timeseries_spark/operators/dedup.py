@@ -72,6 +72,7 @@ __all__ = [
     "dup_span_stats",
     "dup_spans",
     "remove_dup_spans",
+    "line_dedup",
 ]
 
 #: Stack of active cache scopes; _pin registers every persist into the
@@ -1173,4 +1174,102 @@ def dup_span_stats(
                 6,
             ),
         )
+    )
+
+
+def line_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    mode: str = "keep_first",
+    ignore_blank: bool = True,
+) -> DataFrame:
+    """Line-level exact deduplication across the WHOLE corpus — the
+    C4/RefinedWeb cleaning stage that strips repeated boilerplate lines
+    (nav bars, cookie banners, footers) which recur across thousands of
+    pages while each page's body stays unique. Complements
+    :func:`dup_span_stats` (within-pair token spans) and
+    :func:`exact_dedup` (whole-doc): the unit here is the physical line.
+
+    ``mode='keep_first'`` keeps only the globally FIRST occurrence of
+    each duplicated line (deterministic: smallest (doc_id, line_pos));
+    ``mode='drop_all'`` removes every occurrence of any line seen more
+    than once (the aggressive boilerplate setting). Blank/whitespace
+    lines are structural, not content — with ``ignore_blank`` (default)
+    they are always kept, since deduping the empty line would splice
+    every paragraph break in the corpus after the first document.
+
+    Scale design: lines are keyed by their 60-bit portable hash
+    BEFORE the shuffle (exchanges carry fixed-width ints, never line
+    strings); the first-occurrence owner per line is a
+    ``min(struct(doc_id, pos))`` AGGREGATION, not a window — partial
+    aggregation collapses hot keys (the same boilerplate line repeated
+    in millions of docs) map-side, where a row_number window would sort
+    whole hot partitions. Reconstruction is one groupBy(doc_id) with an
+    array_sort — the doc's own lines, bounded by doc size.
+
+    Output, one row per input doc: ``(doc_id, text, n_lines,
+    n_removed)`` with ``text`` rebuilt from the surviving lines in
+    original order ('' when everything was removed).
+    """
+    from ..functions.text import portable_hash64
+    from ..sources.readers import ensure_parallel as _ensure_parallel
+
+    if mode not in ("keep_first", "drop_all"):
+        raise ValueError(
+            f"mode must be 'keep_first' or 'drop_all', got {mode!r}"
+        )
+    lines = (
+        _ensure_parallel(docs)
+        .select(
+            "doc_id",
+            # NULL text must not drop the doc from the output (explode
+            # of NULL yields no rows): treat it as one empty line
+            F.posexplode(
+                F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+            ).alias("pos", "line"),
+        )
+        .withColumn("__blank", F.trim(F.col("line")) == F.lit(""))
+        .withColumn("lh", portable_hash64(F.col("line")))
+    )
+    lines = _pin(lines)
+    owners = lines.where(~F.col("__blank") if ignore_blank else F.lit(True))
+    stats = owners.groupBy("lh").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.min(F.struct("doc_id", "pos")).alias("__first"),
+    )
+    if mode == "keep_first":
+        drop = (F.col("__n") > 1) & ~(
+            (F.col("doc_id") == F.col("__first.doc_id"))
+            & (F.col("pos") == F.col("__first.pos"))
+        )
+    else:
+        drop = F.col("__n") > 1
+    if ignore_blank:
+        drop = drop & ~F.col("__blank")
+    verdicts = lines.join(stats, "lh", "left").withColumn(
+        "__drop", F.coalesce(drop, F.lit(False))
+    )
+    return (
+        verdicts.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum(F.col("__drop").cast("int"))
+            .cast("bigint")
+            .alias("n_removed"),
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                ~F.col("__drop"),
+                                F.struct("pos", "line"),
+                            )
+                        )
+                    ),
+                    lambda x: x["line"],
+                ),
+            ).alias(text_col),
+        )
+        .select("doc_id", text_col, "n_lines", "n_removed")
     )

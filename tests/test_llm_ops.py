@@ -8,6 +8,7 @@ from mapping_timeseries_spark.operators.dedup import (
     content_hash_dedup,
     dedup_cache_scope,
     exact_dedup,
+    line_dedup,
     minhash_lsh_pairs,
     ngram_decontaminate,
     ngram_jaccard_pairs,
@@ -182,6 +183,95 @@ def test_ngram_jaccard_bruteforce_fuzz_adversarial_vocab(spark):
                     want.add((rows[i][0], rows[j][0], round(jac, 6)))
         assert got == want, (t, len(got), len(want))
         assert want, t  # non-vacuous at every threshold
+
+
+def test_line_dedup_keep_first_matches_duckdb_twin(spark):
+    """Corpus-wide line dedup (C4/RefinedWeb boilerplate stage): the
+    repeated cookie-banner line survives only at its globally first
+    (doc_id, pos); blank lines are structural and never deduped; docs
+    reassemble in original order; a doc reduced to nothing yields ''.
+    A DuckDB twin recomputes the whole operator from scratch on the
+    line STRINGS (no hashes), so a 60-bit collision or ordering bug on
+    the engine side cannot self-certify."""
+    import duckdb
+
+    banner = "Accept cookies to continue"
+    rows = [
+        (0, f"{banner}\nunique zero body\n\nfooter text"),
+        (1, f"intro one\n{banner}\nunique one body\nfooter text"),
+        (2, f"{banner}\nfooter text"),          # nothing unique left
+        (3, "standalone document\n\n\ntail line"),
+        (4, None),                                # NULL text survives
+        (5, banner),                              # single-line dup doc
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["text"], r["n_lines"], r["n_removed"])
+        for r in line_dedup(docs).collect()
+    }
+    assert len(got) == 6
+    assert got[0] == (f"{banner}\nunique zero body\n\nfooter text", 4, 0)
+    assert got[1] == ("intro one\nunique one body", 4, 2)
+    assert got[2] == ("", 2, 2)
+    assert got[3] == ("standalone document\n\n\ntail line", 4, 0)
+    assert got[4] == ("", 1, 0)
+    assert got[5] == ("", 1, 1)
+
+    con = duckdb.connect()
+    con.register(
+        "docs",
+        __import__("pandas").DataFrame(rows, columns=["doc_id", "text"]),
+    )
+    want = {
+        int(r[0]): (r[1], int(r[2]), int(r[3]))
+        for r in con.execute(
+            """
+            WITH lines AS (
+              SELECT doc_id, generate_subscripts(l, 1) - 1 AS pos,
+                     unnest(l) AS line
+              FROM (SELECT doc_id,
+                           string_split(coalesce(text, ''), chr(10)) AS l
+                    FROM docs)
+            ),
+            owners AS (
+              SELECT line, count(*) AS n,
+                     min(struct_pack(doc_id := doc_id, pos := pos)) AS first
+              FROM lines WHERE trim(line) != '' GROUP BY line
+            ),
+            verdicts AS (
+              SELECT l.doc_id, l.pos, l.line,
+                     coalesce(o.n > 1 AND NOT (l.doc_id = o.first.doc_id
+                              AND l.pos = o.first.pos), false) AS dropped
+              FROM lines l LEFT JOIN owners o ON l.line = o.line
+            )
+            SELECT doc_id,
+                   coalesce(string_agg(CASE WHEN NOT dropped THEN line END,
+                            chr(10) ORDER BY pos), '') AS text,
+                   count(*) AS n_lines,
+                   sum(dropped::INT) AS n_removed
+            FROM verdicts GROUP BY doc_id
+            """
+        ).fetchall()
+    }
+    assert got == want
+
+    # drop_all mode: every occurrence of a duplicated line goes
+    aggressive = {
+        r["doc_id"]: r["text"]
+        for r in line_dedup(docs, mode="drop_all").collect()
+    }
+    assert banner not in aggressive[0]
+    assert "footer text" not in aggressive[1]
+    assert aggressive[3] == "standalone document\n\n\ntail line"
+    with pytest.raises(ValueError, match="mode"):
+        line_dedup(docs, mode="bogus")
+
+    # layout determinism: same verdicts under a different partitioning
+    again = {
+        r["doc_id"]: (r["text"], r["n_lines"], r["n_removed"])
+        for r in line_dedup(docs.repartition(7, "text")).collect()
+    }
+    assert again == got
 
 
 def test_minhash_recall_vs_exact(spark, noisy_docs):
