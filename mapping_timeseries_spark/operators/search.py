@@ -39,7 +39,13 @@ from ..functions.text import portable_hash64, tokens
 from ..sources.readers import ensure_parallel
 from .dedup import _pin
 
-__all__ = ["bm25_index", "bm25_topk"]
+__all__ = [
+    "bm25_index",
+    "bm25_topk",
+    "bm25_index_write",
+    "bm25_index_load",
+    "bm25_index_append",
+]
 
 #: Integer scale for per-term BM25 contributions (order-independent sums).
 SCORE_SCALE = 1_000_000_000
@@ -152,3 +158,116 @@ def bm25_topk(
             ).alias("score"),
         )
     )
+
+
+def bm25_index_write(
+    docs: DataFrame, path: str, text_col: str = "text"
+) -> None:
+    """Persist the inverted index for serving and INCREMENTAL
+    maintenance: ``path/postings`` (wh, doc_id, tf) and ``path/dl``
+    (doc_id, dl) as parquet, plus ``path/meta.json`` — written LAST as
+    the commit marker, carrying the committed ``n_docs`` so an
+    interrupted write/append is detected at load (row count mismatch)
+    instead of silently serving a partial index.
+
+    Only the two ADDITIVE frames are persisted; document frequencies
+    and corpus totals are derived at load time (one groupBy over the
+    vocabulary-sized postings). That is what makes append exact: new
+    documents contribute disjoint (wh, doc_id) postings rows, so
+    re-derived df/totals over the union are identical to a full
+    rebuild — there is no stored aggregate to drift.
+    """
+    import json
+    import os
+
+    idx = bm25_index(docs, text_col)
+    idx["postings"].write.mode("overwrite").parquet(
+        os.path.join(path, "postings")
+    )
+    idx["dl"].write.mode("overwrite").parquet(os.path.join(path, "dl"))
+    spark = docs.sparkSession
+    n_docs = spark.read.parquet(os.path.join(path, "dl")).count()
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump({"text_col": text_col, "n_docs": n_docs}, f)
+
+
+def bm25_index_load(spark, path: str) -> dict:
+    """Load a persisted index -> the same frame dict :func:`bm25_index`
+    returns (postings/dl stored; df/totals re-derived lazily). Raises
+    on a missing commit marker or a row-count mismatch (interrupted
+    append)."""
+    import json
+    import os
+
+    meta_path = os.path.join(path, "meta.json")
+    if not os.path.exists(meta_path):
+        raise FileNotFoundError(
+            f"{meta_path} missing — index at {path} was never committed"
+        )
+    with open(meta_path) as f:
+        meta = json.load(f)
+    dl = spark.read.parquet(os.path.join(path, "dl"))
+    n_docs = dl.count()
+    if n_docs != meta["n_docs"]:
+        raise ValueError(
+            f"index at {path} has {n_docs} doc-length rows but meta.json "
+            f"committed {meta['n_docs']} — an append was interrupted; "
+            "rebuild or re-run the append"
+        )
+    postings = spark.read.parquet(os.path.join(path, "postings"))
+    totals = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.coalesce(F.sum("dl"), F.lit(0)).cast("bigint").alias("total_len"),
+    )
+    dfreq = postings.groupBy("wh").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    return {"postings": postings, "dl": dl, "df": dfreq, "totals": totals}
+
+
+def bm25_index_append(new_docs: DataFrame, path: str) -> None:
+    """Append a new-document batch to a persisted index — continuous
+    corpus ingestion without re-reading old text: the batch is
+    tokenized once, its postings/dl rows land in append mode, and
+    meta.json is rewritten LAST with the new committed count. Document
+    ids must be globally unique (the standard ingestion contract);
+    reuse is REFUSED with one doc_id-keyed membership probe against the
+    stored lengths (a duplicated id would double-count its postings in
+    every derived df/tf).
+
+    Exactness contract (pytest-pinned): queries over
+    load(build(old) + append(new)) are bitwise-equal to queries over
+    build(old ∪ new).
+    """
+    import json
+    import os
+
+    spark = new_docs.sparkSession
+    meta_path = os.path.join(path, "meta.json")
+    if not os.path.exists(meta_path):
+        raise FileNotFoundError(
+            f"{meta_path} missing — build the index before appending"
+        )
+    with open(meta_path) as f:
+        meta = json.load(f)
+    stored_dl = spark.read.parquet(os.path.join(path, "dl"))
+    clash = (
+        new_docs.select("doc_id")
+        .join(stored_dl.select("doc_id"), "doc_id", "inner")
+        .limit(1)
+        .count()
+    )
+    if clash:
+        raise ValueError(
+            f"doc_id reuse detected appending to {path} — ids must be "
+            "globally unique across the index and every batch"
+        )
+    idx = bm25_index(new_docs, meta["text_col"])
+    idx["postings"].write.mode("append").parquet(
+        os.path.join(path, "postings")
+    )
+    idx["dl"].write.mode("append").parquet(os.path.join(path, "dl"))
+    n_docs = spark.read.parquet(os.path.join(path, "dl")).count()
+    meta["n_docs"] = n_docs
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)

@@ -363,7 +363,7 @@ _ASCII_WS = None
 
 
 def _py_tokens(text) -> list:
-    """Python twin of functions.text.tokens(): split on the SAME ASCII
+    r"""Python twin of functions.text.tokens(): split on the SAME ASCII
     whitespace class Spark's Java-regex \s+ uses, drop empties."""
     global _ASCII_WS
     if _ASCII_WS is None:

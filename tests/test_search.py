@@ -165,3 +165,62 @@ def test_bm25_plan_shape(spark):
     assert "CartesianProduct" not in plan
     # BroadcastNestedLoopJoin appears ONLY for the 1-row totals frame
     assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_bm25_index_append_equals_rebuild(spark, tmp_path):
+    """Incremental index maintenance: build on the 80% slice, append
+    the 20% batch — queries over the loaded index are bitwise-equal to
+    a full rebuild over the union (postings/dl are the only persisted
+    state and appended rows are disjoint, so the re-derived df/totals
+    cannot drift). Commit-marker and id-reuse contracts enforced."""
+    import json
+    import os
+
+    from mapping_timeseries_spark.operators.search import (
+        bm25_index_append,
+        bm25_index_load,
+        bm25_index_write,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    old = docs.where(F.col("doc_id") % 5 != 0)
+    new = docs.where(F.col("doc_id") % 5 == 0)
+    path = str(tmp_path / "bm25_idx")
+
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        bm25_index_load(spark, path)
+    with _pytest.raises(FileNotFoundError):
+        bm25_index_append(new, path)
+
+    bm25_index_write(old, path)
+    bm25_index_append(new, path)
+
+    q = spark.createDataFrame(
+        [(1, "table scan filter"), (2, "spark shuffle join")],
+        ["query_id", "query_text"],
+    )
+    cols = ["query_id", "rank", "doc_id", "n_hit_terms", "score"]
+    got = sorted(
+        tuple(r[c] for c in cols)
+        for r in bm25_topk(bm25_index_load(spark, path), q, k=5).collect()
+    )
+    want = sorted(
+        tuple(r[c] for c in cols)
+        for r in bm25_topk(bm25_index(docs), q, k=5).collect()
+    )
+    assert got == want and got
+
+    # id reuse refused (appending the same batch twice)
+    with _pytest.raises(ValueError, match="doc_id reuse"):
+        bm25_index_append(new, path)
+
+    # interrupted append detected: stale committed count -> loud load
+    # failure, never a silently-partial index
+    meta_path = os.path.join(path, "meta.json")
+    meta = json.load(open(meta_path))
+    meta["n_docs"] -= 1
+    json.dump(meta, open(meta_path, "w"))
+    with _pytest.raises(ValueError, match="interrupted"):
+        bm25_index_load(spark, path)
