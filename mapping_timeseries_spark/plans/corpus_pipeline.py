@@ -73,6 +73,7 @@ def flag_corpus(
     holdout_vecs: DataFrame | None = None,
     semantic_contam_threshold: float = 0.95,
     canonicalize: str | None = None,
+    line_dedup_mode: str | None = None,
 ) -> DataFrame:
     """The lazy flagged-corpus frame: input columns + one int flag per
     stage (`pass_exact`, `pass_neardup`, `pass_clean`, `pass_quality`,
@@ -105,6 +106,13 @@ def flag_corpus(
     (textstats.normalize_text, whitespace-collapsing) — without it,
     encoding-variant duplicates evade every hash/shingle stage and
     decontamination misses ligature-variant benchmark copies.
+    ``line_dedup_mode`` ('keep_first' | 'drop_all'): corpus-wide
+    line-level boilerplate removal (dedup.line_dedup) applied to the
+    corpus text AFTER canonicalization and before every stage — the
+    C4/RefinedWeb move that stops repeated nav/cookie/footer lines
+    from dominating shingles, quality ratios and LM scores. A text
+    REWRITE like canonicalize, not a flag: downstream stages (and the
+    export) see the cleaned text.
     ``corpus_vecs`` + ``holdout_vecs`` (both (vec_id, embedding),
     vec_id == doc_id): reject docs whose embedding sits within
     ``semantic_contam_threshold`` cosine of ANY holdout item
@@ -148,6 +156,23 @@ def flag_corpus(
         # multi-consumer intermediate
         docs = _pin(normalize_text(docs, text_col, form=canonicalize))
         holdout = normalize_text(holdout, text_col, form=canonicalize)
+
+    if line_dedup_mode is not None:
+        from ..operators.dedup import _pin, line_dedup
+
+        # rewrite, not flag: replace the corpus text with the
+        # line-deduped text, preserving every other column via a
+        # doc_id join (line_dedup returns only its own frame). Pinned:
+        # every flag stage re-scans the docs subtree, and this one
+        # carries two shuffles of its own.
+        cleaned = line_dedup(docs, text_col, mode=line_dedup_mode).select(
+            "doc_id", F.col(text_col).alias("__ld_text")
+        )
+        docs = _pin(
+            docs.drop(text_col)
+            .join(cleaned, "doc_id")
+            .withColumnRenamed("__ld_text", text_col)
+        )
 
     # exact: keeper = smallest doc_id per content digest
     from pyspark.sql import Window
@@ -280,6 +305,7 @@ def run_corpus_pipeline(
     holdout_vecs: DataFrame | None = None,
     semantic_contam_threshold: float = 0.95,
     canonicalize: str | None = None,
+    line_dedup_mode: str | None = None,
 ) -> CorpusPipelineResult:
     """Run the full preprocessing pipeline and export training shards.
 
@@ -311,6 +337,7 @@ def run_corpus_pipeline(
         holdout_vecs,
         semantic_contam_threshold,
         canonicalize,
+        line_dedup_mode,
     )
     flag_cols = [c for c in flagged.columns if c.startswith("pass_")]
     keep_all = None

@@ -330,3 +330,48 @@ def test_corpus_pipeline_canonicalize_pre_step(spark, tmp_path):
     assert res.stats["n_pass_exact"] == 3   # doc 2 now an exact dup of 1
     got = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
     assert got == [0, 1, 3]
+
+
+def test_corpus_pipeline_line_dedup_pre_step(spark, tmp_path):
+    """With line_dedup_mode='keep_first', a boilerplate banner line
+    repeated across docs survives only at its first occurrence: later
+    docs' text is rewritten WITHOUT the banner before any stage, so two
+    docs whose unique content is identical but whose banners differ
+    become exact duplicates (caught by pass_exact), and the exported
+    text is the cleaned text."""
+    banner_a = "accept all cookies to continue reading this site"
+    banner_b = "subscribe to our newsletter for updates and offers"
+    rows = [
+        (0, f"{banner_a}\n{BASE}", "en"),
+        # same body, different banner: the BASE line dedups away here
+        # (doc 0 owns its first occurrence), banner_b survives as this
+        # doc's own first occurrence
+        (1, f"{banner_b}\n{BASE}", "en"),
+        # nothing but repeats: both banners and BASE are owned by
+        # earlier docs, so the cleaned text is empty
+        (2, f"{banner_a}\n{BASE}\n{banner_b}", "en"),
+        (3, OTHER, "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = str(tmp_path / "shards_linededup")
+    res = run_corpus_pipeline(
+        docs,
+        _holdout(spark),
+        out,
+        line_dedup_mode="keep_first",
+        n_shards=2,
+    )
+    exported = {
+        r["doc_id"]: r["text"] for r in spark.read.parquet(out).collect()
+    }
+    # doc 0 keeps banner_a (first occurrence), doc 1 keeps banner_b
+    # (BASE stripped — doc 0 owns it), doc 2 lost every line (both
+    # banners and BASE are repeats) and is then REJECTED by the quality
+    # floor on its now-empty text — the boilerplate-only page is
+    # exactly what the stage stack should drop
+    assert exported[0] == f"{banner_a}\n{BASE}"
+    assert exported[1] == banner_b
+    assert 2 not in exported
+    assert exported[3] == OTHER
+    assert res.stats["n_input"] == 4 and res.stats["n_retained"] == 3
+    assert res.stats["n_pass_quality"] == 3
