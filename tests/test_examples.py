@@ -62,3 +62,22 @@ def test_training_export_example_runs(spark, tmp_path):
     assert stats["n_packs"] >= 2
     assert 0 <= stats["ffd_waste_frac"] < 0.5
     assert stats["shard_files"] == ["shard=0", "shard=1"]
+
+
+def test_incremental_serving_example_runs(spark, tmp_path):
+    """The continuous-ingestion walkthrough must run end to end:
+    batch deduped against the persisted LSH index (and folded in),
+    BM25 index appended and serving, sketch state advanced."""
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "examples")
+    )
+    import incremental_serving
+
+    stats = incremental_serving.main(
+        spark=spark, out_root=str(tmp_path), show=False
+    )
+    assert stats["n_standing"] > 0 and stats["n_batch"] > 0
+    assert stats["n_bm25_hits"] > 0 and stats["bm25_top_doc"] is not None
+    assert stats["vocab_estimates"]
+    # every flagged pair involves the batch by construction
+    assert stats["n_dup_batch_docs"] <= stats["n_batch"]
