@@ -570,8 +570,15 @@ def q_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_topk_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O1 top-k: 20 most active customers by order count (deterministic
-    tie-break on key; TakeOrderedAndProject, no global sort)."""
+    tie-break on key; TakeOrderedAndProject, no global sort), annotated
+    with the mergeable Misra-Gries heavy-hitter summary (r6 fold): each
+    top-20 row carries its MG counter (NULL when the all-ties prune
+    dropped it) and the summary's accumulated decrement ``mg_err`` — the
+    100 TB skew diagnostic (counter <= true <= counter + err) hash-gated
+    against an exact SQL replay of the same deterministic reduction."""
     ensure_runtime_conf(spark)
+    from mapping_timeseries_spark.operators.sketches import topk_sketch
+
     orders = read_table(spark, sf_dir, "orders")
     per_cust = orders.groupBy("o_custkey").agg(
         F.count(F.lit(1)).alias("n_orders"),
@@ -580,10 +587,19 @@ def q_topk_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = top_k(
         per_cust, [F.col("n_orders").desc(), F.col("o_custkey").asc()], 20
     )
-    return top.select(
-        "o_custkey",
-        F.col("n_orders").cast("bigint").alias("n_orders"),
-        F.round("total_spend", 6).alias("total_spend"),
+    sk = topk_sketch(orders, [], "o_custkey", 20)
+    counters = sk.select(F.explode("counters").alias("o_custkey", "mg_counter"))
+    err = sk.select(F.col("err").cast("bigint").alias("mg_err"))
+    return (
+        top.join(F.broadcast(counters), "o_custkey", "left")
+        .crossJoin(F.broadcast(err))
+        .select(
+            "o_custkey",
+            F.col("n_orders").cast("bigint").alias("n_orders"),
+            F.round("total_spend", 6).alias("total_spend"),
+            F.col("mg_counter").cast("bigint").alias("mg_counter"),
+            "mg_err",
+        )
     )
 
 
@@ -620,15 +636,31 @@ def q_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A6 exact percentiles (linear interpolation) per return flag."""
+    """A6 exact percentiles (linear interpolation) per return flag,
+    beside the deterministic log-decade histogram sketch's estimates
+    (r6 fold): hp25/hp50/hp75 are the bucket lower bounds at the same
+    ranks — pure integer arithmetic (floor to 3 leading digits, <1%
+    relative undershoot), so the mergeable-sketch path is hash-gated
+    against an exact SQL replay rather than a tolerance check."""
     ensure_runtime_conf(spark)
-    qs = group_quantiles(read_table(spark, sf_dir, "lineitem"))
-    return qs.select(
+    from mapping_timeseries_spark.operators.sketches import (
+        histogram_quantiles,
+        value_histogram,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem")
+    qs = group_quantiles(li)
+    hist = value_histogram(li, ["l_returnflag"], "l_extendedprice")
+    hq = histogram_quantiles(hist, ["l_returnflag"], [0.25, 0.5, 0.75])
+    return qs.join(hq, "l_returnflag").select(
         "l_returnflag",
         F.round("p25", 6).alias("p25"),
         F.round("p50", 6).alias("p50"),
         F.round("p75", 6).alias("p75"),
         F.col("n").cast("bigint").alias("n"),
+        F.col("hp25").cast("bigint").alias("hp25"),
+        F.col("hp50").cast("bigint").alias("hp50"),
+        F.col("hp75").cast("bigint").alias("hp75"),
     )
 
 
@@ -2206,12 +2238,23 @@ GROUP BY 1, 2
 """
 
 ORACLE_TOPK = """
-SELECT o_custkey, count(*) AS n_orders,
-       round(sum(o_totalprice), 6) AS total_spend
-FROM orders
-GROUP BY o_custkey
-ORDER BY n_orders DESC, o_custkey ASC
-LIMIT 20
+WITH pc AS (
+  SELECT o_custkey, count(*) AS n_orders, sum(o_totalprice) AS ts
+  FROM orders GROUP BY o_custkey
+), r AS (
+  SELECT pc.*,
+         row_number() OVER (ORDER BY n_orders DESC, o_custkey ASC) AS rn
+  FROM pc
+), k1 AS (
+  SELECT coalesce(max(CASE WHEN rn = 21 THEN n_orders END), 0) AS sub
+  FROM r
+)
+SELECT o_custkey, n_orders, round(ts, 6) AS total_spend,
+       CASE WHEN n_orders - sub > 0
+            THEN CAST(n_orders - sub AS BIGINT) END AS mg_counter,
+       CAST(sub AS BIGINT) AS mg_err
+FROM r, k1
+WHERE rn <= 20
 """
 
 ORACLE_CONDITIONAL = """
@@ -2234,13 +2277,43 @@ GROUP BY 1
 """
 
 ORACLE_QUANTILES = """
-SELECT l_returnflag,
-       round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
-       round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
-       round(quantile_cont(l_extendedprice, 0.75), 6) AS p75,
-       count(*) AS n
-FROM lineitem
-GROUP BY l_returnflag
+WITH ex AS (
+  SELECT l_returnflag,
+         round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+         round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+         round(quantile_cont(l_extendedprice, 0.75), 6) AS p75,
+         count(*) AS n
+  FROM lineitem
+  GROUP BY l_returnflag
+), m AS (
+  -- the sketch's bucketing, replayed in exact integer arithmetic:
+  -- floor the value, keep 3 leading decimal digits (bigint div/mul)
+  SELECT l_returnflag,
+         CAST(floor(l_extendedprice) AS BIGINT) AS mm
+  FROM lineitem WHERE l_extendedprice IS NOT NULL
+), b AS (
+  SELECT l_returnflag,
+         CASE WHEN length(CAST(mm AS VARCHAR)) <= 3 THEN mm
+              ELSE (mm // CAST(power(10, length(CAST(mm AS VARCHAR)) - 3) AS BIGINT))
+                   * CAST(power(10, length(CAST(mm AS VARCHAR)) - 3) AS BIGINT)
+         END AS bucket
+  FROM m
+), hist AS (
+  SELECT l_returnflag, bucket, count(*) AS c FROM b GROUP BY 1, 2
+), cum AS (
+  SELECT l_returnflag, bucket,
+         sum(c) OVER (PARTITION BY l_returnflag ORDER BY bucket) AS cum,
+         sum(c) OVER (PARTITION BY l_returnflag) AS hn
+  FROM hist
+), hq AS (
+  SELECT l_returnflag,
+         CAST(min(CASE WHEN cum >= floor(0.25 * (hn - 1)) + 1 THEN bucket END) AS BIGINT) AS hp25,
+         CAST(min(CASE WHEN cum >= floor(0.5 * (hn - 1)) + 1 THEN bucket END) AS BIGINT) AS hp50,
+         CAST(min(CASE WHEN cum >= floor(0.75 * (hn - 1)) + 1 THEN bucket END) AS BIGINT) AS hp75
+  FROM cum GROUP BY 1
+)
+SELECT ex.l_returnflag, p25, p50, p75, n, hp25, hp50, hp75
+FROM ex JOIN hq ON ex.l_returnflag = hq.l_returnflag
 """
 
 ORACLE_UNION = """
