@@ -157,3 +157,146 @@ def test_min_pair_count_stops_early(spark):
     # 'cd' (freq 1) never does, and the loop stops instead of padding
     assert 0 < len(merges) <= 3
     assert all(r["pair_count"] >= 2 for r in merges)
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM tokenizer (Kudo 2018)
+# ---------------------------------------------------------------------------
+
+from mapping_timeseries_spark.operators.unigram import (  # noqa: E402
+    UNK_LOGP,
+    _em_round_local,
+    _normalize,
+    encode_unigram,
+    train_unigram,
+    unigram_seed_vocab,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_unigram_seed_vocab_counts(spark):
+    # "abab" freq 2, "ab" freq 1 -> substring "ab" occurs 2x in abab
+    # (weighted 2*2=4) + 1x in ab = 5; "a" likewise 5; "abab" = 2.
+    docs = spark.createDataFrame(
+        [(1, "abab ab"), (2, "abab")], "doc_id long, text string"
+    )
+    seed = unigram_seed_vocab(
+        bpe_word_histogram(docs), seed_size=100, max_piece_len=4
+    )
+    counts = {r["piece"]: r["count"] for r in seed.collect()}
+    assert counts["a"] == 5 and counts["b"] == 5
+    assert counts["ab"] == 5
+    assert counts["abab"] == 2
+    assert counts["ba"] == 2 and counts["bab"] == 2 and counts["aba"] == 2
+
+
+def test_unigram_em_monotone_likelihood(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(80)
+    hist_df = bpe_word_histogram(docs)
+    hist = sorted((r["word"], r["freq"]) for r in hist_df.collect())
+    seed = unigram_seed_vocab(hist_df, seed_size=500, max_piece_len=6)
+    logp = _normalize({r["piece"]: float(r["count"]) for r in seed.collect()})
+    lls = []
+    for _ in range(4):
+        counts, ll = _em_round_local(hist, logp, 6)
+        lls.append(ll)
+        logp = _normalize(counts)
+    assert all(b >= a - 1e-9 for a, b in zip(lls, lls[1:])), lls
+
+
+def test_unigram_modes_agree_and_prune_respects_chars(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(60)
+    kw = dict(vocab_size=60, seed_size=400, max_piece_len=5)
+    vh = train_unigram(docs, mode="histogram", **kw)
+    vd = train_unigram(docs, mode="distributed", **kw)
+    ph = {r["piece"]: r["logp"] for r in vh.collect()}
+    pdd = {r["piece"]: r["logp"] for r in vd.collect()}
+    # same surviving pieces; probabilities equal to float-sum noise
+    assert set(ph) == set(pdd)
+    for k, v in ph.items():
+        assert pdd[k] == pytest.approx(v, abs=1e-6), k
+    # pruning ran (seed is larger than target) and kept every single
+    # char seen in the corpus (coverage invariant)
+    chars = {
+        r["word"][i]
+        for r in bpe_word_histogram(docs).collect()
+        for i in range(len(r["word"]))
+    }
+    assert chars <= set(ph)
+    # at most the target; can be fewer when EM zeroes out multi-char
+    # pieces (dropped rather than padded), but pruning clearly ran
+    assert len(ph) <= max(60, len(chars))
+    assert len(ph) < 200  # seed was ~250 pieces; pruning happened
+
+
+def test_unigram_viterbi_matches_bruteforce(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(60)
+    vocab = train_unigram(
+        docs, vocab_size=80, seed_size=300, max_piece_len=5
+    )
+    logp = {r["piece"]: r["logp"] for r in vocab.collect()}
+    enc = encode_unigram(docs, vocab)
+    words = [
+        r["word"]
+        for r in bpe_word_histogram(docs).collect()
+        if len(r["word"]) <= 10
+    ]
+
+    def brute_best(word):
+        n = len(word)
+        best = None
+        for mask in range(1 << max(0, n - 1)):
+            cuts = [0] + [
+                i + 1 for i in range(n - 1) if mask >> i & 1
+            ] + [n]
+            pieces = [word[a:b] for a, b in zip(cuts, cuts[1:])]
+            s = 0.0
+            ok = True
+            for p in pieces:
+                lp = logp.get(p)
+                if lp is None:
+                    if len(p) == 1:
+                        lp = UNK_LOGP
+                    else:
+                        ok = False
+                        break
+                s += lp
+            if ok and (best is None or s > best):
+                best = s
+        return best
+
+    # encode one doc per word is overkill; check score parity directly
+    from mapping_timeseries_spark.operators.unigram import encode_unigram as _  # noqa
+    one = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "doc_id long, text string"
+    )
+    got = {
+        r["text"]: r["unigram_tokens"]
+        for r in encode_unigram(one, vocab).collect()
+    }
+    for w in words:
+        pieces = got[w]
+        assert "".join(pieces) == w
+        score = sum(
+            logp.get(p, UNK_LOGP if len(p) == 1 else None) for p in pieces
+        )
+        assert score == pytest.approx(brute_best(w), abs=1e-9), w
+
+
+def test_unigram_unknown_char_fallback_roundtrip(spark):
+    train = spark.createDataFrame(
+        [(1, "data data base based")], "doc_id long, text string"
+    )
+    vocab = train_unigram(train, vocab_size=30, seed_size=50)
+    apply_to = spark.createDataFrame(
+        [(1, "dataxq zz"), (2, ""), (3, None)], "doc_id long, text string"
+    )
+    rows = {
+        r["doc_id"]: r["unigram_tokens"]
+        for r in encode_unigram(apply_to, vocab).collect()
+    }
+    assert "".join(rows[1]) == "dataxqzz"
+    assert rows[2] == [] and rows[3] == []
+    # unseen chars came out as single-char fallback pieces
+    assert "x" in rows[1] and "q" in rows[1]
