@@ -83,6 +83,7 @@ from mapping_timeseries_spark.operators.textstats import (
     boilerplate_signals,
     chunk_documents,
     doc_fingerprints,
+    gopher_repetition,
     lang_distribution,
     lang_marker_scores,
     lang_trigram_scores,
@@ -1335,12 +1336,25 @@ def q_normalize_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition-filter leg (Rae et al. 2021 §A1.1 n-gram
+    family): top-2/3/4-gram character coverage, duplicated-5..10-gram
+    character coverage, and the published-threshold pass flag. Pure leg
+    — benched standalone; hash-gated through the text_stats fold."""
+    ensure_runtime_conf(spark)
+    return gopher_repetition(read_table(spark, sf_dir, "documents"))
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry fold (r6): the heuristic per-doc stats frame widened
     with the canonicalization fingerprint columns — one row per doc,
-    stats + the canonical-text identity the dedup stages consume."""
-    return q_text_stats_core(spark, sf_dir).join(
-        q_normalize_fingerprint(spark, sf_dir), "doc_id"
+    stats + the canonical-text identity the dedup stages consume — and
+    the Gopher repetition-filter signals (top/dup n-gram character
+    coverage + threshold pass flag)."""
+    return (
+        q_text_stats_core(spark, sf_dir)
+        .join(q_normalize_fingerprint(spark, sf_dir), "doc_id")
+        .join(q_gopher_repetition(spark, sf_dir), "doc_id")
     )
 
 
@@ -2854,6 +2868,32 @@ WHERE bit_count(xor(a.fingerprint, b.fingerprint)) <= 8
 
 _SQL_TOKENS = r"list_filter(string_split_regex(trim(text), '\s+'), __t -> __t != '')"
 
+# Gopher repetition fractions + pass flag, generated from the operator's
+# threshold tables so the SQL twin can never drift from the Spark side.
+from mapping_timeseries_spark.operators.textstats import (  # noqa: E402
+    GOPHER_DUP_THRESHOLDS,
+    GOPHER_TOP_THRESHOLDS,
+)
+
+_GOPHER_FRAC_SQL = ",\n         ".join(
+    f"round(least(coalesce(max(CASE WHEN p.n = {n} THEN p.{kind}_cover END)"
+    f" * 1.0 / b.chars, 0), 1.0), 6) AS {kind}_{n}gram_char_frac"
+    for kind, ns in (("top", GOPHER_TOP_THRESHOLDS), ("dup", GOPHER_DUP_THRESHOLDS))
+    for n in ns
+)
+_GOPHER_PASS_SQL = (
+    "CAST(("
+    + " AND ".join(
+        f"{kind}_{n}gram_char_frac <= {th}::DOUBLE"
+        for kind, ths in (
+            ("top", GOPHER_TOP_THRESHOLDS),
+            ("dup", GOPHER_DUP_THRESHOLDS),
+        )
+        for n, th in ths.items()
+    )
+    + ") AS INT)"
+)
+
 _STOPWORD_LIST = "('the','a','of','and','to','in','is','it','for','on')"
 
 _LANG_MARKER_SQL_EN = "('the','a','of','and','is')"
@@ -2933,17 +2973,59 @@ norm AS (
          length(trim(regexp_replace(nfc_normalize(text),
              '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')))::BIGINT AS n_norm_chars
   FROM documents
+),
+-- r6 fold: Gopher repetition signals (n-gram family). Same
+-- definitions as operators/textstats.py::gopher_repetition — top =
+-- n-gram maximizing count*char_len, dup = chars covered by n-grams
+-- occurring >=2 times, both over the space-joined gram string, clamped
+-- at 1.0, denominator greatest(length(text),1); grams reduced to the
+-- portable 60-bit md5 hash (collisions deterministic, both engines).
+gop_pern AS (
+  SELECT doc_id, n,
+         max(cnt * glen) AS top_cover,
+         sum(CASE WHEN cnt >= 2 THEN cnt * glen ELSE 0 END) AS dup_cover
+  FROM (
+    SELECT doc_id, n,
+           ('0x' || substring(md5(g), 1, 15))::BIGINT AS gh,
+           length(g) AS glen, count(*) AS cnt
+    FROM (
+      SELECT doc_id, n,
+             unnest(CASE WHEN len(t) >= n
+               THEN list_transform(range(1, len(t) - n + 2),
+                    i -> array_to_string(list_slice(t, i, i + n - 1), ' '))
+               ELSE [] END) AS g
+      FROM (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
+           (SELECT unnest([2,3,4,5,6,7,8,9,10]) AS n)
+    )
+    GROUP BY doc_id, n, gh, glen
+  )
+  GROUP BY doc_id, n
+),
+gop AS (
+  SELECT b.doc_id,
+         {_GOPHER_FRAC_SQL},
+         {_GOPHER_PASS_SQL} AS gopher_repetition_pass
+  FROM (SELECT doc_id, greatest(length(text), 1) AS chars FROM documents) b
+  LEFT JOIN gop_pern p ON b.doc_id = p.doc_id
+  GROUP BY b.doc_id, b.chars
 )
 SELECT s.doc_id, s.lang, s.n_chars, s.n_tokens, s.n_unique_tokens,
        s.avg_token_len, s.stopword_ratio, s.punct_ratio,
        d.lang_n_docs, d.lang_share,
        rep.top_bigram_share, rep.dup_bigram_fraction,
        pii.n_emails, pii.n_ipv4s, pii.n_phoneish,
-       norm.norm_fingerprint, norm.n_norm_chars
+       norm.norm_fingerprint, norm.n_norm_chars,
+       gop.top_2gram_char_frac, gop.top_3gram_char_frac,
+       gop.top_4gram_char_frac,
+       gop.dup_5gram_char_frac, gop.dup_6gram_char_frac,
+       gop.dup_7gram_char_frac, gop.dup_8gram_char_frac,
+       gop.dup_9gram_char_frac, gop.dup_10gram_char_frac,
+       gop.gopher_repetition_pass
 FROM s JOIN d ON s.lang = d.lang
 JOIN rep ON s.doc_id = rep.doc_id
 JOIN pii ON s.doc_id = pii.doc_id
 JOIN norm ON s.doc_id = norm.doc_id
+JOIN gop ON s.doc_id = gop.doc_id
 """
 
 ORACLE_QUALITY = f"""

@@ -77,6 +77,8 @@ HEADLINE = [
     "semantic_decontam",
     "diversity_profile",
     "normalize_text",
+    # r6 late: Gopher repetition signals (9 n values, one explode pass)
+    "gopher_repetition",
     # hot-key skew pair: the same 3-key lineitem aggregation plain vs
     # salted, so the salting pattern carries a measured number (the
     # registry's salted_agg query hash-gates correctness; this measures)
@@ -116,6 +118,7 @@ ADDED_THIS_ROUND = [
     "semantic_decontam",
     "diversity_profile",
     "normalize_text",
+    "gopher_repetition",
 ]
 
 
@@ -218,6 +221,7 @@ def main() -> None:
     qs["semantic_decontam"] = entry_mod.q_semantic_decontam
     qs["diversity_profile"] = entry_mod.q_diversity_profile
     qs["normalize_text"] = entry_mod.q_normalize_fingerprint
+    qs["gopher_repetition"] = entry_mod.q_gopher_repetition
     times: dict[str, float] = {}
     spreads: dict[str, float] = {}
     for name in HEADLINE:

@@ -30,6 +30,8 @@ __all__ = [
     "lang_distribution",
     "chunk_documents",
     "repetition_stats",
+    "gopher_repetition",
+    "line_repetition_stats",
     "pii_counts",
     "boilerplate_signals",
     "vocab_counts",
@@ -370,6 +372,185 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
             F.lit(0.0),
         ).alias("dup_bigram_fraction"),
     )
+
+
+#: Gopher repetition-filter thresholds (Rae et al. 2021, table A1):
+#: a document FAILS when any fraction exceeds its bound. Exposed so the
+#: pass column and a caller's custom filter share one source of truth.
+GOPHER_TOP_THRESHOLDS = {2: 0.20, 3: 0.18, 4: 0.16}
+GOPHER_DUP_THRESHOLDS = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
+
+
+def gopher_repetition(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document Gopher repetition signals (Rae et al. 2021 §A1.1):
+    the n-gram family of the quality-filter suite — ``top_{2,3,4}
+    gram_char_frac`` (characters covered by the heaviest word n-gram)
+    and ``dup_{5..10}gram_char_frac`` (characters covered by n-grams
+    occurring at least twice), plus ``gopher_repetition_pass`` (1 when
+    every fraction is within the published threshold). The line/
+    paragraph half of the suite is :func:`line_repetition_stats`.
+
+    Documented deviations from the paper's (order-dependent, greedy)
+    reference procedure, chosen so the statistic is deterministic and
+    engine-portable:
+
+    - "top n-gram" is the n-gram maximizing ``count × char_len`` (the
+      most characters covered), not ``Counter.most_common(1)`` whose
+      tie-break depends on iteration order.
+    - occurrences may overlap, so coverage is clamped at 1.0 (the
+      common public reimplementations share this property).
+    - char lengths count the space-joined gram string; the denominator
+      is ``length(text)``.
+
+    Plan (scale posture): ONE corpus pass — all nine n values expand in
+    a single projected expression (token array bound once per row) and
+    one ``explode``; grams are reduced to 60-bit portable hashes with
+    their char length BEFORE the shuffle, so the exchange carries
+    fixed-width ints and the per-(doc, n, gram) counts collapse
+    map-side. Two further vocabulary-per-doc-sized aggregations reuse
+    the doc_id clustering. Hash collisions (2^-60, deterministic,
+    identical in the DuckDB twin) are the documented approximation.
+    """
+    from ..functions.text import portable_hash64
+
+    all_ns = (*GOPHER_TOP_THRESHOLDS, *GOPHER_DUP_THRESHOLDS)
+    t = F.col("__t")
+
+    def raw_grams(n: int):
+        # raw (non-distinct) adjacent n-grams; <n tokens -> empty
+        idx = F.sequence(F.lit(0), F.size(t) - n)
+        g = F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(t, i + j + 1) for j in range(n)]
+            ),
+        )
+        return F.when(F.size(t) >= n, g).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    def tag(n: int):
+        # NB: the inner lambda must take exactly ONE parameter — a
+        # two-parameter transform lambda receives (element, index) and
+        # a default-arg `n=n` trick would be silently overwritten by
+        # the index column
+        return F.transform(
+            raw_grams(n),
+            lambda g: F.struct(F.lit(n).alias("n"), g.alias("g")),
+        )
+
+    tagged = F.flatten(F.array(*[tag(n) for n in all_ns]))
+    toks = docs.select(
+        "doc_id",
+        F.greatest(F.length(F.col(text_col)), F.lit(1)).alias("__chars"),
+        tokens(F.col(text_col)).alias("__t"),
+    )
+    # explode_outer keeps zero-gram docs as one null row: they fall out
+    # of every conditional aggregate and report all-zero fractions
+    ex = toks.select("doc_id", "__chars", F.explode_outer(tagged).alias("__gr"))
+    cnt = (
+        ex.select(
+            "doc_id",
+            "__chars",
+            F.col("__gr.n").alias("__n"),
+            portable_hash64(F.col("__gr.g")).alias("__gh"),
+            F.length(F.col("__gr.g")).alias("__glen"),
+        )
+        .groupBy("doc_id", "__chars", "__n", "__gh", "__glen")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    pern = cnt.groupBy("doc_id", "__chars", "__n").agg(
+        F.max(F.col("__cnt") * F.col("__glen")).alias("__top_cover"),
+        F.sum(
+            F.when(
+                F.col("__cnt") >= 2, F.col("__cnt") * F.col("__glen")
+            ).otherwise(F.lit(0))
+        ).alias("__dup_cover"),
+    )
+
+    def frac(cover_col: str, n: int, name: str):
+        return F.round(
+            F.least(
+                F.coalesce(
+                    F.max(F.when(F.col("__n") == n, F.col(cover_col)))
+                    / F.col("__chars"),
+                    F.lit(0.0),
+                ),
+                F.lit(1.0),
+            ),
+            6,
+        ).alias(name)
+
+    wide = pern.groupBy("doc_id", "__chars").agg(
+        *[
+            frac("__top_cover", n, f"top_{n}gram_char_frac")
+            for n in GOPHER_TOP_THRESHOLDS
+        ],
+        *[
+            frac("__dup_cover", n, f"dup_{n}gram_char_frac")
+            for n in GOPHER_DUP_THRESHOLDS
+        ],
+    )
+    passed = F.lit(True)
+    for n, th in GOPHER_TOP_THRESHOLDS.items():
+        passed = passed & (F.col(f"top_{n}gram_char_frac") <= th)
+    for n, th in GOPHER_DUP_THRESHOLDS.items():
+        passed = passed & (F.col(f"dup_{n}gram_char_frac") <= th)
+    return wide.withColumn(
+        "gopher_repetition_pass", passed.cast("int")
+    ).drop("__chars")
+
+
+def _dup_split_stats(
+    docs: DataFrame, text_col: str, sep: str, prefix: str
+) -> DataFrame:
+    """Duplicate fraction + duplicate-character fraction over the text
+    split on ``sep`` (regex), empty/whitespace-only segments dropped.
+    A duplicate is every occurrence of a segment after its first, per
+    the Gopher/DataTrove convention."""
+    seg = docs.select(
+        "doc_id",
+        F.explode_outer(
+            F.filter(
+                F.transform(
+                    F.split(F.col(text_col), sep), lambda s: F.trim(s)
+                ),
+                lambda s: s != F.lit(""),
+            )
+        ).alias("__s"),
+    )
+    per = seg.groupBy("doc_id", "__s").agg(F.count("__s").alias("__cnt"))
+    return per.groupBy("doc_id").agg(
+        F.round(
+            F.coalesce(
+                (F.sum("__cnt") - F.count(F.col("__s")))
+                / F.nullif(F.sum("__cnt"), F.lit(0)),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias(f"dup_{prefix}_frac"),
+        F.round(
+            F.coalesce(
+                F.sum((F.col("__cnt") - 1) * F.length("__s"))
+                / F.nullif(F.sum(F.col("__cnt") * F.length("__s")), F.lit(0)),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias(f"dup_{prefix}_char_frac"),
+    )
+
+
+def line_repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Line/paragraph half of the Gopher repetition suite: fraction of
+    duplicate lines, fraction of characters in duplicate lines, and the
+    same pair over paragraphs (blank-line separated). Duplicate = every
+    occurrence after a segment's first; empty segments are dropped.
+    Expression-only, two split-explode-aggregate passes joined on
+    doc_id. Degenerate on the single-line synthetic corpus, so the
+    gate is the planted-fixture pytest, not the driver oracle."""
+    lines = _dup_split_stats(docs, text_col, r"\n", "line")
+    paras = _dup_split_stats(docs, text_col, r"\n{2,}", "paragraph")
+    return lines.join(paras, "doc_id")
 
 
 def pii_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:

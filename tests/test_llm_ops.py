@@ -879,6 +879,139 @@ def test_repetition_stats_flags_boilerplate(spark):
     assert got[3] == (0.0, 0.0)
 
 
+def test_gopher_repetition_planted_values(spark):
+    from mapping_timeseries_spark.operators.textstats import gopher_repetition
+
+    # doc 1 "ab cd ab cd ab cd" (17 chars): 2-grams "ab cd"x3 (len 5,
+    # cover 15), "cd ab"x2 (10) -> top2 15/17; 3-grams both x2 len 8 ->
+    # top3 16/17; 4-grams "ab cd ab cd"x2 len 11 -> 22/17 clamps to 1;
+    # every 5..10-gram is unique -> dup fracs 0. top4 1.0 > 0.16 so the
+    # Gopher filter fails the doc.
+    docs = spark.createDataFrame(
+        [
+            (1, "ab cd ab cd ab cd"),
+            # long enough that a singleton n-gram stays under the top-n
+            # thresholds (Gopher assumes a min-length prefilter; a
+            # 7-word doc "fails" because one bigram covers >20% of it)
+            (2, " ".join(f"tok{i}" for i in range(60))),
+            (3, "solo"),
+            (4, ""),
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r.asDict() for r in gopher_repetition(docs).collect()}
+    assert len(got) == 5
+    d1 = got[1]
+    assert d1["top_2gram_char_frac"] == pytest.approx(round(15 / 17, 6))
+    assert d1["top_3gram_char_frac"] == pytest.approx(round(16 / 17, 6))
+    assert d1["top_4gram_char_frac"] == 1.0
+    assert all(d1[f"dup_{n}gram_char_frac"] == 0.0 for n in range(5, 11))
+    assert d1["gopher_repetition_pass"] == 0
+    # natural prose: everything distinct, passes
+    d2 = got[2]
+    assert d2["gopher_repetition_pass"] == 1
+    assert d2["top_2gram_char_frac"] > 0.0
+    assert all(d2[f"dup_{n}gram_char_frac"] == 0.0 for n in range(5, 11))
+    # degenerate docs report all-zero fractions and pass
+    for i in (3, 4, 5):
+        assert got[i]["gopher_repetition_pass"] == 1
+        assert got[i]["top_2gram_char_frac"] == 0.0
+
+
+def test_gopher_repetition_dup_ngram_family(spark):
+    from mapping_timeseries_spark.operators.textstats import gopher_repetition
+
+    # "w1 .. w5" repeated 3x: every 5-gram occurs >= 2 times (cyclic),
+    # total dup cover far exceeds the text -> clamp at 1.0 and fail
+    docs = spark.createDataFrame(
+        [(1, " ".join(["w1 w2 w3 w4 w5"] * 3))], "doc_id long, text string"
+    )
+    row = gopher_repetition(docs).collect()[0]
+    assert row["dup_5gram_char_frac"] == 1.0
+    assert row["gopher_repetition_pass"] == 0
+
+
+def test_line_repetition_stats_planted(spark):
+    from mapping_timeseries_spark.operators.textstats import (
+        line_repetition_stats,
+    )
+
+    # doc 1: lines [aaa, bbb, aaa, ccc, aaa, bbb] -> 6 lines, 4 distinct
+    # -> dup_line_frac 2/6... wait: duplicates = occurrences after the
+    # first = (3-1)+(2-1) = 3 -> 3/6; char dup = 3*3 / 18 = 0.5.
+    # paragraphs (blank-line split): [aaa\nbbb\naaa, ccc, aaa\nbbb] all
+    # distinct -> 0.
+    docs = spark.createDataFrame(
+        [
+            (1, "aaa\nbbb\naaa\n\nccc\n\naaa\nbbb"),
+            (2, "x\n\ny\n\nx"),  # paragraphs [x, y, x] -> dup 1/3
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in line_repetition_stats(docs).collect()
+    }
+    assert got[1]["dup_line_frac"] == pytest.approx(0.5)
+    assert got[1]["dup_line_char_frac"] == pytest.approx(0.5)
+    assert got[1]["dup_paragraph_frac"] == 0.0
+    assert got[2]["dup_paragraph_frac"] == pytest.approx(round(1 / 3, 6))
+    assert got[2]["dup_paragraph_char_frac"] == pytest.approx(round(1 / 3, 6))
+    assert got[3]["dup_line_frac"] == 0.0
+
+
+def test_gopher_thresholds_match_duckdb_twin(spark):
+    """The operator's fractions on a small real slice must equal an
+    independent DuckDB computation (the driver gates the full fold; this
+    pins the pure leg at test speed)."""
+    import duckdb
+
+    from mapping_timeseries_spark.operators.textstats import gopher_repetition
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents").limit(120)
+    docs.createOrReplaceTempView("__gop_docs")
+    spark_rows = {
+        r["doc_id"]: r.asDict()
+        for r in gopher_repetition(docs).collect()
+    }
+    pdf = docs.select("doc_id", "text").toPandas()
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    import __spark_entry__ as em
+
+    sql = f"""
+    WITH gop_pern AS (
+      SELECT doc_id, n, max(cnt * glen) AS top_cover,
+             sum(CASE WHEN cnt >= 2 THEN cnt * glen ELSE 0 END) AS dup_cover
+      FROM (
+        SELECT doc_id, n, ('0x' || substring(md5(g), 1, 15))::BIGINT AS gh,
+               length(g) AS glen, count(*) AS cnt
+        FROM (
+          SELECT doc_id, n,
+                 unnest(CASE WHEN len(t) >= n
+                   THEN list_transform(range(1, len(t) - n + 2),
+                        i -> array_to_string(list_slice(t, i, i + n - 1), ' '))
+                   ELSE [] END) AS g
+          FROM (SELECT doc_id, {em._SQL_TOKENS} AS t FROM documents),
+               (SELECT unnest([2,3,4,5,6,7,8,9,10]) AS n)
+        ) GROUP BY doc_id, n, gh, glen
+      ) GROUP BY doc_id, n
+    )
+    SELECT b.doc_id, {em._GOPHER_FRAC_SQL}, {em._GOPHER_PASS_SQL} AS gopher_repetition_pass
+    FROM (SELECT doc_id, greatest(length(text), 1) AS chars FROM documents) b
+    LEFT JOIN gop_pern p ON b.doc_id = p.doc_id
+    GROUP BY b.doc_id, b.chars
+    """
+    duck = con.execute(sql).fetch_df().set_index("doc_id").to_dict("index")
+    assert set(duck) == set(spark_rows)
+    for doc_id, want in duck.items():
+        have = spark_rows[doc_id]
+        for k, v in want.items():
+            assert have[k] == pytest.approx(v, abs=1e-9), (doc_id, k)
+
+
 def test_boilerplate_signals_planted_template(spark):
     from mapping_timeseries_spark.operators.textstats import boilerplate_signals
 
