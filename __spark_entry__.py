@@ -72,6 +72,11 @@ from mapping_timeseries_spark.operators.similarity import (
     ivf_topk_indexed,
     semantic_dedup,
 )
+from mapping_timeseries_spark.operators.dsir import (
+    dsir_gumbel_topk,
+    dsir_logratio,
+    dsir_weights,
+)
 from mapping_timeseries_spark.operators.textmodels import (
     bigram_lm_counts,
     lm_perplexity,
@@ -1372,8 +1377,10 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     smoothing, scored over everything — the CCNet-style signal) and the
     multinomial Naive-Bayes classifier (label = source=='src0',
     integer micro-nat log-odds so the per-doc sums are order-independent
-    and the predicted class comes from an integer comparison) — seven
-    operators, one frame."""
+    and the predicted class comes from an integer comparison) — PLUS
+    (r6) DSIR importance resampling (Xie et al. 2023: hashed-n-gram
+    log-ratio weights toward the src0 target domain, integer-nat sums,
+    seeded Gumbel-top-k selection) — eight operators, one frame."""
     ensure_runtime_conf(spark)
     docs = read_table(spark, sf_dir, "documents")
     s = shard_assign(quality_score(docs), "doc_id", 16)
@@ -1403,12 +1410,30 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("log_odds").alias("nb_log_odds"),
         F.col("predicted").alias("nb_predicted"),
     )
+    # r6 fold: DSIR importance resampling (operators/dsir.py) — hashed
+    # unigram+bigram features, target = src0, integer-nat log-ratio
+    # weights, seeded Gumbel-top-100 selection
+    dsir_model = dsir_logratio(
+        docs.where(F.col("source") == "src0"),
+        docs.where(F.col("source") != "src0"),
+        n_buckets=2048,
+    )
+    ds = dsir_gumbel_topk(
+        dsir_weights(docs, dsir_model, n_buckets=2048), k=100
+    ).select(
+        "doc_id",
+        "dsir_logw_nats",
+        "dsir_score",
+        F.col("dsir_rank").cast("int").alias("dsir_rank"),
+        "dsir_selected",
+    )
     return (
         s.join(lid, "doc_id")
         .join(tri, "doc_id")
         .join(bp, "doc_id")
         .join(lm, "doc_id")
         .join(nb, "doc_id")
+        .join(ds, "doc_id")
         .select(
             "doc_id",
             F.col("n_tokens").cast("bigint").alias("n_tokens"),
@@ -1431,7 +1456,28 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ppl",
             "nb_log_odds",
             "nb_predicted",
+            "dsir_logw_nats",
+            "dsir_score",
+            "dsir_rank",
+            "dsir_selected",
         )
+    )
+
+
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR pure leg for the bench: hashed-feature importance weights
+    toward the src0 target and the TakeOrderedAndProject Gumbel-top-100
+    (the corpus-scale selection path, no global sort). Hash-gated
+    through the quality_score fold; this leg carries the wall-clock."""
+    ensure_runtime_conf(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    model = dsir_logratio(
+        docs.where(F.col("source") == "src0"),
+        docs.where(F.col("source") != "src0"),
+        n_buckets=2048,
+    )
+    return dsir_gumbel_topk(
+        dsir_weights(docs, model, n_buckets=2048), k=100, full_rank=False
     )
 
 
@@ -3200,6 +3246,65 @@ nb AS (
          round((coalesce(nbsc.wsum, 0) + nbpri.p) / 1e9, 6) AS nb_log_odds,
          ((coalesce(nbsc.wsum, 0) + nbpri.p) > 0)::INT AS nb_predicted
   FROM lmtok LEFT JOIN nbsc USING (doc_id) CROSS JOIN nbpri
+),
+-- r6 fold: DSIR importance resampling (operators/dsir.py). Features =
+-- word unigrams + bigrams bucketed by the portable 60-bit hash % 2048;
+-- bucket log-ratio (target = src0) as round(ln * 1e9) bigints (the
+-- integer-nat contract); Gumbel noise a pure function of
+-- (doc_id, seed) so the top-100 draw replays exactly.
+dsf AS (
+  SELECT doc_id, bucket, count(*) AS cnt FROM (
+    SELECT doc_id,
+           ('0x' || substring(md5(g), 1, 15))::BIGINT % 2048 AS bucket
+    FROM (
+      SELECT doc_id, unnest(list_concat(t,
+        CASE WHEN len(t) >= 2 THEN list_transform(range(1, len(t)),
+             i -> list_extract(t, i) || ' ' || list_extract(t, i + 1))
+        ELSE [] END)) AS g
+      FROM lmtok
+    )
+  ) GROUP BY doc_id, bucket
+),
+dst AS (
+  SELECT bucket, sum(cnt)::BIGINT AS n FROM dsf
+  JOIN documents USING (doc_id) WHERE source = 'src0' GROUP BY bucket
+),
+dsr AS (
+  SELECT bucket, sum(cnt)::BIGINT AS n FROM dsf
+  JOIN documents USING (doc_id) WHERE source <> 'src0' GROUP BY bucket
+),
+dstot AS (
+  SELECT (SELECT coalesce(sum(n), 0) FROM dst) AS tt,
+         (SELECT coalesce(sum(n), 0) FROM dsr) AS rt
+),
+dslr AS (
+  SELECT b.bucket,
+         round(ln((coalesce(dst.n, 0) + 0.5) / (dstot.tt + 0.5 * 2048)) * 1e9)::BIGINT
+       - round(ln((coalesce(dsr.n, 0) + 0.5) / (dstot.rt + 0.5 * 2048)) * 1e9)::BIGINT
+           AS lr
+  FROM (SELECT unnest(range(2048)) AS bucket) b
+  LEFT JOIN dst USING (bucket) LEFT JOIN dsr USING (bucket) CROSS JOIN dstot
+),
+dsw AS (
+  SELECT d.doc_id,
+         coalesce(sum(dsf.cnt * dslr.lr), 0)::BIGINT AS dsir_logw_nats
+  FROM documents d
+  LEFT JOIN dsf ON d.doc_id = dsf.doc_id
+  LEFT JOIN dslr ON dsf.bucket = dslr.bucket
+  GROUP BY d.doc_id
+),
+dsk AS (
+  SELECT doc_id, dsir_logw_nats, dsir_score,
+         row_number() OVER (ORDER BY dsir_score DESC, doc_id ASC)::INT
+           AS dsir_rank
+  FROM (
+    SELECT doc_id, dsir_logw_nats,
+           round(dsir_logw_nats / 1e9
+                 - ln(-ln((('0x' || substring(md5(CAST(doc_id AS VARCHAR)
+                       || ':20260815'), 1, 15))::BIGINT + 1.0)
+                     / (1152921504606846976 + 2.0))), 6) AS dsir_score
+    FROM dsw
+  )
 )
 SELECT q.doc_id, q.n_tokens, q.n_unique_tokens, q.quality_score,
        lid.actual_lang, lid.score_en, lid.score_de, lid.score_fr, lid.score_es,
@@ -3208,10 +3313,12 @@ SELECT q.doc_id, q.n_tokens, q.n_unique_tokens, q.quality_score,
          % 16)::INT AS shard,
        bp.n_grams, bp.n_boiler_grams, bp.boilerplate_frac,
        lm.n_trans, lm.oov_trans, lm.avg_nll, lm.ppl,
-       nb.nb_log_odds, nb.nb_predicted
+       nb.nb_log_odds, nb.nb_predicted,
+       dsk.dsir_logw_nats, dsk.dsir_score, dsk.dsir_rank,
+       (dsk.dsir_rank <= 100)::INT AS dsir_selected
 FROM q JOIN lid ON q.doc_id = lid.doc_id JOIN tri ON q.doc_id = tri.doc_id
        JOIN bp ON q.doc_id = bp.doc_id JOIN lm ON q.doc_id = lm.doc_id
-       JOIN nb ON q.doc_id = nb.doc_id
+       JOIN nb ON q.doc_id = nb.doc_id JOIN dsk ON q.doc_id = dsk.doc_id
 """
 
 # WAV decode oracle: the payload is a pure function of (doc_id, text)

@@ -79,6 +79,9 @@ HEADLINE = [
     "normalize_text",
     # r6 late: Gopher repetition signals (9 n values, one explode pass)
     "gopher_repetition",
+    # r6 late: DSIR importance resampling (feature explode + broadcast
+    # log-ratio join + TakeOrderedAndProject top-k)
+    "dsir_select",
     # hot-key skew pair: the same 3-key lineitem aggregation plain vs
     # salted, so the salting pattern carries a measured number (the
     # registry's salted_agg query hash-gates correctness; this measures)
@@ -119,6 +122,7 @@ ADDED_THIS_ROUND = [
     "diversity_profile",
     "normalize_text",
     "gopher_repetition",
+    "dsir_select",
 ]
 
 
@@ -222,6 +226,7 @@ def main() -> None:
     qs["diversity_profile"] = entry_mod.q_diversity_profile
     qs["normalize_text"] = entry_mod.q_normalize_fingerprint
     qs["gopher_repetition"] = entry_mod.q_gopher_repetition
+    qs["dsir_select"] = entry_mod.q_dsir_select
     times: dict[str, float] = {}
     spreads: dict[str, float] = {}
     for name in HEADLINE:
