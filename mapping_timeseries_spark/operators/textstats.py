@@ -33,6 +33,7 @@ __all__ = [
     "gopher_repetition",
     "line_repetition_stats",
     "pii_counts",
+    "redact_pii",
     "boilerplate_signals",
     "vocab_counts",
     "normalize_text",
@@ -564,6 +565,39 @@ def pii_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
             F.regexp_count(t, F.lit(pat)).alias(f"n_{name}")
             for name, pat in PII_PATTERNS.items()
         ],
+    )
+
+
+#: Replacement tokens for :func:`redact_pii`, keyed like PII_PATTERNS.
+#: Bracketed uppercase placeholders (the C4/Dolma convention) — no
+#: digits, so an earlier replacement can never create a later match.
+PII_REPLACEMENTS = {
+    "emails": "<EMAIL>",
+    "ipv4s": "<IP>",
+    "phoneish": "<PHONE>",
+}
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """The action half of :func:`pii_counts`: replace PII-shaped spans
+    with bracketed placeholder tokens, in the fixed PII_PATTERNS order
+    (emails, then IPv4s, then phone-ish — placeholders contain no
+    digits, so earlier replacements cannot create later matches).
+    Replaces ``text_col`` in place, preserves every other column, and
+    adds ``n_redactions`` (total spans replaced). Map-only chained
+    ``regexp_replace`` expressions — no Python, no shuffle; the DuckDB
+    twin chains ``regexp_replace(..., 'g')`` in the same order
+    (pytest-pinned on planted PII)."""
+    # counts are taken on the PROGRESSIVELY redacted text, so a span
+    # consumed by an earlier pattern (digit runs inside an email local
+    # part) is never double-counted: n_redactions == spans replaced
+    red = F.col(text_col)
+    total = F.lit(0)
+    for name, pat in PII_PATTERNS.items():
+        total = total + F.regexp_count(red, F.lit(pat))
+        red = F.regexp_replace(red, pat, PII_REPLACEMENTS[name])
+    return docs.withColumn("n_redactions", total.cast("bigint")).withColumn(
+        text_col, red
     )
 
 

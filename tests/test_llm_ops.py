@@ -1012,6 +1012,57 @@ def test_gopher_thresholds_match_duckdb_twin(spark):
             assert have[k] == pytest.approx(v, abs=1e-9), (doc_id, k)
 
 
+def test_redact_pii_planted_and_duckdb_twin(spark):
+    import duckdb
+
+    from mapping_timeseries_spark.operators.textstats import (
+        PII_PATTERNS,
+        PII_REPLACEMENTS,
+        redact_pii,
+    )
+
+    rows = [
+        (1, "contact john.doe@example.com or call +1 (555) 123-4567 now"),
+        (2, "server at 10.0.42.7 handles mail for a@b.io and c@d.org"),
+        # digit run INSIDE an email local part: consumed by the email
+        # pattern, must not double-count as a phone
+        (3, "user123456789@example.com"),
+        (4, "no pii here at all"),
+        (5, ""),
+        (6, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in redact_pii(docs).collect()}
+    assert got[1]["text"] == "contact <EMAIL> or call <PHONE> now"
+    assert got[1]["n_redactions"] == 2
+    assert got[2]["text"] == "server at <IP> handles mail for <EMAIL> and <EMAIL>"
+    assert got[2]["n_redactions"] == 3
+    assert got[3]["text"] == "<EMAIL>" and got[3]["n_redactions"] == 1
+    assert got[4]["n_redactions"] == 0
+    assert got[5]["n_redactions"] == 0 and got[5]["text"] == ""
+    assert got[6]["text"] is None and got[6]["n_redactions"] is None
+
+    # DuckDB twin: same chained replace order, same counts
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?, ?)", rows)
+    red, cnt = "text", []
+    for name, pat in PII_PATTERNS.items():
+        cnt.append(f"len(regexp_extract_all({red}, '{pat}'))")
+        red = f"regexp_replace({red}, '{pat}', '{PII_REPLACEMENTS[name]}', 'g')"
+    duck = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(
+            f"SELECT doc_id, {red}, {'+'.join(cnt)} FROM d"
+        ).fetchall()
+    }
+    for doc_id in (1, 2, 3, 4, 5):
+        assert duck[doc_id] == (
+            got[doc_id]["text"],
+            got[doc_id]["n_redactions"],
+        ), doc_id
+
+
 def test_boilerplate_signals_planted_template(spark):
     from mapping_timeseries_spark.operators.textstats import boilerplate_signals
 
