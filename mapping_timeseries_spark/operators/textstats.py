@@ -403,59 +403,67 @@ def gopher_repetition(docs: DataFrame, text_col: str = "text") -> DataFrame:
     - char lengths count the space-joined gram string; the denominator
       is ``length(text)``.
 
-    Plan (scale posture): ONE corpus pass — all nine n values expand in
-    a single projected expression (token array bound once per row) and
-    one ``explode``; grams are reduced to 60-bit portable hashes with
-    their char length BEFORE the shuffle, so the exchange carries
-    fixed-width ints and the per-(doc, n, gram) counts collapse
-    map-side. Two further vocabulary-per-doc-sized aggregations reuse
-    the doc_id clustering. Hash collisions (2^-60, deterministic,
-    identical in the DuckDB twin) are the documented approximation.
+    Plan (scale posture): ONE corpus pass — explode the nine n values,
+    explode gram positions, build each gram with codegen'd
+    ``slice``/``array_join`` (no higher-order-function lambdas — those
+    run interpreted and measured 2x the whole operator); grams are
+    reduced to 60-bit portable hashes with their char length BEFORE
+    the shuffle, so the exchange carries fixed-width ints and the
+    per-(doc, n, gram) counts collapse map-side. Two further
+    vocabulary-per-doc-sized aggregations reuse the doc_id clustering.
+    Hash collisions (2^-60, deterministic, identical in the DuckDB
+    twin) are the documented approximation.
     """
     from ..functions.text import portable_hash64
 
     all_ns = (*GOPHER_TOP_THRESHOLDS, *GOPHER_DUP_THRESHOLDS)
     t = F.col("__t")
 
-    def raw_grams(n: int):
-        # raw (non-distinct) adjacent n-grams; <n tokens -> empty
-        idx = F.sequence(F.lit(0), F.size(t) - n)
-        g = F.transform(
-            idx,
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(t, i + j + 1) for j in range(n)]
-            ),
-        )
-        return F.when(F.size(t) >= n, g).otherwise(
-            F.array().cast("array<string>")
-        )
-
-    def tag(n: int):
-        # NB: the inner lambda must take exactly ONE parameter — a
-        # two-parameter transform lambda receives (element, index) and
-        # a default-arg `n=n` trick would be silently overwritten by
-        # the index column
-        return F.transform(
-            raw_grams(n),
-            lambda g: F.struct(F.lit(n).alias("n"), g.alias("g")),
-        )
-
-    tagged = F.flatten(F.array(*[tag(n) for n in all_ns]))
+    # Gram expansion deliberately avoids higher-order functions: Spark
+    # evaluates transform/flatten lambdas INTERPRETED (no whole-stage
+    # codegen inside a LambdaFunction), which measured ~50 core-µs per
+    # gram — 2x the whole rest of the operator. explode(n) ×
+    # explode(positions) × slice+array_join are all ordinary codegen'd
+    # expressions. The position explode is _outer so a (doc, n) pair
+    # with fewer than n tokens survives as one null-gram row and the
+    # doc still reports all-zero fractions.
     toks = docs.select(
         "doc_id",
         F.greatest(F.length(F.col(text_col)), F.lit(1)).alias("__chars"),
         tokens(F.col(text_col)).alias("__t"),
     )
-    # explode_outer keeps zero-gram docs as one null row: they fall out
-    # of every conditional aggregate and report all-zero fractions
-    ex = toks.select("doc_id", "__chars", F.explode_outer(tagged).alias("__gr"))
+    n_col = F.col("__n")
+    positions = F.when(
+        F.size(t) >= n_col, F.sequence(F.lit(1), F.size(t) - n_col + 1)
+    ).otherwise(F.array().cast("array<int>"))
+    ex = (
+        toks.select(
+            "doc_id",
+            "__chars",
+            "__t",
+            F.explode(F.array(*[F.lit(n) for n in all_ns])).alias("__n"),
+        )
+        .select(
+            "doc_id",
+            "__chars",
+            "__t",
+            "__n",
+            F.explode_outer(positions).alias("__p"),
+        )
+        .select(
+            "doc_id",
+            "__chars",
+            "__n",
+            F.array_join(F.slice(t, F.col("__p"), n_col), " ").alias("__g"),
+        )
+    )
     cnt = (
         ex.select(
             "doc_id",
             "__chars",
-            F.col("__gr.n").alias("__n"),
-            portable_hash64(F.col("__gr.g")).alias("__gh"),
-            F.length(F.col("__gr.g")).alias("__glen"),
+            "__n",
+            portable_hash64(F.col("__g")).alias("__gh"),
+            F.length(F.col("__g")).alias("__glen"),
         )
         .groupBy("doc_id", "__chars", "__n", "__gh", "__glen")
         .agg(F.count(F.lit(1)).alias("__cnt"))
