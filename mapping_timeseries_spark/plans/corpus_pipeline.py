@@ -74,12 +74,17 @@ def flag_corpus(
     semantic_contam_threshold: float = 0.95,
     canonicalize: str | None = None,
     line_dedup_mode: str | None = None,
+    redact: bool = False,
+    gopher_filter: bool = False,
+    dsir_target: DataFrame | None = None,
+    dsir_keep: int | None = None,
 ) -> DataFrame:
     """The lazy flagged-corpus frame: input columns + one int flag per
     stage (`pass_exact`, `pass_neardup`, `pass_clean`, `pass_quality`,
     and — when their thresholds are set — `pass_repetition` /
     `pass_pii` / `pass_boilerplate` / `pass_dupspan` / `pass_ppl` /
-    `pass_classifier` / `pass_semclean`) plus `quality_score`. Pure plan — callers decide
+    `pass_classifier` / `pass_semclean` / `pass_gopher` /
+    `pass_dsir`) plus `quality_score`. Pure plan — callers decide
     what to do with it (the pipeline filters AND observes; audits can
     inspect rejects).
 
@@ -119,9 +124,31 @@ def flag_corpus(
     (similarity.embedding_decontaminate — catches the PARAPHRASED
     benchmark leakage the lexical ``pass_clean`` stage misses; docs
     without a vector pass, they carry no semantic evidence).
-    All default to None = stage off (no flag column), keeping the base
-    pipeline's contract unchanged.
+    ``redact``: rewrite PII spans to bracketed placeholders
+    (textstats.redact_pii) after canonicalization/line-dedup and
+    before every stage — downstream stages and the export see the
+    redacted text, so combining it with ``max_pii_hits`` is moot (the
+    count stage then sees zero matches by construction; set one or
+    the other).
+    ``gopher_filter``: the Gopher repetition rules
+    (textstats.gopher_repetition) — reject docs whose top-2/3/4-gram
+    or duplicated-5..10-gram character coverage exceeds the published
+    thresholds.
+    ``dsir_target`` + ``dsir_keep``: DSIR data selection
+    (operators/dsir.py) — keep only the ``dsir_keep`` docs drawn by
+    seeded Gumbel-top-k toward the target corpus' hashed-n-gram
+    distribution. Like every other stage this is an INDEPENDENT flag
+    on the full corpus, not a cascade over prior survivors — the
+    retained count can therefore be below ``dsir_keep`` when other
+    stages reject selected docs.
+    All default to None/False = stage off (no flag column), keeping
+    the base pipeline's contract unchanged.
     """
+    if (dsir_target is None) != (dsir_keep is None):
+        raise ValueError(
+            "the DSIR stage needs BOTH dsir_target and dsir_keep "
+            "(got exactly one)"
+        )
     if (lm_ref is None) != (max_ppl is None):
         raise ValueError(
             "the perplexity stage needs BOTH lm_ref and max_ppl "
@@ -173,6 +200,14 @@ def flag_corpus(
             .join(cleaned, "doc_id")
             .withColumnRenamed("__ld_text", text_col)
         )
+
+    if redact:
+        from ..operators.textstats import redact_pii
+
+        # rewrite like canonicalize/line_dedup, not a flag. Pure JVM
+        # regex (no Python boundary, no shuffle), so re-evaluating it
+        # per flag stage is cheap enough to skip the pin.
+        docs = redact_pii(docs, text_col).drop("n_redactions")
 
     # exact: keeper = smallest doc_id per content digest
     from pyspark.sql import Window
@@ -266,6 +301,30 @@ def flag_corpus(
             "pass_classifier",
             (F.col("log_odds") >= min_nb_log_odds).cast("int"),
         ).drop("log_odds")
+    if gopher_filter:
+        from ..operators.textstats import gopher_repetition
+
+        gr = gopher_repetition(docs, text_col).select(
+            "doc_id",
+            F.col("gopher_repetition_pass").alias("pass_gopher"),
+        )
+        flagged = flagged.join(gr, "doc_id")
+    if dsir_target is not None:
+        from ..operators.dsir import (
+            dsir_gumbel_topk,
+            dsir_logratio,
+            dsir_weights,
+        )
+
+        model = dsir_logratio(dsir_target, docs, text_col)
+        sel = dsir_gumbel_topk(
+            dsir_weights(docs, model, text_col),
+            k=dsir_keep,
+            full_rank=False,
+        ).select("doc_id", F.lit(1).alias("__dsir"))
+        flagged = flagged.join(sel, "doc_id", "left").withColumn(
+            "pass_dsir", F.coalesce("__dsir", F.lit(0)).cast("int")
+        ).drop("__dsir")
     if corpus_vecs is not None:
         from ..operators.similarity import embedding_decontaminate
 
@@ -306,6 +365,10 @@ def run_corpus_pipeline(
     semantic_contam_threshold: float = 0.95,
     canonicalize: str | None = None,
     line_dedup_mode: str | None = None,
+    redact: bool = False,
+    gopher_filter: bool = False,
+    dsir_target: DataFrame | None = None,
+    dsir_keep: int | None = None,
 ) -> CorpusPipelineResult:
     """Run the full preprocessing pipeline and export training shards.
 
@@ -338,6 +401,10 @@ def run_corpus_pipeline(
         semantic_contam_threshold,
         canonicalize,
         line_dedup_mode,
+        redact=redact,
+        gopher_filter=gopher_filter,
+        dsir_target=dsir_target,
+        dsir_keep=dsir_keep,
     )
     flag_cols = [c for c in flagged.columns if c.startswith("pass_")]
     keep_all = None

@@ -375,3 +375,79 @@ def test_corpus_pipeline_line_dedup_pre_step(spark, tmp_path):
     assert exported[3] == OTHER
     assert res.stats["n_input"] == 4 and res.stats["n_retained"] == 3
     assert res.stats["n_pass_quality"] == 3
+
+
+def test_corpus_pipeline_redact_and_gopher_stages(spark, tmp_path):
+    """redact=True rewrites PII before every stage (the export carries
+    placeholders); gopher_filter=True rejects the degenerate-repetition
+    doc via the published thresholds while leaving prose alone."""
+    looping = " ".join(["w1 w2 w3 w4 w5"] * 6)  # every 5-gram duplicated
+    # pad the prose docs past ~50 words: Gopher's thresholds presume a
+    # min-length prefilter — a singleton 4-gram in a 27-word doc
+    # already covers ~17% of its characters (> the 0.16 bound)
+    pad_a = " ".join(f"filler{i} gram{i}" for i in range(15))
+    pad_b = " ".join(f"unique{i} token{i}" for i in range(15))
+    rows = [
+        (0, BASE + " " + pad_a, "en"),
+        (1, OTHER + " write to team.lead@example.com for details", "en"),
+        (2, looping, "en"),
+        (3, BASE.replace("patience", "care") + " contact 10.1.2.3 " + pad_b,
+         "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = str(tmp_path / "shards_redact_gopher")
+    res = run_corpus_pipeline(
+        docs,
+        _holdout(spark),
+        out,
+        redact=True,
+        gopher_filter=True,
+        n_shards=2,
+    )
+    exported = {
+        r["doc_id"]: r["text"] for r in spark.read.parquet(out).collect()
+    }
+    # the looping doc fails ONLY the gopher stage (it is unique text,
+    # decent length, no PII)
+    assert 2 not in exported
+    assert res.stats["n_pass_gopher"] == 3
+    # exported text carries placeholders, never the raw PII
+    assert "<EMAIL>" in exported[1] and "team.lead" not in exported[1]
+    assert "<IP>" in exported[3] and "10.1.2.3" not in exported[3]
+    assert res.stats["n_retained"] == len(exported)
+
+
+def test_corpus_pipeline_dsir_stage(spark, tmp_path):
+    """dsir_target + dsir_keep keeps only the Gumbel-top-k docs drawn
+    toward the target's hashed-n-gram distribution; the stage composes
+    with the base flags (an exact-duplicate selected by DSIR is still
+    dropped by pass_exact)."""
+    import pytest as _pytest
+
+    target = spark.createDataFrame(
+        [(100, BASE), (101, BASE.replace("fox", "hare"))],
+        "doc_id long, text string",
+    )
+    rows = [
+        (0, BASE, "en"),
+        (1, BASE, "en"),  # exact duplicate of 0
+        (2, OTHER, "en"),
+        (3, "query planning and shuffle costs in distributed engines "
+            "with broadcast joins and spilled partitions and optimizers", "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = str(tmp_path / "shards_dsir")
+    res = run_corpus_pipeline(
+        docs, _holdout(spark), out, dsir_target=target, dsir_keep=2,
+        n_shards=2,
+    )
+    assert res.stats["n_pass_dsir"] == 2
+    exported = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    # target-like docs are 0 and 1; DSIR picks both, exact-dedup then
+    # drops doc 1 — independent flags compose
+    assert exported <= {0, 1}
+    assert res.stats["n_retained"] == len(exported)
+
+    # half-specified stage fails loudly
+    with _pytest.raises(ValueError, match="BOTH dsir_target and dsir_keep"):
+        flag_corpus(docs, _holdout(spark), dsir_target=target)
