@@ -50,24 +50,30 @@ def dsir_feature_counts(
     """Hashed n-gram feature counts per document: word unigrams and
     bigrams, bucketed to ``portable_hash64(gram) % n_buckets``. Returns
     (doc_id, bucket, cnt); docs with no tokens contribute no rows.
-    One projected token array per row (bound before the gram lambdas),
-    one explode, counts collapse map-side."""
-    t = F.col("__t")
-    bigrams = F.when(
-        F.size(t) >= 2,
-        F.transform(
-            F.sequence(F.lit(0), F.size(t) - 2),
-            lambda i: F.concat_ws(
-                " ", F.element_at(t, i + 1), F.element_at(t, i + 2)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    Gram construction is explode(n) × explode(positions) +
+    codegen'd ``slice``/``array_join`` — no higher-order-function
+    lambdas, which evaluate interpreted (the measured 6x of the Gopher
+    operator, SCALE.md); counts collapse map-side."""
+    t, n_col = F.col("__t"), F.col("__n")
+    positions = F.when(
+        F.size(t) >= n_col, F.sequence(F.lit(1), F.size(t) - n_col + 1)
+    ).otherwise(F.array().cast("array<int>"))
     return (
         docs.select("doc_id", tokens(F.col(text_col)).alias("__t"))
-        .select("doc_id", F.explode(F.concat(t, bigrams)).alias("__g"))
         .select(
             "doc_id",
-            (portable_hash64(F.col("__g")) % n_buckets).alias("bucket"),
+            "__t",
+            F.explode(F.array(F.lit(1), F.lit(2))).alias("__n"),
+        )
+        .select("doc_id", "__t", "__n", F.explode(positions).alias("__p"))
+        .select(
+            "doc_id",
+            (
+                portable_hash64(
+                    F.array_join(F.slice(t, F.col("__p"), n_col), " ")
+                )
+                % n_buckets
+            ).alias("bucket"),
         )
         .groupBy("doc_id", "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
