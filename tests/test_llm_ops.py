@@ -962,6 +962,66 @@ def test_line_repetition_stats_planted(spark):
     assert got[3]["dup_line_frac"] == 0.0
 
 
+def test_gopher_repetition_fuzz_vs_python_reference(spark):
+    """Independent pure-Python reference on adversarial random docs: a
+    tiny vocabulary forces heavy n-gram repetition (collision-prone
+    counts, clamping, ties), plus whitespace-run and degenerate-length
+    edges. Pins the relational formulation — counts over hashed grams,
+    conditional max/sum aggregation — against the direct dictionary
+    computation."""
+    import random
+
+    from mapping_timeseries_spark.operators.textstats import (
+        GOPHER_DUP_THRESHOLDS,
+        GOPHER_TOP_THRESHOLDS,
+        gopher_repetition,
+    )
+
+    rng = random.Random(20260815)
+    vocab = ["aa", "b", "ccc", "dd", "e"]
+    rows = []
+    for doc_id in range(60):
+        n_words = rng.choice([0, 1, 2, 3, 5, 9, 10, 11, 30, 80])
+        sep = rng.choice([" ", "  ", " \t "])
+        rows.append(
+            (doc_id, sep.join(rng.choice(vocab) for _ in range(n_words)))
+        )
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in gopher_repetition(docs).collect()}
+    assert len(got) == 60
+
+    for doc_id, text in rows:
+        toks = text.split()
+        chars = max(len(text), 1)
+        want_pass = True
+        for kind, ths in (
+            ("top", GOPHER_TOP_THRESHOLDS),
+            ("dup", GOPHER_DUP_THRESHOLDS),
+        ):
+            for n, th in ths.items():
+                counts: dict[str, int] = {}
+                for i in range(len(toks) - n + 1):
+                    g = " ".join(toks[i : i + n])
+                    counts[g] = counts.get(g, 0) + 1
+                if kind == "top":
+                    cover = max(
+                        (c * len(g) for g, c in counts.items()), default=0
+                    )
+                else:
+                    cover = sum(
+                        c * len(g) for g, c in counts.items() if c >= 2
+                    )
+                want = round(min(cover / chars, 1.0), 6)
+                have = got[doc_id][f"{kind}_{n}gram_char_frac"]
+                assert have == pytest.approx(want, abs=1e-9), (
+                    doc_id, kind, n, text,
+                )
+                want_pass = want_pass and want <= th
+        assert got[doc_id]["gopher_repetition_pass"] == int(want_pass), (
+            doc_id, text,
+        )
+
+
 def test_gopher_thresholds_match_duckdb_twin(spark):
     """The operator's fractions on a small real slice must equal an
     independent DuckDB computation (the driver gates the full fold; this
