@@ -300,3 +300,44 @@ def test_unigram_unknown_char_fallback_roundtrip(spark):
     assert rows[2] == [] and rows[3] == []
     # unseen chars came out as single-char fallback pieces
     assert "x" in rows[1] and "q" in rows[1]
+
+
+def test_unigram_encode_roundtrip_fuzz(spark):
+    """Random small corpora over a skewed tiny vocabulary: whatever EM
+    converges to, encoding must reconstruct every word exactly
+    (concat(pieces) == word) and never emit a piece outside
+    vocab ∪ single-char-fallback — including docs with characters the
+    training corpus never saw."""
+    import random
+
+    rng = random.Random(99)
+    vocab_words = ["data", "base", "databank", "redata", "ba", "set"]
+    train_rows = [
+        (
+            i,
+            " ".join(
+                rng.choice(vocab_words)
+                for _ in range(rng.randint(1, 12))
+            ),
+        )
+        for i in range(25)
+    ]
+    train = spark.createDataFrame(train_rows, "doc_id long, text string")
+    vocab = train_unigram(train, vocab_size=25, seed_size=120)
+    pieces = {r["piece"] for r in vocab.collect()}
+
+    apply_rows = train_rows[:10] + [
+        (100, "dataqz zzbase unrelatedword"),
+        (101, ""),
+    ]
+    docs = spark.createDataFrame(apply_rows, "doc_id long, text string")
+    enc = {
+        r["doc_id"]: r["unigram_tokens"]
+        for r in encode_unigram(docs, vocab).collect()
+    }
+    for doc_id, text in apply_rows:
+        words = text.split()
+        toks = enc[doc_id]
+        assert "".join(toks) == "".join(words), doc_id
+        for p in toks:
+            assert p in pieces or len(p) == 1, (doc_id, p)
