@@ -1419,7 +1419,9 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_buckets=2048,
     )
     ds = dsir_gumbel_topk(
-        dsir_weights(docs, dsir_model, n_buckets=2048), k=100
+        # full_rank=True is the oracle-audit shape (every row ranked);
+        # the library DEFAULT is the TakeOrderedAndProject scale path
+        dsir_weights(docs, dsir_model, n_buckets=2048), k=100, full_rank=True
     ).select(
         "doc_id",
         "dsir_logw_nats",

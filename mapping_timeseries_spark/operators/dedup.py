@@ -176,6 +176,57 @@ def _verify_jaccard(
     )
 
 
+def _verify_jaccard_hashed(
+    candidates: DataFrame, hsets: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact-by-hash Jaccard verification for candidate (doc_a, doc_b)
+    pairs against per-doc SORTED arrays of 64-bit shingle hashes.
+
+    Two deliberate scale choices vs :func:`_verify_jaccard` (the
+    string-array form), driven by the measured 10x super-linearity
+    (artifacts/ppjoin_growth.json r6: candidates x10 but wall x19 —
+    the verification stage spilled):
+
+    - rows carry ``array<long>`` (8 B/shingle) instead of string
+      shingles (~1 KB/doc with JVM object overhead), shrinking the
+      join payload ~5-10x;
+    - both set joins are hinted SHUFFLE_HASH with the per-doc set
+      frame as the build side: the build side is one row per document
+      (small per partition at any scale), and the large candidate
+      stream is never SORTED — sort-merge-join was what spilled when
+      15M candidate rows each carrying a ~1 KB array hit the sorter.
+
+    |A| and |B| come from the ORIGINAL string-shingle counts; the hash
+    arrays are used only for the intersection count. A 64-bit collision
+    (two distinct shingles, same xxhash64) can overcount the overlap by
+    1 — expected colliding shingle pairs ~ V^2/2^65, i.e. ~1e-9 at 256k
+    distinct shingles and still <0.003 at 1e8 — a documented
+    approximation, same contract as the module's other hash-keyed
+    operators (gopher repetition, dup_spans, line_dedup)."""
+    sets_a = hsets.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("__hset").alias("__h_a"),
+        F.col("n_shingles").alias("__vna"),
+    )
+    sets_b = hsets.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("__hset").alias("__h_b"),
+        F.col("n_shingles").alias("__vnb"),
+    )
+    return (
+        candidates.join(sets_a.hint("shuffle_hash"), "doc_a")
+        .join(sets_b.hint("shuffle_hash"), "doc_b")
+        .withColumn("__common", F.size(F.array_intersect("__h_a", "__h_b")))
+        .withColumn(
+            "jaccard",
+            F.col("__common")
+            / (F.col("__vna") + F.col("__vnb") - F.col("__common")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -183,7 +234,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     candidates_only: bool = False,
 ) -> DataFrame:
-    """Exact word-n-gram Jaccard pairs with J >= threshold (doc_a < doc_b).
+    """Word-n-gram Jaccard pairs with J >= threshold (doc_a < doc_b).
 
     Prefix-filtered similarity self-join (AllPairs/PPJoin family): order
     each document's shingles by ascending global document frequency and
@@ -194,15 +245,31 @@ def ngram_jaccard_pairs(
     pairs while the join runs over the RAREST shingles (frequent shingles,
     which drive the quadratic fan-out of a naive inverted-index join,
     never enter the index). Candidates are then verified with exact
-    array_intersect Jaccard.
+    array_intersect Jaccard over per-doc hash sets
+    (:func:`_verify_jaccard_hashed`).
 
-    Result is algorithm-independent (exactly all pairs with J >= t), so
-    the DuckDB oracle can stay the naive formulation.
+    The ENTIRE pipeline — df counting, prefix ordering, candidate join,
+    verification — runs on xxhash64(shingle) rather than shingle
+    strings: every shuffle carries 8-byte longs, and the global prefix
+    order (df asc, hash asc) is just as valid as (df asc, shingle asc).
+    The one semantic consequence is the 64-bit collision approximation
+    documented on :func:`_verify_jaccard_hashed`; modulo that, the
+    result is algorithm-independent (exactly all pairs with J >= t), so
+    the DuckDB oracle stays the naive string formulation and the
+    registry gate hash-compares against it.
     """
     from pyspark.sql import Window
 
+    # pin the COMPACT per-doc arrays, not the exploded postings: caching
+    # the 50x-larger exploded frame and scanning it from the cache was
+    # measured ~2.4x slower end-to-end than re-running the (cheap)
+    # explode+xxhash64 against the cached arrays (interleaved A/B at
+    # sf0.1: 9.0 s vs 3.7 s min-of-4)
     sh = _pin(_shingled(docs, text_col, n))
-    inv = sh.select("doc_id", "n_shingles", F.explode("shingles").alias("shingle"))
+    inv = (
+        sh.select("doc_id", "n_shingles", F.explode("shingles").alias("__s"))
+        .select("doc_id", "n_shingles", F.xxhash64("__s").alias("shingle"))
+    )
     freq = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
     w = Window.partitionBy("doc_id").orderBy(F.col("__df").asc(), F.col("shingle").asc())
     # Required bound: |A| - ceil(t*|A|) + 1. Computed so float error can
@@ -293,7 +360,13 @@ def ngram_jaccard_pairs(
         # 10x corpus scale empirically pins the filter stack's
         # sub-quadratic candidate growth. Not a query surface.
         return cand
-    return _verify_jaccard(cand, sh, threshold)
+    # sorted hash sets re-derived from the pinned arrays (explode+hash+
+    # re-group over 8-byte rows — cheaper than carrying a second cache)
+    hsets = inv.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("shingle")).alias("__hset"),
+        F.first("n_shingles").alias("n_shingles"),
+    )
+    return _verify_jaccard_hashed(cand, hsets, threshold)
 
 
 def ngram_decontaminate(
@@ -1182,6 +1255,7 @@ def line_dedup(
     text_col: str = "text",
     mode: str = "keep_first",
     ignore_blank: bool = True,
+    _hash_fn=None,
 ) -> DataFrame:
     """Line-level exact deduplication across the WHOLE corpus — the
     C4/RefinedWeb cleaning stage that strips repeated boilerplate lines
@@ -1198,14 +1272,23 @@ def line_dedup(
     they are always kept, since deduping the empty line would splice
     every paragraph break in the corpus after the first document.
 
-    Scale design: lines are keyed by their 60-bit portable hash
-    BEFORE the shuffle (exchanges carry fixed-width ints, never line
-    strings); the first-occurrence owner per line is a
+    Scale design: lines are keyed by their 60-bit portable hash BEFORE
+    the shuffle (the corpus-wide counting exchange carries fixed-width
+    ints, never line strings); the first-occurrence owner per line is a
     ``min(struct(doc_id, pos))`` AGGREGATION, not a window — partial
     aggregation collapses hot keys (the same boilerplate line repeated
     in millions of docs) map-side, where a row_number window would sort
     whole hot partitions. Reconstruction is one groupBy(doc_id) with an
     array_sort — the doc's own lines, bounded by doc size.
+
+    Hash collisions do NOT cause false drops (ADVICE r6): dedup
+    decisions are verified on the actual line string in a SECOND
+    aggregation restricted to lines whose hash count > 1 — two distinct
+    lines colliding in the 60-bit space each get a string-level count
+    of 1 there and are kept. The bounded extra cost is exactly the
+    repeated-hash subset (boilerplate, whose distinct-line cardinality
+    is small after map-side combine); the dominant unique-line tail
+    still crosses the counting exchange as ints only.
 
     Output, one row per input doc: ``(doc_id, text, n_lines,
     n_removed)`` with ``text`` rebuilt from the surviving lines in
@@ -1229,13 +1312,26 @@ def line_dedup(
             ).alias("pos", "line"),
         )
         .withColumn("__blank", F.trim(F.col("line")) == F.lit(""))
-        .withColumn("lh", portable_hash64(F.col("line")))
+        # _hash_fn: test seam — the collision-safety pytest injects a
+        # deliberately-colliding hash to exercise the phase-2 string
+        # verification (real 60-bit collisions can't be staged)
+        .withColumn("lh", (_hash_fn or portable_hash64)(F.col("line")))
     )
     lines = _pin(lines)
     owners = lines.where(~F.col("__blank") if ignore_blank else F.lit(True))
-    stats = owners.groupBy("lh").agg(
-        F.count(F.lit(1)).alias("__n"),
-        F.min(F.struct("doc_id", "pos")).alias("__first"),
+    # phase 1 — int-only corpus count per hash: finds REPEATED hashes
+    hstats = owners.groupBy("lh").agg(F.count(F.lit(1)).alias("__hn"))
+    # phase 2 — string-verified stats over ONLY the repeated-hash
+    # subset: a 60-bit collision between two unique lines lands here
+    # with a string-level count of 1 and is never dropped
+    stats = (
+        owners.join(hstats.where(F.col("__hn") > 1).select("lh"), "lh", "semi")
+        .groupBy("lh", "line")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.min(F.struct("doc_id", "pos")).alias("__first"),
+        )
+        .select("lh", F.col("line").alias("__vline"), "__n", "__first")
     )
     if mode == "keep_first":
         drop = (F.col("__n") > 1) & ~(
@@ -1246,7 +1342,14 @@ def line_dedup(
         drop = F.col("__n") > 1
     if ignore_blank:
         drop = drop & ~F.col("__blank")
-    verdicts = lines.join(stats, "lh", "left").withColumn(
+    # equi-join on (lh, line string): the lines side carries its line
+    # strings through this exchange regardless (reconstruction needs
+    # them), so verifying on the string here costs no extra bytes
+    verdicts = lines.join(
+        stats,
+        (lines["lh"] == stats["lh"]) & (lines["line"] == stats["__vline"]),
+        "left",
+    ).drop(stats["lh"]).withColumn(
         "__drop", F.coalesce(drop, F.lit(False))
     )
     return (

@@ -160,7 +160,7 @@ def dsir_gumbel_topk(
     k: int,
     temperature: float = 1.0,
     seed: int = 20260815,
-    full_rank: bool = True,
+    full_rank: bool = False,
 ) -> DataFrame:
     """Seeded Gumbel-top-k selection = sampling ``k`` docs without
     replacement with probability proportional to ``exp(logw / T)``
@@ -170,15 +170,17 @@ def dsir_gumbel_topk(
     engine RNG, so the draw replays bit-identically in the oracle.
     Scores round to 6dp before the (score desc, doc_id asc) order.
 
-    ``full_rank=True`` adds (dsir_score, dsir_rank, dsir_selected) to
-    EVERY row via a global ``row_number`` window — a single-partition
-    sort of (doc, score) pairs, the oracle-audit shape. At corpus
-    scale use ``full_rank=False``: returns ONLY the ``k`` selected
-    rows via ``orderBy().limit(k)``, which Catalyst plans as
-    TakeOrderedAndProject — each partition keeps a k-row heap and the
-    driver merges, no global sort, no single hot partition
-    (plan-asserted in pytest, selected set pinned equal to the
-    full-rank path)."""
+    The DEFAULT (``full_rank=False``) is the corpus-scale path: it
+    returns ONLY the ``k`` selected rows via ``orderBy().limit(k)``,
+    which Catalyst plans as TakeOrderedAndProject — each partition
+    keeps a k-row heap and the driver merges, no global sort, no
+    single hot partition (plan-asserted in pytest, selected set pinned
+    equal to the full-rank path). ``full_rank=True`` is the
+    audit/oracle shape: it adds (dsir_score, dsir_rank, dsir_selected)
+    to EVERY row via a global ``row_number`` window — a
+    single-partition sort of (doc, score) pairs, opt-in only because a
+    scale-first library must not default to a plan that funnels the
+    corpus through one partition (VERDICT r6 #5)."""
     h = portable_hash64(
         F.concat(F.col("doc_id").cast("string"), F.lit(f":{seed}"))
     )

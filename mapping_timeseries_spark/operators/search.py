@@ -187,8 +187,16 @@ def bm25_index_write(
     idx["dl"].write.mode("overwrite").parquet(os.path.join(path, "dl"))
     spark = docs.sparkSession
     n_docs = spark.read.parquet(os.path.join(path, "dl")).count()
+    # BOTH committed row counts go into the marker: a crash between the
+    # two appends would otherwise leave one frame ahead of the other
+    # while the surviving count still validates (orphan postings inflate
+    # df/idf invisibly — the exact failure the marker exists to catch)
+    n_postings = spark.read.parquet(os.path.join(path, "postings")).count()
     with open(os.path.join(path, "meta.json"), "w") as f:
-        json.dump({"text_col": text_col, "n_docs": n_docs}, f)
+        json.dump(
+            {"text_col": text_col, "n_docs": n_docs, "n_postings": n_postings},
+            f,
+        )
 
 
 def bm25_index_load(spark, path: str) -> dict:
@@ -212,9 +220,20 @@ def bm25_index_load(spark, path: str) -> dict:
         raise ValueError(
             f"index at {path} has {n_docs} doc-length rows but meta.json "
             f"committed {meta['n_docs']} — an append was interrupted; "
-            "rebuild or re-run the append"
+            "rebuild the index (bm25_index_write over the full corpus)"
         )
     postings = spark.read.parquet(os.path.join(path, "postings"))
+    # the dl count alone cannot see a crash that landed postings but not
+    # dl (or vice versa): validate the postings count too, so every
+    # torn-append window is detected instead of serving inflated df/idf
+    n_postings = postings.count()
+    if n_postings != meta["n_postings"]:
+        raise ValueError(
+            f"index at {path} has {n_postings} postings rows but "
+            f"meta.json committed {meta['n_postings']} — an append was "
+            "interrupted; rebuild the index (bm25_index_write over the "
+            "full corpus)"
+        )
     totals = dl.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.coalesce(F.sum("dl"), F.lit(0)).cast("bigint").alias("total_len"),
@@ -229,11 +248,21 @@ def bm25_index_append(new_docs: DataFrame, path: str) -> None:
     """Append a new-document batch to a persisted index — continuous
     corpus ingestion without re-reading old text: the batch is
     tokenized once, its postings/dl rows land in append mode, and
-    meta.json is rewritten LAST with the new committed count. Document
+    meta.json is rewritten LAST with the new committed counts. Document
     ids must be globally unique (the standard ingestion contract);
     reuse is REFUSED with one doc_id-keyed membership probe against the
     stored lengths (a duplicated id would double-count its postings in
     every derived df/tf).
+
+    Torn-append safety: the append first validates BOTH stored frames
+    against the committed meta counts, so appending onto an index left
+    torn by a previous crash is refused rather than compounding the
+    damage — previously the doc_id probe alone could pass (it checks
+    dl, which a postings-first crash never updated) and a re-run would
+    double-count the batch's postings permanently. Every crash window
+    inside this function leaves at least one frame's row count ahead of
+    meta.json, which :func:`bm25_index_load` (and the next append)
+    detects; recovery from a torn index is a full rebuild.
 
     Exactness contract (pytest-pinned): queries over
     load(build(old) + append(new)) are bitwise-equal to queries over
@@ -251,6 +280,15 @@ def bm25_index_append(new_docs: DataFrame, path: str) -> None:
     with open(meta_path) as f:
         meta = json.load(f)
     stored_dl = spark.read.parquet(os.path.join(path, "dl"))
+    if stored_dl.count() != meta["n_docs"] or (
+        spark.read.parquet(os.path.join(path, "postings")).count()
+        != meta["n_postings"]
+    ):
+        raise ValueError(
+            f"index at {path} does not match its committed meta.json "
+            "counts — a previous append was interrupted; rebuild the "
+            "index before appending"
+        )
     clash = (
         new_docs.select("doc_id")
         .join(stored_dl.select("doc_id"), "doc_id", "inner")
@@ -267,7 +305,9 @@ def bm25_index_append(new_docs: DataFrame, path: str) -> None:
         os.path.join(path, "postings")
     )
     idx["dl"].write.mode("append").parquet(os.path.join(path, "dl"))
-    n_docs = spark.read.parquet(os.path.join(path, "dl")).count()
-    meta["n_docs"] = n_docs
+    meta["n_docs"] = spark.read.parquet(os.path.join(path, "dl")).count()
+    meta["n_postings"] = spark.read.parquet(
+        os.path.join(path, "postings")
+    ).count()
     with open(meta_path, "w") as f:
         json.dump(meta, f)

@@ -142,16 +142,31 @@ def advance_distinct_state(
 #   two libms may legally floor(log(x)/log(b)) differently. Leading-digit
 #   truncation sidesteps the whole class.
 #
-# Accuracy: a value v >= 100 lands in a bucket of width 10^(d-digits)
-# starting at its floor-to-digits value, so the bucket lower bound (the
-# quantile estimate) undershoots v by < 10^(1-digits) relative (default
-# digits=3: < 1%). Values with fewer than ``digits`` integer digits are
-# their own exact integer bucket. Domain: |v| < 10^15 (beyond that, one
-# overflow bucket — 10^p stops being exact in the double power() used to
-# build the divisor). State size: <= 9*10^(digits-1) buckets per decade,
-# ~2.7k buckets per group for 3 digits across 3 decades — kilobytes.
+# Accuracy (ADVICE r6 — the bound below is conditional, read all of it):
+#
+# - v >= 10^(digits-1) (default digits=3: v >= 100) lands in a bucket of
+#   width 10^(d-digits) starting at its floor-to-digits value, so the
+#   bucket lower bound (the quantile estimate) undershoots v by
+#   < 10^(1-digits) relative (digits=3: < 1%).
+# - 1 <= v < 10^(digits-1): INTEGER-exact, FRACTION-floored — the value
+#   is truncated to its integer bucket, so non-integer small values can
+#   err up to the fractional part (v=1.9 -> bucket 1: ~47% relative;
+#   any v in (0,1) -> bucket 0: 100%). Data whose quantiles live below
+#   ~100 with meaningful fractional parts should be pre-scaled into
+#   fixed-point (e.g. cents instead of dollars) before sketching; the
+#   <1% bound does NOT apply to raw fractional values.
+# - v < 0: magnitude is truncated toward zero and the sign re-applied,
+#   so the bucket bound OVERSHOOTS the value (sits above it) by the
+#   same conditional bounds — callers treating the bound as a one-sided
+#   undershoot must flip the side for negative data.
+#
+# Domain: |v| < 10^15 (beyond that, one overflow bucket — 10^p stops
+# being exact in the double power() used to build the divisor). State
+# size: <= 9*10^(digits-1) buckets per decade, ~2.7k buckets per group
+# for 3 digits across 3 decades — kilobytes.
 
-#: Leading significant digits kept by the default bucketing (<1% rel err).
+#: Leading significant digits kept by the default bucketing (<1% rel err
+#: for values >= 100; see the conditional accuracy note above).
 DEFAULT_HIST_DIGITS = 3
 
 #: Largest magnitude bucketed precisely; beyond it, one overflow bucket.
@@ -221,8 +236,11 @@ def histogram_quantiles(
     """Quantile estimates from a histogram state: for each q, the bucket
     lower bound holding zero-based rank floor(q*(n-1)) — i.e. the
     lower-interpolation quantile, floored to the bucket grid (< 10^(1-
-    digits) relative undershoot). All-integer rank selection, so the
-    result is deterministic and engine-portable. Output columns are
+    digits) relative undershoot FOR VALUES >= 10^(digits-1); small
+    fractional and negative values carry the weaker conditional bounds
+    documented on the module's accuracy note — pre-scale such data to
+    fixed-point). All-integer rank selection, so the result is
+    deterministic and engine-portable. Output columns are
     ``{prefix}{int(q*100)}`` as bigint."""
     ex = _exploded(hists, group_cols).join(
         hists.select(*group_cols, "n"), group_cols

@@ -343,16 +343,19 @@ def encode_bpe(
         return sym
 
     def run(batches):
+        # NOT str.split() (all-Unicode whitespace): training pre-
+        # tokenizes with tokens() = Java \s+ (ASCII-only), so encoding
+        # must split on the identical class — _py_tokens is its pinned
+        # Python twin (see encode_unigram for the divergence example)
+        from mapping_timeseries_spark.operators.textmodels import _py_tokens
+
         rank_map = bc.value
         cache: dict[str, list[str]] = {}
         for pdf in batches:
             toks = []
             for text in pdf[text_col]:
                 doc_tokens: list[str] = []
-                # str.split() == the engine's tokens() expression
-                # (whitespace runs, empties dropped): training and
-                # encoding MUST pre-tokenize identically
-                for w in (text or "").split():
+                for w in _py_tokens(text):
                     enc = cache.get(w)
                     if enc is None:
                         enc = encode_word(w, rank_map)

@@ -407,15 +407,21 @@ def encode_unigram(
         return pieces
 
     def run(batches):
+        # NOT str.split(): that splits on all Unicode whitespace (NBSP,
+        # U+2028, \x85 ...) while training's histogram uses tokens() =
+        # Java regex \s+ (ASCII-only) — a word containing e.g. \xa0
+        # would be ONE word at training time and TWO here, diverging
+        # from the trained distribution. _py_tokens is the pinned
+        # Python twin of that ASCII class.
+        from mapping_timeseries_spark.operators.textmodels import _py_tokens
+
         lp, ml = bc.value
         cache: dict = {}
         for pdf in batches:
             toks = []
             for text in pdf[text_col]:
                 doc_tokens: list = []
-                # str.split() == the engine's tokens() expression —
-                # training and encoding MUST pre-tokenize identically
-                for w in (text or "").split():
+                for w in _py_tokens(text):
                     enc = cache.get(w)
                     if enc is None:
                         enc = viterbi(w, lp, ml)

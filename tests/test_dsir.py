@@ -107,7 +107,9 @@ def test_dsir_selection_pulls_toward_target(spark):
     target = docs.where(F.col("source") == "src0")
     raw = docs.where(F.col("source") != "src0")
     model = dsir_logratio(target, raw, n_buckets=2048)
-    sel = dsir_gumbel_topk(dsir_weights(docs, model, n_buckets=2048), k=100)
+    sel = dsir_gumbel_topk(
+        dsir_weights(docs, model, n_buckets=2048), k=100, full_rank=True
+    )
     picked = {
         r["doc_id"] for r in sel.where("dsir_selected = 1").collect()
     }
@@ -123,11 +125,13 @@ def test_dsir_topk_scale_path_matches_full_rank(spark, planted):
     raw = planted.where(F.col("source") != "src0")
     model = dsir_logratio(target, raw, n_buckets=B)
     w = dsir_weights(planted, model, n_buckets=B)
-    full = dsir_gumbel_topk(w, k=3)
-    fast = dsir_gumbel_topk(w, k=3, full_rank=False)
-    assert "TakeOrderedAndProject" in fast._sc._jvm.PythonSQLUtils.explainString(
+    full = dsir_gumbel_topk(w, k=3, full_rank=True)
+    fast = dsir_gumbel_topk(w, k=3)  # DEFAULT is the scale path
+    plan = fast._sc._jvm.PythonSQLUtils.explainString(
         fast._jdf.queryExecution(), "simple"
     )
+    # default plan: per-partition k-heaps, no single-partition window
+    assert "TakeOrderedAndProject" in plan and "Window" not in plan
     want = {
         r["doc_id"]: r["dsir_score"]
         for r in full.where("dsir_selected = 1").collect()

@@ -274,6 +274,34 @@ def test_line_dedup_keep_first_matches_duckdb_twin(spark):
     assert again == got
 
 
+def test_line_dedup_hash_collision_never_drops_unique_lines(spark):
+    """ADVICE r6: drops must be decided on the line STRING, not the
+    60-bit hash alone — two distinct lines colliding in hash space must
+    both survive. Staged with an injected always-colliding hash (a real
+    60-bit collision can't be constructed): under hash-only dedup every
+    line here would collide into one key and keep_first would delete
+    unique content; the phase-2 string verification keeps all of it."""
+    docs = spark.createDataFrame(
+        [(0, "alpha unique\nbeta unique"), (1, "gamma unique\nalpha unique")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["text"], r["n_removed"])
+        for r in line_dedup(docs, _hash_fn=lambda c: F.lit(7)).collect()
+    }
+    # only the genuinely repeated line ("alpha unique") is deduped
+    assert got[0] == ("alpha unique\nbeta unique", 0)
+    assert got[1] == ("gamma unique", 1)
+    # drop_all: the repeated line goes everywhere, unique lines stay
+    agg = {
+        r["doc_id"]: r["text"]
+        for r in line_dedup(
+            docs, mode="drop_all", _hash_fn=lambda c: F.lit(7)
+        ).collect()
+    }
+    assert agg[0] == "beta unique" and agg[1] == "gamma unique"
+
+
 def test_minhash_recall_vs_exact(spark, noisy_docs):
     exact = {
         (r["doc_a"], r["doc_b"])

@@ -220,7 +220,29 @@ def test_bm25_index_append_equals_rebuild(spark, tmp_path):
     # failure, never a silently-partial index
     meta_path = os.path.join(path, "meta.json")
     meta = json.load(open(meta_path))
+    good_meta = dict(meta)
     meta["n_docs"] -= 1
     json.dump(meta, open(meta_path, "w"))
     with _pytest.raises(ValueError, match="interrupted"):
         bm25_index_load(spark, path)
+    json.dump(good_meta, open(meta_path, "w"))
+
+    # the postings-first crash window (ADVICE r6): postings landed, dl
+    # did not. dl count still equals meta n_docs, so the old dl-only
+    # check passed and a re-run append double-counted the batch. Now:
+    # load fails on the postings count, and append REFUSES the torn
+    # index (it validates both counts before the doc_id probe).
+    stored_postings = spark.read.parquet(os.path.join(path, "postings"))
+    orphan = spark.createDataFrame(
+        [(123456789, 999999999, 1)], ["wh", "doc_id", "tf"]
+    ).select(
+        *[F.col(f.name).cast(f.dataType) for f in stored_postings.schema.fields]
+    )
+    orphan.write.mode("append").parquet(os.path.join(path, "postings"))
+    with _pytest.raises(ValueError, match="postings"):
+        bm25_index_load(spark, path)
+    fresh = docs.where(F.col("doc_id") % 7 == 3).withColumn(
+        "doc_id", F.col("doc_id") + 10_000_000
+    )
+    with _pytest.raises(ValueError, match="interrupted"):
+        bm25_index_append(fresh, path)

@@ -148,6 +148,47 @@ def test_encode_with_empty_and_whitespace_docs(spark):
     assert rows[1]  # non-empty encoding for the real doc
 
 
+def test_encode_pretokenizes_like_training_on_unicode_whitespace(spark):
+    """ADVICE r6: encoding must pre-tokenize on the SAME ASCII
+    whitespace class training uses (tokens() = Java \\s+), not Python
+    str.split()'s all-Unicode class. A word containing NBSP is ONE word
+    to training; the encoders must see it as one word too — under
+    str.split() the NBSP doc would encode identically to the
+    space-separated doc, which is exactly the divergence we pin
+    against."""
+    from mapping_timeseries_spark.operators.tokenizer import bpe_word_histogram
+    from mapping_timeseries_spark.operators.unigram import (
+        encode_unigram,
+        train_unigram,
+    )
+
+    nbsp_word = "low\xa0low"
+    docs = spark.createDataFrame(
+        [(1, f"{nbsp_word} lower"), (2, "low low lower")],
+        "doc_id long, text string",
+    )
+    # training sees the NBSP word as one token
+    hist = {r["word"]: r["freq"] for r in bpe_word_histogram(docs).collect()}
+    assert nbsp_word in hist and hist[nbsp_word] == 1
+
+    merges = train_bpe(docs, 6, min_pair_count=1)
+    enc = {
+        r["doc_id"]: r["bpe_tokens"] for r in encode_bpe(docs, merges).collect()
+    }
+    # doc 1's first word keeps its NBSP: the byte content of the
+    # encoding differs from doc 2's plain-space twin
+    assert "".join(enc[1]).replace("</w>", "") == nbsp_word + "lower"
+    assert "".join(enc[2]).replace("</w>", "") == "lowlowlower"
+
+    vocab = train_unigram(docs, vocab_size=40, seed_size=100, max_piece_len=4)
+    uenc = {
+        r["doc_id"]: r["unigram_tokens"]
+        for r in encode_unigram(docs, vocab).collect()
+    }
+    assert "".join(uenc[1]) == nbsp_word + "lower"
+    assert "".join(uenc[2]) == "lowlowlower"
+
+
 def test_min_pair_count_stops_early(spark):
     docs = spark.createDataFrame(
         [(1, "ab ab cd")], "doc_id long, text string"
