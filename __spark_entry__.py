@@ -47,6 +47,7 @@ from mapping_timeseries_spark.operators.dedup import (
     dedup_clusters,
     dup_span_stats,
     exact_dedup,
+    line_dedup,
     minhash_dedup_incremental,
     minhash_index_frames,
     minhash_lsh_pairs,
@@ -92,12 +93,14 @@ from mapping_timeseries_spark.operators.textstats import (
     lang_distribution,
     lang_marker_scores,
     lang_trigram_scores,
+    line_repetition_stats,
     normalize_text,
     pii_counts,
     quality_score,
     repetition_stats,
     text_stats,
     token_counts,
+    wrap_tokens,
 )
 from mapping_timeseries_spark.operators.sessionize import (
     dedup_events,
@@ -1350,16 +1353,64 @@ def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_repetition(read_table(spark, sf_dir, "documents"))
 
 
+def q_line_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line/paragraph leg (r7 — VERDICT r6 #2): the sf corpus is
+    single-line, so the line-family operators previously hash-gated
+    VACUOUSLY. Derive a deterministic multi-line corpus inside the
+    query (textstats.wrap_tokens: 13-token lines, 5-line blank-
+    separated paragraphs over the same tokens() stream both engines
+    agree on), then gate corpus-wide ``dedup.line_dedup`` (duplicate
+    documents wrap into identical lines that dedup must actually
+    catch; the fingerprint pins the surviving text byte-for-byte,
+    order included) and ``textstats.line_repetition_stats`` (within-
+    doc duplicate lines/paragraphs) against full DuckDB recomputations
+    on the line STRINGS."""
+    ensure_runtime_conf(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    # 13-token lines / 5-line paragraphs: realistic line shape for the
+    # corpus-wide dedup gate (duplicate docs collide on whole lines:
+    # measured 36-38 docs lose lines at sf0.01/0.001)
+    wrapped = wrap_tokens(docs.select("doc_id", "text"))
+    ld = line_dedup(wrapped).select(
+        "doc_id",
+        F.col("n_lines").cast("bigint").alias("n_wrapped_lines"),
+        F.col("n_removed").cast("bigint").alias("n_dup_lines_removed"),
+        F.substring(F.md5(F.col("text")), 1, 16).alias("line_dedup_fp"),
+    )
+    # 2-token lines / 2-line paragraphs for the WITHIN-doc repetition
+    # gate: at 13 tokens no sf doc repeats a line internally (measured
+    # all-zero = still vacuous), while aligned repeated bigrams hit 181
+    # of 500 docs. Paragraph fractions are structurally zero on this
+    # corpus at every width — the twin computes the same zeros (drift
+    # to nonzero would fail the hash); the positive paragraph case is
+    # carried by the planted pytest.
+    wrapped2 = wrap_tokens(
+        docs.select("doc_id", "text"), tokens_per_line=2, lines_per_para=2
+    )
+    lrs = line_repetition_stats(wrapped2).select(
+        "doc_id",
+        F.col("dup_line_frac").alias("wrap2_dup_line_frac"),
+        F.col("dup_line_char_frac").alias("wrap2_dup_line_char_frac"),
+        F.col("dup_paragraph_frac").alias("wrap2_dup_para_frac"),
+        F.col("dup_paragraph_char_frac").alias("wrap2_dup_para_char_frac"),
+    )
+    return ld.join(lrs, "doc_id")
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry fold (r6): the heuristic per-doc stats frame widened
     with the canonicalization fingerprint columns — one row per doc,
     stats + the canonical-text identity the dedup stages consume — and
     the Gopher repetition-filter signals (top/dup n-gram character
-    coverage + threshold pass flag)."""
+    coverage + threshold pass flag); (r7) plus the line-family leg
+    over the token-wrapped multi-line derivation (corpus-wide line
+    dedup + line/paragraph repetition), making those gates
+    non-vacuous."""
     return (
         q_text_stats_core(spark, sf_dir)
         .join(q_normalize_fingerprint(spark, sf_dir), "doc_id")
         .join(q_gopher_repetition(spark, sf_dir), "doc_id")
+        .join(q_line_family(spark, sf_dir), "doc_id")
     )
 
 
@@ -3056,6 +3107,112 @@ gop AS (
   FROM (SELECT doc_id, greatest(length(text), 1) AS chars FROM documents) b
   LEFT JOIN gop_pern p ON b.doc_id = p.doc_id
   GROUP BY b.doc_id, b.chars
+),
+-- r7 fold: the line family over the token-wrapped multi-line
+-- derivation (wrap_tokens: 13-token lines, 5-line paragraphs joined
+-- with blank lines). The whole twin recomputes from line STRINGS —
+-- no hashes — so the engine's 60-bit-keyed two-phase line_dedup
+-- cannot self-certify.
+wtoks AS (
+  SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) - 1 AS pos
+  FROM (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents)
+),
+wlines AS (
+  SELECT doc_id, pos // 13 AS li, string_agg(tok, ' ' ORDER BY pos) AS line
+  FROM wtoks GROUP BY doc_id, pos // 13
+),
+wparas AS (
+  SELECT doc_id, li // 5 AS pi, string_agg(line, chr(10) ORDER BY li) AS para
+  FROM wlines GROUP BY doc_id, li // 5
+),
+wrapped AS (
+  SELECT d.doc_id, coalesce(w.wtext, '') AS wtext
+  FROM documents d LEFT JOIN (
+    SELECT doc_id,
+           string_agg(para, chr(10) || chr(10) ORDER BY pi) AS wtext
+    FROM wparas GROUP BY doc_id
+  ) w ON d.doc_id = w.doc_id
+),
+-- corpus-wide line dedup twin (keep_first; blank lines structural)
+wl AS (
+  SELECT doc_id, generate_subscripts(l, 1) - 1 AS pos, unnest(l) AS line
+  FROM (SELECT doc_id, string_split(wtext, chr(10)) AS l FROM wrapped)
+),
+wowners AS (
+  SELECT line, count(*) AS n,
+         min(struct_pack(doc_id := doc_id, pos := pos)) AS first
+  FROM wl WHERE trim(line) != '' GROUP BY line
+),
+wverd AS (
+  SELECT l.doc_id, l.pos, l.line,
+         coalesce(o.n > 1 AND NOT (l.doc_id = o.first.doc_id
+                  AND l.pos = o.first.pos), false) AS dropped
+  FROM wl l LEFT JOIN wowners o ON l.line = o.line
+),
+ld AS (
+  SELECT doc_id,
+         count(*)::BIGINT AS n_wrapped_lines,
+         sum(dropped::INT)::BIGINT AS n_dup_lines_removed,
+         substring(md5(coalesce(string_agg(
+             CASE WHEN NOT dropped THEN line END, chr(10) ORDER BY pos),
+             '')), 1, 16) AS line_dedup_fp
+  FROM wverd GROUP BY doc_id
+),
+-- within-doc duplicate line/paragraph fractions over the SECOND wrap
+-- (2-token lines, 2-line paragraphs — the width at which the corpus
+-- actually repeats lines within docs); trimmed segments, blanks
+-- dropped — textstats._dup_split_stats semantics
+wlines2 AS (
+  SELECT doc_id, pos // 2 AS li, string_agg(tok, ' ' ORDER BY pos) AS line
+  FROM wtoks GROUP BY doc_id, pos // 2
+),
+wparas2 AS (
+  SELECT doc_id, li // 2 AS pi, string_agg(line, chr(10) ORDER BY li) AS para
+  FROM wlines2 GROUP BY doc_id, li // 2
+),
+wrapped2 AS (
+  SELECT d.doc_id, coalesce(w.wtext, '') AS wtext
+  FROM documents d LEFT JOIN (
+    SELECT doc_id,
+           string_agg(para, chr(10) || chr(10) ORDER BY pi) AS wtext
+    FROM wparas2 GROUP BY doc_id
+  ) w ON d.doc_id = w.doc_id
+),
+wlseg AS (
+  SELECT doc_id, seg, count(*) AS cnt FROM (
+    SELECT doc_id,
+           trim(unnest(string_split_regex(wtext, '\n'))) AS seg
+    FROM wrapped2)
+  WHERE seg != '' GROUP BY doc_id, seg
+),
+wpseg AS (
+  SELECT doc_id, seg, count(*) AS cnt FROM (
+    SELECT doc_id,
+           trim(unnest(string_split_regex(wtext, '\n{{2,}}'))) AS seg
+    FROM wrapped2)
+  WHERE seg != '' GROUP BY doc_id, seg
+),
+lrs AS (
+  SELECT w.doc_id,
+         round(coalesce((lsum - lcnt) * 1.0 / nullif(lsum, 0), 0), 6)
+           AS wrap2_dup_line_frac,
+         round(coalesce(ldupchars * 1.0 / nullif(lchars, 0), 0), 6)
+           AS wrap2_dup_line_char_frac,
+         round(coalesce((psum - pcnt) * 1.0 / nullif(psum, 0), 0), 6)
+           AS wrap2_dup_para_frac,
+         round(coalesce(pdupchars * 1.0 / nullif(pchars, 0), 0), 6)
+           AS wrap2_dup_para_char_frac
+  FROM wrapped2 w
+  LEFT JOIN (
+    SELECT doc_id, sum(cnt) AS lsum, count(*) AS lcnt,
+           sum((cnt - 1) * length(seg)) AS ldupchars,
+           sum(cnt * length(seg)) AS lchars
+    FROM wlseg GROUP BY doc_id) a ON w.doc_id = a.doc_id
+  LEFT JOIN (
+    SELECT doc_id, sum(cnt) AS psum, count(*) AS pcnt,
+           sum((cnt - 1) * length(seg)) AS pdupchars,
+           sum(cnt * length(seg)) AS pchars
+    FROM wpseg GROUP BY doc_id) b ON w.doc_id = b.doc_id
 )
 SELECT s.doc_id, s.lang, s.n_chars, s.n_tokens, s.n_unique_tokens,
        s.avg_token_len, s.stopword_ratio, s.punct_ratio,
@@ -3068,12 +3225,17 @@ SELECT s.doc_id, s.lang, s.n_chars, s.n_tokens, s.n_unique_tokens,
        gop.dup_5gram_char_frac, gop.dup_6gram_char_frac,
        gop.dup_7gram_char_frac, gop.dup_8gram_char_frac,
        gop.dup_9gram_char_frac, gop.dup_10gram_char_frac,
-       gop.gopher_repetition_pass
+       gop.gopher_repetition_pass,
+       ld.n_wrapped_lines, ld.n_dup_lines_removed, ld.line_dedup_fp,
+       lrs.wrap2_dup_line_frac, lrs.wrap2_dup_line_char_frac,
+       lrs.wrap2_dup_para_frac, lrs.wrap2_dup_para_char_frac
 FROM s JOIN d ON s.lang = d.lang
 JOIN rep ON s.doc_id = rep.doc_id
 JOIN pii ON s.doc_id = pii.doc_id
 JOIN norm ON s.doc_id = norm.doc_id
 JOIN gop ON s.doc_id = gop.doc_id
+JOIN ld ON s.doc_id = ld.doc_id
+JOIN lrs ON s.doc_id = lrs.doc_id
 """
 
 ORACLE_QUALITY = f"""

@@ -37,6 +37,7 @@ __all__ = [
     "boilerplate_signals",
     "vocab_counts",
     "normalize_text",
+    "wrap_tokens",
 ]
 
 #: Function-word markers per language for the marker-count heuristic;
@@ -508,6 +509,69 @@ def gopher_repetition(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return wide.withColumn(
         "gopher_repetition_pass", passed.cast("int")
     ).drop("__chars")
+
+
+def wrap_tokens(
+    docs: DataFrame,
+    text_col: str = "text",
+    tokens_per_line: int = 13,
+    lines_per_para: int = 5,
+) -> DataFrame:
+    """Deterministic multi-line re-wrap of a document's tokens: lines of
+    ``tokens_per_line`` space-joined tokens, grouped into blank-line
+    separated paragraphs of ``lines_per_para`` lines. Replaces
+    ``text_col``; every other column is preserved.
+
+    Purpose (VERDICT r6 #2): the synthetic sf corpora are single-line,
+    so the line/paragraph operators (:func:`line_repetition_stats`,
+    ``dedup.line_dedup``) would pass their registry hash gates
+    VACUOUSLY. Deriving a multi-line corpus *inside* the gated query —
+    from the same tokens() stream both engines already agree on —
+    makes those gates exercise real corpus-wide line semantics, because
+    duplicate documents (the corpus has exact and near dups) wrap into
+    identical lines that line-dedup must then actually catch.
+
+    Expression-only map projection. The slice/array_join lambdas are
+    interpreted (Spark never codegens HOFs — SCALE.md), but each doc
+    evaluates O(n_lines) slices of an already-materialized token array;
+    this is the acceptable-HOF case, unlike the per-gram hot paths that
+    were rewritten to explode form."""
+    k, m = int(tokens_per_line), int(lines_per_para)
+    if k < 1 or m < 1:
+        raise ValueError("tokens_per_line and lines_per_para must be >= 1")
+    other = [c for c in docs.columns if c != text_col]
+
+    def _regroup(arr, size, joiner):
+        n = F.size(arr)
+        groups = F.transform(
+            # ceil(n/size)-1 in exact integer arithmetic via (n-1) div
+            # size: the subtraction makes the double `/` remainder-free,
+            # so the int cast is exact
+            F.sequence(
+                F.lit(0),
+                (((n - 1) - ((n - 1) % size)) / size).cast("int"),
+            ),
+            lambda i: F.array_join(
+                F.slice(arr, i * size + 1, size), joiner
+            ),
+        )
+        return F.when(n > 0, groups).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    # each array is BOUND to a projected column before the next HOF
+    # references it: an unbound expression inside a lambda re-evaluates
+    # once per element (the word_shingles_from_tokens lesson)
+    return (
+        docs.select(*other, tokens(F.col(text_col)).alias("__toks"))
+        .select(*other, _regroup(F.col("__toks"), k, " ").alias("__lines"))
+        .select(
+            *other,
+            F.array_join(
+                _regroup(F.col("__lines"), m, "\n"), "\n\n"
+            ).alias(text_col),
+        )
+    )
 
 
 def _dup_split_stats(
