@@ -511,6 +511,93 @@ def gopher_repetition(docs: DataFrame, text_col: str = "text") -> DataFrame:
     ).drop("__chars")
 
 
+def gopher_repetition_map(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Map-only twin of :func:`gopher_repetition` for STREAMING and
+    other aggregation-free contexts (VERDICT r6 #3): the statistic is
+    per-document with no corpus state, so one Arrow-batched
+    ``mapInPandas`` computes it with zero shuffles and runs unchanged
+    on a Structured Streaming source in append mode — where the batch
+    operator's explode+groupBy pipeline would demand watermarks or
+    complete mode.
+
+    Bitwise-equal to the batch operator (pytest pins stream == batch ==
+    gopher_repetition): same ASCII tokenization (textmodels._py_tokens
+    == tokens()), same 60-bit md5 gram hashing with (hash, char_len)
+    count keys, same float division / clamp / HALF_UP-on-shortest-repr
+    6dp rounding discipline as nb_score_map, and the pass flag compares
+    the ROUNDED fractions like the batch column does."""
+    import hashlib
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from .textmodels import _py_tokens
+
+    all_ns = (*GOPHER_TOP_THRESHOLDS, *GOPHER_DUP_THRESHOLDS)
+    frac_cols = [f"top_{n}gram_char_frac" for n in GOPHER_TOP_THRESHOLDS] + [
+        f"dup_{n}gram_char_frac" for n in GOPHER_DUP_THRESHOLDS
+    ]
+    out_schema = ", ".join(
+        ["doc_id long"]
+        + [f"{c} double" for c in frac_cols]
+        + ["gopher_repetition_pass int"]
+    )
+
+    def _round6(v: float) -> float:
+        return float(
+            Decimal(repr(v)).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+        )
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
+                toks = _py_tokens(text)
+                chars = float(max(len(text) if isinstance(text, str) else 0, 1))
+                fracs = []
+                for n in all_ns:
+                    counts: dict = {}
+                    for i in range(len(toks) - n + 1):
+                        g = " ".join(toks[i : i + n])
+                        key = (
+                            int(
+                                hashlib.md5(g.encode("utf-8")).hexdigest()[:15],
+                                16,
+                            ),
+                            len(g),
+                        )
+                        counts[key] = counts.get(key, 0) + 1
+                    if n in GOPHER_TOP_THRESHOLDS:
+                        cover = max(
+                            (c * glen for (_, glen), c in counts.items()),
+                            default=None,
+                        )
+                    else:
+                        # empty counts sum to 0 -> same 0.0 the batch
+                        # NULL/coalesce path produces
+                        cover = sum(
+                            c * glen
+                            for (_, glen), c in counts.items()
+                            if c >= 2
+                        )
+                    v = 0.0 if cover is None else min(float(cover) / chars, 1.0)
+                    fracs.append(_round6(v))
+                thresholds = list(GOPHER_TOP_THRESHOLDS.values()) + list(
+                    GOPHER_DUP_THRESHOLDS.values()
+                )
+                passed = int(
+                    all(f <= th for f, th in zip(fracs, thresholds))
+                )
+                out.append((doc_id, *fracs, passed))
+            yield pd.DataFrame(
+                out, columns=["doc_id"] + frac_cols + ["gopher_repetition_pass"]
+            )
+
+    return docs.mapInPandas(run, out_schema)
+
+
 def wrap_tokens(
     docs: DataFrame,
     text_col: str = "text",

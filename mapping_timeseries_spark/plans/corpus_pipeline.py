@@ -26,6 +26,18 @@ rows passing every flag are written. Per-stage work:
 All flag joins are keyed on doc_id, so AQE collapses them onto one
 hash-partitioning of the corpus. No collect() anywhere; the stats dict
 comes from the Observation attached to the flagged frame.
+
+Streaming posture (r7): every per-doc FILTER stage of this stack now
+has a stream==batch-pinned twin — canonicalization (normalize_text,
+map-only), PII redaction (redact_pii, map-only expressions), quality
+heuristics (expressions), Gopher repetition
+(textstats.gopher_repetition_map), LM/NB model scoring
+(textmodels.lm_score_map / nb_score_map) and DSIR scoring
+(dsir.dsir_weights_map) — so a continuous-ingestion deployment can run
+the whole filter cascade on a Structured Streaming source in append
+mode, leaving only the corpus-STATE stages (dedup clustering, corpus-
+wide line dedup, decontamination index refresh, top-k selection) to
+periodic batch/incremental jobs. Pins: tests/test_streaming.py.
 """
 
 from __future__ import annotations

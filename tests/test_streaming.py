@@ -582,3 +582,139 @@ def test_stream_to_versioned_vacuum_bounds_snapshots(spark, tmp_path):
     assert dirs == [f"v={v:06d}"]
     got = sorted((r["grp"], r["n"]) for r in read_versioned(spark, root).collect())
     assert got == [(0, 15), (1, 15)]
+
+
+def test_stream_gopher_repetition_matches_batch(spark, tmp_path):
+    """The Gopher repetition suite on a document STREAM (VERDICT r6
+    #3): per-doc statistic, no corpus state, so the map-only
+    gopher_repetition_map twin (Arrow mapInPandas, zero shuffles,
+    append mode) must agree bitwise with BOTH its own batch run and
+    the explode+groupBy batch operator."""
+    import shutil
+
+    from mapping_timeseries_spark.operators.textstats import (
+        gopher_repetition,
+        gopher_repetition_map,
+    )
+
+    d = tmp_path / "docs_gopher_stream"
+    d.mkdir()
+    shutil.copy(f"{SF_DIR}/documents.parquet", d / "part-0.parquet")
+    # planted repetition + degenerate docs must stream like batch
+    spark.createDataFrame(
+        [
+            (9001, "spam ham " * 30, "en", "srcx", 8),
+            (9002, " ".join(f"distinct{i}token" for i in range(60)),
+             "en", "srcx", 8),
+            (9003, "", "en", "srcx", 0),
+            (9004, None, "en", "srcx", 0),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("append").parquet(str(d))
+
+    batch_docs = spark.read.parquet(str(d))
+    cols = (
+        ["doc_id"]
+        + [f"top_{n}gram_char_frac" for n in (2, 3, 4)]
+        + [f"dup_{n}gram_char_frac" for n in (5, 6, 7, 8, 9, 10)]
+        + ["gopher_repetition_pass"]
+    )
+    ref = _as_sorted_rows(gopher_repetition(batch_docs), cols)
+    assert _as_sorted_rows(gopher_repetition_map(batch_docs), cols) == ref
+    # the planted spam doc must actually FAIL the filter in both paths
+    by_id = {t[0]: t for t in ref}
+    assert by_id[9001][-1] == 0 and by_id[9002][-1] == 1
+
+    stream_docs = spark.readStream.schema(batch_docs.schema).parquet(str(d))
+    out = run_to_memory(
+        gopher_repetition_map(stream_docs), "t_gopher_stream",
+        output_mode="append",
+    )
+    got = _as_sorted_rows(out, cols)
+    assert got == ref and len(got) == batch_docs.count()
+
+
+def test_stream_redact_pii_matches_batch(spark, tmp_path):
+    """PII redaction on a document STREAM: redact_pii is a chain of
+    map-only regexp_replace expressions, so the SAME operator runs
+    unchanged on a streaming frame in append mode — pinned equal to
+    batch on planted PII."""
+    import shutil
+
+    from mapping_timeseries_spark.operators.textstats import redact_pii
+
+    d = tmp_path / "docs_pii_stream"
+    d.mkdir()
+    shutil.copy(f"{SF_DIR}/documents.parquet", d / "part-0.parquet")
+    spark.createDataFrame(
+        [
+            (9101, "mail me at jane.doe@example.com or +1 (555) 123-4567",
+             "en", "srcx", 8),
+            (9102, "server at 10.0.42.7 answered", "en", "srcx", 8),
+            (9103, None, "en", "srcx", 0),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("append").parquet(str(d))
+
+    batch_docs = spark.read.parquet(str(d))
+    cols = ["doc_id", "text", "n_redactions"]
+    ref = _as_sorted_rows(redact_pii(batch_docs).select(*cols), cols)
+    by_id = {t[0]: t for t in ref}
+    assert "<EMAIL>" in by_id[9101][1] and "<PHONE>" in by_id[9101][1]
+    assert "<IP>" in by_id[9102][1] and by_id[9102][2] == 1
+
+    stream_docs = spark.readStream.schema(batch_docs.schema).parquet(str(d))
+    out = run_to_memory(
+        redact_pii(stream_docs).select(*cols), "t_pii_stream",
+        output_mode="append",
+    )
+    got = _as_sorted_rows(out, cols)
+    assert got == ref and len(got) == batch_docs.count()
+
+
+def test_stream_dsir_scoring_matches_batch(spark, tmp_path):
+    """DSIR importance scoring on a document STREAM: the dense bucket
+    table is batch-trained, broadcast, and applied through the
+    map-only dsir_weights_map twin — integer-nat sums bitwise-equal to
+    the joined+grouped batch dsir_weights, in batch AND append-mode
+    streaming."""
+    import shutil
+
+    from mapping_timeseries_spark.operators.dsir import (
+        dsir_logratio,
+        dsir_weights,
+        dsir_weights_map,
+    )
+
+    d = tmp_path / "docs_dsir_stream"
+    d.mkdir()
+    shutil.copy(f"{SF_DIR}/documents.parquet", d / "part-0.parquet")
+    spark.createDataFrame(
+        [(9201, "", "en", "srcx", 0), (9202, None, "en", "srcx", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("append").parquet(str(d))
+
+    batch_docs = spark.read.parquet(str(d))
+    model = dsir_logratio(
+        batch_docs.where(F.col("source") == "src0"),
+        batch_docs.where(F.col("source") != "src0"),
+        n_buckets=512,
+    )
+    cols = ["doc_id", "n_features", "dsir_logw_nats"]
+    ref = _as_sorted_rows(dsir_weights(batch_docs, model, n_buckets=512), cols)
+    assert (
+        _as_sorted_rows(dsir_weights_map(batch_docs, model, n_buckets=512), cols)
+        == ref
+    )
+    # zero-token docs report (0, 0) in both paths
+    by_id = {t[0]: t for t in ref}
+    assert by_id[9201][1:] == (0, 0) and by_id[9202][1:] == (0, 0)
+
+    stream_docs = spark.readStream.schema(batch_docs.schema).parquet(str(d))
+    out = run_to_memory(
+        dsir_weights_map(stream_docs, model, n_buckets=512),
+        "t_dsir_stream",
+        output_mode="append",
+    )
+    got = _as_sorted_rows(out, cols)
+    assert got == ref and len(got) == batch_docs.count()
