@@ -369,12 +369,52 @@ def ngram_jaccard_pairs(
     return _verify_jaccard_hashed(cand, hsets, threshold)
 
 
+def _bloom_words(hashes, bits_per_key: int = 12):
+    """Driver-side Bloom bitmap over non-negative 60-bit hashes, as a
+    list of 64-bit words plus (m_bits, k). Double-hashing scheme
+    (Kirsch & Mitzenmacher): probe i tests bit (h1 + i*h2) mod m with
+    h1 = low 30 bits, h2 = high 30 bits forced odd — integer-exact and
+    reproducible in any engine. bits_per_key=12, k=8 gives ~3e-4 FP."""
+    n = max(len(hashes), 1)
+    m = max(64, n * bits_per_key)
+    k = max(1, round(bits_per_key * 0.69))
+    words = [0] * ((m + 63) // 64)
+    for h in hashes:
+        h1 = h & ((1 << 30) - 1)
+        h2 = ((h >> 30) & ((1 << 30) - 1)) | 1
+        for i in range(k):
+            idx = (h1 + i * h2) % m
+            words[idx >> 6] |= 1 << (idx & 63)
+    # two's-complement into signed 64-bit: Spark bigint can't hold
+    # unsigned words with bit 63 set, and getbit reads raw bits, so the
+    # reinterpretation is lossless
+    words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    return words, m, k
+
+
+def _bloom_probe_sql(hash_col: str, words_col: str, m: int, k: int) -> str:
+    """SQL predicate testing the k Bloom probes of ``hash_col`` against
+    the ``words_col`` array<bigint> bitmap — same double-hashing as
+    :func:`_bloom_words`. Built as a SQL string because PySpark's
+    shiftright/getbit wrappers only take literal shift positions, while
+    the SQL forms accept full expressions (probed in SCALE.md r7)."""
+    h1 = f"({hash_col} & {(1 << 30) - 1})"
+    h2 = f"((shiftright({hash_col}, 30) & {(1 << 30) - 1}) | 1)"
+    tests = []
+    for i in range(k):
+        idx = f"pmod({h1} + {i} * {h2}, {m}L)"
+        word = f"element_at({words_col}, cast(shiftright({idx}, 6) as int) + 1)"
+        tests.append(f"getbit({word}, cast(({idx} & 63) as int)) = 1")
+    return " AND ".join(tests)
+
+
 def ngram_decontaminate(
     train: DataFrame,
     holdout: DataFrame,
     text_col: str = "text",
     n: int = 2,
     min_overlap: float = 0.2,
+    bloom_bits_per_key: int | None = 12,
 ) -> DataFrame:
     """Benchmark decontamination: training documents that reproduce a
     holdout/benchmark document's content, measured by word-n-gram
@@ -396,17 +436,54 @@ def ngram_decontaminate(
     Holdout docs with fewer than ``n`` tokens have no shingles and cannot
     be flagged (they carry no matchable content).
 
+    Bloom pre-filter (r7, VERDICT r6 #6): before the exact broadcast
+    join, train postings are screened against a driver-built Bloom
+    bitmap of the holdout's 60-bit shingle hashes (pure getbit/
+    shiftright expressions over one broadcast array<bigint> row —
+    Spark 4.1 does not register bloom_filter_agg/might_contain as SQL
+    functions, probed and recorded in SCALE.md). A Bloom has no false
+    negatives, so the RESULT is unchanged (pytest-pinned bloom==exact);
+    the win is that the ~100% of corpus postings sharing no shingle
+    with the benchmark suite are dropped by a bitmap test (~1.5 KB/1k
+    shingles at 12 bits/key) instead of each probing the multi-MB
+    broadcast hash relation — measured 5.1x posting reduction even with
+    an adversarially large holdout (1% of the corpus, same vocabulary;
+    tests/test_llm_ops.py); a realistic benchmark suite over a web-scale
+    corpus shares far less vocabulary and filters correspondingly
+    harder. ``bloom_bits_per_key=None`` disables it.
+
     Output: (train_doc, holdout_doc, shared_ngrams, holdout_ngrams,
     overlap) for pairs with overlap >= min_overlap.
     """
     tr = _shingled(train, text_col, n).select(
         F.col("doc_id").alias("train_doc"), F.explode("shingles").alias("shingle")
     )
-    ho = _shingled(holdout, text_col, n).select(
+    ho_sh = _pin(_shingled(holdout, text_col, n))
+    ho = ho_sh.select(
         F.col("doc_id").alias("holdout_doc"),
         F.col("n_shingles").alias("holdout_ngrams"),
         F.explode("shingles").alias("shingle"),
     )
+    if bloom_bits_per_key is not None:
+        from ..functions.text import portable_hash64
+
+        spark = train.sparkSession
+        hashes = [
+            r["h"]
+            for r in ho.select(
+                portable_hash64(F.col("shingle")).alias("h")
+            ).distinct().collect()
+        ]
+        words, m, k = _bloom_words(hashes, bloom_bits_per_key)
+        bloom_row = spark.createDataFrame(
+            [(words,)], "__bloom_words array<bigint>"
+        )
+        tr = (
+            tr.withColumn("__bh", portable_hash64(F.col("shingle")))
+            .crossJoin(F.broadcast(bloom_row))
+            .where(F.expr(_bloom_probe_sql("__bh", "__bloom_words", m, k)))
+            .drop("__bh", "__bloom_words")
+        )
     return (
         tr.join(F.broadcast(ho), "shingle")
         .groupBy("train_doc", "holdout_doc")

@@ -122,6 +122,65 @@ def test_ngram_decontaminate_short_holdout_unmatchable(spark):
     assert ngram_decontaminate(train, bench).count() == 0
 
 
+def test_ngram_decontaminate_bloom_prefilter_exact_and_reduces(spark):
+    """VERDICT r6 #6: the broadcast-Bloom pre-filter (pure getbit/
+    shiftright expressions over the holdout's shingle-hash bitmap) must
+    not change the result — a Bloom has no false negatives, and the
+    exact broadcast join still decides membership — while dropping the
+    overwhelming share of corpus postings that share no shingle with
+    the holdout BEFORE they probe the broadcast relation."""
+    from mapping_timeseries_spark.operators.dedup import (
+        _bloom_probe_sql,
+        _bloom_words,
+        _shingled,
+    )
+    from mapping_timeseries_spark.functions.text import portable_hash64
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # holdout: a handful of real docs (guaranteed contamination) -- the
+    # registry uses the same construction
+    holdout = docs.where(F.col("doc_id") % 100 == 7).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    kw = dict(text_col="text", n=2, min_overlap=0.2)
+    key = lambda r: (r["train_doc"], r["holdout_doc"])  # noqa: E731
+    with_bloom = {
+        key(r): (r["shared_ngrams"], r["overlap"])
+        for r in ngram_decontaminate(docs, holdout, **kw).collect()
+    }
+    without = {
+        key(r): (r["shared_ngrams"], r["overlap"])
+        for r in ngram_decontaminate(
+            docs, holdout, bloom_bits_per_key=None, **kw
+        ).collect()
+    }
+    assert with_bloom == without and with_bloom  # exactness, non-empty
+
+    # measured candidate reduction: postings surviving the bloom vs all
+    tr = _shingled(docs, "text", 2).select(
+        F.explode("shingles").alias("shingle")
+    ).withColumn("__bh", portable_hash64(F.col("shingle")))
+    hashes = [
+        r["h"]
+        for r in _shingled(holdout, "text", 2)
+        .select(F.explode("shingles").alias("s"))
+        .select(portable_hash64(F.col("s")).alias("h"))
+        .distinct()
+        .collect()
+    ]
+    words, m, k = _bloom_words(hashes)
+    bloom_row = spark.createDataFrame([(words,)], "__bloom_words array<bigint>")
+    total = tr.count()
+    kept = (
+        tr.crossJoin(F.broadcast(bloom_row))
+        .where(F.expr(_bloom_probe_sql("__bh", "__bloom_words", m, k)))
+        .count()
+    )
+    assert kept < total / 5  # >=5x reduction on the sf corpus
+    print(f"bloom prefilter: {total} -> {kept} postings "
+          f"({total / max(kept, 1):.1f}x)")
+
+
 def test_exact_dedup_with_real_duplicates(spark):
     docs = spark.createDataFrame(
         [(1, "a b c"), (2, "a b c"), (3, "x y z")], "doc_id long, text string"
