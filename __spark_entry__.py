@@ -1040,6 +1040,35 @@ def q_pack_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packing_stats(packed, 2048)
 
 
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only (r7, VERDICT r6 #4): BPE tokenizer training at a fixed
+    200-merge budget (min_pair_count=2, histogram mode — one corpus
+    pass into the Heaps-bounded driver histogram, then driver-side
+    merges). Training is an ITERATIVE DRIVER LOOP, so its Spark work
+    happens at construction: bench.py times this leg with the build
+    inside the timed region (DRIVER_LEGS)."""
+    ensure_runtime_conf(spark)
+    from mapping_timeseries_spark.operators.tokenizer import train_bpe
+
+    docs = read_table(spark, sf_dir, "documents")
+    return train_bpe(docs, num_merges=200, mode="histogram")
+
+
+def q_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only (r7): unigram-LM (SentencePiece-style) training at a
+    fixed 512-piece budget (seed 2000, max piece len 6, histogram
+    mode). Same DRIVER_LEGS timing note as q_bpe_train — EM iterations
+    run Spark jobs at construction."""
+    ensure_runtime_conf(spark)
+    from mapping_timeseries_spark.operators.unigram import train_unigram
+
+    docs = read_table(spark, sf_dir, "documents")
+    return train_unigram(
+        docs, vocab_size=512, seed_size=2000, max_piece_len=6,
+        mode="histogram",
+    )
+
+
 def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-mixing draws on the documents corpus, two disciplines in one
     frame (registry capped at 50): kind='quota' — 20 smallest-hash docs

