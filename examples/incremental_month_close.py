@@ -5,7 +5,7 @@ rot).
 
     python examples/incremental_month_close.py
 
-The engine carries four families of mergeable incremental state, each
+The engine carries five families of mergeable incremental state, each
 previously demonstrated in its own corner:
 
 1. **correlation moments** (plans/incremental.py) — per-(entity, lag)
@@ -19,10 +19,14 @@ previously demonstrated in its own corner:
 4. **sketches** (operators/sketches.py) — HLL distinct vocabulary,
    log-decade value histograms, Misra-Gries heavy hitters; advance =
    sketch the batch, merge summaries.
+5. **IVF vector index** (operators/similarity.py, r7) — the month's
+   new embeddings assigned against the frozen coarse quantizer and
+   appended into the partitioned inverted lists; centroid drift and
+   torn appends refused by the commit marker.
 
 This example runs ONE simulated close — "month M+1 landed: new series
 rows for the mapping model, new documents for the corpus services" —
-and advances all four from that same append. Persistence is the SAME
+and advances all five from that same append. Persistence is the SAME
 pattern everywhere: the corr state uses versioned snapshots + an atomic
 meta pointer internally, and the three sketch states are stored
 explicitly through sources/versioned.py (write_versioned -> pointer
@@ -243,6 +247,38 @@ def main(spark=None, out_root: str | None = None, show: bool = True) -> dict:
     counters = read_versioned(spark, tk_root).collect()[0]["counters"] or {}
     hot = [t for t, _c in sorted(counters.items(), key=lambda kv: -kv[1])[:3]]
 
+    # ── 5. IVF vector index: assign new embeddings, append, query ──────
+    from mapping_timeseries_spark.operators.similarity import (
+        ivf_build_index,
+        ivf_index_append,
+        ivf_seed_centroids,
+        ivf_topk_indexed,
+    )
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    standing_emb = emb.where(F.col("vec_id") % 5 != 0)
+    batch_emb = emb.where(F.col("vec_id") % 5 == 0)
+    cents = ivf_seed_centroids(standing_emb, nlist=16)
+    ivf_root = os.path.join(out_root, "ivf_index")
+    ivf_build_index(standing_emb, cents, ivf_root)
+    ivf_index_append(batch_emb, cents, ivf_root)
+    qv = emb.where(F.col("vec_id").isin(1, 2))
+    nn = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in ivf_topk_indexed(
+            spark, ivf_root, qv, cents, k=3, nprobe=2
+        ).collect()
+    }
+    rebuilt_root = os.path.join(out_root, "ivf_rebuilt")
+    ivf_build_index(emb, cents, rebuilt_root)
+    nn_rebuilt = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in ivf_topk_indexed(
+            spark, rebuilt_root, qv, cents, k=3, nprobe=2
+        ).collect()
+    }
+    assert nn == nn_rebuilt, "IVF append drifted from rebuild"
+
     stats = {
         "through_month": meta["through_month"],
         "n_model_entities": len(model),
@@ -253,6 +289,7 @@ def main(spark=None, out_root: str | None = None, show: bool = True) -> dict:
         "txn_p99": int(hq["hp99"]),
         "hot_keys": hot,
         "sketch_versions": {"vocab_hll": hll_v, "txn_hist": h_v, "hot_keys": tk_v},
+        "n_nn_results": len(nn),
     }
     if show:
         for k, v in stats.items():

@@ -786,6 +786,152 @@ def minhash_dedup_incremental(
     return _verify_jaccard(cand, all_sh, threshold)
 
 
+def minhash_dedup_stream(
+    stream_docs: DataFrame,
+    index_bands: DataFrame,
+    index_shingles: DataFrame,
+    text_col: str = "text",
+    n: int = 2,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    portable: bool = True,
+) -> DataFrame:
+    """STREAMING near-dup detection against a persisted LSH index (r7):
+    for a Structured Streaming source of documents, emit verified pairs
+    (doc_a < doc_b, jaccard) where the stream doc near-dups an INDEXED
+    document — the continuous-ingestion gatekeeper ("reject the
+    arriving page if the corpus already has it").
+
+    Streaming-legal by construction, pinned stream==batch in pytest:
+
+    - shingling/banding are map-only expressions on the stream (no
+      ensure_parallel/persist — both touch batch-only APIs; micro-batch
+      parallelism comes from the source);
+    - the stream side CARRIES its shingle set through the band explode,
+      so both the candidate join (on band+bucket) and the verification
+      join (stored shingles by doc_id) are stream-STATIC inner joins —
+      at no point do two derivatives of the stream join each other
+      (that would be a stream-stream self-join needing watermarks);
+    - a colliding pair surfaces once per agreeing band, so the final
+      ``dropDuplicates`` collapses them statefully. Its state is the
+      emitted pair set — bound it in production with
+      ``withWatermark + dropDuplicatesWithinWatermark`` on an arrival
+      timestamp; unbounded here because the pin test drains finite
+      fixtures.
+
+    Scope: new-vs-INDEX pairs only. Within-batch pairs are the batch
+    operator's job (:func:`minhash_dedup_incremental` inside
+    ``foreachBatch``, which also appends the batch into the index).
+    Parameters MUST match the index's (meta.json carries them).
+    """
+    toks = stream_docs.select(
+        "doc_id", tokens(F.col(text_col)).alias("__toks")
+    )
+    sh = (
+        toks.select(
+            "doc_id",
+            word_shingles_from_tokens(F.col("__toks"), n).alias("shingles"),
+        )
+        .withColumn("n_shingles", F.size("shingles"))
+        .where(F.col("n_shingles") > 0)
+    )
+    # band rows CARRY the doc's shingle set (re-joining it from the
+    # stream would be a stream-stream self-join)
+    banded = _band_frame_carrying(
+        sh.select("doc_id", "shingles", "n_shingles"),
+        num_hashes, bands, portable,
+    )
+    cand = banded.alias("x").join(
+        index_bands.alias("y"),
+        (F.col("x.band") == F.col("y.band"))
+        & (F.col("x.bucket") == F.col("y.bucket"))
+        & (F.col("x.doc_id") != F.col("y.doc_id")),
+    )
+    stored = index_shingles.select(
+        F.col("doc_id").alias("__ydoc"),
+        F.col("shingles").alias("__ysh"),
+        F.col("n_shingles").alias("__yn"),
+    )
+    verified = (
+        cand.select(
+            F.col("x.doc_id").alias("__xdoc"),
+            F.col("x.shingles").alias("__xsh"),
+            F.col("x.n_shingles").alias("__xn"),
+            F.col("y.doc_id").alias("__ydoc"),
+        )
+        .join(stored, "__ydoc")
+        .withColumn("__common", F.size(F.array_intersect("__xsh", "__ysh")))
+        .withColumn(
+            "jaccard",
+            F.col("__common")
+            / (F.col("__xn") + F.col("__yn") - F.col("__common")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select(
+            F.least("__xdoc", "__ydoc").alias("doc_a"),
+            F.greatest("__xdoc", "__ydoc").alias("doc_b"),
+            "jaccard",
+        )
+    )
+    return verified.dropDuplicates(["doc_a", "doc_b"])
+
+
+def _band_frame_carrying(
+    sh: DataFrame, num_hashes: int, bands: int, portable: bool
+) -> DataFrame:
+    """:func:`_band_frame` variant that keeps the per-doc shingle set
+    (and count) on every band row — the streaming path needs them
+    carried through, because re-joining them from the stream would be a
+    stream-stream self-join. Band keys are IDENTICAL to _band_frame's
+    (same signature expressions), which the stream==batch pin depends
+    on."""
+    rows_per_band = num_hashes // bands
+    if portable:
+        sig = minhash_signature_portable(F.col("shingles"), num_hashes)
+
+        def bucket_key(band: int):
+            return F.concat_ws(
+                ",",
+                *[
+                    F.col("sig")[band * rows_per_band + r]
+                    for r in range(rows_per_band)
+                ],
+            )
+
+    else:
+        sig = minhash_signature(F.col("shingles"), num_hashes)
+
+        def bucket_key(band: int):
+            return F.hash(
+                *[
+                    F.col("sig")[band * rows_per_band + r]
+                    for r in range(rows_per_band)
+                ]
+            )
+
+    return (
+        sh.withColumn("sig", sig)
+        .select(
+            "doc_id",
+            "shingles",
+            "n_shingles",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(band).alias("band"),
+                            bucket_key(band).cast("string").alias("bucket"),
+                        )
+                        for band in range(bands)
+                    ]
+                )
+            ).alias("bb"),
+        )
+        .select("doc_id", "shingles", "n_shingles", "bb.band", "bb.bucket")
+    )
+
+
 def minhash_dedup_incremental_path(
     spark,
     new_docs: DataFrame,

@@ -464,6 +464,21 @@ def _ivf_score_topk(probes: DataFrame, corpus: DataFrame, k: int) -> DataFrame:
     )
 
 
+def _centroid_fingerprint(centroids: DataFrame) -> str:
+    """Deterministic 16-hex fingerprint of a centroid table (nlist rows
+    — driver-sized by construction). Guards the IVF append contract: an
+    append assigned against DIFFERENT centroids than the index was
+    built with would silently file vectors into the wrong inverted
+    lists, which no row count can detect."""
+    import hashlib
+
+    rows = sorted(
+        (int(r["centroid_id"]), tuple(float(x) for x in r["cv"]))
+        for r in centroids.select("centroid_id", "cv").collect()
+    )
+    return hashlib.md5(repr(rows).encode()).hexdigest()[:16]
+
+
 def ivf_build_index(
     embeddings: DataFrame,
     centroids: DataFrame,
@@ -475,9 +490,115 @@ def ivf_build_index(
     ``nprobe`` of ``nlist`` partition directories instead of the whole
     corpus (at 100 TB / nlist=4096, a 3-probe query touches <0.1% of the
     bytes). Assignment is the map-only broadcast pass of
-    :func:`ivf_assign`; the write is one shuffle-free pass."""
+    :func:`ivf_assign`; the write is one shuffle-free pass.
+
+    ``meta.json`` is written LAST as the commit marker (committed row
+    count + centroid fingerprint), making the index append-safe:
+    :func:`ivf_index_append` folds a new embedding batch in without
+    re-reading the standing corpus, refusing mismatched centroids and
+    torn predecessors (the BM25/MinHash index discipline)."""
+    import json
+    import os
+
     corpus = ivf_assign(embeddings, centroids, nprobe=1, vec_col=vec_col)
     corpus.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+    spark = embeddings.sparkSession
+    n_rows = spark.read.parquet(path).count()
+    with open(os.path.join(path, "_ivf_meta.json"), "w") as f:
+        json.dump(
+            {
+                "vec_col": vec_col,
+                "n_rows": n_rows,
+                "centroid_fp": _centroid_fingerprint(centroids),
+            },
+            f,
+        )
+
+
+def ivf_index_append(
+    new_embeddings: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+) -> None:
+    """Fold a new embedding batch into a persisted IVF index (r7 — the
+    fifth incremental-state family): assign against the FROZEN
+    centroids (map-only broadcast pass), append into the partitioned
+    lists, rewrite meta.json LAST. Because assignment is per-row and
+    the centroids are pinned by fingerprint, ``append == rebuild``
+    exactly (pytest-pinned): queries over the appended index equal
+    queries over an index rebuilt from the union.
+
+    Refuses (a) centroids whose fingerprint differs from the build's —
+    re-quantizing requires a rebuild, silently mixing quantizers would
+    file vectors into wrong lists; (b) an index whose row count does
+    not match its committed meta (torn previous append); (c) vec_id
+    reuse against the stored ids (would duplicate a vector under one
+    id). Every crash window here leaves row count ahead of meta, which
+    the next load/append detects."""
+    import json
+    import os
+
+    spark = new_embeddings.sparkSession
+    meta_path = os.path.join(path, "_ivf_meta.json")
+    if not os.path.exists(meta_path):
+        raise FileNotFoundError(
+            f"{meta_path} missing — build the index before appending"
+        )
+    with open(meta_path) as f:
+        meta = json.load(f)
+    fp = _centroid_fingerprint(centroids)
+    if fp != meta["centroid_fp"]:
+        raise ValueError(
+            f"centroid fingerprint {fp} != index's {meta['centroid_fp']} — "
+            "the quantizer changed; rebuild the index instead of appending"
+        )
+    stored = spark.read.parquet(path)
+    if stored.count() != meta["n_rows"]:
+        raise ValueError(
+            f"index at {path} does not match its committed meta.json row "
+            "count — a previous append was interrupted; rebuild the index"
+        )
+    clash = (
+        new_embeddings.select("vec_id")
+        .join(stored.select("vec_id"), "vec_id", "inner")
+        .limit(1)
+        .count()
+    )
+    if clash:
+        raise ValueError(
+            f"vec_id reuse detected appending to {path} — ids must be "
+            "globally unique across the index and every batch"
+        )
+    batch = ivf_assign(new_embeddings, centroids, nprobe=1, vec_col=vec_col)
+    batch.write.mode("append").partitionBy("centroid_id").parquet(path)
+    meta["n_rows"] = spark.read.parquet(path).count()
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+
+
+def ivf_index_load(spark, path: str) -> DataFrame:
+    """Load a persisted IVF index with the commit-marker check (row
+    count vs meta.json) — the validating twin of the raw
+    ``spark.read.parquet`` that :func:`ivf_topk_indexed` performs."""
+    import json
+    import os
+
+    meta_path = os.path.join(path, "_ivf_meta.json")
+    if not os.path.exists(meta_path):
+        raise FileNotFoundError(
+            f"{meta_path} missing — index at {path} was never committed"
+        )
+    with open(meta_path) as f:
+        meta = json.load(f)
+    idx = spark.read.parquet(path)
+    n = idx.count()
+    if n != meta["n_rows"]:
+        raise ValueError(
+            f"index at {path} has {n} rows but meta.json committed "
+            f"{meta['n_rows']} — an append was interrupted; rebuild"
+        )
+    return idx
 
 
 def ivf_topk_indexed(

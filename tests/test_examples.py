@@ -84,7 +84,7 @@ def test_incremental_serving_example_runs(spark, tmp_path):
 
 
 def test_incremental_month_close_example_runs(spark, tmp_path):
-    """The unified month-close walkthrough (VERDICT r6 #8): all four
+    """The unified month-close walkthrough (VERDICT r6 #8): all five
     mergeable-state families advanced from one append, each asserting
     its own advance==rebuild contract inline, sketches persisted
     through the versioned-pointer idiom."""
@@ -103,3 +103,4 @@ def test_incremental_month_close_example_runs(spark, tmp_path):
     # second versions published for every sketch family (v1 = standing
     # corpus / history, v2 = the close's append)
     assert all(v == 2 for v in stats["sketch_versions"].values())
+    assert stats["n_nn_results"] > 0

@@ -736,6 +736,73 @@ def test_ivf_full_probe_is_exact(spark):
     assert full == exact
 
 
+def test_ivf_index_append_equals_rebuild_and_guards(spark, tmp_path):
+    """IVF incremental maintenance (r7): append a new embedding batch
+    against the FROZEN centroids — queries over the appended index must
+    equal queries over a rebuild from the union (assignment is per-row,
+    so the contract is exact). Torn appends, centroid drift and vec_id
+    reuse are all refused loudly."""
+    import json
+    import os
+
+    import pytest as _pytest
+
+    from mapping_timeseries_spark.operators.similarity import (
+        ivf_build_index,
+        ivf_index_append,
+        ivf_index_load,
+        ivf_seed_centroids,
+        ivf_topk_indexed,
+    )
+
+    emb = _clustered_embeddings(spark, n=160, n_centers=8)
+    old = emb.where(F.col("vec_id") % 4 != 0)
+    new = emb.where(F.col("vec_id") % 4 == 0)
+    cents = ivf_seed_centroids(old, nlist=16)
+    path = str(tmp_path / "ivf_idx")
+
+    with _pytest.raises(FileNotFoundError):
+        ivf_index_append(new, cents, path)
+
+    ivf_build_index(old, cents, path)
+    ivf_index_append(new, cents, path)
+    assert ivf_index_load(spark, path).count() == emb.count()
+
+    queries = emb.where(F.col("vec_id").isin(1, 2, 5))
+
+    def key(df):
+        return {
+            (r["query_id"], r["vec_id"], r["rank"], r["similarity"])
+            for r in df.collect()
+        }
+
+    appended = key(ivf_topk_indexed(spark, path, queries, cents, k=3, nprobe=2))
+    rebuilt_path = str(tmp_path / "ivf_rebuilt")
+    ivf_build_index(emb, cents, rebuilt_path)
+    rebuilt = key(
+        ivf_topk_indexed(spark, rebuilt_path, queries, cents, k=3, nprobe=2)
+    )
+    assert appended == rebuilt and appended
+
+    # vec_id reuse refused
+    with _pytest.raises(ValueError, match="vec_id reuse"):
+        ivf_index_append(new, cents, path)
+    # centroid drift refused (different quantizer -> different fingerprint)
+    drifted = ivf_seed_centroids(emb, nlist=12)
+    fresh = new.withColumn("vec_id", F.col("vec_id") + 100000)
+    with _pytest.raises(ValueError, match="fingerprint"):
+        ivf_index_append(fresh, drifted, path)
+    # torn append detected: stale committed count -> loud load + refusal
+    meta_path = os.path.join(path, "_ivf_meta.json")
+    meta = json.load(open(meta_path))
+    meta["n_rows"] -= 1
+    json.dump(meta, open(meta_path, "w"))
+    with _pytest.raises(ValueError, match="interrupted"):
+        ivf_index_load(spark, path)
+    with _pytest.raises(ValueError, match="interrupted"):
+        ivf_index_append(fresh, cents, path)
+
+
 def test_ivf_partitioned_index_prunes_and_matches(spark, tmp_path):
     """The IVF scale claim, demonstrated: a corpus written PARTITIONED BY
     centroid_id is read back touching only the probed partitions, and the

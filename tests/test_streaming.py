@@ -718,3 +718,62 @@ def test_stream_dsir_scoring_matches_batch(spark, tmp_path):
     )
     got = _as_sorted_rows(out, cols)
     assert got == ref and len(got) == batch_docs.count()
+
+
+def test_stream_minhash_dedup_vs_index_matches_batch(spark, tmp_path):
+    """Continuous-ingestion near-dup gatekeeping (r7): a document STREAM
+    is checked against the persisted LSH index through stream-static
+    band + verification joins (minhash_dedup_stream). Pinned equal to
+    the batch incremental operator's new-vs-index pairs — same band
+    keys, same exact-Jaccard verdicts, jaccard values bitwise."""
+    import shutil
+
+    from mapping_timeseries_spark.operators.dedup import (
+        build_minhash_index,
+        load_minhash_index,
+        minhash_dedup_incremental_path,
+        minhash_dedup_stream,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    standing = docs.where(F.col("doc_id") % 5 != 0)
+    batch = docs.where(F.col("doc_id") % 5 == 0)
+    idx = str(tmp_path / "lsh_idx")
+    build_minhash_index(standing, idx, portable=True)
+
+    batch_ids = {r["doc_id"] for r in batch.select("doc_id").collect()}
+    ref = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in minhash_dedup_incremental_path(
+            spark, batch, idx, threshold=0.5
+        ).collect()
+        # stream scope = new-vs-INDEX only (within-batch pairs are the
+        # batch operator's job)
+        if (r["doc_a"] in batch_ids) != (r["doc_b"] in batch_ids)
+    }
+    assert ref  # the sf corpus has cross near-dups by construction
+
+    d = tmp_path / "docs_minhash_stream"
+    d.mkdir()
+    batch.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "b0"))
+    shutil.copy(
+        next((tmp_path / "b0").glob("part-*.parquet")), d / "part-0.parquet"
+    )
+    bands_df, shingles_df, meta = load_minhash_index(spark, idx)
+    stream_docs = spark.readStream.schema(batch.schema).parquet(str(d))
+    out = run_to_memory(
+        minhash_dedup_stream(
+            stream_docs,
+            bands_df,
+            shingles_df,
+            n=meta["n"],
+            num_hashes=meta["num_hashes"],
+            bands=meta["bands"],
+            threshold=0.5,
+            portable=meta["portable"],
+        ),
+        "t_minhash_stream",
+        output_mode="append",
+    )
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in out.collect()}
+    assert got == ref
