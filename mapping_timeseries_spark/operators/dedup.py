@@ -786,6 +786,29 @@ def minhash_dedup_incremental(
     return _verify_jaccard(cand, all_sh, threshold)
 
 
+def minhash_index_compact(
+    spark, path: str, target_file_mb: int = 128
+) -> dict:
+    """Rewrite the LSH index's bands/shingles into ~``target_file_mb``
+    files (the append-fragmentation maintenance pass; row-count
+    identity checked by compact_in_place, meta.json — parameters only —
+    untouched). OFFLINE op; crash contract on
+    sources.writers.compact_in_place. Returns per-frame file counts."""
+    import os
+
+    from ..sources.writers import compact_in_place
+
+    load_minhash_index(spark, path)  # commit marker must be present
+    return {
+        "bands": compact_in_place(
+            spark, os.path.join(path, "bands"), target_file_mb
+        ),
+        "shingles": compact_in_place(
+            spark, os.path.join(path, "shingles"), target_file_mb
+        ),
+    }
+
+
 def minhash_dedup_stream(
     stream_docs: DataFrame,
     index_bands: DataFrame,

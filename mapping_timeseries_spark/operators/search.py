@@ -244,6 +244,32 @@ def bm25_index_load(spark, path: str) -> dict:
     return {"postings": postings, "dl": dl, "df": dfreq, "totals": totals}
 
 
+def bm25_index_compact(
+    spark, path: str, target_file_mb: int = 128
+) -> dict:
+    """Rewrite the index's postings/dl into ~``target_file_mb`` files —
+    the maintenance pass for an append-maintained index, where every
+    batch leaves one file per write task and file COUNT eventually
+    dominates planning. Row counts are identity-checked against the
+    committed meta before and after, so a compaction can never change
+    what the index serves (OFFLINE op — no concurrent appender; see
+    sources.writers.compact_in_place for the crash contract). Returns
+    per-frame output file counts."""
+    from ..sources.writers import compact_in_place
+
+    import os
+
+    bm25_index_load(spark, path)  # validates both counts vs meta
+    out = {
+        "postings": compact_in_place(
+            spark, os.path.join(path, "postings"), target_file_mb
+        ),
+        "dl": compact_in_place(spark, os.path.join(path, "dl"), target_file_mb),
+    }
+    bm25_index_load(spark, path)  # counts unchanged -> marker still valid
+    return out
+
+
 def bm25_index_append(new_docs: DataFrame, path: str) -> None:
     """Append a new-document batch to a persisted index — continuous
     corpus ingestion without re-reading old text: the batch is

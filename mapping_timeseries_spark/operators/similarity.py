@@ -577,6 +577,37 @@ def ivf_index_append(
         json.dump(meta, f)
 
 
+def ivf_index_compact(
+    spark, path: str, target_file_mb: int = 128
+) -> int:
+    """Rewrite the partitioned inverted lists into ~``target_file_mb``
+    files per the usual append-fragmentation maintenance
+    (sources.writers.compact_in_place, partition layout preserved via
+    partition_col). The commit marker lives INSIDE the partitioned root,
+    so it is re-written after the swap from the pre-validated content
+    (counts and fingerprint are unchanged by construction — the
+    identity check enforces the former). OFFLINE op; a crash between
+    swap and marker rewrite reads as a missing marker — loud, never a
+    silently half-compacted index. Returns the output file count."""
+    import json
+    import os
+
+    from ..sources.writers import compact_in_place
+
+    ivf_index_load(spark, path)  # validates count vs committed meta
+    meta_path = os.path.join(path, "_ivf_meta.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    n_files = compact_in_place(
+        spark, path, target_file_mb, partition_col="centroid_id"
+    )
+    # the swap retired the old root (marker included): recommit
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+    ivf_index_load(spark, path)
+    return n_files
+
+
 def ivf_index_load(spark, path: str) -> DataFrame:
     """Load a persisted IVF index with the commit-marker check (row
     count vs meta.json) — the validating twin of the raw

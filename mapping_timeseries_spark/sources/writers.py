@@ -92,6 +92,50 @@ def compact_parquet(
     return len([f for f in out.inputFiles()])
 
 
+def compact_in_place(
+    spark: SparkSession,
+    path: str,
+    target_file_mb: int = 128,
+    partition_col: str | None = None,
+) -> int:
+    """:func:`compact_parquet` plus the directory swap, with a row-count
+    identity check before the old data is dropped (r7 — the maintenance
+    op every append-maintained index needs: repeated appends fragment
+    postings/bands/lists into one file per batch-task, and at 100 TB
+    file-COUNT kills planning long before bytes do).
+
+    Sequence: rewrite into ``path.__compact`` -> verify row counts match
+    -> retire the old directory to ``path.__old`` -> rename the compact
+    one in -> delete the retired copy. An OFFLINE maintenance op by
+    contract (no concurrent reader/appender — same single-writer scope
+    as sources/versioned.py): a crash between the two renames leaves
+    ``path`` missing and both suffixed directories intact, which every
+    index loader reports loudly (missing data/commit marker) and an
+    operator resolves by renaming one copy back — never a silent
+    half-compacted state. Returns the output file count."""
+    import shutil
+
+    staged, retired = path + ".__compact", path + ".__old"
+    for p in (staged, retired):
+        if os.path.exists(p):
+            raise ValueError(
+                f"{p} already exists — a previous compaction was "
+                "interrupted; inspect and remove it before retrying"
+            )
+    n_before = spark.read.parquet(path).count()
+    n_files = compact_parquet(spark, path, staged, target_file_mb, partition_col)
+    n_after = spark.read.parquet(staged).count()
+    if n_after != n_before:
+        raise ValueError(
+            f"compaction changed the row count ({n_before} -> {n_after}) "
+            f"at {path} — staged output left at {staged} for inspection"
+        )
+    os.rename(path, retired)
+    os.rename(staged, path)
+    shutil.rmtree(retired)
+    return n_files
+
+
 def save_as_table(
     df: DataFrame, table: str, path: str | None = None, partition_col: str | None = None
 ) -> None:

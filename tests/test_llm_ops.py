@@ -784,6 +784,20 @@ def test_ivf_index_append_equals_rebuild_and_guards(spark, tmp_path):
     )
     assert appended == rebuilt and appended
 
+    # compaction (r7): fragmented appended lists rewritten; marker
+    # recommitted, served results identical
+    from mapping_timeseries_spark.operators.similarity import (
+        ivf_index_compact,
+    )
+
+    files_before = len(ivf_index_load(spark, path).inputFiles())
+    ivf_index_compact(spark, path, target_file_mb=64)
+    assert len(ivf_index_load(spark, path).inputFiles()) <= files_before
+    assert (
+        key(ivf_topk_indexed(spark, path, queries, cents, k=3, nprobe=2))
+        == appended
+    )
+
     # vec_id reuse refused
     with _pytest.raises(ValueError, match="vec_id reuse"):
         ivf_index_append(new, cents, path)
@@ -1686,6 +1700,17 @@ def test_minhash_incremental_index_roundtrip(spark, tmp_path):
     assert sorted(
         (r["doc_id"], r["n_shingles"]) for r in shingles_df.collect()
     ) == sorted((r["doc_id"], r["n_shingles"]) for r in ref_shingles.collect())
+
+    # compaction (r7): fragmented bands/shingles rewritten in place,
+    # loaded content identical
+    from mapping_timeseries_spark.operators.dedup import minhash_index_compact
+
+    minhash_index_compact(spark, path, target_file_mb=64)
+    cb, cs, _ = load_minhash_index(spark, path)
+    assert sorted(map(tuple, cb.collect())) == sorted(
+        map(tuple, ref_bands.collect())
+    )
+    assert cs.count() == ref_shingles.count()
 
     # a reused doc_id would alias two documents under one vertex
     with pytest.raises(ValueError, match="already in the index"):

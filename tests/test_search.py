@@ -212,6 +212,24 @@ def test_bm25_index_append_equals_rebuild(spark, tmp_path):
     )
     assert got == want and got
 
+    # compaction (r7): appended indexes fragment; the rewrite must not
+    # change what the index serves, and the commit marker stays valid
+    from mapping_timeseries_spark.operators.search import bm25_index_compact
+
+    files_before = len(
+        spark.read.parquet(os.path.join(path, "postings")).inputFiles()
+    )
+    bm25_index_compact(spark, path, target_file_mb=64)
+    files_after = len(
+        spark.read.parquet(os.path.join(path, "postings")).inputFiles()
+    )
+    assert files_after <= files_before
+    got_compacted = sorted(
+        tuple(r[c] for c in cols)
+        for r in bm25_topk(bm25_index_load(spark, path), q, k=5).collect()
+    )
+    assert got_compacted == want
+
     # id reuse refused (appending the same batch twice)
     with _pytest.raises(ValueError, match="doc_id reuse"):
         bm25_index_append(new, path)
