@@ -73,6 +73,8 @@ __all__ = [
     "dup_spans",
     "remove_dup_spans",
     "line_dedup",
+    "minhash_dedup_stream",
+    "minhash_index_compact",
 ]
 
 #: Stack of active cache scopes; _pin registers every persist into the

@@ -45,6 +45,7 @@ __all__ = [
     "bm25_index_write",
     "bm25_index_load",
     "bm25_index_append",
+    "bm25_index_compact",
 ]
 
 #: Integer scale for per-term BM25 contributions (order-independent sums).

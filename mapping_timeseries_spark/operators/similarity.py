@@ -22,7 +22,9 @@ from pyspark.sql import functions as F
 __all__ = ["cosine", "with_unit_norm", "cosine_topk", "ann_bucketed_topk",
            "embedding_near_dups", "ivf_seed_centroids", "ivf_assign",
            "ivf_refine_centroids", "ivf_topk", "ivf_build_index",
-           "ivf_topk_indexed", "semantic_dedup", "embedding_decontaminate", "diversity_profile",
+           "ivf_topk_indexed", "ivf_index_append", "ivf_index_load",
+           "ivf_index_compact", "semantic_dedup", "embedding_decontaminate",
+           "diversity_profile",
 ]
 
 

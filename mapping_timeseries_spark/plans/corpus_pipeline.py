@@ -35,9 +35,12 @@ heuristics (expressions), Gopher repetition
 (textmodels.lm_score_map / nb_score_map) and DSIR scoring
 (dsir.dsir_weights_map) — so a continuous-ingestion deployment can run
 the whole filter cascade on a Structured Streaming source in append
-mode, leaving only the corpus-STATE stages (dedup clustering, corpus-
-wide line dedup, decontamination index refresh, top-k selection) to
-periodic batch/incremental jobs. Pins: tests/test_streaming.py.
+mode. Even the near-dup GATE runs streaming when the reference corpus
+is a persisted index (dedup.minhash_dedup_stream — stream-static band
++ verification joins); what stays batch/incremental is corpus-STATE
+maintenance itself (dedup clustering, corpus-wide line dedup,
+decontamination index refresh, top-k selection, index appends and
+compaction). Pins: tests/test_streaming.py.
 """
 
 from __future__ import annotations
