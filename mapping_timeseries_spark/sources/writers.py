@@ -213,6 +213,95 @@ def write_training_shards(
         .partitionBy("shard")
         .parquet(path)
     )
+    write_shard_manifest(df.sparkSession, path)
+
+
+def _shard_summary(df: DataFrame) -> DataFrame:
+    """Per-shard (n_rows, content fingerprint): the fingerprint is an
+    ORDER-INSENSITIVE exact-decimal sum of per-row xxhash64 over every
+    non-shard column — layout/partitioning cannot change it, any row
+    change does (modulo engineered hash collisions). Decimal(38,0)
+    accumulation cannot overflow at any realistic shard size."""
+    from pyspark.sql import functions as F
+
+    cols = sorted(c for c in df.columns if c != "shard")
+    row_hash = F.xxhash64(*cols).cast("decimal(38,0)")
+    return df.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(row_hash).cast("string").alias("fingerprint"),
+    )
+
+
+def write_shard_manifest(spark: SparkSession, path: str) -> dict:
+    """Write ``path/_manifest.json``: per-shard row counts + content
+    fingerprints (r7) — the audit artifact that makes the export's
+    byte-reproducibility claim CHECKABLE instead of asserted. A re-run
+    of the same export produces an identical manifest; a training job
+    can call :func:`verify_shard_manifest` before consuming shards to
+    detect truncated copies, partial re-writes or silent corruption.
+    Returns the manifest dict."""
+    import json
+    import os
+
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    try:
+        rows = _shard_summary(spark.read.parquet(path)).collect()
+    except AnalysisException:
+        # an export where every row was filtered writes no part files
+        # (partitionBy emits nothing) — that's a LEGAL empty corpus, and
+        # the manifest should say so rather than fail schema inference
+        rows = []
+    manifest = {
+        "shards": {
+            str(r["shard"]): {
+                "n_rows": r["n_rows"],
+                "fingerprint": r["fingerprint"],
+            }
+            for r in rows
+        },
+        "n_total": int(sum(r["n_rows"] for r in rows)),
+    }
+    with open(os.path.join(path, "_manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    return manifest
+
+
+def verify_shard_manifest(spark: SparkSession, path: str) -> dict:
+    """Recompute the per-shard summaries of the data at ``path`` and
+    compare against its committed ``_manifest.json``. Raises ValueError
+    naming every drifted shard; returns the manifest on success."""
+    import json
+    import os
+
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    mpath = os.path.join(path, "_manifest.json")
+    if not os.path.exists(mpath):
+        raise FileNotFoundError(f"{mpath} missing — export has no manifest")
+    with open(mpath) as f:
+        manifest = json.load(f)
+    try:
+        live = {
+            str(r["shard"]): (r["n_rows"], r["fingerprint"])
+            for r in _shard_summary(spark.read.parquet(path)).collect()
+        }
+    except AnalysisException:
+        live = {}  # legal empty export (see write_shard_manifest)
+    want = {
+        s: (v["n_rows"], v["fingerprint"])
+        for s, v in manifest["shards"].items()
+    }
+    if live != want:
+        drifted = sorted(
+            set(k for k in live if live.get(k) != want.get(k))
+            | set(k for k in want if live.get(k) != want.get(k))
+        )
+        raise ValueError(
+            f"shard export at {path} does not match its manifest — "
+            f"drifted shards: {drifted}"
+        )
+    return manifest
 
 
 def zorder_key(col_a, col_b, bits: int = 16):
