@@ -378,3 +378,90 @@ def test_bm25_fuzz_vs_bruteforce(spark):
         for r, d in enumerate(ranked, 1):
             want.append((q, d, r, hits[d], round(scores[d] / SCORE_SCALE, 6)))
     assert got == sorted(want) and got
+
+
+def test_line_dedup_fuzz_vs_duckdb_twin(spark):
+    """Randomized multi-line corpora (repeated boilerplate lines, blank
+    runs, NULLs, whitespace-only lines) through BOTH line_dedup modes,
+    compared against a from-scratch DuckDB recomputation on the line
+    STRINGS — hardens the r7 two-phase (hash count -> string-verified)
+    formulation on shapes the planted fixtures don't cover."""
+    import random
+
+    import duckdb
+    import pandas as pd
+
+    from mapping_timeseries_spark.operators.dedup import line_dedup
+
+    rng = random.Random(20260815)
+    boiler = [f"boiler {i} line" for i in range(4)]
+    uniq_id = [0]
+
+    def rand_doc():
+        n = rng.randint(0, 6)
+        lines = []
+        for _ in range(n):
+            r = rng.random()
+            if r < 0.35:
+                lines.append(rng.choice(boiler))
+            elif r < 0.45:
+                lines.append("")
+            elif r < 0.52:
+                lines.append("   ")
+            else:
+                uniq_id[0] += 1
+                lines.append(f"unique content {uniq_id[0]}")
+        return "\n".join(lines)
+
+    for trial in range(3):
+        rows = [
+            (i, None if rng.random() < 0.05 else rand_doc())
+            for i in range(60)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        con = duckdb.connect()
+        con.register("docs", pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+        def twin(mode):
+            drop = (
+                "o.n > 1 AND NOT (l.doc_id = o.first.doc_id "
+                "AND l.pos = o.first.pos)"
+                if mode == "keep_first"
+                else "o.n > 1"
+            )
+            return {
+                int(r[0]): (r[1], int(r[2]), int(r[3]))
+                for r in con.execute(f"""
+                    WITH lines AS (
+                      SELECT doc_id, generate_subscripts(l, 1) - 1 AS pos,
+                             unnest(l) AS line
+                      FROM (SELECT doc_id,
+                                   string_split(coalesce(text, ''), chr(10)) AS l
+                            FROM docs)
+                    ),
+                    owners AS (
+                      SELECT line, count(*) AS n,
+                             min(struct_pack(doc_id := doc_id, pos := pos)) AS first
+                      FROM lines WHERE trim(line) != '' GROUP BY line
+                    ),
+                    verdicts AS (
+                      SELECT l.doc_id, l.pos, l.line,
+                             coalesce({drop}, false) AS dropped
+                      FROM lines l LEFT JOIN owners o ON l.line = o.line
+                    )
+                    SELECT doc_id,
+                           coalesce(string_agg(
+                               CASE WHEN NOT dropped THEN line END,
+                               chr(10) ORDER BY pos), '') AS text,
+                           count(*) AS n_lines,
+                           sum(dropped::INT) AS n_removed
+                    FROM verdicts GROUP BY doc_id
+                """).fetchall()
+            }
+
+        for mode in ("keep_first", "drop_all"):
+            got = {
+                r["doc_id"]: (r["text"], r["n_lines"], r["n_removed"])
+                for r in line_dedup(docs, mode=mode).collect()
+            }
+            assert got == twin(mode), (trial, mode)
