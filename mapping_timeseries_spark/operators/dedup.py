@@ -821,6 +821,8 @@ def minhash_dedup_stream(
     bands: int = 8,
     threshold: float = 0.5,
     portable: bool = True,
+    watermark_col: str | None = None,
+    watermark_delay: str = "1 hour",
 ) -> DataFrame:
     """STREAMING near-dup detection against a persisted LSH index (r7):
     for a Structured Streaming source of documents, emit verified pairs
@@ -839,23 +841,33 @@ def minhash_dedup_stream(
       at no point do two derivatives of the stream join each other
       (that would be a stream-stream self-join needing watermarks);
     - a colliding pair surfaces once per agreeing band, so the final
-      ``dropDuplicates`` collapses them statefully. Its state is the
-      emitted pair set — bound it in production with
-      ``withWatermark + dropDuplicatesWithinWatermark`` on an arrival
-      timestamp; unbounded here because the pin test drains finite
-      fixtures.
+      ``dropDuplicates`` collapses them statefully. Pass
+      ``watermark_col`` (an event/arrival timestamp on the stream) to
+      BOUND that state: the operator then applies ``withWatermark``
+      and ``dropDuplicatesWithinWatermark``, evicting pair state older
+      than ``watermark_delay`` — correct because a stream doc's band
+      rows all share its timestamp, so every duplicate surfaces within
+      one watermark window of the first. Without it the state is the
+      full emitted pair set (fine for finite drains, not for a
+      long-running service).
 
     Scope: new-vs-INDEX pairs only. Within-batch pairs are the batch
     operator's job (:func:`minhash_dedup_incremental` inside
     ``foreachBatch``, which also appends the batch into the index).
     Parameters MUST match the index's (meta.json carries them).
     """
+    wm = [watermark_col] if watermark_col else []
+    if watermark_col:
+        stream_docs = stream_docs.withWatermark(
+            watermark_col, watermark_delay
+        )
     toks = stream_docs.select(
-        "doc_id", tokens(F.col(text_col)).alias("__toks")
+        "doc_id", *wm, tokens(F.col(text_col)).alias("__toks")
     )
     sh = (
         toks.select(
             "doc_id",
+            *wm,
             word_shingles_from_tokens(F.col("__toks"), n).alias("shingles"),
         )
         .withColumn("n_shingles", F.size("shingles"))
@@ -864,7 +876,7 @@ def minhash_dedup_stream(
     # band rows CARRY the doc's shingle set (re-joining it from the
     # stream would be a stream-stream self-join)
     banded = _band_frame_carrying(
-        sh.select("doc_id", "shingles", "n_shingles"),
+        sh.select("doc_id", *wm, "shingles", "n_shingles"),
         num_hashes, bands, portable,
     )
     cand = banded.alias("x").join(
@@ -881,6 +893,7 @@ def minhash_dedup_stream(
     verified = (
         cand.select(
             F.col("x.doc_id").alias("__xdoc"),
+            *[F.col(f"x.{c}") for c in wm],
             F.col("x.shingles").alias("__xsh"),
             F.col("x.n_shingles").alias("__xn"),
             F.col("y.doc_id").alias("__ydoc"),
@@ -897,8 +910,13 @@ def minhash_dedup_stream(
             F.least("__xdoc", "__ydoc").alias("doc_a"),
             F.greatest("__xdoc", "__ydoc").alias("doc_b"),
             "jaccard",
+            *wm,
         )
     )
+    if watermark_col:
+        return verified.dropDuplicatesWithinWatermark(
+            ["doc_a", "doc_b"]
+        ).drop(watermark_col)
     return verified.dropDuplicates(["doc_a", "doc_b"])
 
 
@@ -935,12 +953,12 @@ def _band_frame_carrying(
                 ]
             )
 
+    in_cols = list(sh.columns)  # passthrough: doc_id, shingles,
+    # n_shingles (+ the caller's watermark column when bounding state)
     return (
         sh.withColumn("sig", sig)
         .select(
-            "doc_id",
-            "shingles",
-            "n_shingles",
+            *in_cols,
             F.explode(
                 F.array(
                     *[
@@ -953,7 +971,7 @@ def _band_frame_carrying(
                 )
             ).alias("bb"),
         )
-        .select("doc_id", "shingles", "n_shingles", "bb.band", "bb.bucket")
+        .select(*in_cols, "bb.band", "bb.bucket")
     )
 
 

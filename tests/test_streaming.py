@@ -777,3 +777,32 @@ def test_stream_minhash_dedup_vs_index_matches_batch(spark, tmp_path):
     )
     got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in out.collect()}
     assert got == ref
+
+    # bounded-state variant: an arrival timestamp + watermark evicts
+    # pair state instead of growing it forever — same pairs
+    d2 = tmp_path / "docs_minhash_stream_wm"
+    d2.mkdir()
+    batch.withColumn(
+        "arrived", F.to_timestamp(F.lit("2026-08-15 00:00:00"))
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "b1"))
+    shutil.copy(
+        next((tmp_path / "b1").glob("part-*.parquet")), d2 / "part-0.parquet"
+    )
+    schema2 = spark.read.parquet(str(d2)).schema
+    out_wm = run_to_memory(
+        minhash_dedup_stream(
+            spark.readStream.schema(schema2).parquet(str(d2)),
+            bands_df,
+            shingles_df,
+            n=meta["n"],
+            num_hashes=meta["num_hashes"],
+            bands=meta["bands"],
+            threshold=0.5,
+            portable=meta["portable"],
+            watermark_col="arrived",
+        ),
+        "t_minhash_stream_wm",
+        output_mode="append",
+    )
+    got_wm = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in out_wm.collect()}
+    assert got_wm == ref
