@@ -68,14 +68,36 @@ def measure(spark, sf_dir: str) -> dict:
         .agg(F.sum(F.col("df") * (F.col("df") - 1) / 2).alias("n"))
         .collect()[0]["n"]
     )
-    t0 = time.monotonic()
-    ppjoin = ngram_jaccard_pairs(
-        docs, threshold=0.5, candidates_only=True
-    ).count()
-    t_cand = time.monotonic() - t0
-    t0 = time.monotonic()
-    true_pairs = ngram_jaccard_pairs(docs, threshold=0.5).count()
-    t_full = time.monotonic() - t0
+    # bench.py timing discipline (r7): one untimed warm run (JIT/codegen
+    # compile, page cache) then MEDIAN of 3 timed runs with the plan
+    # caches cleared between each, so BOTH scales are measured
+    # steady-state cold-cache — previously the 1x numbers carried the
+    # session's cold-start and the full query reused the candidate
+    # run's pins, making the growth ratio incomparable across stages;
+    # the median absorbs one noisy rep (this box is multi-tenant)
+    import statistics
+
+    spark = docs.sparkSession
+
+    def timed(fn):
+        spark.catalog.clearCache()
+        out = fn()
+        reps = []
+        for _ in range(3):
+            spark.catalog.clearCache()
+            t0 = time.monotonic()
+            out = fn()
+            reps.append(time.monotonic() - t0)
+        return out, statistics.median(reps)
+
+    ppjoin, t_cand = timed(
+        lambda: ngram_jaccard_pairs(
+            docs, threshold=0.5, candidates_only=True
+        ).count()
+    )
+    true_pairs, t_full = timed(
+        lambda: ngram_jaccard_pairs(docs, threshold=0.5).count()
+    )
     return {
         "n_docs": n_docs,
         "n_shingle_occurrences": n_occ,
