@@ -83,6 +83,7 @@ from mapping_timeseries_spark.operators.textmodels import (
     lm_perplexity,
     nb_score,
     nb_train,
+    ppl_buckets,
 )
 from mapping_timeseries_spark.operators.textstats import (
     LANG_TRIGRAMS,
@@ -1478,9 +1479,12 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tri = lang_trigram_scores(docs).select("doc_id", "trigram_lang")
     lm_model = bigram_lm_counts(docs.where(F.col("source") != "src0"))
-    lm = lm_perplexity(docs, lm_model, k=0.5).select(
-        "doc_id", "n_trans", "oov_trans", "avg_nll", "ppl"
-    )
+    # r7 fold: the CCNet head/middle/tail split (Wenzek et al. 2020)
+    # over the same reference-LM scores — exact-rank mode (the oracle
+    # shape; the histogram-threshold scale path is pytest-pinned)
+    lm = ppl_buckets(
+        lm_perplexity(docs, lm_model, k=0.5), mode="rank"
+    ).select("doc_id", "n_trans", "oov_trans", "avg_nll", "ppl", "ppl_bucket")
     nb_model = nb_train(
         docs.withColumn("__y", (F.col("source") == "src0").cast("int")),
         "__y",
@@ -1536,6 +1540,7 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             "oov_trans",
             "avg_nll",
             "ppl",
+            "ppl_bucket",
             "nb_log_odds",
             "nb_predicted",
             "dsir_logw_nats",
@@ -3393,7 +3398,7 @@ lmsc AS (
   LEFT JOIN lmuni USING (w1h) LEFT JOIN lmbi USING (bh) CROSS JOIN lmv
   GROUP BY t.doc_id
 ),
-lm AS (
+lm0 AS (
   SELECT lmtok.doc_id,
          coalesce(n_trans, 0)::BIGINT AS n_trans,
          coalesce(oov_trans, 0)::BIGINT AS oov_trans,
@@ -3401,6 +3406,21 @@ lm AS (
          CASE WHEN n_trans > 0
               THEN round(exp(round(-nats / (1e9 * n_trans), 6)), 6) END AS ppl
   FROM lmtok LEFT JOIN lmsc USING (doc_id)
+),
+-- r7 fold: CCNet head/middle/tail by exact rank over (avg_nll ASC
+-- NULLS LAST, doc_id); NULL-scored docs always tail; integer cuts
+-- floor(n/3) / floor(2n/3) (textmodels.ppl_buckets rank mode)
+lm AS (
+  SELECT *, CASE
+      WHEN avg_nll IS NULL THEN 'tail'
+      WHEN rn <= (n // 3) THEN 'head'
+      WHEN rn <= ((2 * n) // 3) THEN 'middle'
+      ELSE 'tail' END AS ppl_bucket
+  FROM (
+    SELECT lm0.*,
+           row_number() OVER (ORDER BY avg_nll ASC NULLS LAST, doc_id) AS rn,
+           count(*) OVER () AS n
+    FROM lm0)
 ),
 -- Naive-Bayes twin (textmodels.nb_train + nb_score): label =
 -- source=='src0', alpha 1, per-word weight = micro-nat difference of
@@ -3505,7 +3525,7 @@ SELECT q.doc_id, q.n_tokens, q.n_unique_tokens, q.quality_score,
        (('0x' || substring(md5('shard:' || CAST(q.doc_id AS VARCHAR)), 1, 15))::BIGINT
          % 16)::INT AS shard,
        bp.n_grams, bp.n_boiler_grams, bp.boilerplate_frac,
-       lm.n_trans, lm.oov_trans, lm.avg_nll, lm.ppl,
+       lm.n_trans, lm.oov_trans, lm.avg_nll, lm.ppl, lm.ppl_bucket,
        nb.nb_log_odds, nb.nb_predicted,
        dsk.dsir_logw_nats, dsk.dsir_score, dsk.dsir_rank,
        (dsk.dsir_rank <= 100)::INT AS dsir_selected

@@ -41,6 +41,7 @@ __all__ = [
     "bigram_lm_counts",
     "lm_perplexity",
     "lm_score_map",
+    "ppl_buckets",
     "nb_train",
     "nb_score",
     "nb_score_map",
@@ -231,6 +232,84 @@ def lm_perplexity(
                 F.col("n_trans") > 0, F.round(F.exp(F.round(avg_nll, 6)), 6)
             ).alias("ppl"),
         )
+    )
+
+
+def ppl_buckets(
+    scored: DataFrame,
+    shares: tuple = (1.0 / 3.0, 1.0 / 3.0),
+    mode: str = "rank",
+) -> DataFrame:
+    """CCNet-style head/middle/tail perplexity bucketing (Wenzek et al.
+    2020, arXiv:1911.00359 §4.3 — the canonical LM-quality data split):
+    rank documents by their reference-LM average NLL (:func:`
+    lm_perplexity` output) and cut the corpus into ``head`` (lowest
+    perplexity = most reference-like, the slice CCNet keeps), ``middle``
+    and ``tail``. ``shares`` are the (head, middle) fractions; docs with
+    NULL scores (fewer than 2 tokens — no evidence) always land in the
+    tail.
+
+    Adds ``ppl_bucket`` to every input row. Two modes:
+
+    - ``mode='rank'`` (exact, the oracle/audit shape): one global
+      ``row_number`` over (avg_nll ASC NULLS LAST, doc_id) — a
+      single-partition sort of (doc, score) pairs — and explicit
+      integer cuts head = rn <= floor(n*h), middle = rn <=
+      floor(n*(h+m)); engine-portable because both the order and the
+      cut arithmetic are exact.
+    - ``mode='sketch'`` (the corpus-scale path, no global sort):
+      thresholds from the deterministic log-decade histogram over
+      ``round(avg_nll * 1e6)`` integer micro-nll (pre-scaled to
+      fixed-point exactly because the sketch's <1% bound needs values
+      >= 100 — see sketches.py), then a map-only threshold comparison.
+      Bucket SHARES approximate within the sketch's documented bounds
+      (pytest pins agreement on the sf corpus); ties at a threshold
+      all take the lower bucket, so the split is still deterministic.
+    """
+    from pyspark.sql import Window
+
+    if mode not in ("rank", "sketch"):
+        raise ValueError(f"mode must be 'rank' or 'sketch', got {mode!r}")
+    h, m = float(shares[0]), float(shares[1])
+    if h < 0 or m < 0 or h + m > 1:
+        raise ValueError(f"shares must be non-negative with sum <= 1: {shares}")
+    if mode == "rank":
+        rn = F.row_number().over(
+            Window.orderBy(F.col("avg_nll").asc_nulls_last(), F.col("doc_id"))
+        )
+        n = F.count(F.lit(1)).over(Window.partitionBy(F.lit(1)))
+        out = scored.withColumn("__rn", rn).withColumn("__n", n)
+        bucket = (
+            F.when(F.col("avg_nll").isNull(), F.lit("tail"))
+            .when(F.col("__rn") <= F.floor(F.col("__n") * F.lit(h)), "head")
+            .when(
+                F.col("__rn") <= F.floor(F.col("__n") * F.lit(h + m)),
+                "middle",
+            )
+            .otherwise("tail")
+        )
+        return out.withColumn("ppl_bucket", bucket).drop("__rn", "__n")
+    from .sketches import histogram_quantiles, value_histogram
+
+    micro = scored.withColumn(
+        "__micro_nll", F.round(F.col("avg_nll") * 1e6, 0).cast("bigint")
+    ).withColumn("__g", F.lit(1))
+    hist = value_histogram(
+        micro.where(F.col("__micro_nll").isNotNull()), ["__g"], "__micro_nll"
+    )
+    th = histogram_quantiles(hist, ["__g"], [h, h + m], prefix="__t")
+    t1 = f"__t{int(round(h * 100))}"
+    t2 = f"__t{int(round((h + m) * 100))}"
+    bucket = (
+        F.when(F.col("__micro_nll").isNull(), F.lit("tail"))
+        .when(F.col("__micro_nll") <= F.col(t1), "head")
+        .when(F.col("__micro_nll") <= F.col(t2), "middle")
+        .otherwise("tail")
+    )
+    return (
+        micro.crossJoin(F.broadcast(th.drop("__g")))
+        .withColumn("ppl_bucket", bucket)
+        .drop("__micro_nll", "__g", t1, t2)
     )
 
 

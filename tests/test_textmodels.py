@@ -380,3 +380,81 @@ def test_map_twin_model_collect_is_bounded(spark):
         ).collect()
     )
     assert sum(p[2] for p in npruned) > sum(f[2] for f in nfull)
+
+
+def test_ppl_buckets_rank_and_sketch(spark):
+    """CCNet head/middle/tail split (Wenzek et al. 2020): exact-rank
+    shares hit the requested cuts to the row, NULL-scored docs always
+    land in the tail, and the sketch-mode (histogram-threshold) split
+    agrees with the exact split on share sizes within the sketch's
+    bucket resolution and on the overwhelming majority of docs."""
+    from pyspark.sql import functions as F
+
+    from mapping_timeseries_spark.operators.textmodels import (
+        bigram_lm_counts,
+        lm_perplexity,
+        ppl_buckets,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs = docs.unionByName(
+        spark.createDataFrame(
+            [(9001, "solo", "en", "srcx", 4), (9002, None, "en", "srcx", 0)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+    )
+    model = bigram_lm_counts(docs.where(F.col("source") != "src0"))
+    scored = lm_perplexity(docs, model).cache()
+    n_scored = scored.where(F.col("avg_nll").isNotNull()).count()
+    n_all = scored.count()
+
+    rank = ppl_buckets(scored, mode="rank")
+    shares = {
+        r["ppl_bucket"]: r["n"]
+        for r in rank.groupBy("ppl_bucket").agg(F.count("*").alias("n")).collect()
+    }
+    # exact cuts: floor(n/3) head, floor(2n/3)-floor(n/3) middle
+    assert shares["head"] == n_all // 3
+    assert shares["head"] + shares["middle"] == (2 * n_all) // 3
+    # NULL-scored docs are in the tail
+    nulls = {
+        r["ppl_bucket"]
+        for r in rank.where(F.col("avg_nll").isNull()).collect()
+    }
+    assert nulls <= {"tail"} and len(nulls) == 1
+    # deterministic under repartitioning
+    again = {
+        r["doc_id"]: r["ppl_bucket"]
+        for r in ppl_buckets(scored.repartition(7), mode="rank").collect()
+    }
+    assert again == {r["doc_id"]: r["ppl_bucket"] for r in rank.collect()}
+
+    sk = ppl_buckets(scored, mode="sketch")
+    sk_shares = {
+        r["ppl_bucket"]: r["n"]
+        for r in sk.groupBy("ppl_bucket").agg(F.count("*").alias("n")).collect()
+    }
+    # sketch shares differ from exact thirds by (a) histogram bucket
+    # resolution (~0.2% here) and (b) TIE CLUMPS: the 31-word synthetic
+    # corpus produces many identical avg_nll values, the exact-rank cut
+    # splits a tie arbitrarily by doc_id while the sketch keeps ties
+    # together (arguably the more principled split). Bound: within 12%
+    # of the corpus per bucket.
+    for b in ("head", "middle", "tail"):
+        assert abs(sk_shares.get(b, 0) - shares[b]) <= max(5, n_all // 8), (
+            b, sk_shares, shares,
+        )
+    # per-doc agreement away from the tie clumps: >= 85% identical
+    both = rank.select("doc_id", F.col("ppl_bucket").alias("b1")).join(
+        sk.select("doc_id", F.col("ppl_bucket").alias("b2")), "doc_id"
+    )
+    agree = both.where(F.col("b1") == F.col("b2")).count()
+    assert agree >= 0.85 * n_all
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="mode"):
+        ppl_buckets(scored, mode="bogus")
+    with _pytest.raises(ValueError, match="shares"):
+        ppl_buckets(scored, shares=(0.7, 0.7))
+    scored.unpersist()
