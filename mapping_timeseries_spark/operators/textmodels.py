@@ -42,6 +42,7 @@ __all__ = [
     "lm_perplexity",
     "lm_score_map",
     "ppl_buckets",
+    "ppl_bucket_thresholds",
     "nb_train",
     "nb_score",
     "nb_score_map",
@@ -235,10 +236,35 @@ def lm_perplexity(
     )
 
 
+def ppl_bucket_thresholds(
+    scored: DataFrame, shares: tuple = (1.0 / 3.0, 1.0 / 3.0)
+) -> tuple:
+    """The (t1, t2) integer micro-NLL thresholds the sketch mode of
+    :func:`ppl_buckets` derives — exposed so a STREAMING deployment can
+    compute them once from the standing corpus and apply bucketing to
+    arriving documents as a pure map (``ppl_buckets(...,
+    mode='sketch', thresholds=...)`` — no aggregation, append-mode
+    legal, pytest-pinned stream == batch)."""
+    from .sketches import histogram_quantiles, value_histogram
+
+    h, m = float(shares[0]), float(shares[1])
+    micro = scored.select(
+        F.round(F.col("avg_nll") * 1e6, 0).cast("bigint").alias("__micro_nll")
+    ).where(F.col("__micro_nll").isNotNull()).withColumn("__g", F.lit(1))
+    hist = value_histogram(micro, ["__g"], "__micro_nll")
+    t1 = f"__t{int(round(h * 100))}"
+    t2 = f"__t{int(round((h + m) * 100))}"
+    row = histogram_quantiles(hist, ["__g"], [h, h + m], prefix="__t").collect()
+    if not row:
+        return (None, None)
+    return (row[0][t1], row[0][t2])
+
+
 def ppl_buckets(
     scored: DataFrame,
     shares: tuple = (1.0 / 3.0, 1.0 / 3.0),
     mode: str = "rank",
+    thresholds: tuple | None = None,
 ) -> DataFrame:
     """CCNet-style head/middle/tail perplexity bucketing (Wenzek et al.
     2020, arXiv:1911.00359 §4.3 — the canonical LM-quality data split):
@@ -265,6 +291,12 @@ def ppl_buckets(
       Bucket SHARES approximate within the sketch's documented bounds
       (pytest pins agreement on the sf corpus); ties at a threshold
       all take the lower bucket, so the split is still deterministic.
+      Pass pre-computed ``thresholds`` (from
+      :func:`ppl_bucket_thresholds` over the standing corpus) to skip
+      the histogram pass entirely — the assignment is then a pure map
+      that runs unchanged on a Structured Streaming source in append
+      mode (the production shape: yesterday's corpus sets the cuts,
+      today's stream gets bucketed against them).
     """
     from pyspark.sql import Window
 
@@ -289,28 +321,23 @@ def ppl_buckets(
             .otherwise("tail")
         )
         return out.withColumn("ppl_bucket", bucket).drop("__rn", "__n")
-    from .sketches import histogram_quantiles, value_histogram
-
+    if thresholds is None:
+        thresholds = ppl_bucket_thresholds(scored, shares)
+    t1v, t2v = thresholds
     micro = scored.withColumn(
         "__micro_nll", F.round(F.col("avg_nll") * 1e6, 0).cast("bigint")
-    ).withColumn("__g", F.lit(1))
-    hist = value_histogram(
-        micro.where(F.col("__micro_nll").isNotNull()), ["__g"], "__micro_nll"
     )
-    th = histogram_quantiles(hist, ["__g"], [h, h + m], prefix="__t")
-    t1 = f"__t{int(round(h * 100))}"
-    t2 = f"__t{int(round((h + m) * 100))}"
+    if t1v is None:  # empty scored corpus: everything is tail
+        return micro.withColumn("ppl_bucket", F.lit("tail")).drop(
+            "__micro_nll"
+        )
     bucket = (
         F.when(F.col("__micro_nll").isNull(), F.lit("tail"))
-        .when(F.col("__micro_nll") <= F.col(t1), "head")
-        .when(F.col("__micro_nll") <= F.col(t2), "middle")
+        .when(F.col("__micro_nll") <= F.lit(int(t1v)), "head")
+        .when(F.col("__micro_nll") <= F.lit(int(t2v)), "middle")
         .otherwise("tail")
     )
-    return (
-        micro.crossJoin(F.broadcast(th.drop("__g")))
-        .withColumn("ppl_bucket", bucket)
-        .drop("__micro_nll", "__g", t1, t2)
-    )
+    return micro.withColumn("ppl_bucket", bucket).drop("__micro_nll")
 
 
 def nb_train(

@@ -806,3 +806,48 @@ def test_stream_minhash_dedup_vs_index_matches_batch(spark, tmp_path):
     )
     got_wm = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in out_wm.collect()}
     assert got_wm == ref
+
+
+def test_stream_ppl_bucket_thresholds_matches_batch(spark, tmp_path):
+    """CCNet bucketing on a document STREAM (r7): thresholds computed
+    once from the standing corpus (ppl_bucket_thresholds), then the
+    stream is scored with the map-only lm twin and bucketed by pure
+    threshold comparison — append-mode legal end to end, pinned equal
+    to the batch sketch-mode split with the same thresholds."""
+    import shutil
+
+    from mapping_timeseries_spark.operators.textmodels import (
+        bigram_lm_counts,
+        lm_perplexity,
+        lm_score_map,
+        ppl_bucket_thresholds,
+        ppl_buckets,
+    )
+
+    d = tmp_path / "docs_ppl_stream"
+    d.mkdir()
+    shutil.copy(f"{SF_DIR}/documents.parquet", d / "part-0.parquet")
+    batch_docs = spark.read.parquet(str(d))
+    model = bigram_lm_counts(batch_docs.where(F.col("source") != "src0"))
+    scored_batch = lm_perplexity(batch_docs, model)
+    th = ppl_bucket_thresholds(scored_batch)
+    assert th[0] is not None and th[0] <= th[1]
+
+    cols = ["doc_id", "ppl_bucket"]
+    ref = _as_sorted_rows(
+        ppl_buckets(scored_batch, mode="sketch", thresholds=th).select(*cols),
+        cols,
+    )
+    # sanity: all three buckets occupied on the fixture
+    assert {b for _, b in ref} == {"head", "middle", "tail"}
+
+    stream_docs = spark.readStream.schema(batch_docs.schema).parquet(str(d))
+    out = run_to_memory(
+        ppl_buckets(
+            lm_score_map(stream_docs, model), mode="sketch", thresholds=th
+        ).select(*cols),
+        "t_ppl_stream",
+        output_mode="append",
+    )
+    got = _as_sorted_rows(out, cols)
+    assert got == ref and len(got) == batch_docs.count()
