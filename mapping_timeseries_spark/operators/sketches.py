@@ -46,6 +46,7 @@ __all__ = [
     "merge_sketches",
     "advance_distinct_state",
     "value_histogram",
+    "quantile_col",
     "histogram_quantiles",
     "merge_histograms",
     "advance_histogram_state",
@@ -227,6 +228,15 @@ def _exploded(hists: DataFrame, group_cols: list) -> DataFrame:
     )
 
 
+def quantile_col(prefix: str, q: float) -> str:
+    """Output column name :func:`histogram_quantiles` emits for quantile
+    ``q``: ``{prefix}{int(round(q * 100))}`` — the ROUNDED percent, so
+    q=2/3 names ``{prefix}67`` (not 66). The one shared formula; callers
+    (e.g. textmodels.ppl_bucket_thresholds) must use this helper rather
+    than re-deriving the string."""
+    return f"{prefix}{int(round(q * 100))}"
+
+
 def histogram_quantiles(
     hists: DataFrame,
     group_cols: list,
@@ -239,9 +249,13 @@ def histogram_quantiles(
     digits) relative undershoot FOR VALUES >= 10^(digits-1); small
     fractional and negative values carry the weaker conditional bounds
     documented on the module's accuracy note — pre-scale such data to
-    fixed-point). All-integer rank selection, so the result is
-    deterministic and engine-portable. Output columns are
-    ``{prefix}{int(q*100)}`` as bigint."""
+    fixed-point). Rank selection is one IEEE double product
+    ``floor(q * (n-1))`` of the exact double ``q`` — reproducible in any
+    IEEE engine that receives the same literal (DuckDB twins must CAST
+    the literal AS DOUBLE: its bare decimal literals are DECIMAL and
+    exact-decimal arithmetic disagrees with the double product at
+    round-to-even ties). Output columns are named by
+    :func:`quantile_col` — ``{prefix}{int(round(q*100))}`` — as bigint."""
     ex = _exploded(hists, group_cols).join(
         hists.select(*group_cols, "n"), group_cols
     )
@@ -258,7 +272,7 @@ def histogram_quantiles(
                 >= F.floor(F.lit(float(q)) * (F.col("n") - 1)) + 1,
                 F.col("bucket"),
             )
-        ).alias(f"{prefix}{int(round(q * 100))}")
+        ).alias(quantile_col(prefix, q))
         for q in qs
     ]
     return cum.groupBy(*group_cols).agg(*aggs)

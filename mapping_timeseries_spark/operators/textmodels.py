@@ -245,15 +245,15 @@ def ppl_bucket_thresholds(
     arriving documents as a pure map (``ppl_buckets(...,
     mode='sketch', thresholds=...)`` — no aggregation, append-mode
     legal, pytest-pinned stream == batch)."""
-    from .sketches import histogram_quantiles, value_histogram
+    from .sketches import histogram_quantiles, quantile_col, value_histogram
 
     h, m = float(shares[0]), float(shares[1])
     micro = scored.select(
         F.round(F.col("avg_nll") * 1e6, 0).cast("bigint").alias("__micro_nll")
     ).where(F.col("__micro_nll").isNotNull()).withColumn("__g", F.lit(1))
     hist = value_histogram(micro, ["__g"], "__micro_nll")
-    t1 = f"__t{int(round(h * 100))}"
-    t2 = f"__t{int(round((h + m) * 100))}"
+    t1 = quantile_col("__t", h)
+    t2 = quantile_col("__t", h + m)
     row = histogram_quantiles(hist, ["__g"], [h, h + m], prefix="__t").collect()
     if not row:
         return (None, None)
@@ -280,9 +280,15 @@ def ppl_buckets(
     - ``mode='rank'`` (exact, the oracle/audit shape): one global
       ``row_number`` over (avg_nll ASC NULLS LAST, doc_id) — a
       single-partition sort of (doc, score) pairs — and explicit
-      integer cuts head = rn <= floor(n*h), middle = rn <=
-      floor(n*(h+m)); engine-portable because both the order and the
-      cut arithmetic are exact.
+      integer cuts head = rn <= n*h, middle = rn <= n*(h+m), computed
+      in EXACT integer arithmetic: each share is snapped to a rational
+      via ``Fraction(share).limit_denominator(10**6)`` (so the float
+      1/3.0 becomes exactly 1/3 and the cut is ``(n * 1) div 3``,
+      matching a SQL twin's ``n // 3`` with no dependence on IEEE
+      round-to-even of ``n * (1/3.0)`` products — user-supplied shares
+      like 0.1 carry no such tie-breaking guarantee). Engine-portable
+      because the order, the snap, and the cut arithmetic are all
+      exact.
     - ``mode='sketch'`` (the corpus-scale path, no global sort):
       thresholds from the deterministic log-decade histogram over
       ``round(avg_nll * 1e6)`` integer micro-nll (pre-scaled to
@@ -306,18 +312,25 @@ def ppl_buckets(
     if h < 0 or m < 0 or h + m > 1:
         raise ValueError(f"shares must be non-negative with sum <= 1: {shares}")
     if mode == "rank":
+        from fractions import Fraction
+
+        # exact rational cuts (see docstring): floor(n * share) as pure
+        # bigint arithmetic, never a double product
+        fh = Fraction(h).limit_denominator(10**6)
+        fhm = (
+            Fraction(h) + Fraction(m)
+        ).limit_denominator(10**6)
         rn = F.row_number().over(
             Window.orderBy(F.col("avg_nll").asc_nulls_last(), F.col("doc_id"))
         )
         n = F.count(F.lit(1)).over(Window.partitionBy(F.lit(1)))
         out = scored.withColumn("__rn", rn).withColumn("__n", n)
+        cut1 = F.expr(f"(__n * {fh.numerator}) div {fh.denominator}")
+        cut2 = F.expr(f"(__n * {fhm.numerator}) div {fhm.denominator}")
         bucket = (
             F.when(F.col("avg_nll").isNull(), F.lit("tail"))
-            .when(F.col("__rn") <= F.floor(F.col("__n") * F.lit(h)), "head")
-            .when(
-                F.col("__rn") <= F.floor(F.col("__n") * F.lit(h + m)),
-                "middle",
-            )
+            .when(F.col("__rn") <= cut1, "head")
+            .when(F.col("__rn") <= cut2, "middle")
             .otherwise("tail")
         )
         return out.withColumn("ppl_bucket", bucket).drop("__rn", "__n")

@@ -382,6 +382,49 @@ def test_map_twin_model_collect_is_bounded(spark):
     assert sum(p[2] for p in npruned) > sum(f[2] for f in nfull)
 
 
+def test_ppl_buckets_rank_exact_integer_cuts(spark):
+    """ADVICE r7: rank-mode cuts must be EXACT integer arithmetic —
+    shares are snapped to rationals (limit_denominator 1e6) and the cut
+    is ``n * num div den``, so user-supplied shares like 0.1 (whose
+    double products carry no round-to-even tie guarantee) give the same
+    split any exact-integer SQL twin computes. Pinned against pure
+    Python Fraction arithmetic across share shapes and corpus sizes,
+    including n values where floor(n * float_share) is one off the
+    rational cut under naive float evaluation."""
+    from fractions import Fraction
+
+    from pyspark.sql import functions as F
+
+    from mapping_timeseries_spark.operators.textmodels import ppl_buckets
+
+    for n_all, (h, m) in [
+        (10, (0.1, 0.2)),
+        (29, (0.1, 0.2)),
+        (30, (1 / 3.0, 1 / 3.0)),
+        (49, (0.7, 0.1)),
+        (7, (0.5, 0.25)),
+    ]:
+        scored = spark.createDataFrame(
+            [(i, float(i) / 10.0) for i in range(n_all)],
+            "doc_id long, avg_nll double",
+        )
+        got = {
+            r["ppl_bucket"]: r["n"]
+            for r in ppl_buckets(scored, shares=(h, m), mode="rank")
+            .groupBy("ppl_bucket")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        fh = Fraction(h).limit_denominator(10**6)
+        fhm = (Fraction(h) + Fraction(m)).limit_denominator(10**6)
+        cut1 = n_all * fh.numerator // fh.denominator
+        cut2 = n_all * fhm.numerator // fhm.denominator
+        assert got.get("head", 0) == cut1, (n_all, h, m, got)
+        assert got.get("head", 0) + got.get("middle", 0) == cut2, (
+            n_all, h, m, got,
+        )
+
+
 def test_ppl_buckets_rank_and_sketch(spark):
     """CCNet head/middle/tail split (Wenzek et al. 2020): exact-rank
     shares hit the requested cuts to the row, NULL-scored docs always
