@@ -394,20 +394,88 @@ def _bloom_words(hashes, bits_per_key: int = 12):
     return words, m, k
 
 
-def _bloom_probe_sql(hash_col: str, words_col: str, m: int, k: int) -> str:
+def _bloom_probe_sql(
+    hash_col: str, words_col: str, m: int | str, k: int
+) -> str:
     """SQL predicate testing the k Bloom probes of ``hash_col`` against
     the ``words_col`` array<bigint> bitmap — same double-hashing as
     :func:`_bloom_words`. Built as a SQL string because PySpark's
     shiftright/getbit wrappers only take literal shift positions, while
-    the SQL forms accept full expressions (probed in SCALE.md r7)."""
+    the SQL forms accept full expressions (probed in SCALE.md r7).
+    ``m`` may be an int literal or the NAME of a bigint column carrying
+    the bitmap size (the lazy distributed build broadcasts m alongside
+    the words array on the same one-row frame)."""
+    m_sql = f"{m}L" if isinstance(m, int) else f"({m})"
     h1 = f"({hash_col} & {(1 << 30) - 1})"
     h2 = f"((shiftright({hash_col}, 30) & {(1 << 30) - 1}) | 1)"
     tests = []
     for i in range(k):
-        idx = f"pmod({h1} + {i} * {h2}, {m}L)"
+        idx = f"pmod({h1} + {i} * {h2}, {m_sql})"
         word = f"element_at({words_col}, cast(shiftright({idx}, 6) as int) + 1)"
         tests.append(f"getbit({word}, cast(({idx} & 63) as int)) = 1")
     return " AND ".join(tests)
+
+
+def _bloom_frame(
+    hashes_df: DataFrame, bits_per_key: int = 12
+) -> tuple[DataFrame, int]:
+    """LAZY distributed twin of :func:`_bloom_words`: builds the Bloom
+    bitmap of the ``__h`` (non-negative 60-bit bigint hash) column as a
+    one-row DataFrame ``(__bloom_m bigint, __bloom_words array<bigint>)``
+    — bitwise identical to the driver-loop bitmap (same m = max(64,
+    n*bits), same k, same Kirsch-Mitzenmacher double hashing; pinned in
+    tests) but with no driver collect and no Spark jobs until an action
+    consumes the plan. Build shape: k probe indices explode per hash,
+    ``bit_or`` ors them into 64-bit words, ``transform(sequence(...))``
+    densifies the sparse word map. An EMPTY input yields an EMPTY frame
+    (not an all-zero bitmap) — callers crossJoin it, so nothing
+    survives, which matches 'nothing can match an empty holdout'.
+    Returns (frame, k)."""
+    k = max(1, round(bits_per_key * 0.69))
+    # m = max(64, n * bits): same sizing as _bloom_words, derived by a
+    # lazy 1-row aggregate instead of a driver len()
+    sized = hashes_df.groupBy().agg(
+        F.greatest(
+            F.lit(64).cast("bigint"),
+            F.count(F.lit(1)) * F.lit(int(bits_per_key)),
+        ).alias("__m")
+    )
+    h1 = f"(__h & {(1 << 30) - 1})"
+    h2 = f"((shiftright(__h, 30) & {(1 << 30) - 1}) | 1)"
+    probes = hashes_df.crossJoin(F.broadcast(sized)).select(
+        "__m",
+        F.explode(
+            F.array(
+                *[F.expr(f"pmod({h1} + {i} * {h2}, __m)") for i in range(k)]
+            )
+        ).alias("__idx"),
+    )
+    words_map = (
+        probes.select(
+            "__m",
+            F.expr("cast(shiftright(__idx, 6) as int)").alias("__w"),
+            # shiftleft(1L, 63) wraps negative — same two's-complement
+            # signed-word representation _bloom_words emits
+            F.expr("shiftleft(1L, cast((__idx & 63) as int))").alias("__bit"),
+        )
+        .groupBy("__m", "__w")
+        .agg(F.expr("bit_or(__bit)").alias("__word"))
+    )
+    return (
+        words_map.groupBy("__m")
+        .agg(
+            F.map_from_entries(
+                F.sort_array(F.collect_list(F.struct("__w", "__word")))
+            ).alias("__wm")
+        )
+        .select(
+            F.col("__m").alias("__bloom_m"),
+            F.expr(
+                "transform(sequence(0, cast((__m + 63) div 64 as int) - 1),"
+                " i -> coalesce(__wm[i], 0L))"
+            ).alias("__bloom_words"),
+        )
+    ), k
 
 
 def ngram_decontaminate(
@@ -439,20 +507,36 @@ def ngram_decontaminate(
     be flagged (they carry no matchable content).
 
     Bloom pre-filter (r7, VERDICT r6 #6): before the exact broadcast
-    join, train postings are screened against a driver-built Bloom
-    bitmap of the holdout's 60-bit shingle hashes (pure getbit/
-    shiftright expressions over one broadcast array<bigint> row —
-    Spark 4.1 does not register bloom_filter_agg/might_contain as SQL
-    functions, probed and recorded in SCALE.md). A Bloom has no false
-    negatives, so the RESULT is unchanged (pytest-pinned bloom==exact);
-    the win is that the ~100% of corpus postings sharing no shingle
-    with the benchmark suite are dropped by a bitmap test (~1.5 KB/1k
-    shingles at 12 bits/key) instead of each probing the multi-MB
-    broadcast hash relation — measured 5.1x posting reduction even with
-    an adversarially large holdout (1% of the corpus, same vocabulary;
-    tests/test_llm_ops.py); a realistic benchmark suite over a web-scale
-    corpus shares far less vocabulary and filters correspondingly
-    harder. ``bloom_bits_per_key=None`` disables it.
+    join, train postings are screened against a Bloom bitmap of the
+    holdout's 60-bit shingle hashes (pure getbit/shiftright expressions
+    over one broadcast array<bigint> row — Spark 4.1 does not register
+    bloom_filter_agg/might_contain as SQL functions, probed and
+    recorded in SCALE.md). A Bloom has no false negatives, so the
+    RESULT is unchanged (pytest-pinned bloom==exact); the win is that
+    the ~100% of corpus postings sharing no shingle with the benchmark
+    suite are dropped by a bitmap test (~1.5 KB/1k shingles at 12
+    bits/key) instead of each probing the multi-MB broadcast hash
+    relation — measured 5.1x posting reduction even with an
+    adversarially large holdout (1% of the corpus, same vocabulary;
+    tests/test_llm_ops.py); a realistic benchmark suite over a
+    web-scale corpus shares far less vocabulary and filters
+    correspondingly harder. ``bloom_bits_per_key=None`` disables it.
+
+    The bitmap is built LAZILY INSIDE THE PLAN (r8, ADVICE r7): probe
+    indices explode per holdout hash, a ``bit_or`` aggregation ors them
+    into 64-bit words, and ``transform(sequence(...))`` densifies the
+    word map into the broadcast array — bitwise identical to the old
+    driver-loop bitmap (same m = max(64, n*bits), same k, same double
+    hashing) but with zero driver collect, zero Spark jobs at
+    DataFrame-construction time (explain/audit stays action-free and
+    bench legs time the build where it runs), and the build cost
+    distributed. Size contract: the one-row bitmap is
+    ``bits_per_key * |holdout shingles| / 8`` bytes and must fit in a
+    broadcast row — the SAME broadcast-holdout contract the exact join
+    below already imposes, so the Bloom adds no new ceiling (both fall
+    over together if the 'holdout' stops being benchmark-suite-sized;
+    disable with ``bloom_bits_per_key=None`` and swap the broadcast
+    join for a shuffle join at that point).
 
     Output: (train_doc, holdout_doc, shared_ngrams, holdout_ngrams,
     overlap) for pairs with overlap >= min_overlap.
@@ -467,24 +551,24 @@ def ngram_decontaminate(
         F.explode("shingles").alias("shingle"),
     )
     if bloom_bits_per_key is not None:
-        from ..functions.text import portable_hash64
-
-        spark = train.sparkSession
-        hashes = [
-            r["h"]
-            for r in ho.select(
-                portable_hash64(F.col("shingle")).alias("h")
-            ).distinct().collect()
-        ]
-        words, m, k = _bloom_words(hashes, bloom_bits_per_key)
-        bloom_row = spark.createDataFrame(
-            [(words,)], "__bloom_words array<bigint>"
+        bloom_row, k = _bloom_frame(
+            ho.select(
+                portable_hash64(F.col("shingle")).alias("__h")
+            ).distinct(),
+            bloom_bits_per_key,
         )
+        # empty holdout => bloom_row has ZERO rows and the crossJoin
+        # empties the train side — correct (the exact join below would
+        # match nothing anyway) and it skips the corpus scan entirely
         tr = (
             tr.withColumn("__bh", portable_hash64(F.col("shingle")))
             .crossJoin(F.broadcast(bloom_row))
-            .where(F.expr(_bloom_probe_sql("__bh", "__bloom_words", m, k)))
-            .drop("__bh", "__bloom_words")
+            .where(
+                F.expr(
+                    _bloom_probe_sql("__bh", "__bloom_words", "__bloom_m", k)
+                )
+            )
+            .drop("__bh", "__bloom_words", "__bloom_m")
         )
     return (
         tr.join(F.broadcast(ho), "shingle")

@@ -181,6 +181,50 @@ def test_ngram_decontaminate_bloom_prefilter_exact_and_reduces(spark):
           f"({total / max(kept, 1):.1f}x)")
 
 
+def test_bloom_frame_lazy_and_bitwise_identical(spark):
+    """ADVICE r7: the Bloom pre-filter bitmap is now built lazily
+    INSIDE the plan (no driver collect, no holdout-size driver loop).
+    Pins (a) the distributed bitmap bitwise equal to the driver-loop
+    reference `_bloom_words` — same m, same words — and (b) ZERO Spark
+    jobs at ngram_decontaminate construction time (the r7 form ran the
+    holdout shingling + distinct().collect() eagerly, which both moved
+    O(holdout) onto the driver and made bench legs under-count the
+    build)."""
+    from mapping_timeseries_spark.operators.dedup import (
+        _bloom_frame,
+        _bloom_words,
+    )
+
+    hashes = [7, 1 << 59, 12345678901234567, 42, 0]
+    ref_words, ref_m, ref_k = _bloom_words(hashes, 12)
+    hdf = spark.createDataFrame([(h,) for h in hashes], "__h long")
+    frame, k = _bloom_frame(hdf, 12)
+    assert k == ref_k
+    row = frame.collect()[0]
+    assert row["__bloom_m"] == ref_m
+    assert list(row["__bloom_words"]) == ref_words
+
+    # laziness: constructing the full decontamination plan (bloom on)
+    # must run NO jobs — everything happens at action time
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    holdout = spark.createDataFrame(
+        [(9, "alpha beta gamma")], "doc_id long, text string"
+    )
+    sc = spark.sparkContext
+    sc.setJobGroup("bloom-lazy-probe", "construction must run no jobs")
+    try:
+        df = ngram_decontaminate(docs, holdout, min_overlap=0.2)
+    finally:
+        sc.setJobGroup("bloom-lazy-probe-done", "reset")
+    assert sc.statusTracker().getJobIdsForGroup("bloom-lazy-probe") == []
+    # and the plan still evaluates correctly when consumed
+    got = {(r["train_doc"], r["holdout_doc"]) for r in df.collect()}
+    assert got == {(1, 9)}
+
+
 def test_exact_dedup_with_real_duplicates(spark):
     docs = spark.createDataFrame(
         [(1, "a b c"), (2, "a b c"), (3, "x y z")], "doc_id long, text string"
