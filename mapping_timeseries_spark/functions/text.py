@@ -45,14 +45,28 @@ def word_shingles_from_tokens(t: Column, n: int = 2) -> Column:
     element — O(tokens² · chars) per doc (measured 4× on the bench's
     repetition query before binding).
 
-    Docs with fewer than ``n`` tokens yield an empty array — without the
-    guard, ``sequence(0, size-n)`` descends (0..-1) and the transform
-    evaluates ``element_at(t, 0)``, which raises INVALID_INDEX_OF_ZERO.
-    """
-    idx = F.sequence(F.lit(0), F.size(t) - n)
-    grams = F.transform(
-        idx, lambda i: F.concat_ws(" ", *[F.element_at(t, i + j + 1) for j in range(n)])
-    )
+    Built as chained ``zip_with`` over n parallel slices of the token
+    array (gram_i = t[i] .. t[i+n-1], elementwise), NOT as
+    ``transform(sequence(...), i -> element_at(t, i+j))``: explode()
+    re-evaluates its child array expression per OUTPUT row, and the
+    element_at form re-ran the index walk each time — O(grams²) per doc
+    under a generator. Measured on the sf0.1 corpus (256k bigrams):
+    explode of this form 0.8 s vs 5.6 s for the element_at form; the
+    arrays themselves are identical (order included, so array_distinct
+    keeps the same first occurrences).
+
+    Docs with fewer than ``n`` tokens yield an empty array — the
+    ``when`` guard keeps ``slice`` from seeing a negative length (its
+    branches evaluate lazily per row, same contract the previous
+    sequence(0, size-n) form relied on)."""
+    m = F.size(t) - n + 1  # gram count
+    grams = F.slice(t, 1, m)
+    for j in range(1, n):
+        grams = F.zip_with(
+            grams,
+            F.slice(t, j + 1, m),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
     return F.when(F.size(t) >= n, F.array_distinct(grams)).otherwise(
         F.array().cast("array<string>")
     )

@@ -259,21 +259,39 @@ def ngram_jaccard_pairs(
     result is algorithm-independent (exactly all pairs with J >= t), so
     the DuckDB oracle stays the naive string formulation and the
     registry gate hash-compares against it.
-    """
-    from pyspark.sql import Window
 
-    # pin the COMPACT per-doc arrays, not the exploded postings: caching
-    # the 50x-larger exploded frame and scanning it from the cache was
-    # measured ~2.4x slower end-to-end than re-running the (cheap)
-    # explode+xxhash64 against the cached arrays (interleaved A/B at
+    Candidate-stage shape (r8, VERDICT r7 #3 — this stage was 93% of
+    the 10x wall): the per-doc hash set is computed MAP-SIDE as
+    ``array_sort(transform(shingles, xxhash64))`` and pinned once —
+    both the posting explode and the verification arrays read from it,
+    where r7 pinned the string arrays and re-ran explode+hash+regroup
+    twice. Prefix ranking is a groupBy(doc_id) that collect_lists the
+    (df, hash) pairs, array_sorts the per-doc list and SLICEs it to the
+    prefix bound before re-exploding — same (df asc, hash asc) global
+    order as the old row_number window, but the sort is per-doc over
+    in-memory arrays instead of a whole-partition window sort of every
+    posting, and only prefix rows are ever emitted (measured at sf0.1:
+    leg 10.5 -> 7.2 s; 10x growth unchanged-to-better, see
+    artifacts/ppjoin_growth.json).
+    """
+    # pin the COMPACT per-doc hash arrays, not the exploded postings:
+    # caching the 50x-larger exploded frame and scanning it from the
+    # cache was measured ~2.4x slower end-to-end than re-running the
+    # (cheap) explode against the cached arrays (interleaved A/B at
     # sf0.1: 9.0 s vs 3.7 s min-of-4)
-    sh = _pin(_shingled(docs, text_col, n))
-    inv = (
-        sh.select("doc_id", "n_shingles", F.explode("shingles").alias("__s"))
-        .select("doc_id", "n_shingles", F.xxhash64("__s").alias("shingle"))
+    hsets = _pin(
+        _shingled(docs, text_col, n).select(
+            "doc_id",
+            "n_shingles",
+            F.array_sort(
+                F.transform("shingles", lambda s: F.xxhash64(s))
+            ).alias("__hset"),
+        )
+    )
+    inv = hsets.select(
+        "doc_id", "n_shingles", F.explode("__hset").alias("shingle")
     )
     freq = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
-    w = Window.partitionBy("doc_id").orderBy(F.col("__df").asc(), F.col("shingle").asc())
     # Required bound: |A| - ceil(t*|A|) + 1. Computed so float error can
     # only LENGTHEN the prefix (extra candidates), never shorten it (lost
     # pairs): the 1e-9 nudge absorbs representation error in t*n (~1e-13
@@ -288,12 +306,29 @@ def ngram_jaccard_pairs(
         F.col("n_shingles")
         - F.ceil(F.lit(threshold) * F.col("n_shingles") - F.lit(1e-9))
         + 1
-    )
+    ).cast("int")
+    # array_sort on struct<__df,shingle> orders by (df asc, hash asc) —
+    # the same consistent global order the row_number window used; the
+    # slice keeps exactly the first prefix_len elements, so __pos (the
+    # 1-based posexplode index) IS the global per-doc rank the
+    # positional filter below needs
     prefix = (
         inv.join(freq, "shingle")
-        .withColumn("__pos", F.row_number().over(w))
-        .where(F.col("__pos") <= prefix_len)
-        .select("doc_id", "n_shingles", "__pos", "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.first("n_shingles").alias("n_shingles"),
+            F.collect_list(F.struct("__df", "shingle")).alias("__ps"),
+        )
+        .withColumn("__ps", F.slice(F.array_sort("__ps"), 1, prefix_len))
+        .select(
+            "doc_id", "n_shingles", F.posexplode("__ps").alias("__i", "__e")
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            (F.col("__i") + 1).alias("__pos"),
+            F.col("__e.shingle").alias("shingle"),
+        )
     )
     prefix = _pin(prefix)
     # PPJoin's OTHER two filters on the candidate join — the prefix match
@@ -362,12 +397,9 @@ def ngram_jaccard_pairs(
         # 10x corpus scale empirically pins the filter stack's
         # sub-quadratic candidate growth. Not a query surface.
         return cand
-    # sorted hash sets re-derived from the pinned arrays (explode+hash+
-    # re-group over 8-byte rows — cheaper than carrying a second cache)
-    hsets = inv.groupBy("doc_id").agg(
-        F.sort_array(F.collect_list("shingle")).alias("__hset"),
-        F.first("n_shingles").alias("n_shingles"),
-    )
+    # verification reads the SAME pinned per-doc hash arrays the prefix
+    # stage exploded — no re-derivation pass (r7 re-ran
+    # explode+hash+regroup here)
     return _verify_jaccard_hashed(cand, hsets, threshold)
 
 
@@ -1429,19 +1461,24 @@ def _dup_spans_from_toked(
     caller tokenizes the corpus exactly once."""
     from pyspark.sql import Window
 
-    # positional (NON-distinct) k-grams: pos is the 0-based start token
-    grams = F.when(
-        F.size("__toks") >= k,
-        F.transform(
-            F.sequence(F.lit(0), F.size("__toks") - k),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at("__toks", i + j + 1) for j in range(k)]
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # positional (NON-distinct) k-grams: pos is the 0-based start token.
+    # Explode the POSITIONS and build each gram per exploded row with
+    # codegen'd slice+array_join (the gopher_repetition pattern) — a
+    # transform(sequence, i -> element_at(...)) array under explode
+    # re-evaluates per output row, O(grams²) per doc (same finding as
+    # word_shingles_from_tokens r8).
+    positions = F.when(
+        F.size("__toks") >= k, F.sequence(F.lit(0), F.size("__toks") - k)
+    ).otherwise(F.array().cast("array<int>"))
     g = _pin(
-        toked.select("doc_id", F.posexplode(grams).alias("pos", "gram"))
-        .select("doc_id", "pos", portable_hash64(F.col("gram")).alias("gh"))
+        toked.select("doc_id", "__toks", F.explode(positions).alias("pos"))
+        .select(
+            "doc_id",
+            "pos",
+            portable_hash64(
+                F.array_join(F.slice("__toks", F.col("pos") + 1, k), " ")
+            ).alias("gh"),
+        )
     )
     dup_grams = (
         g.groupBy("gh")

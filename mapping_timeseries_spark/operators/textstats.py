@@ -346,18 +346,22 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     referencing ``split(text, ...)`` inside ``transform`` re-evaluates
     the split once per array ELEMENT — O(tokens² · chars) per doc
     (measured: 7× on the sf0.1 bench query). Binding it first makes the
-    lambda read a computed array.
+    lambda read a computed array. The (non-distinct, positional) bigram
+    array itself is a ``zip_with`` of two token-array slices, not a
+    ``transform(sequence, i -> element_at(t, i+j))`` — under explode the
+    element_at form re-runs the index walk per OUTPUT row, O(grams²)
+    per doc (same finding as word_shingles_from_tokens, measured 7× on
+    the shingle explode).
     """
     toks = docs.select("doc_id", tokens(F.col(text_col)).alias("__t"))
     t = F.col("__t")
-    idx = F.sequence(F.lit(0), F.size(t) - 2)
+    m = F.size(t) - 1
     grams = F.when(
         F.size(t) >= 2,
-        F.transform(
-            idx,
-            lambda i: F.concat_ws(
-                " ", F.element_at(t, i + 1), F.element_at(t, i + 2)
-            ),
+        F.zip_with(
+            F.slice(t, 1, m),
+            F.slice(t, 2, m),
+            lambda a, b: F.concat_ws(" ", a, b),
         ),
     ).otherwise(F.array().cast("array<string>"))
     exploded = toks.select("doc_id", F.explode_outer(grams).alias("__g"))
