@@ -1480,11 +1480,25 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     tri = lang_trigram_scores(docs).select("doc_id", "trigram_lang")
     lm_model = bigram_lm_counts(docs.where(F.col("source") != "src0"))
     # r7 fold: the CCNet head/middle/tail split (Wenzek et al. 2020)
-    # over the same reference-LM scores — exact-rank mode (the oracle
-    # shape; the histogram-threshold scale path is pytest-pinned)
-    lm = ppl_buckets(
-        lm_perplexity(docs, lm_model, k=0.5), mode="rank"
-    ).select("doc_id", "n_trans", "oov_trans", "avg_nll", "ppl", "ppl_bucket")
+    # over the same reference-LM scores — exact-rank mode, PLUS (r8,
+    # VERDICT r7 #4) the sketch-mode scale path as its own gated column:
+    # ppl_bucket_sketch cuts at the log-decade-histogram quantile
+    # thresholds (pure bigint bucketing + one IEEE double rank product,
+    # so the DuckDB twin recomputes identical thresholds)
+    lm_scored = lm_perplexity(docs, lm_model, k=0.5).persist()
+    lm = (
+        ppl_buckets(lm_scored, mode="rank")
+        .join(
+            ppl_buckets(lm_scored, mode="sketch").select(
+                "doc_id", F.col("ppl_bucket").alias("ppl_bucket_sketch")
+            ),
+            "doc_id",
+        )
+        .select(
+            "doc_id", "n_trans", "oov_trans", "avg_nll", "ppl",
+            "ppl_bucket", "ppl_bucket_sketch",
+        )
+    )
     nb_model = nb_train(
         docs.withColumn("__y", (F.col("source") == "src0").cast("int")),
         "__y",
@@ -1541,6 +1555,7 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_nll",
             "ppl",
             "ppl_bucket",
+            "ppl_bucket_sketch",
             "nb_log_odds",
             "nb_predicted",
             "dsir_logw_nats",
@@ -3407,20 +3422,60 @@ lm0 AS (
               THEN round(exp(round(-nats / (1e9 * n_trans), 6)), 6) END AS ppl
   FROM lmtok LEFT JOIN lmsc USING (doc_id)
 ),
+-- r8 fold: the ppl_buckets SKETCH path's thresholds, recomputed
+-- exactly — log-decade histogram buckets (floor to 3 leading digits,
+-- pure bigint: sketches._bucket_expr) over round(avg_nll*1e6), then
+-- the rank-in-histogram cut floor(q*(n-1))+1 with q CAST AS DOUBLE
+-- (DuckDB bare decimals are DECIMAL; the engine does one IEEE double
+-- product, so the twin must too — see histogram_quantiles docstring)
+pbk AS (
+  SELECT CASE WHEN abs(mv) >= 1000000000000000
+              THEN (CASE WHEN mv < 0 THEN -1 ELSE 1 END) * 1000000000000000
+              ELSE (CASE WHEN mv < 0 THEN -1 ELSE 1 END)
+                   * ((abs(mv) // p) * p) END AS b
+  FROM (
+    SELECT mv,
+           CASE WHEN length(CAST(abs(mv) AS VARCHAR)) <= 3 THEN 1
+                ELSE CAST(power(10, length(CAST(abs(mv) AS VARCHAR)) - 3)
+                          AS BIGINT) END AS p
+    FROM (SELECT CAST(round(avg_nll * 1e6, 0) AS BIGINT) AS mv
+          FROM lm0 WHERE avg_nll IS NOT NULL)
+  )
+),
+ph AS (SELECT b, count(*) AS c FROM pbk GROUP BY b),
+pn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM ph),
+pc AS (SELECT b, sum(c) OVER (ORDER BY b) AS cum FROM ph),
+pt AS (
+  SELECT
+    min(CASE WHEN cum >= CAST(floor(CAST(0.3333333333333333 AS DOUBLE)
+                                    * (n - 1)) AS BIGINT) + 1
+             THEN b END) AS t1,
+    min(CASE WHEN cum >= CAST(floor(CAST(0.6666666666666666 AS DOUBLE)
+                                    * (n - 1)) AS BIGINT) + 1
+             THEN b END) AS t2
+  FROM pc, pn
+),
 -- r7 fold: CCNet head/middle/tail by exact rank over (avg_nll ASC
 -- NULLS LAST, doc_id); NULL-scored docs always tail; integer cuts
--- floor(n/3) / floor(2n/3) (textmodels.ppl_buckets rank mode)
+-- floor(n/3) / floor(2n/3) (textmodels.ppl_buckets rank mode); r8:
+-- plus the sketch-mode assignment against the pt thresholds
 lm AS (
-  SELECT *, CASE
+  SELECT ranked.*, CASE
       WHEN avg_nll IS NULL THEN 'tail'
       WHEN rn <= (n // 3) THEN 'head'
       WHEN rn <= ((2 * n) // 3) THEN 'middle'
-      ELSE 'tail' END AS ppl_bucket
+      ELSE 'tail' END AS ppl_bucket,
+    CASE
+      WHEN avg_nll IS NULL THEN 'tail'
+      WHEN pt.t1 IS NULL THEN 'tail'
+      WHEN CAST(round(avg_nll * 1e6, 0) AS BIGINT) <= pt.t1 THEN 'head'
+      WHEN CAST(round(avg_nll * 1e6, 0) AS BIGINT) <= pt.t2 THEN 'middle'
+      ELSE 'tail' END AS ppl_bucket_sketch
   FROM (
     SELECT lm0.*,
            row_number() OVER (ORDER BY avg_nll ASC NULLS LAST, doc_id) AS rn,
            count(*) OVER () AS n
-    FROM lm0)
+    FROM lm0) ranked CROSS JOIN pt
 ),
 -- Naive-Bayes twin (textmodels.nb_train + nb_score): label =
 -- source=='src0', alpha 1, per-word weight = micro-nat difference of
@@ -3526,6 +3581,7 @@ SELECT q.doc_id, q.n_tokens, q.n_unique_tokens, q.quality_score,
          % 16)::INT AS shard,
        bp.n_grams, bp.n_boiler_grams, bp.boilerplate_frac,
        lm.n_trans, lm.oov_trans, lm.avg_nll, lm.ppl, lm.ppl_bucket,
+       lm.ppl_bucket_sketch,
        nb.nb_log_odds, nb.nb_predicted,
        dsk.dsir_logw_nats, dsk.dsir_score, dsk.dsir_rank,
        (dsk.dsir_rank <= 100)::INT AS dsir_selected

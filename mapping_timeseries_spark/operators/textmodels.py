@@ -297,12 +297,17 @@ def ppl_buckets(
       Bucket SHARES approximate within the sketch's documented bounds
       (pytest pins agreement on the sf corpus); ties at a threshold
       all take the lower bucket, so the split is still deterministic.
-      Pass pre-computed ``thresholds`` (from
-      :func:`ppl_bucket_thresholds` over the standing corpus) to skip
-      the histogram pass entirely — the assignment is then a pure map
-      that runs unchanged on a Structured Streaming source in append
-      mode (the production shape: yesterday's corpus sets the cuts,
-      today's stream gets bucketed against them).
+      With ``thresholds=None`` the cuts are derived LAZILY inside the
+      plan (r8): the histogram-quantile frame is forced to one row
+      with a global aggregate and broadcast-crossJoined onto the
+      corpus, so building this DataFrame runs no jobs and a cluster
+      computes the cuts where the data lives. Pass pre-computed
+      ``thresholds`` (from :func:`ppl_bucket_thresholds` over the
+      standing corpus) to skip the histogram pass entirely — the
+      assignment is then a pure literal map that runs unchanged on a
+      Structured Streaming source in append mode (the production
+      shape: yesterday's corpus sets the cuts, today's stream gets
+      bucketed against them).
     """
     from pyspark.sql import Window
 
@@ -334,23 +339,56 @@ def ppl_buckets(
             .otherwise("tail")
         )
         return out.withColumn("ppl_bucket", bucket).drop("__rn", "__n")
-    if thresholds is None:
-        thresholds = ppl_bucket_thresholds(scored, shares)
-    t1v, t2v = thresholds
     micro = scored.withColumn(
         "__micro_nll", F.round(F.col("avg_nll") * 1e6, 0).cast("bigint")
     )
-    if t1v is None:  # empty scored corpus: everything is tail
-        return micro.withColumn("ppl_bucket", F.lit("tail")).drop(
-            "__micro_nll"
+    if thresholds is not None:
+        t1v, t2v = thresholds
+        if t1v is None:  # empty scored corpus: everything is tail
+            return micro.withColumn("ppl_bucket", F.lit("tail")).drop(
+                "__micro_nll"
+            )
+        bucket = (
+            F.when(F.col("__micro_nll").isNull(), F.lit("tail"))
+            .when(F.col("__micro_nll") <= F.lit(int(t1v)), "head")
+            .when(F.col("__micro_nll") <= F.lit(int(t2v)), "middle")
+            .otherwise("tail")
         )
+        return micro.withColumn("ppl_bucket", bucket).drop("__micro_nll")
+    # lazy batch shape: same cuts ppl_bucket_thresholds collects, kept
+    # inside the plan as a broadcast one-row frame (the global agg
+    # yields one all-NULL row on an empty scored corpus — the NULL
+    # guard below then sends everything to the tail, matching the
+    # eager (None, None) path)
+    from .sketches import histogram_quantiles, quantile_col, value_histogram
+
+    msrc = micro.select("__micro_nll").where(
+        F.col("__micro_nll").isNotNull()
+    ).withColumn("__g", F.lit(1))
+    t1c = quantile_col("__t", h)
+    t2c = quantile_col("__t", h + m)
+    thr = (
+        histogram_quantiles(
+            value_histogram(msrc, ["__g"], "__micro_nll"),
+            ["__g"],
+            [h, h + m],
+            prefix="__t",
+        )
+        .groupBy()
+        .agg(F.min(t1c).alias("__pt1"), F.min(t2c).alias("__pt2"))
+    )
     bucket = (
         F.when(F.col("__micro_nll").isNull(), F.lit("tail"))
-        .when(F.col("__micro_nll") <= F.lit(int(t1v)), "head")
-        .when(F.col("__micro_nll") <= F.lit(int(t2v)), "middle")
+        .when(F.col("__pt1").isNull(), F.lit("tail"))
+        .when(F.col("__micro_nll") <= F.col("__pt1"), "head")
+        .when(F.col("__micro_nll") <= F.col("__pt2"), "middle")
         .otherwise("tail")
     )
-    return micro.withColumn("ppl_bucket", bucket).drop("__micro_nll")
+    return (
+        micro.crossJoin(F.broadcast(thr))
+        .withColumn("ppl_bucket", bucket)
+        .drop("__micro_nll", "__pt1", "__pt2")
+    )
 
 
 def nb_train(
