@@ -112,7 +112,20 @@ def compact_in_place(
     ``path`` missing and both suffixed directories intact, which every
     index loader reports loudly (missing data/commit marker) and an
     operator resolves by renaming one copy back — never a silent
-    half-compacted state. Returns the output file count."""
+    half-compacted state. Returns the output file count.
+
+    FILESYSTEM CONTRACT (r8, VERDICT r7 #4): the swap's crash story
+    rests on directory ``rename`` being ATOMIC — true on a local POSIX
+    filesystem and on HDFS, NOT on object stores (S3/GCS "rename" is a
+    per-object copy+delete: a crash mid-copy leaves a PARTIAL directory
+    under ``path``, which a loader may read as a valid-but-truncated
+    index instead of failing loudly). Object-store deployments must not
+    use this helper: compact to a NEW path with :func:`compact_parquet`
+    and flip a pointer to it — the ``sources/versioned.py`` idiom,
+    whose commit is one small-file write, atomic on every store. The
+    pre-flight refusal below (either suffixed directory already
+    present) is also what stops a re-run from compounding an
+    interrupted swap."""
     import shutil
 
     staged, retired = path + ".__compact", path + ".__old"

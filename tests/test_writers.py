@@ -337,6 +337,44 @@ def test_compact_parquet_reduces_file_count(spark, tmp_path):
         compact_parquet(spark, src, src)
 
 
+def test_compact_in_place_staged_refusal_and_swap(spark, tmp_path):
+    """compact_in_place contract (r8, VERDICT r7 #6): a leftover
+    ``.__compact`` or ``.__old`` directory — the fingerprint of an
+    interrupted previous swap — must make the op REFUSE before touching
+    anything (a re-run that blindly proceeded could compound a
+    half-finished swap), and a clean run must swap in place with rows
+    identical and no suffixed directories left behind. The rename-
+    atomicity contract itself (local/HDFS only; object stores use the
+    versioned.py pointer flip) is stated in the docstring."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mapping_timeseries_spark.sources.writers import compact_in_place
+
+    src = str(tmp_path / "idx")
+    spark.range(5_000).withColumn("v", F.col("id") * 2) \
+        .repartition(32).write.mode("overwrite").parquet(src)
+    want = sorted(r["id"] for r in spark.read.parquet(src).collect())
+
+    for leftover in (src + ".__compact", src + ".__old"):
+        os.makedirs(leftover)
+        with pytest.raises(ValueError, match="interrupted"):
+            compact_in_place(spark, src)
+        # refusal touched nothing: data intact, leftover intact
+        assert sorted(
+            r["id"] for r in spark.read.parquet(src).collect()
+        ) == want
+        assert os.path.isdir(leftover)
+        os.rmdir(leftover)
+
+    n_files = compact_in_place(spark, src, target_file_mb=128)
+    assert n_files <= 2
+    assert sorted(r["id"] for r in spark.read.parquet(src).collect()) == want
+    assert not os.path.exists(src + ".__compact")
+    assert not os.path.exists(src + ".__old")
+
+
 def test_jsonl_roundtrip_and_corrupt_line_audit(spark, tmp_path):
     """JSONL export/ingest boundary: explicit-schema round trip is
     lossless, zstd files split on read back, and a corrupt line lands in
