@@ -21,6 +21,22 @@ shingles — fine at sf0.01, hopeless at 100x sf0.1); value-level
 hash parity is already gated at sf0.001/0.01/0.1 plus the 10x stress
 suite (artifacts/CORRECTNESS_stress10x*.json).
 
+Single-box disk note (measured r8): Spark keeps every exchange's
+shuffle files on disk until the SQL execution finishes, so a query's
+DISK high-water is the SUM of all its exchanges — and the one-action
+union of ngram_jaccard's two exact-pair legs (350M prefix-matched pairs
+near + 340M containment-join rows contam at 100x) exceeded this
+container's ~63 GB free and died with "No space left on device". The
+gate therefore (a) counts the two legs as SEPARATE actions — the
+kind= filter pushes into the union children and PropagateEmptyRelation
+prunes the other leg, so each action pays only its own exchanges — and
+(b) runs the session with zstd shuffle/spill compression (better ratio
+than lz4 on shingle-hash traffic). Neither changes any result; both are
+exactly what an operator does on a disk-tight box. On a real cluster
+the sum-of-exchanges residency is spread over the fleet's local disks —
+and 100 TB near-dup runs MinHash-LSH anyway, with this exact pass as
+the per-candidate verifier (SCALE.md posture).
+
 Usage: python tools/text_100x_gate.py [out.json]
 Writes artifacts/text_100x_gate.json; the 100x corpus lands under
 artifacts/scale_stress_100x/ (gitignored, ~1.5 GB; regenerated when
@@ -42,14 +58,25 @@ DIR_100X = os.path.join(REPO, "artifacts", "scale_stress_100x")
 FACTOR = 100
 
 #: registry query -> how its output cardinality scales with F replicas
-#: ("xF" = exactly F times the 1x count; "k" = top-k, constant)
+#: ("xF" = exactly F times the 1x count; "k" = top-k, constant; "lsh" =
+#: F times within the banding-recall band below: every replica's
+#: renamed shingles give its MinHash signatures an INDEPENDENT draw, so
+#: borderline pairs — band-collision probability < 1 at their Jaccard —
+#: flip in or out per replica in both directions (a pair missed at 1x
+#: can be caught in another replica and vice versa); candidates are
+#: exact-Jaccard-verified, so there are no false positives, and the 1x
+#: count itself is deterministic/oracle-gated because signatures are a
+#: pure function of the text. Measured: 35,498 vs 35,500 at 100x.)
 QUERIES = {
     "ngram_jaccard": "xF",
     "text_stats": "xF",
     "quality_score": "xF",
-    "minhash_dedup": "xF",
+    "minhash_dedup": "lsh",
     "dsir_select": "k",
 }
+#: |rows - F*rows_1x| allowed for the "lsh" class (absolute floor, plus
+#: a 0.1% relative term applied in the check)
+LSH_ABS_TOL = 10
 
 
 def main() -> int:
@@ -66,7 +93,12 @@ def main() -> int:
         "text-100x-gate",
         master="local[32]",
         shuffle_partitions=64,
-        extra_conf={"spark.driver.memory": "24g"},
+        extra_conf={
+            "spark.driver.memory": "24g",
+            # zstd over default lz4: the gate's binding resource is
+            # DISK (sum-of-exchanges shuffle residency, module doc)
+            "spark.io.compression.codec": "zstd",
+        },
     )
     spark.range(1000).selectExpr("sum(id)").collect()
 
@@ -80,21 +112,82 @@ def main() -> int:
         print(f"replicated in {time.monotonic() - t0:.0f}s")
 
     qs = dict(entry_mod.queries())
+    # dsir_select is a bench-only key (registry gates it through the
+    # quality_score fold) — map it like bench.py does
+    qs["dsir_select"] = entry_mod.q_dsir_select
+
+    def _release(spark):
+        """Shuffle files persist until the ContextCleaner sees their
+        JVM shuffle dependencies garbage-collected — NOT until action
+        end — so back-to-back 100x actions accumulate tens of GB of
+        dead shuffle unless the GC actually runs (measured: the 5-query
+        loop filled the 63 GB free disk twice before this). Force the
+        full chain: Python GC (drops py4j refs) -> JVM System.gc()
+        (lets ContextCleaner delete the files)."""
+        import gc
+
+        spark.catalog.clearCache()
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(2)
+
+    def counted(name: str, sf_dir: str) -> int:
+        if name == "ngram_jaccard":
+            # one action per (union leg, doc_a residue-mod-4 bucket):
+            # the kind= filter prunes the other union child to an empty
+            # relation and the doc_a bucket filter pushes below the
+            # pair aggregation and join onto the a-side prefix table,
+            # so each action pays ~1/4 of the leg's exchange volume —
+            # the single-action 100x near leg alone needs >63 GB of
+            # in-flight shuffle on this box (module disk note). The sum
+            # over disjoint buckets is exactly the leg's row count.
+            from pyspark.sql import functions as F
+
+            total = 0
+            for kind in ("neardup", "contam"):
+                for i in range(4):
+                    total += (
+                        qs[name](spark, sf_dir)
+                        .where(
+                            (F.col("kind") == kind)
+                            & (F.pmod(F.col("doc_a"), F.lit(4)) == i)
+                        )
+                        .count()
+                    )
+                    _release(spark)
+            return total
+        return qs[name](spark, sf_dir).count()
+
     pre = box_calibration()
+    # resumable: queries already green in an existing artifact are kept
+    # (the ngram leg alone is ~10 min of bucketed counting)
     res = {}
+    if os.path.exists(out_json):
+        with open(out_json) as f:
+            prior = json.load(f).get("queries", {})
+        res = {k: v for k, v in prior.items() if v.get("count_ok")}
     for name, scaling in QUERIES.items():
-        n1 = qs[name](spark, SF_1X).count()
-        spark.catalog.clearCache()
+        if name in res:
+            print(name, "cached:", json.dumps(res[name]))
+            continue
+        n1 = counted(name, SF_1X)
+        _release(spark)
         t0 = time.monotonic()
-        n100 = qs[name](spark, DIR_100X).count()
+        n100 = counted(name, DIR_100X)
         wall = time.monotonic() - t0
-        spark.catalog.clearCache()
-        expected = n1 * FACTOR if scaling == "xF" else n1
+        _release(spark)
+        expected = n1 * FACTOR if scaling in ("xF", "lsh") else n1
+        if scaling == "lsh":
+            tol = max(LSH_ABS_TOL, expected // 1000)
+            ok = abs(n100 - expected) <= tol
+        else:
+            ok = n100 == expected
         res[name] = {
             "rows_1x": n1,
             "rows_100x": n100,
             "expected_100x": expected,
-            "count_ok": n100 == expected,
+            "scaling_class": scaling,
+            "count_ok": ok,
             "wall_100x_sec": round(wall, 1),
         }
         print(name, json.dumps(res[name]))
@@ -106,12 +199,10 @@ def main() -> int:
         "box_calibration": {"pre": pre, "post": box_calibration()},
     }
     print(json.dumps({k: v for k, v in out.items() if k != "queries"}))
-    if out["all_green"]:
-        with open(out_json, "w") as f:
-            json.dump(out, f, indent=1)
-        print(f"wrote {out_json}")
-    else:
-        print("COUNT GATES FAILED — artifact not written")
+    # always write (resumability + honest state); all_green is the gate
+    with open(out_json, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"wrote {out_json} all_green={out['all_green']}")
     spark.stop()
     return 0 if out["all_green"] else 1
 
