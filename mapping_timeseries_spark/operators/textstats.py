@@ -427,39 +427,69 @@ def gopher_repetition(docs: DataFrame, text_col: str = "text") -> DataFrame:
     # Gram expansion deliberately avoids higher-order functions: Spark
     # evaluates transform/flatten lambdas INTERPRETED (no whole-stage
     # codegen inside a LambdaFunction), which measured ~50 core-µs per
-    # gram — 2x the whole rest of the operator. explode(n) ×
-    # explode(positions) × slice+array_join are all ordinary codegen'd
-    # expressions. The position explode is _outer so a (doc, n) pair
-    # with fewer than n tokens survives as one null-gram row and the
-    # doc still reports all-zero fractions.
+    # gram — 2x the whole rest of the operator. explode(positions) ×
+    # explode(n) × slice+array_join are all ordinary codegen'd
+    # expressions. r8 order: positions explode FIRST, carrying only the
+    # max_n-token WINDOW at each position instead of the whole token
+    # array per (n, pos) row — the n-explode then fans out rows whose
+    # payload is ~10 tokens, and each n-gram is a prefix slice of its
+    # window (identical strings; output pinned frame-equal, measured
+    # ~9% on the sf0.1 leg). The position explode is _outer so an
+    # empty-token doc survives as one null-position row (its "" grams
+    # carry zero char length, so every fraction still reads 0); docs
+    # shorter than n simply have no (n, pos) rows — frac() coalesces
+    # the absent n to 0, same result as the r7 null-gram rows.
+    max_n = max(all_ns)
     toks = docs.select(
         "doc_id",
         F.greatest(F.length(F.col(text_col)), F.lit(1)).alias("__chars"),
         tokens(F.col(text_col)).alias("__t"),
-    )
-    n_col = F.col("__n")
+    ).withColumn("__ntok", F.size("__t"))
     positions = F.when(
-        F.size(t) >= n_col, F.sequence(F.lit(1), F.size(t) - n_col + 1)
+        F.col("__ntok") >= 1, F.sequence(F.lit(1), F.col("__ntok"))
     ).otherwise(F.array().cast("array<int>"))
-    ex = (
+    win = (
         toks.select(
             "doc_id",
             "__chars",
-            "__t",
+            "__ntok",
+            F.col("__t"),
+            F.posexplode_outer(positions).alias("__i", "__p"),
+        )
+        .select(
+            "doc_id",
+            "__chars",
+            "__ntok",
+            "__p",
+            F.slice(
+                t, F.coalesce(F.col("__p"), F.lit(1)), max_n
+            ).alias("__w"),
+        )
+    )
+    # __fits: this position starts a full n-gram. Rows that don't fit
+    # are dropped EXCEPT position 1, kept as a null-gram survivor when
+    # n exceeds the doc's token count (n fits at p=1 iff it fits
+    # anywhere) — without it a (doc, n) pair with no full n-gram would
+    # lose its row entirely and a doc shorter than every n would
+    # vanish from the output (caught by the planted-values pytest).
+    fits = F.col("__p") + F.col("__n") - 1 <= F.col("__ntok")
+    ex = (
+        win.select(
+            "doc_id",
+            "__chars",
+            "__ntok",
+            "__p",
+            "__w",
             F.explode(F.array(*[F.lit(n) for n in all_ns])).alias("__n"),
         )
-        .select(
-            "doc_id",
-            "__chars",
-            "__t",
-            "__n",
-            F.explode_outer(positions).alias("__p"),
-        )
+        .where(F.col("__p").isNull() | fits | (F.col("__p") == 1))
         .select(
             "doc_id",
             "__chars",
             "__n",
-            F.array_join(F.slice(t, F.col("__p"), n_col), " ").alias("__g"),
+            F.when(
+                fits, F.array_join(F.slice("__w", 1, F.col("__n")), " ")
+            ).alias("__g"),
         )
     )
     cnt = (
