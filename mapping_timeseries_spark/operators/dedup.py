@@ -404,10 +404,13 @@ def ngram_jaccard_pairs(
 
 
 def _bloom_words(hashes, bits_per_key: int = 12):
-    """Driver-side Bloom bitmap over non-negative 60-bit hashes, as a
-    list of 64-bit words plus (m_bits, k). Double-hashing scheme
+    """Driver-side Bloom bitmap over signed 64-bit hashes (xxhash64 or
+    non-negative 60-bit portable hashes — the probe derivation is
+    sign-safe: Python's arithmetic right shift then 30-bit mask yields
+    the same bits as SQL shiftright on a bigint), as a list of 64-bit
+    words plus (m_bits, k). Double-hashing scheme
     (Kirsch & Mitzenmacher): probe i tests bit (h1 + i*h2) mod m with
-    h1 = low 30 bits, h2 = high 30 bits forced odd — integer-exact and
+    h1 = low 30 bits, h2 = bits 30..59 forced odd — integer-exact and
     reproducible in any engine. bits_per_key=12, k=8 gives ~3e-4 FP."""
     n = max(len(hashes), 1)
     m = max(64, n * bits_per_key)
@@ -452,7 +455,7 @@ def _bloom_frame(
     hashes_df: DataFrame, bits_per_key: int = 12
 ) -> tuple[DataFrame, int]:
     """LAZY distributed twin of :func:`_bloom_words`: builds the Bloom
-    bitmap of the ``__h`` (non-negative 60-bit bigint hash) column as a
+    bitmap of the ``__h`` (signed 64-bit bigint hash) column as a
     one-row DataFrame ``(__bloom_m bigint, __bloom_words array<bigint>)``
     — bitwise identical to the driver-loop bitmap (same m = max(64,
     n*bits), same k, same Kirsch-Mitzenmacher double hashing; pinned in
@@ -573,27 +576,38 @@ def ngram_decontaminate(
     Output: (train_doc, holdout_doc, shared_ngrams, holdout_ngrams,
     overlap) for pairs with overlap >= min_overlap.
     """
+    # r8: the join key, broadcast relation and Bloom all run on
+    # xxhash64(shingle) rather than shingle strings — the broadcast
+    # carries 8-byte longs (~2-3x smaller than ~15-char grams), the
+    # corpus-side probe hashes with the JVM-native xxhash64 instead of
+    # md5, and the containment count inherits the same documented
+    # 64-bit-collision approximation as the near-dup pipeline
+    # (`_verify_jaccard_hashed`): a collision can overcount
+    # shared_ngrams by 1 with probability ~V^2/2^65 — the DuckDB oracle
+    # stays the exact string formulation and the registry gate
+    # hash-compares against it.
     tr = _shingled(train, text_col, n).select(
-        F.col("doc_id").alias("train_doc"), F.explode("shingles").alias("shingle")
-    )
+        F.col("doc_id").alias("train_doc"),
+        F.explode("shingles").alias("__s"),
+    ).select("train_doc", F.xxhash64("__s").alias("shingle"))
     ho_sh = _pin(_shingled(holdout, text_col, n))
     ho = ho_sh.select(
         F.col("doc_id").alias("holdout_doc"),
         F.col("n_shingles").alias("holdout_ngrams"),
-        F.explode("shingles").alias("shingle"),
+        F.explode("shingles").alias("__s"),
+    ).select(
+        "holdout_doc", "holdout_ngrams", F.xxhash64("__s").alias("shingle")
     )
     if bloom_bits_per_key is not None:
         bloom_row, k = _bloom_frame(
-            ho.select(
-                portable_hash64(F.col("shingle")).alias("__h")
-            ).distinct(),
+            ho.select(F.col("shingle").alias("__h")).distinct(),
             bloom_bits_per_key,
         )
         # empty holdout => bloom_row has ZERO rows and the crossJoin
         # empties the train side — correct (the exact join below would
         # match nothing anyway) and it skips the corpus scan entirely
         tr = (
-            tr.withColumn("__bh", portable_hash64(F.col("shingle")))
+            tr.withColumn("__bh", F.col("shingle"))
             .crossJoin(F.broadcast(bloom_row))
             .where(
                 F.expr(

@@ -134,7 +134,6 @@ def test_ngram_decontaminate_bloom_prefilter_exact_and_reduces(spark):
         _bloom_words,
         _shingled,
     )
-    from mapping_timeseries_spark.functions.text import portable_hash64
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     # holdout: a handful of real docs (guaranteed contamination) -- the
@@ -157,14 +156,15 @@ def test_ngram_decontaminate_bloom_prefilter_exact_and_reduces(spark):
     assert with_bloom == without and with_bloom  # exactness, non-empty
 
     # measured candidate reduction: postings surviving the bloom vs all
+    # (xxhash64 keys — the operator's actual r8 path)
     tr = _shingled(docs, "text", 2).select(
         F.explode("shingles").alias("shingle")
-    ).withColumn("__bh", portable_hash64(F.col("shingle")))
+    ).withColumn("__bh", F.xxhash64(F.col("shingle")))
     hashes = [
         r["h"]
         for r in _shingled(holdout, "text", 2)
         .select(F.explode("shingles").alias("s"))
-        .select(portable_hash64(F.col("s")).alias("h"))
+        .select(F.xxhash64(F.col("s")).alias("h"))
         .distinct()
         .collect()
     ]
@@ -195,7 +195,10 @@ def test_bloom_frame_lazy_and_bitwise_identical(spark):
         _bloom_words,
     )
 
-    hashes = [7, 1 << 59, 12345678901234567, 42, 0]
+    # signed 64-bit contract (r8: the decontam path feeds xxhash64,
+    # which is signed) — negative values must probe identically in the
+    # Python reference and the SQL build
+    hashes = [7, 1 << 59, 12345678901234567, 42, 0, -1, -(1 << 62) - 12345]
     ref_words, ref_m, ref_k = _bloom_words(hashes, 12)
     hdf = spark.createDataFrame([(h,) for h in hashes], "__h long")
     frame, k = _bloom_frame(hdf, 12)
