@@ -271,7 +271,7 @@ def ngram_jaccard_pairs(
     order as the old row_number window, but the sort is per-doc over
     in-memory arrays instead of a whole-partition window sort of every
     posting, and only prefix rows are ever emitted (measured at sf0.1:
-    leg 10.5 -> 7.2 s; 10x growth unchanged-to-better, see
+    leg 10.5 -> 5.8 s; 10x growth unchanged-to-better, see
     artifacts/ppjoin_growth.json).
     """
     # pin the COMPACT per-doc hash arrays, not the exploded postings:
