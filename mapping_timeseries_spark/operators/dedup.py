@@ -32,7 +32,13 @@ scope):
     # zero dedup-pinned RDDs remain cached here
 
 Materialize the result inside the scope: the pins back the lazy result,
-so consuming it after exit recomputes from scratch (correct, just slow).
+so consuming it after exit recomputes from scratch (correct, just slow)
+— EXCEPT results backed by iterative localCheckpoints (dedup_clusters /
+dedup_clusters_star), whose lineage is truncated: consuming those after
+exit raises instead of recomputing (the checkpoint blocks were the only
+copy). Same consume-inside contract, louder failure mode. Superseded
+per-round checkpoints are released eagerly inside the loops regardless
+of any scope (r8).
 """
 
 from __future__ import annotations
@@ -95,6 +101,23 @@ def _pin(df: DataFrame) -> DataFrame:
     return df
 
 
+def _release_checkpoint(df: DataFrame) -> None:
+    """Release the storage behind a ``localCheckpoint``-ed DataFrame.
+
+    ``DataFrame.unpersist()`` only clears SQL-cache entries; a local
+    checkpoint lives as a raw persisted RDD under a ``LogicalRDD`` plan
+    node that the cache manager never sees (probed on Spark 4.1:
+    unpersist() leaves getPersistentRDDs unchanged, while
+    ``analyzed().rdd().unpersist(true)`` removes the entry — the only
+    other release path is waiting for driver GC + ContextCleaner,
+    whose cadence is unbounded). No-ops on any other plan shape, so
+    the cache scope can call it unconditionally."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(True)
+    except Exception:
+        pass
+
+
 @contextmanager
 def dedup_cache_scope():
     """Scope that unpersists every intermediate the dedup operators
@@ -109,6 +132,9 @@ def dedup_cache_scope():
         _CACHE_SCOPES.pop()
         for df in pinned:
             df.unpersist()
+            # checkpoint-backed frames (dedup_clusters results) need the
+            # raw-RDD release; no-op for ordinary persisted frames
+            _release_checkpoint(df)
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -1326,6 +1352,12 @@ def dedup_clusters(
             .limit(1)
             .count()
         )
+        # r8: the superseded round's checkpoint blocks are dead the
+        # moment new_labels is materialized AND compared — release them
+        # eagerly instead of letting O(rounds) checkpoint RDDs sit in
+        # executor storage until driver GC (a long CC run on a big
+        # graph otherwise holds every intermediate labelling at once)
+        _release_checkpoint(labels)
         labels = new_labels
         if changed == 0:
             break
@@ -1337,6 +1369,15 @@ def dedup_clusters(
             "component's diameter exceeds max_iters; raise max_iters or "
             "switch to large-star/small-star for deep graphs"
         )
+    # edges' checkpoint only feeds the loop; the returned frame reads
+    # labels alone. The FINAL labels checkpoint backs the result — it
+    # registers with any active dedup_cache_scope (note on the scope:
+    # a checkpointed result consumed AFTER scope exit errors rather
+    # than recomputes, because unpersisting a localCheckpoint discards
+    # the only copy — same consume-inside contract, louder failure).
+    _release_checkpoint(edges)
+    if _CACHE_SCOPES:
+        _CACHE_SCOPES[-1].append(labels)
     return labels.select(
         F.col("id").alias("doc_id"),
         F.col("label").alias("cluster_id"),
@@ -1425,6 +1466,10 @@ def dedup_clusters_star(
             new_edges.exceptAll(edges).limit(1).count()
             + edges.exceptAll(new_edges).limit(1).count()
         )
+        # release the superseded round's checkpoint (r8 — same eager
+        # cleanup as dedup_clusters: dead the moment the convergence
+        # probe has compared against it)
+        _release_checkpoint(edges)
         edges = new_edges
         if changed == 0:
             break
@@ -1432,6 +1477,10 @@ def dedup_clusters_star(
         raise RuntimeError(
             f"dedup_clusters_star did not converge in {max_rounds} rounds"
         )
+    # the FINAL edges checkpoint backs the result — scope-register it
+    # (consume-inside contract; see dedup_clusters note)
+    if _CACHE_SCOPES:
+        _CACHE_SCOPES[-1].append(edges)
     # fixed point is a star per component: src -> component-min
     roots = edges.select(
         F.col("src").alias("id"), F.col("dst").alias("label")

@@ -394,7 +394,37 @@ def run_corpus_pipeline(
     SURVEY §4 anti-pattern #1). The stage set is whatever flag_corpus
     produced (optional repetition/PII stages included when their
     thresholds are set); stats keys follow the flag names.
+
+    Cache hygiene (r8): the whole build-write-observe cycle runs inside
+    a :func:`~..operators.dedup.dedup_cache_scope` — every intermediate
+    the stages pin (canonicalized corpus, line-deduped text, shingle/
+    band tables) is unpersisted before this returns, because nothing
+    lazy escapes: the export is written and the stats dict is
+    materialized in here. Callers composing :func:`flag_corpus`
+    directly still manage their own scope (its result IS lazy).
     """
+    from ..operators.dedup import dedup_cache_scope
+
+    with dedup_cache_scope():
+        return _run_corpus_pipeline_inner(
+            docs, holdout, out_path, text_col, minhash_threshold,
+            contam_overlap, min_quality, n_shards, portable_hashes,
+            max_top_bigram_share, max_pii_hits, max_boilerplate_frac,
+            max_dup_frac, lm_ref, max_ppl, nb_model, min_nb_log_odds,
+            corpus_vecs, holdout_vecs, semantic_contam_threshold,
+            canonicalize, line_dedup_mode, redact, gopher_filter,
+            dsir_target, dsir_keep,
+        )
+
+
+def _run_corpus_pipeline_inner(
+    docs, holdout, out_path, text_col, minhash_threshold, contam_overlap,
+    min_quality, n_shards, portable_hashes, max_top_bigram_share,
+    max_pii_hits, max_boilerplate_frac, max_dup_frac, lm_ref, max_ppl,
+    nb_model, min_nb_log_odds, corpus_vecs, holdout_vecs,
+    semantic_contam_threshold, canonicalize, line_dedup_mode, redact,
+    gopher_filter, dsir_target, dsir_keep,
+) -> CorpusPipelineResult:
     flagged = flag_corpus(
         docs,
         holdout,

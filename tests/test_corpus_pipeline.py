@@ -142,6 +142,46 @@ def test_run_corpus_pipeline_end_to_end(spark, tmp_path):
     assert "pass_exact" not in got.columns and "quality_score" in got.columns
 
 
+def test_run_corpus_pipeline_releases_pins(spark, tmp_path):
+    """r8 cache hygiene: run_corpus_pipeline owns a dedup_cache_scope —
+    nothing lazy escapes it (export written, stats materialized
+    inside), so every stage-pinned intermediate (canonicalized corpus,
+    line-deduped text, shingle/band tables) must be unpersisted by the
+    time it returns. A long-lived service looping over corpora
+    otherwise accumulates pinned RDDs until eviction thrash."""
+    import time as _time
+
+    # eager-clean cache left by earlier tests in this shared session;
+    # earlier UNSCOPED flag_corpus calls may additionally have live
+    # localCheckpoint RDDs that clearCache cannot see (documented
+    # behavior for direct flag_corpus use) — so the assertion below is
+    # DELTA-based: the pipeline call must add nothing to the baseline.
+    spark.catalog.clearCache()
+    _time.sleep(1)  # async unpersist settle
+    before = set(dict(spark.sparkContext._jsc.getPersistentRDDs()))
+    res = run_corpus_pipeline(
+        _corpus(spark),
+        _holdout(spark),
+        str(tmp_path / "shards"),
+        n_shards=2,
+        canonicalize="NFC",
+        line_dedup_mode="keep_first",
+    )
+    assert res.stats["n_input"] == 6
+    # unpersist is asynchronous: entries linger in getPersistentRDDs
+    # for a moment after the scope exit (same caveat as the cache-scope
+    # test in test_llm_ops) — poll briefly before judging
+    leaked = set()
+    for _ in range(40):
+        leaked = (
+            set(dict(spark.sparkContext._jsc.getPersistentRDDs())) - before
+        )
+        if not leaked:
+            break
+        _time.sleep(0.25)
+    assert leaked == set(), f"pinned RDDs leaked by the pipeline: {leaked}"
+
+
 def test_corpus_pipeline_langless_and_all_rejected(spark, tmp_path):
     """Two input-shape edges: a bare (doc_id, text) corpus (no lang
     column) must run — the quality stage's lang passthrough is optional
