@@ -56,7 +56,7 @@ from ..functions.text import (
     tokens,
     word_shingles_from_tokens,
 )
-from ..sources.readers import ensure_parallel
+from ..sources.readers import ensure_parallel, release_checkpoint
 
 __all__ = [
     "dedup_cache_scope",
@@ -101,21 +101,9 @@ def _pin(df: DataFrame) -> DataFrame:
     return df
 
 
-def _release_checkpoint(df: DataFrame) -> None:
-    """Release the storage behind a ``localCheckpoint``-ed DataFrame.
-
-    ``DataFrame.unpersist()`` only clears SQL-cache entries; a local
-    checkpoint lives as a raw persisted RDD under a ``LogicalRDD`` plan
-    node that the cache manager never sees (probed on Spark 4.1:
-    unpersist() leaves getPersistentRDDs unchanged, while
-    ``analyzed().rdd().unpersist(true)`` removes the entry — the only
-    other release path is waiting for driver GC + ContextCleaner,
-    whose cadence is unbounded). No-ops on any other plan shape, so
-    the cache scope can call it unconditionally."""
-    try:
-        df._jdf.queryExecution().analyzed().rdd().unpersist(True)
-    except Exception:
-        pass
+# shared with the sources layer (writers retire their pre-overwrite
+# checkpoint the same way); see the full contract on the source function
+_release_checkpoint = release_checkpoint
 
 
 @contextmanager

@@ -46,7 +46,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions.text import tokens
-from ..sources.readers import ensure_parallel
+from ..sources.readers import ensure_parallel, release_checkpoint
 
 __all__ = [
     "bpe_word_histogram",
@@ -262,6 +262,7 @@ def _train_distributed(
         "freq",
     )
     merges: list[tuple[str, str, int]] = []
+    prev_ckpt = None
     for rank in range(num_merges):
         n = F.size("sym")
         pairs = (
@@ -296,8 +297,18 @@ def _train_distributed(
         if (rank + 1) % checkpoint_every == 0:
             # each round nests another fold expression; truncate the
             # plan before Catalyst analysis cost compounds (same
-            # pattern as dedup_clusters' per-round localCheckpoint)
+            # pattern as dedup_clusters' per-round localCheckpoint).
+            # The superseded checkpoint is dead once the new one is
+            # materialized — release it eagerly (r8; unpersist() cannot
+            # reach a checkpoint RDD, see readers.release_checkpoint)
             words = words.localCheckpoint(eager=True)
+            if prev_ckpt is not None:
+                release_checkpoint(prev_ckpt)
+            prev_ckpt = words
+    # merges is a plain list — the last checkpoint backs nothing after
+    # return, release it too
+    if prev_ckpt is not None:
+        release_checkpoint(prev_ckpt)
     return merges
 
 

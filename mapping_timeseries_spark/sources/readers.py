@@ -148,6 +148,27 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         read_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
+def release_checkpoint(df: DataFrame) -> None:
+    """Release the storage behind a ``localCheckpoint``-ed DataFrame.
+
+    ``DataFrame.unpersist()`` only clears SQL-cache entries; a local
+    checkpoint lives as a raw persisted RDD under a ``LogicalRDD`` plan
+    node that the cache manager never sees (probed on Spark 4.1:
+    unpersist() leaves getPersistentRDDs unchanged, while
+    ``analyzed().rdd().unpersist(true)`` removes the entry — the only
+    other release path is waiting for driver GC + ContextCleaner, whose
+    cadence is unbounded). No-ops on any other plan shape, so callers
+    (iterative loops retiring a superseded round's checkpoint, writers
+    done with a pinned pre-overwrite slice, dedup_cache_scope teardown)
+    can call it unconditionally. The released frame must not be read
+    again: its lineage was truncated at the checkpoint, so a later
+    action raises instead of recomputing."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(True)
+    except Exception:
+        pass
+
+
 def ensure_parallel(df: DataFrame) -> DataFrame:
     """Spread a low-partition scan across cores before expression-heavy
     per-row work (shingling, minhashing, vector math, month

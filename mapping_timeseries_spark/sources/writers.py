@@ -439,6 +439,13 @@ def merge_into_partitioned(
         )
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        # the pinned pre-overwrite slice is dead once the rewrite is
+        # over (committed or failed) — release its checkpoint blocks
+        # eagerly instead of waiting for driver GC (r8; unpersist()
+        # cannot reach a checkpoint RDD, see readers.release_checkpoint)
+        from .readers import release_checkpoint
+
+        release_checkpoint(affected)
 
 
 def analyze_table(
