@@ -465,3 +465,86 @@ def test_line_dedup_fuzz_vs_duckdb_twin(spark):
                 for r in line_dedup(docs, mode=mode).collect()
             }
             assert got == twin(mode), (trial, mode)
+
+
+def test_word_shingles_fuzz_vs_python_reference(spark):
+    """The r8 zip_with-over-slices shingle builder must emit EXACTLY the
+    arrays the straightforward Python formulation does — same grams,
+    same order (array_distinct keeps first occurrences, so order is
+    part of the contract every hash consumer sees) — across n values,
+    duplicate-heavy text, short docs, and empty/whitespace docs. Guards
+    the rewrite (the old element_at form was O(grams^2) under explode;
+    a future 'optimization' must not change a single array)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from mapping_timeseries_spark.functions.text import (
+        tokens,
+        word_shingles_from_tokens,
+    )
+
+    rng = random.Random(80)
+    vocab = ["a", "b", "c", "dd", "eee", "f9", "longword"]
+    rows = [(0, ""), (1, "   "), (2, "solo"), (3, "a a a a a a a a")]
+    rows += [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 30))))
+        for i in range(4, 60)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def py_shingles(text: str, n: int) -> list:
+        toks = text.split()
+        if len(toks) < n:
+            return []
+        grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+        seen, out = set(), []
+        for g in grams:
+            if g not in seen:
+                seen.add(g)
+                out.append(g)
+        return out
+
+    for n in (1, 2, 3, 5):
+        got = {
+            r["doc_id"]: list(r["sh"])
+            for r in docs.select(
+                "doc_id", tokens(F.col("text")).alias("__t")
+            )
+            .select(
+                "doc_id",
+                word_shingles_from_tokens(F.col("__t"), n).alias("sh"),
+            )
+            .collect()
+        }
+        want = {i: py_shingles(t, n) for i, t in rows}
+        assert got == want, f"n={n}"
+
+
+def test_char_shingles_contract(spark):
+    """char_shingles' documented edges: blank docs yield EMPTY arrays
+    (never a degenerate [''] that would clique blank docs together),
+    docs shorter than n yield their whole trimmed text as the single
+    shingle, and grams are distinct in first-occurrence order."""
+    from pyspark.sql import functions as F
+
+    from mapping_timeseries_spark.functions.text import char_shingles
+
+    rows = [
+        (0, ""),
+        (1, "   "),
+        (2, "ab"),
+        (3, "abcab"),
+        (4, "  xyz  "),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: list(r["sh"])
+        for r in docs.select(
+            "doc_id", char_shingles(F.col("text"), 3).alias("sh")
+        ).collect()
+    }
+    assert got[0] == [] and got[1] == []
+    assert got[2] == ["ab"]                      # shorter than n
+    assert got[3] == ["abc", "bca", "cab"]       # distinct, in order
+    assert got[4] == ["xyz"]                     # trimmed first
