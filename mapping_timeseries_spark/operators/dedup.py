@@ -1769,7 +1769,19 @@ def line_dedup(
             F.count(F.lit(1)).alias("__n"),
             F.min(F.struct("doc_id", "pos")).alias("__first"),
         )
-        .select("lh", F.col("line").alias("__vline"), "__n", "__first")
+        # __vlh, not lh: stats derives FROM lines, so lines["lh"] ==
+        # stats["lh"] resolves both sides to the SAME attribute id and
+        # Catalyst builds a trivially-true 'lh == lh' predicate (WARN in
+        # every run) — the join then keyed on the line string alone.
+        # Result was still correct (line equality implies hash
+        # equality), but the intended composite key deserves real
+        # column identities.
+        .select(
+            F.col("lh").alias("__vlh"),
+            F.col("line").alias("__vline"),
+            "__n",
+            "__first",
+        )
     )
     if mode == "keep_first":
         drop = (F.col("__n") > 1) & ~(
@@ -1785,9 +1797,9 @@ def line_dedup(
     # them), so verifying on the string here costs no extra bytes
     verdicts = lines.join(
         stats,
-        (lines["lh"] == stats["lh"]) & (lines["line"] == stats["__vline"]),
+        (F.col("lh") == F.col("__vlh")) & (F.col("line") == F.col("__vline")),
         "left",
-    ).drop(stats["lh"]).withColumn(
+    ).drop("__vlh").withColumn(
         "__drop", F.coalesce(drop, F.lit(False))
     )
     return (
