@@ -1485,7 +1485,14 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ppl_bucket_sketch cuts at the log-decade-histogram quantile
     # thresholds (pure bigint bucketing + one IEEE double rank product,
     # so the DuckDB twin recomputes identical thresholds)
-    lm_scored = lm_perplexity(docs, lm_model, k=0.5).persist()
+    # pinned via the dedup cache-scope registry (not a bare persist):
+    # the rank+sketch bucket join reads lm_scored twice, but a session
+    # that wraps its passes in dedup_cache_scope gets the cache released
+    # on scope exit instead of pinning the scored corpus for the session
+    # lifetime (ADVICE r8 #1)
+    from mapping_timeseries_spark.operators.dedup import _pin as _scope_pin
+
+    lm_scored = _scope_pin(lm_perplexity(docs, lm_model, k=0.5))
     lm = (
         ppl_buckets(lm_scored, mode="rank")
         .join(

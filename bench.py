@@ -13,13 +13,16 @@ driver's 2000-char tail capture, leaving "parsed": null):
   dropped from the line automatically. The FULL detail (rep spreads,
   controls, 3dp, config echo) is written to artifacts/BENCH_detail_last.
   json instead of stdout.
-- LOAD GATE: the pre-run CPU probe is compared to the pinned quiet-box
-  value (QUIET_PY_LOOP, r6/r7 quiet band 0.104-0.123 s). If it deviates
-  more than 15% or loadavg_1m exceeds SPARK_GRAFT_BENCH_MAX_LOAD1, the
-  run sleeps 30 s once (loadavg decays slowly after a finished job — a
-  just-idle box often still reads load > 2) and re-probes; if still hot,
-  the artifact is stamped "invalid_box": true with the reasons, so a
-  busy-box number can never silently read as a code regression again.
+- LOAD GATE (r9, VERDICT r8 #2): the pre-run CPU probe is compared to
+  the pinned quiet-box value (QUIET_PY_LOOP, r6/r7 quiet band
+  0.104-0.123 s) — py_loop deviation > 15% after up to 3 sleep-retries
+  is the ONLY condition that stamps "invalid_box": true. loadavg_1m
+  above SPARK_GRAFT_BENCH_MAX_LOAD1 triggers the same sleep-retries but
+  then only records "box_warnings": the kernel load average stays
+  inflated for minutes after a finished Spark run while the CPUs are
+  idle (SCALE.md), so it cannot be an invalidation signal without
+  crying wolf on every back-to-back run (BENCH_r08.json did exactly
+  that: loadavg 4.08, both py_loop probes quiet, value corroborated).
 
 Each query is fully materialized through the noop sink (executes the whole
 plan distributed, no driver collect). Every query runs N_REPS (4) times
@@ -213,37 +216,54 @@ def box_calibration() -> dict:
     }
 
 
-def _box_gate() -> tuple[dict, list, bool]:
-    """Pre-run load gate (VERDICT r7 #2a): probe; if hot, give loadavg
-    decay ONE chance (sleep 30 s, re-probe — a box whose last job just
-    finished reads load > 2 for a minute while being perfectly quiet);
-    return (calibration, invalid_reasons, retried)."""
+def _box_gate() -> tuple[dict, list, list, int]:
+    """Pre-run load gate (VERDICT r7 #2a; recalibrated r9 per VERDICT r8
+    #2): the PRIMARY signal is the py_loop probe — a GIL-bound
+    single-core loop whose time moves only with actual CPU contention.
+    loadavg is a RECORDED WARNING only: the kernel's 1-minute average
+    stays inflated for minutes after a finished Spark run while the CPUs
+    are idle (measured, SCALE.md), so invalidating on it makes the gate
+    cry wolf on every back-to-back run — exactly what happened to
+    BENCH_r08.json (loadavg 4.08, both py_loop probes inside the quiet
+    band, value corroborated by two independent quiet runs).
 
-    def _reasons(c: dict) -> list:
-        out = []
+    If EITHER signal is hot the gate sleep-retries (30 s, up to 3
+    times) to let a draining box settle; after that, py_loop deviation
+    > 15% from the pin stamps invalid_box, while a still-elevated
+    loadavg is emitted under "box_warnings".
+    Returns (calibration, invalid_reasons, warnings, retries)."""
+
+    def _invalid(c: dict) -> list:
         dev = abs(c["py_loop_sec"] - QUIET_PY_LOOP) / QUIET_PY_LOOP
         if dev > 0.15:
-            out.append(
+            return [
                 f"py_loop {c['py_loop_sec']} outside +/-15% of pinned "
                 f"{QUIET_PY_LOOP}"
-            )
+            ]
+        return []
+
+    def _warnings(c: dict) -> list:
         if c["loadavg_1m"] > MAX_LOAD1:
-            out.append(f"loadavg_1m {c['loadavg_1m']} > {MAX_LOAD1}")
-        return out
+            return [
+                f"loadavg_1m {c['loadavg_1m']} > {MAX_LOAD1} (warning "
+                "only: loadavg lags idle CPUs after a finished run — "
+                "py_loop is the authoritative quietness signal)"
+            ]
+        return []
 
     calib = box_calibration()
-    retried = False
-    if _reasons(calib):
+    retries = 0
+    while (_invalid(calib) or _warnings(calib)) and retries < 3:
         time.sleep(30)
         calib = box_calibration()
-        retried = True
-    return calib, _reasons(calib), retried
+        retries += 1
+    return calib, _invalid(calib), _warnings(calib), retries
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    calib, invalid_reasons, gate_retried = _box_gate()
+    calib, invalid_reasons, box_warnings, gate_retries = _box_gate()
 
     import __spark_entry__ as entry_mod
     from mapping_timeseries_spark.session import get_spark
@@ -339,10 +359,11 @@ def main() -> None:
         "box_calibration": {"pre": calib, "post": post},
         "invalid_box": bool(invalid_reasons),
         "invalid_reasons": invalid_reasons,
+        "box_warnings": box_warnings,
         "gate": {
             "quiet_py_loop_pin": QUIET_PY_LOOP,
             "max_load1": MAX_LOAD1,
-            "retried_after_sleep": gate_retried,
+            "sleep_retries": gate_retries,
         },
         "added_this_round": ADDED_THIS_ROUND,
         "like_for_like_total": like_for_like,
@@ -368,6 +389,7 @@ def main() -> None:
         "n": N_REPS,
         "like_for_like_total": like_for_like,
         "invalid_box": bool(invalid_reasons),
+        "box_warned": bool(box_warnings),
         "box": {
             "pre_py_loop": calib["py_loop_sec"],
             "post_py_loop": post["py_loop_sec"],

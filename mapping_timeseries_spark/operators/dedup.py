@@ -243,90 +243,52 @@ def _verify_jaccard_hashed(
     )
 
 
-def ngram_jaccard_pairs(
-    docs: DataFrame,
-    text_col: str = "text",
-    n: int = 2,
-    threshold: float = 0.5,
-    candidates_only: bool = False,
-) -> DataFrame:
-    """Word-n-gram Jaccard pairs with J >= threshold (doc_a < doc_b).
-
-    Prefix-filtered similarity self-join (AllPairs/PPJoin family): order
-    each document's shingles by ascending global document frequency and
-    index only the first ``|A| - ceil(t*|A|) + 1`` of them (the exact
-    PPJoin bound; the naive float form ``floor((1-t)*|A|)+1`` equals it
-    only in exact arithmetic) — two sets with J >= t MUST share a prefix
-    shingle under a consistent global order, so joining prefixes loses no
-    pairs while the join runs over the RAREST shingles (frequent shingles,
-    which drive the quadratic fan-out of a naive inverted-index join,
-    never enter the index). Candidates are then verified with exact
-    array_intersect Jaccard over per-doc hash sets
-    (:func:`_verify_jaccard_hashed`).
-
-    The ENTIRE pipeline — df counting, prefix ordering, candidate join,
-    verification — runs on xxhash64(shingle) rather than shingle
-    strings: every shuffle carries 8-byte longs, and the global prefix
-    order (df asc, hash asc) is just as valid as (df asc, shingle asc).
-    The one semantic consequence is the 64-bit collision approximation
-    documented on :func:`_verify_jaccard_hashed`; modulo that, the
-    result is algorithm-independent (exactly all pairs with J >= t), so
-    the DuckDB oracle stays the naive string formulation and the
-    registry gate hash-compares against it.
-
-    Candidate-stage shape (r8, VERDICT r7 #3 — this stage was 93% of
-    the 10x wall): the per-doc hash set is computed MAP-SIDE as
-    ``array_sort(transform(shingles, xxhash64))`` and pinned once —
-    both the posting explode and the verification arrays read from it,
-    where r7 pinned the string arrays and re-ran explode+hash+regroup
-    twice. Prefix ranking is a groupBy(doc_id) that collect_lists the
-    (df, hash) pairs, array_sorts the per-doc list and SLICEs it to the
-    prefix bound before re-exploding — same (df asc, hash asc) global
-    order as the old row_number window, but the sort is per-doc over
-    in-memory arrays instead of a whole-partition window sort of every
-    posting, and only prefix rows are ever emitted (measured at sf0.1:
-    leg 10.5 -> 5.8 s; 10x growth unchanged-to-better, see
-    artifacts/ppjoin_growth.json).
-    """
-    # pin the COMPACT per-doc hash arrays, not the exploded postings:
-    # caching the 50x-larger exploded frame and scanning it from the
-    # cache was measured ~2.4x slower end-to-end than re-running the
-    # (cheap) explode against the cached arrays (interleaved A/B at
-    # sf0.1: 9.0 s vs 3.7 s min-of-4)
-    hsets = _pin(
-        _shingled(docs, text_col, n).select(
-            "doc_id",
-            "n_shingles",
-            F.array_sort(
-                F.transform("shingles", lambda s: F.xxhash64(s))
-            ).alias("__hset"),
-        )
+def _ngram_hsets(docs: DataFrame, text_col: str, n: int) -> DataFrame:
+    """PPJoin stage 1: per-doc SORTED arrays of 64-bit shingle hashes
+    ``(doc_id, n_shingles, __hset)`` — the compact frame both the
+    posting explode and the exact verifier read. Split out (r9, VERDICT
+    r8 #2) so the 100x staging harness (tools/text_100x_gate.py) can
+    checkpoint each stage to parquet once instead of re-paying the
+    shingle pass per bucketed action."""
+    return _shingled(docs, text_col, n).select(
+        "doc_id",
+        "n_shingles",
+        F.array_sort(
+            F.transform("shingles", lambda s: F.xxhash64(s))
+        ).alias("__hset"),
     )
+
+
+def _ngram_prefix(hsets: DataFrame, threshold: float) -> DataFrame:
+    """PPJoin stage 2: the df-ranked per-doc PREFIX table
+    ``(doc_id, n_shingles, __pos, shingle)``.
+
+    Required bound: |A| - ceil(t*|A|) + 1. Computed so float error can
+    only LENGTHEN the prefix (extra candidates), never shorten it (lost
+    pairs): the 1e-9 nudge absorbs representation error in t*n (~1e-13
+    even at thousands of shingles) without crossing a true integer —
+    floor((1-t)*n)+1 evaluated naively yields e.g. 0 for t=0.8, n=5
+    because (1-0.8)*5 < 1 in floats, one short of the exact bound 2.
+    Validity: the fixed nudge is safe while ulp(t*n) << 1e-9, i.e.
+    n_shingles below ~1e7 (ulp(1e7) ≈ 2e-9); a document with 10^7
+    n-grams is ~100 MB of text — far past where a doc should have been
+    split upstream. Beyond that, scale the nudge with n.
+
+    array_sort on struct<__df,shingle> orders by (df asc, hash asc) —
+    the same consistent global order the row_number window used; the
+    slice keeps exactly the first prefix_len elements, so __pos (the
+    1-based posexplode index) IS the global per-doc rank the positional
+    filter in :func:`_ngram_candidates` needs."""
     inv = hsets.select(
         "doc_id", "n_shingles", F.explode("__hset").alias("shingle")
     )
     freq = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
-    # Required bound: |A| - ceil(t*|A|) + 1. Computed so float error can
-    # only LENGTHEN the prefix (extra candidates), never shorten it (lost
-    # pairs): the 1e-9 nudge absorbs representation error in t*n (~1e-13
-    # even at thousands of shingles) without crossing a true integer —
-    # floor((1-t)*n)+1 evaluated naively yields e.g. 0 for t=0.8, n=5
-    # because (1-0.8)*5 < 1 in floats, one short of the exact bound 2.
-    # Validity: the fixed nudge is safe while ulp(t*n) << 1e-9, i.e.
-    # n_shingles below ~1e7 (ulp(1e7) ≈ 2e-9); a document with 10^7
-    # n-grams is ~100 MB of text — far past where a doc should have been
-    # split upstream. Beyond that, scale the nudge with n.
     prefix_len = (
         F.col("n_shingles")
         - F.ceil(F.lit(threshold) * F.col("n_shingles") - F.lit(1e-9))
         + 1
     ).cast("int")
-    # array_sort on struct<__df,shingle> orders by (df asc, hash asc) —
-    # the same consistent global order the row_number window used; the
-    # slice keeps exactly the first prefix_len elements, so __pos (the
-    # 1-based posexplode index) IS the global per-doc rank the
-    # positional filter below needs
-    prefix = (
+    return (
         inv.join(freq, "shingle")
         .groupBy("doc_id")
         .agg(
@@ -344,36 +306,42 @@ def ngram_jaccard_pairs(
             F.col("__e.shingle").alias("shingle"),
         )
     )
-    prefix = _pin(prefix)
-    # PPJoin's OTHER two filters on the candidate join — the prefix match
-    # alone still floods candidates on shared vocabulary (measured at
-    # sf0.1: 7.9M prefix-matched pairs collapsing to 256 real ones, with
-    # verification dominating the runtime 10:1):
-    # - length filter: J >= t forces min(|A|,|B|) >= t * max(|A|,|B|);
-    # - positional filter, PAIR-GROUPED (Xiao et al., WWW'08): J >= t
-    #   needs overlap >= alpha = ceil(t/(1+t) * (|A|+|B|)). Group the
-    #   matched prefix rows per pair: with both docs' shingles ranked by
-    #   the SAME global (df, shingle) order, every common element not
-    #   matched prefix-to-prefix must rank after BOTH max matched
-    #   positions (were it at posA <= maxPosA, consistent ordering puts
-    #   it at posB <= maxPosB too, i.e. it WOULD be a counted match), so
-    #   overlap <= c + min(|A| - maxPosA, |B| - maxPosB). This is
-    #   strictly tighter than the classic any-single-row form
-    #   1 + min(|A| - posA, |B| - posB) (between the first and last
-    #   match sit c-1 further matches, so the first-row slack
-    #   overcounts by exactly the matches it ignores). The per-row form
-    #   must NOT also prefilter the join: dropping rows undercounts c
-    #   and maxPos and would wrongly prune true pairs. Measured
-    #   (artifacts/ppjoin_growth.json): the grouped bound cuts
-    #   verification candidates 2.3x vs the per-row form (3.54M ->
-    #   1.52M at sf0.1) and the 10x-corpus full-query wall 207 -> 154 s
-    #   — verification carries ~400-byte shingle arrays per side, so
-    #   candidate rows are exactly what spills at scale.
-    # Both bounds only REMOVE provably-impossible pairs, so the result
-    # set (and the DuckDB oracle) is unchanged. The same 1e-9 nudge
-    # keeps the float ceil from overshooting a true integer boundary.
+
+
+def _ngram_candidates(prefix: DataFrame, threshold: float) -> DataFrame:
+    """PPJoin stage 3: the prefix self-join with the length and
+    PAIR-GROUPED positional filters — emits (doc_a, doc_b) candidates
+    for exact verification.
+
+    PPJoin's OTHER two filters on the candidate join — the prefix match
+    alone still floods candidates on shared vocabulary (measured at
+    sf0.1: 7.9M prefix-matched pairs collapsing to 256 real ones, with
+    verification dominating the runtime 10:1):
+    - length filter: J >= t forces min(|A|,|B|) >= t * max(|A|,|B|);
+    - positional filter, PAIR-GROUPED (Xiao et al., WWW'08): J >= t
+      needs overlap >= alpha = ceil(t/(1+t) * (|A|+|B|)). Group the
+      matched prefix rows per pair: with both docs' shingles ranked by
+      the SAME global (df, shingle) order, every common element not
+      matched prefix-to-prefix must rank after BOTH max matched
+      positions (were it at posA <= maxPosA, consistent ordering puts
+      it at posB <= maxPosB too, i.e. it WOULD be a counted match), so
+      overlap <= c + min(|A| - maxPosA, |B| - maxPosB). This is
+      strictly tighter than the classic any-single-row form
+      1 + min(|A| - posA, |B| - posB) (between the first and last
+      match sit c-1 further matches, so the first-row slack
+      overcounts by exactly the matches it ignores). The per-row form
+      must NOT also prefilter the join: dropping rows undercounts c
+      and maxPos and would wrongly prune true pairs. Measured
+      (artifacts/ppjoin_growth.json): the grouped bound cuts
+      verification candidates 2.3x vs the per-row form (3.54M ->
+      1.52M at sf0.1) and the 10x-corpus full-query wall 207 -> 154 s
+      — verification carries ~400-byte shingle arrays per side, so
+      candidate rows are exactly what spills at scale.
+    Both bounds only REMOVE provably-impossible pairs, so the result
+    set (and the DuckDB oracle) is unchanged. The same 1e-9 nudge
+    keeps the float ceil from overshooting a true integer boundary."""
     na, nb = F.col("a.n_shingles"), F.col("b.n_shingles")
-    cand = (
+    return (
         prefix.alias("a")
         .join(
             prefix.alias("b"),
@@ -405,6 +373,68 @@ def ngram_jaccard_pairs(
         )
         .select("doc_a", "doc_b")
     )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 2,
+    threshold: float = 0.5,
+    candidates_only: bool = False,
+) -> DataFrame:
+    """Word-n-gram Jaccard pairs with J >= threshold (doc_a < doc_b).
+
+    Prefix-filtered similarity self-join (AllPairs/PPJoin family): order
+    each document's shingles by ascending global document frequency and
+    index only the first ``|A| - ceil(t*|A|) + 1`` of them (the exact
+    PPJoin bound; the naive float form ``floor((1-t)*|A|)+1`` equals it
+    only in exact arithmetic) — two sets with J >= t MUST share a prefix
+    shingle under a consistent global order, so joining prefixes loses no
+    pairs while the join runs over the RAREST shingles (frequent shingles,
+    which drive the quadratic fan-out of a naive inverted-index join,
+    never enter the index). Candidates are then verified with exact
+    array_intersect Jaccard over per-doc hash sets
+    (:func:`_verify_jaccard_hashed`). ``threshold`` must lie in (0, 1]:
+    the prefix bound ``|A| - ceil(t*|A|) + 1`` goes non-positive for
+    t > 1 and F.slice raises at runtime deep inside the plan, so the
+    contract is enforced here at build time (ADVICE r8 #2).
+
+    The ENTIRE pipeline — df counting, prefix ordering, candidate join,
+    verification — runs on xxhash64(shingle) rather than shingle
+    strings: every shuffle carries 8-byte longs, and the global prefix
+    order (df asc, hash asc) is just as valid as (df asc, shingle asc).
+    The one semantic consequence is the 64-bit collision approximation
+    documented on :func:`_verify_jaccard_hashed`; modulo that, the
+    result is algorithm-independent (exactly all pairs with J >= t), so
+    the DuckDB oracle stays the naive string formulation and the
+    registry gate hash-compares against it.
+
+    Candidate-stage shape (r8, VERDICT r7 #3 — this stage was 93% of
+    the 10x wall): the per-doc hash set is computed MAP-SIDE as
+    ``array_sort(transform(shingles, xxhash64))`` and pinned once —
+    both the posting explode and the verification arrays read from it,
+    where r7 pinned the string arrays and re-ran explode+hash+regroup
+    twice. Prefix ranking is a groupBy(doc_id) that collect_lists the
+    (df, hash) pairs, array_sorts the per-doc list and SLICEs it to the
+    prefix bound before re-exploding — same (df asc, hash asc) global
+    order as the old row_number window, but the sort is per-doc over
+    in-memory arrays instead of a whole-partition window sort of every
+    posting, and only prefix rows are ever emitted (measured at sf0.1:
+    leg 10.5 -> 5.8 s; 10x growth unchanged-to-better, see
+    artifacts/ppjoin_growth.json).
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(
+            f"threshold must be in (0, 1], got {threshold!r}"
+        )
+    # pin the COMPACT per-doc hash arrays, not the exploded postings:
+    # caching the 50x-larger exploded frame and scanning it from the
+    # cache was measured ~2.4x slower end-to-end than re-running the
+    # (cheap) explode against the cached arrays (interleaved A/B at
+    # sf0.1: 9.0 s vs 3.7 s min-of-4)
+    hsets = _pin(_ngram_hsets(docs, text_col, n))
+    prefix = _pin(_ngram_prefix(hsets, threshold))
+    cand = _ngram_candidates(prefix, threshold)
     if candidates_only:
         # measurement hook (tools/ppjoin_growth.py): the post-filter
         # candidate set BEFORE exact verification — counting it at 1x vs
@@ -695,6 +725,73 @@ def _band_frame(
     ).select("doc_id", "bb.band", "bb.bucket")
 
 
+def _lsh_candidates(banded: DataFrame, mode: str = "pairs") -> DataFrame:
+    """Candidate pairs from a banded frame (doc_id, band, bucket).
+
+    ``mode="pairs"`` — the all-pairs bucket self-join: every pair of
+    documents sharing a (band, bucket) becomes a candidate. This is
+    REQUIRED when the output semantics are the pairs themselves (the
+    result of :func:`minhash_lsh_pairs` is every near-dup pair, which is
+    intrinsically O(k²) on a k-clique), but it is quadratic in the
+    hottest bucket: a templated near-identical clique of k documents
+    (common in web data — boilerplate pages differing by a timestamp, so
+    they SURVIVE exact dedup) emits ~k²/2 candidates per band.
+    k = 10⁶ boilerplate pages ⇒ 5·10¹¹ pairs ⇒ dead job at 100 TB.
+
+    ``mode="star"`` — the clustering-consumer candidate set (VERDICT r8
+    #1): within each (band, bucket), pair every member with the bucket
+    MINIMUM doc_id only. Candidates are bounded by |banded| = docs ×
+    bands — exactly linear regardless of bucket skew — and every emitted
+    edge still goes through the exact-Jaccard verifier, so no false
+    merge is possible. Connected components over verified star edges is
+    a REFINEMENT of components over verified all-pairs edges (every star
+    edge is an all-pairs edge; star may MISS an edge x–y where both x, y
+    clear the threshold against each other but neither clears it against
+    the bucket min — published corpus pipelines accept the same trade by
+    unioning unverified buckets outright). On transitively-similar
+    near-dup cliques — the input shape that makes all-pairs explode —
+    the hub verifies against every member and the components are
+    IDENTICAL (pytest-pinned on the fixture corpora;
+    tools/hot_clique_gate.py measures the candidate growth).
+    """
+    if mode == "pairs":
+        return (
+            banded.alias("x")
+            .join(
+                banded.alias("y"),
+                (F.col("x.band") == F.col("y.band"))
+                & (F.col("x.bucket") == F.col("y.bucket"))
+                & (F.col("x.doc_id") < F.col("y.doc_id")),
+            )
+            .select(
+                F.col("x.doc_id").alias("doc_a"),
+                F.col("y.doc_id").alias("doc_b"),
+            )
+            .distinct()
+        )
+    if mode == "star":
+        hubs = (
+            banded.groupBy("band", "bucket")
+            .agg(
+                F.min("doc_id").alias("hub"),
+                F.count(F.lit(1)).alias("__sz"),
+            )
+            .where(F.col("__sz") > 1)
+            .drop("__sz")
+        )
+        return (
+            banded.join(hubs, ["band", "bucket"])
+            .where(F.col("doc_id") != F.col("hub"))
+            .select(
+                # hub is the bucket min, so doc_a < doc_b by construction
+                F.col("hub").alias("doc_a"),
+                F.col("doc_id").alias("doc_b"),
+            )
+            .distinct()
+        )
+    raise ValueError(f"mode must be 'pairs' or 'star', got {mode!r}")
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -703,6 +800,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     threshold: float = 0.5,
     portable: bool = False,
+    mode: str = "pairs",
 ) -> DataFrame:
     """MinHash + LSH near-dup candidates, Jaccard-verified.
 
@@ -726,6 +824,15 @@ def minhash_lsh_pairs(
     ``portable=False`` keeps the seeded-xxhash64 formulation (recall vs
     the exact operator asserted in pytest) for parity with
     xxhash64-sketch ecosystems.
+
+    ``mode``: ``"pairs"`` (default) emits every verified within-bucket
+    pair — the operator's published output contract. ``"star"`` emits
+    only verified (bucket-min, member) edges — linear in corpus size
+    even on a hot near-identical clique, sufficient (and the scale-safe
+    choice) when the consumer is connected-components clustering rather
+    than the pair list itself; see :func:`_lsh_candidates` for the exact
+    recall semantics and :func:`dedup_clusters` / the corpus pipeline
+    for the consumer wiring.
     """
     if bands < 1 or num_hashes % bands != 0:
         # a silent truncation changes the S-curve 1-(1-J^r)^b the
@@ -747,21 +854,9 @@ def minhash_lsh_pairs(
     sh = _pin(_shingled(docs, text_col, n))
     sh = sh.where(F.col("n_shingles") > 0)
     banded = _pin(_band_frame(sh, num_hashes, bands, portable))
-    # persisted: the self-join would otherwise recompute the full
-    # signature pipeline once per side
-    cand = (
-        banded.alias("x")
-        .join(
-            banded.alias("y"),
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.bucket") == F.col("y.bucket"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
-        .select(
-            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
-        )
-        .distinct()
-    )
+    # persisted: the self-join (or hub join) would otherwise recompute
+    # the full signature pipeline once per side
+    cand = _lsh_candidates(banded, mode)
     return _verify_jaccard(cand, sh, threshold)
 
 

@@ -255,7 +255,19 @@ def histogram_quantiles(
     the literal AS DOUBLE: its bare decimal literals are DECIMAL and
     exact-decimal arithmetic disagrees with the double product at
     round-to-even ties). Output columns are named by
-    :func:`quantile_col` — ``{prefix}{int(round(q*100))}`` — as bigint."""
+    :func:`quantile_col` — ``{prefix}{int(round(q*100))}`` — so two
+    quantiles closer than a percent (or straddling a banker's-rounding
+    tie, e.g. 0.125 and 0.115 both naming ``{prefix}12``) would emit
+    DUPLICATE columns; that is rejected here rather than silently
+    produced (ADVICE r8 #4)."""
+    names = [quantile_col(prefix, q) for q in qs]
+    if len(set(names)) != len(names):
+        dupes = sorted({c for c in names if names.count(c) > 1})
+        raise ValueError(
+            "requested quantiles collide to the same output column "
+            f"name(s) {dupes}: quantile_col rounds q*100 to an integer "
+            "percent — space quantiles at least a percent apart"
+        )
     ex = _exploded(hists, group_cols).join(
         hists.select(*group_cols, "n"), group_cols
     )

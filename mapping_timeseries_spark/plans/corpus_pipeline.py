@@ -93,6 +93,7 @@ def flag_corpus(
     gopher_filter: bool = False,
     dsir_target: DataFrame | None = None,
     dsir_keep: int | None = None,
+    neardup_mode: str = "star",
 ) -> DataFrame:
     """The lazy flagged-corpus frame: input columns + one int flag per
     stage (`pass_exact`, `pass_neardup`, `pass_clean`, `pass_quality`,
@@ -156,6 +157,15 @@ def flag_corpus(
     on the full corpus, not a cascade over prior survivors — the
     retained count can therefore be below ``dsir_keep`` when other
     stages reject selected docs.
+    ``neardup_mode`` ('star' default | 'pairs'): candidate generator
+    for the near-dup clustering stage. 'star' verifies only
+    (bucket-min, member) edges — linear candidates even on a hot
+    near-identical template clique (the input shape where 'pairs' goes
+    O(k²) and dies at 100 TB; VERDICT r8 #1) — and is sufficient for
+    the connected-components consumer here. 'pairs' restores the full
+    verified-all-pairs edge set (marginally higher recall on buckets
+    whose min is dissimilar to similar members; semantics on
+    dedup._lsh_candidates).
     All default to None/False = stage off (no flag column), keeping
     the base pipeline's contract unchanged.
     """
@@ -233,8 +243,21 @@ def flag_corpus(
         (F.col("doc_id") == F.min("doc_id").over(digest_w)).cast("int"),
     )
 
+    # mode="star" (VERDICT r8 #1): the consumer here is connected
+    # components, which needs a SPANNING edge set, not the full pair
+    # list — all-pairs candidates are O(k²) on a hot near-identical
+    # clique (boilerplate pages differing by a timestamp survive the
+    # exact stage above) where star edges are O(k). Every star edge is
+    # still exact-Jaccard-verified, so no false merges; the recall
+    # trade (member-member edges whose bucket min clears neither) is
+    # documented on dedup._lsh_candidates, and cluster equality on
+    # transitively-similar corpora is pytest-pinned.
     pairs = minhash_lsh_pairs(
-        docs, text_col, threshold=minhash_threshold, portable=portable_hashes
+        docs,
+        text_col,
+        threshold=minhash_threshold,
+        portable=portable_hashes,
+        mode=neardup_mode,
     )
     clusters = dedup_clusters(docs, pairs).select(
         "doc_id", F.col("is_keeper").alias("pass_neardup")
@@ -384,6 +407,7 @@ def run_corpus_pipeline(
     gopher_filter: bool = False,
     dsir_target: DataFrame | None = None,
     dsir_keep: int | None = None,
+    neardup_mode: str = "star",
 ) -> CorpusPipelineResult:
     """Run the full preprocessing pipeline and export training shards.
 
@@ -413,7 +437,7 @@ def run_corpus_pipeline(
             max_dup_frac, lm_ref, max_ppl, nb_model, min_nb_log_odds,
             corpus_vecs, holdout_vecs, semantic_contam_threshold,
             canonicalize, line_dedup_mode, redact, gopher_filter,
-            dsir_target, dsir_keep,
+            dsir_target, dsir_keep, neardup_mode,
         )
 
 
@@ -423,7 +447,7 @@ def _run_corpus_pipeline_inner(
     max_pii_hits, max_boilerplate_frac, max_dup_frac, lm_ref, max_ppl,
     nb_model, min_nb_log_odds, corpus_vecs, holdout_vecs,
     semantic_contam_threshold, canonicalize, line_dedup_mode, redact,
-    gopher_filter, dsir_target, dsir_keep,
+    gopher_filter, dsir_target, dsir_keep, neardup_mode,
 ) -> CorpusPipelineResult:
     flagged = flag_corpus(
         docs,
@@ -450,6 +474,7 @@ def _run_corpus_pipeline_inner(
         gopher_filter=gopher_filter,
         dsir_target=dsir_target,
         dsir_keep=dsir_keep,
+        neardup_mode=neardup_mode,
     )
     flag_cols = [c for c in flagged.columns if c.startswith("pass_")]
     keep_all = None

@@ -283,3 +283,13 @@ def test_topk_rollup_bounds_vs_direct(spark):
         ev.withColumn("g", F.lit(1)), ["g"], "user_id"
     )[(1,)]}
     _assert_mg_bounds(rolled.collect(), true, ["g"], k)
+
+
+def test_histogram_quantiles_rejects_colliding_names(spark):
+    # quantile_col rounds q*100 to an integer percent; 0.125 and 0.115
+    # both name hp12 (banker's rounding), which would emit duplicate
+    # output columns — rejected at build time (ADVICE r8 #4)
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    h = value_histogram(li, ["l_returnflag"], "l_extendedprice")
+    with pytest.raises(ValueError, match="collide"):
+        histogram_quantiles(h, ["l_returnflag"], [0.125, 0.115])
