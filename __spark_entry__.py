@@ -193,15 +193,59 @@ def q_merged_series(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_corr_lag_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A8 grid: per (entity, lag) Pearson correlation, positional alignment."""
+    """A8 grid: per (entity, lag) Pearson correlation, positional
+    alignment — PLUS (r9, VERDICT r8 #6) the incremental-state twin of
+    the same grid as its own gated columns: the history is split at a
+    fixed month, the pre-split slice is bootstrapped into the moment
+    state (correlation.corr_moment_state), the post-split months are
+    folded in through the APPEND path (corr_moments_delta over the
+    max_lag tail + merge_moment_states — exactly the algebra
+    plans/incremental.advance_corr_state persists), and the finished
+    corr_from_moments grid rides along as (state_corr, state_n_pairs).
+    The DuckDB twin computes the full-history grid directly, so the
+    hash gate pins state-advance == full-recompute ACROSS ENGINES, not
+    just across Spark code paths (the pre-existing pytest pin)."""
     ensure_runtime_conf(spark)
-    grid = lag_correlation_grid(_merged(spark, sf_dir), MAX_LAG)
+    from mapping_timeseries_spark.operators.correlation import (
+        corr_from_moments,
+        corr_moment_state,
+        corr_moments_delta,
+        merge_moment_states,
+    )
+    from mapping_timeseries_spark.plans.incremental import _tail
+
+    merged = _merged(spark, sf_dir)
+    grid = lag_correlation_grid(merged, MAX_LAG)
     corr = F.when(F.isnan("corr"), F.lit(None)).otherwise(F.col("corr"))
-    return grid.select(
+    # fixed split inside the TPC-H date range: every sf dir has months
+    # on both sides, so both the bootstrap and the append path carry
+    # real work at every scale factor
+    split = "1996-01"
+    old = merged.where(F.col("month") < split)
+    new = merged.where(F.col("month") >= split)
+    state = merge_moment_states(
+        corr_moment_state(old, MAX_LAG),
+        corr_moments_delta(_tail(old, MAX_LAG), new, MAX_LAG),
+    )
+    sg = corr_from_moments(state).select(
         "cus_code",
-        F.col("lag").cast("int").alias("lag"),
-        F.round(corr, 6).alias("corr"),
-        F.col("n_pairs").cast("bigint").alias("n_pairs"),
+        "lag",
+        F.col("corr").alias("__scorr"),
+        F.col("n_pairs").alias("__sn"),
+    )
+    # left join: the batch grid keeps (entity, lag) rows with ZERO
+    # aligned pairs (n_pairs=0, corr null); the moment state stores no
+    # row for them, so they coalesce to the same (null, 0) shape
+    return (
+        grid.join(sg, ["cus_code", "lag"], "left")
+        .select(
+            "cus_code",
+            F.col("lag").cast("int").alias("lag"),
+            F.round(corr, 6).alias("corr"),
+            F.col("n_pairs").cast("bigint").alias("n_pairs"),
+            F.round("__scorr", 6).alias("state_corr"),
+            F.coalesce("__sn", F.lit(0)).cast("bigint").alias("state_n_pairs"),
+        )
     )
 
 
@@ -2170,7 +2214,12 @@ ORACLE_GRID = f"""
 {SQL_MERGED_CTE},
 {_sql_grid(MAX_LAG)[1:]}
 SELECT cus_code, CAST(lag AS INT) AS lag, round(corr, 6) AS corr,
-       CAST(n_pairs AS BIGINT) AS n_pairs
+       CAST(n_pairs AS BIGINT) AS n_pairs,
+       -- the incremental-state twin columns: the oracle computes the
+       -- full-history grid ONCE; Spark must reproduce it through the
+       -- bootstrap+append moment algebra (state == full recompute)
+       round(corr, 6) AS state_corr,
+       CAST(n_pairs AS BIGINT) AS state_n_pairs
 FROM grid
 """
 

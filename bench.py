@@ -313,11 +313,21 @@ def main() -> None:
     qs["dsir_select"] = entry_mod.q_dsir_select
     qs["bpe_train"] = entry_mod.q_bpe_train
     qs["unigram_train"] = entry_mod.q_unigram_train
+    from mapping_timeseries_spark.scratch import ScratchMeter
+
     times: dict[str, float] = {}
     spreads: dict[str, float] = {}
+    scratch: dict[str, int] = {}
     for name in HEADLINE:
         if name not in qs:
             continue
+        # disk-residency meter (VERDICT r8 #4): per-leg peak scratch
+        # bytes over the leg's reps — the sum-of-exchanges shuffle
+        # high-water that regressions should show up in as a JSON diff,
+        # not a filled disk. Sampled lower bound; semantics on
+        # mapping_timeseries_spark/scratch.py. The canonical worst case
+        # is ngram_jaccard's two-leg union (SCALE.md).
+        meter = ScratchMeter(spark).start()
         reps = time_query(
             spark,
             qs[name],
@@ -325,6 +335,7 @@ def main() -> None:
             REP_OVERRIDE.get(name, N_REPS),
             build_timed=name in DRIVER_LEGS,
         )
+        scratch[name] = meter.stop()
         med = statistics.median(reps)
         times[name] = round(med, 3)
         # rep-to-rep spread alongside the median, so a judge/reader can
@@ -351,6 +362,7 @@ def main() -> None:
         "queries": times,
         "controls": controls,
         "rep_spread": spreads,
+        "peak_scratch_bytes": scratch,
         "n": N_REPS,
         "rep_override": REP_OVERRIDE,
         # measured before the Spark session starts AND after the last

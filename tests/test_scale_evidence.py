@@ -4,6 +4,8 @@ runtime mitigation, measured/plan-asserted rather than asserted in prose.
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -177,3 +179,27 @@ def test_hot_clique_gate_artifact():
     # the counterfactual at k=10k: >=3e8-row hot-bucket join volume
     # (vs ~1e4 star candidates); measured to die on this box
     assert big["pairs_join_volume"] > 1000 * big["cand_star"]
+
+
+def test_scratch_meter_sees_shuffle_bytes(spark):
+    """The disk-residency meter (scratch.ScratchMeter, VERDICT r8 #4)
+    measures a real shuffle: a forced wide exchange leaves its shuffle
+    files in the DiskBlockManager dirs while the action runs, and the
+    meter's peak delta captures them."""
+    from mapping_timeseries_spark.scratch import ScratchMeter, spark_local_dirs
+
+    dirs = spark_local_dirs(spark)
+    assert dirs and all(os.path.isdir(d) for d in dirs)
+    df = (
+        spark.range(0, 3_000_000)
+        .selectExpr("id % 100000 as k", "cast(id as string) as payload")
+        .repartition(32, "k")
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    with ScratchMeter(spark, interval=0.05) as m:
+        df.write.format("noop").mode("overwrite").save()
+    assert m.samples >= 1
+    # a 3M-row two-exchange shuffle writes megabytes; assert a loose
+    # floor so cleaner timing can't flake the test
+    assert m.peak_delta_bytes > 100_000, (m.base_bytes, m.peak_bytes)

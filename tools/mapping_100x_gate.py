@@ -1,0 +1,135 @@
+"""100x spot-gate for the MAPPING family (VERDICT r8 #5 — the text
+family got its two-decade evidence in r8; this is the twin for
+merged_series / corr_mapping / dtw_mapping / auto_mapping).
+
+Corpus: the same 100x key-offset replication the text gate uses
+(tools/scale_stress.replicate into artifacts/scale_stress_100x —
+regenerated when missing). Offsets shift cus_code/orderkey domains
+per replica while leaving every amount/date untouched, so each
+replica's per-entity monthly series is BIT-IDENTICAL to its 1x
+counterpart and the whole mapping family — lag grids, Pearson
+correlations, DTW alignments, auto-mode routing — computes the same
+per-entity answers 100 times over under new keys. The gate is
+therefore exact:
+
+- output row count at 100x == 100 x the measured 1x count, per query
+  (per-entity semantics make this an identity, not a tolerance), and
+- wall grows ~linearly: per-entity series LENGTH is unchanged (months
+  don't replicate), so per-row cost is flat — any super-linear jump
+  exposes a hidden cross-entity term or a spill. Walls and scratch-disk
+  high-water (scratch.ScratchMeter) are recorded per query at both
+  scales; timing methodology is bench.py's time_query (plan built
+  outside the timed region, noop sink, cache cleared between reps,
+  median of REPS).
+
+Writes artifacts/mapping_100x_gate.json.
+Usage: python tools/mapping_100x_gate.py [out.json]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF_1X = "/root/testdata/sf0.1"
+DIR_100X = os.path.join(REPO, "artifacts", "scale_stress_100x")
+FACTOR = 100
+QUERIES = ["merged_series", "corr_mapping", "dtw_mapping", "auto_mapping"]
+#: reps at each scale; medians via bench.time_query
+REPS_1X = 3
+REPS_100X = 1  # one rep at 100x: ~minutes per query, median-of-1 recorded
+
+
+def main() -> int:
+    out_json = (
+        sys.argv[1]
+        if len(sys.argv) > 1
+        else os.path.join(REPO, "artifacts", "mapping_100x_gate.json")
+    )
+    import __spark_entry__ as entry_mod
+    from bench import box_calibration, time_query
+    from mapping_timeseries_spark.scratch import ScratchMeter
+    from mapping_timeseries_spark.session import get_spark
+
+    spark = get_spark(
+        "mapping-100x-gate",
+        master="local[32]",
+        shuffle_partitions=64,
+        extra_conf={
+            "spark.driver.memory": "24g",
+            "spark.io.compression.codec": "zstd",
+        },
+    )
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    if not os.path.isdir(DIR_100X):
+        print(f"{DIR_100X} missing — replicating {FACTOR}x (one-time)")
+        sys.path.insert(0, os.path.join(REPO, "tools"))
+        import scale_stress
+
+        t0 = time.monotonic()
+        scale_stress.replicate(spark, FACTOR, DIR_100X)
+        print(f"replicated in {time.monotonic() - t0:.0f}s")
+
+    qs = dict(entry_mod.queries())
+    pre = box_calibration()
+    res = {}
+    if os.path.exists(out_json):
+        with open(out_json) as f:
+            prior = json.load(f).get("queries", {})
+        res = {k: v for k, v in prior.items() if v.get("count_ok")}
+    for name in QUERIES:
+        if name in res:
+            print(name, "cached:", json.dumps(res[name]))
+            continue
+        n1 = qs[name](spark, SF_1X).count()
+        wall1 = statistics.median(
+            time_query(spark, qs[name], SF_1X, REPS_1X)
+        )
+        m = ScratchMeter(spark).start()
+        n100 = qs[name](spark, DIR_100X).count()
+        spark.catalog.clearCache()
+        wall100 = statistics.median(
+            time_query(spark, qs[name], DIR_100X, REPS_100X)
+        )
+        scratch100 = m.stop()
+        res[name] = {
+            "rows_1x": n1,
+            "rows_100x": n100,
+            "expected_100x": n1 * FACTOR,
+            "count_ok": n100 == n1 * FACTOR,
+            "wall_1x_sec": round(wall1, 2),
+            "wall_100x_sec": round(wall100, 1),
+            "wall_ratio": round(wall100 / max(wall1, 1e-9), 1),
+            "peak_scratch_bytes_100x": scratch100,
+        }
+        print(name, json.dumps(res[name]))
+        with open(out_json, "w") as f:
+            json.dump({"factor": FACTOR, "queries": res}, f, indent=1)
+    out = {
+        "factor": FACTOR,
+        "corpus": DIR_100X,
+        "queries": res,
+        "all_green": all(v["count_ok"] for v in res.values()),
+        # linear-wall claim: per-entity series length is scale-invariant
+        # here, so wall ratio near FACTOR (or below — fixed costs
+        # amortize) is the pass; a multiple of FACTOR is the red flag
+        "max_wall_ratio": max(v["wall_ratio"] for v in res.values()),
+        "box_calibration": {"pre": pre, "post": box_calibration()},
+    }
+    with open(out_json, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps({k: v for k, v in out.items() if k != "queries"}))
+    print(f"wrote {out_json} all_green={out['all_green']}")
+    spark.stop()
+    return 0 if out["all_green"] else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

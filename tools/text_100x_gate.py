@@ -131,31 +131,135 @@ def main() -> int:
         spark.sparkContext._jvm.System.gc()
         time.sleep(2)
 
-    def counted(name: str, sf_dir: str) -> int:
-        if name == "ngram_jaccard":
-            # one action per (union leg, doc_a residue-mod-4 bucket):
-            # the kind= filter prunes the other union child to an empty
-            # relation and the doc_a bucket filter pushes below the
-            # pair aggregation and join onto the a-side prefix table,
-            # so each action pays ~1/4 of the leg's exchange volume —
-            # the single-action 100x near leg alone needs >63 GB of
-            # in-flight shuffle on this box (module disk note). The sum
-            # over disjoint buckets is exactly the leg's row count.
-            from pyspark.sql import functions as F
+    def staged_ngram_count(sf_dir: str, stage_root: str) -> tuple[int, dict]:
+        """The ngram_jaccard count as a STAGED pipeline (r9, VERDICT r8
+        #2): the shared upstream — per-doc hash sets and the PPJoin
+        prefix table — is materialized to parquet ONCE, then the
+        bucketed candidate/verify actions (still one action per
+        (leg, doc_a residue-mod-4 bucket): each action's in-flight
+        exchange volume must fit this box's free disk, module note) read
+        the parquet stages instead of re-paying shingling + df counting
+        + prefix building per action (~8x redundant upstream in the r8
+        formulation). Per-stage walls and scratch-disk high-water
+        (scratch.ScratchMeter) land in the artifact.
 
-            total = 0
-            for kind in ("neardup", "contam"):
-                for i in range(4):
-                    total += (
-                        qs[name](spark, sf_dir)
-                        .where(
-                            (F.col("kind") == kind)
-                            & (F.pmod(F.col("doc_a"), F.lit(4)) == i)
+        The contam leg mirrors operators/dedup.py ngram_decontaminate
+        (Bloom prescreen -> broadcast holdout join -> containment,
+        dedup.py:640-651) reading the SAME staged hash sets — xxhash64
+        per shingle, exactly the hashes ngram_decontaminate derives.
+        Any drift from the real operator fails the count gate: the
+        expectation comes from the REAL query at 1x.
+        """
+        from pyspark.sql import functions as F
+
+        from mapping_timeseries_spark.operators.dedup import (
+            _bloom_frame,
+            _bloom_probe_sql,
+            _ngram_candidates,
+            _ngram_hsets,
+            _ngram_prefix,
+            _verify_jaccard_hashed,
+        )
+        from mapping_timeseries_spark.scratch import ScratchMeter
+        from mapping_timeseries_spark.sources.readers import read_table
+
+        docs = read_table(spark, sf_dir, "documents")
+        stages: dict = {}
+
+        def staged(name, build):
+            path = os.path.join(stage_root, name)
+            # _SUCCESS check, not isdir: an interrupted write leaves a
+            # torn directory that must be rebuilt, not trusted
+            if not os.path.exists(os.path.join(path, "_SUCCESS")):
+                m = ScratchMeter(spark).start()
+                t0 = time.monotonic()
+                build().write.mode("overwrite").parquet(path)
+                stages[name] = {
+                    "wall_s": round(time.monotonic() - t0, 1),
+                    "peak_scratch_bytes": m.stop(),
+                }
+                _release(spark)
+            return spark.read.parquet(path)
+
+        # stage 1: per-doc sorted shingle-hash arrays (+ source, so the
+        # contam leg can split train/holdout without re-reading text)
+        hsets = staged(
+            "hsets",
+            lambda: _ngram_hsets(docs, "text", 2).join(
+                docs.select("doc_id", "source"), "doc_id"
+            ),
+        )
+        # stage 2: df-ranked PPJoin prefix table (df counting included)
+        prefix = staged("prefix", lambda: _ngram_prefix(hsets, 0.5))
+
+        total = 0
+        for i in range(4):
+            m = ScratchMeter(spark).start()
+            t0 = time.monotonic()
+            cand = _ngram_candidates(prefix, 0.5).where(
+                F.pmod(F.col("doc_a"), F.lit(4)) == i
+            )
+            n = _verify_jaccard_hashed(cand, hsets, 0.5).count()
+            stages[f"near_bucket{i}"] = {
+                "rows": n,
+                "wall_s": round(time.monotonic() - t0, 1),
+                "peak_scratch_bytes": m.stop(),
+            }
+            total += n
+            _release(spark)
+
+        # contam leg: broadcast-holdout containment over the staged
+        # hash sets (train side never re-shingles)
+        tr_all = hsets.where(F.col("source") != "src0").select(
+            F.col("doc_id").alias("train_doc"),
+            F.explode("__hset").alias("shingle"),
+        )
+        ho = hsets.where(F.col("source") == "src0").select(
+            F.col("doc_id").alias("holdout_doc"),
+            F.col("n_shingles").alias("holdout_ngrams"),
+            F.explode("__hset").alias("shingle"),
+        )
+        bloom_row, k = _bloom_frame(
+            ho.select(F.col("shingle").alias("__h")).distinct(), 12
+        )
+        for i in range(4):
+            m = ScratchMeter(spark).start()
+            t0 = time.monotonic()
+            tr = (
+                tr_all.where(F.pmod(F.col("train_doc"), F.lit(4)) == i)
+                .withColumn("__bh", F.col("shingle"))
+                .crossJoin(F.broadcast(bloom_row))
+                .where(
+                    F.expr(
+                        _bloom_probe_sql(
+                            "__bh", "__bloom_words", "__bloom_m", k
                         )
-                        .count()
                     )
-                    _release(spark)
-            return total
+                )
+                .drop("__bh", "__bloom_words", "__bloom_m")
+            )
+            n = (
+                tr.join(F.broadcast(ho), "shingle")
+                .groupBy("train_doc", "holdout_doc")
+                .agg(
+                    F.count(F.lit(1)).alias("shared_ngrams"),
+                    F.first("holdout_ngrams").alias("holdout_ngrams"),
+                )
+                .where(
+                    F.col("shared_ngrams") / F.col("holdout_ngrams") >= 0.2
+                )
+                .count()
+            )
+            stages[f"contam_bucket{i}"] = {
+                "rows": n,
+                "wall_s": round(time.monotonic() - t0, 1),
+                "peak_scratch_bytes": m.stop(),
+            }
+            total += n
+            _release(spark)
+        return total, stages
+
+    def counted(name: str, sf_dir: str) -> int:
         return qs[name](spark, sf_dir).count()
 
     pre = box_calibration()
@@ -169,6 +273,34 @@ def main() -> int:
     for name, scaling in QUERIES.items():
         if name in res:
             print(name, "cached:", json.dumps(res[name]))
+            continue
+        if name == "ngram_jaccard":
+            # expectation from the REAL query at 1x (unbucketed — it
+            # fits easily at this scale), so any drift in the staged
+            # twin fails the gate rather than silently self-confirming
+            n1 = counted(name, SF_1X)
+            _release(spark)
+            n1_staged, stages_1x = staged_ngram_count(
+                SF_1X, os.path.join(REPO, "artifacts", "ngram_stage_1x")
+            )
+            t0 = time.monotonic()
+            n100, stages_100x = staged_ngram_count(
+                DIR_100X, os.path.join(REPO, "artifacts", "ngram_stage_100x")
+            )
+            wall = time.monotonic() - t0
+            expected = n1 * FACTOR
+            res[name] = {
+                "rows_1x": n1,
+                "rows_1x_staged": n1_staged,
+                "rows_100x": n100,
+                "expected_100x": expected,
+                "scaling_class": scaling,
+                "count_ok": n100 == expected and n1_staged == n1,
+                "wall_100x_sec": round(wall, 1),
+                "stages_1x": stages_1x,
+                "stages_100x": stages_100x,
+            }
+            print(name, json.dumps(res[name]))
             continue
         n1 = counted(name, SF_1X)
         _release(spark)
