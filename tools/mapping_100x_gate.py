@@ -86,7 +86,7 @@ def main() -> int:
         res = {k: v for k, v in prior.items() if v.get("count_ok")}
     for name in QUERIES:
         if name in res:
-            print(name, "cached:", json.dumps(res[name]))
+            print(name, "cached:", json.dumps(res[name]), flush=True)
             continue
         n1 = qs[name](spark, SF_1X).count()
         wall1 = statistics.median(
@@ -109,7 +109,7 @@ def main() -> int:
             "wall_ratio": round(wall100 / max(wall1, 1e-9), 1),
             "peak_scratch_bytes_100x": scratch100,
         }
-        print(name, json.dumps(res[name]))
+        print(name, json.dumps(res[name]), flush=True)
         with open(out_json, "w") as f:
             json.dump({"factor": FACTOR, "queries": res}, f, indent=1)
     out = {

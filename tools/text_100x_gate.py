@@ -21,18 +21,29 @@ shingles — fine at sf0.01, hopeless at 100x sf0.1); value-level
 hash parity is already gated at sf0.001/0.01/0.1 plus the 10x stress
 suite (artifacts/CORRECTNESS_stress10x*.json).
 
-Single-box disk note (measured r8): Spark keeps every exchange's
-shuffle files on disk until the SQL execution finishes, so a query's
-DISK high-water is the SUM of all its exchanges — and the one-action
-union of ngram_jaccard's two exact-pair legs (350M prefix-matched pairs
-near + 340M containment-join rows contam at 100x) exceeded this
-container's ~63 GB free and died with "No space left on device". The
-gate therefore (a) counts the two legs as SEPARATE actions — the
-kind= filter pushes into the union children and PropagateEmptyRelation
-prunes the other leg, so each action pays only its own exchanges — and
-(b) runs the session with zstd shuffle/spill compression (better ratio
-than lz4 on shingle-hash traffic). Neither changes any result; both are
-exactly what an operator does on a disk-tight box. On a real cluster
+Single-box disk note (measured r8; instrumented r9): Spark keeps every
+exchange's shuffle files on disk until the SQL execution finishes, so a
+query's DISK high-water is the SUM of all its exchanges — the one-action
+union of ngram_jaccard's two exact-pair legs exceeded this container's
+~63 GB free and died with "No space left on device". The r9 staged
+formulation (VERDICT r8 #2) attributes the wall per stage and fixes the
+r8 redundancy:
+
+- the shared upstream (per-doc hash sets, PPJoin prefix) is parquet-
+  checkpointed ONCE (11 s at 100x) — proving upstream recompute was
+  NEVER the 100x cost;
+- the NEAR leg stays split into 4 doc_a-residue bucket actions because
+  it is genuinely disk-bound: the scratch meter records ~18.7 GB
+  shuffle high-water per bucket (x4 in one action > the 63 GB free) —
+  60-89 s each at 100x;
+- the CONTAM leg runs as ONE action (~102 s, ZERO scratch): its only
+  cost is probing the broadcast holdout relation — bucketing it (r8)
+  just rebuilt the 15M-hash broadcast 4x (~105 s per build, measured);
+- zstd shuffle compression throughout (better ratio than lz4 on
+  shingle-hash traffic).
+
+Result: 100x ngram wall 629 s (r8) -> 419 s, with the residue measured
+as disk/broadcast-bound, not compute-super-linear. On a real cluster
 the sum-of-exchanges residency is spread over the fleet's local disks —
 and 100 TB near-dup runs MinHash-LSH anyway, with this exact pass as
 the per-candidate verifier (SCALE.md posture).
@@ -209,7 +220,15 @@ def main() -> int:
             _release(spark)
 
         # contam leg: broadcast-holdout containment over the staged
-        # hash sets (train side never re-shingles)
+        # hash sets (train side never re-shingles). ONE action, not 4
+        # buckets: the r9 per-stage breakdown showed each bucketed
+        # action spending its wall rebuilding the 100x holdout's
+        # broadcast hash relation (15M hashes, built single-threaded
+        # per action — 4 x ~105 s while the near buckets' genuinely
+        # disk-bound joins ran 58-75 s), and the leg's only exchange is
+        # the matched-row groupBy, which fits this box's disk on its
+        # own. Bucketing is the NEAR leg's disk mitigation; applying it
+        # here just multiplied broadcast builds.
         tr_all = hsets.where(F.col("source") != "src0").select(
             F.col("doc_id").alias("train_doc"),
             F.explode("__hset").alias("shingle"),
@@ -222,41 +241,35 @@ def main() -> int:
         bloom_row, k = _bloom_frame(
             ho.select(F.col("shingle").alias("__h")).distinct(), 12
         )
-        for i in range(4):
-            m = ScratchMeter(spark).start()
-            t0 = time.monotonic()
-            tr = (
-                tr_all.where(F.pmod(F.col("train_doc"), F.lit(4)) == i)
-                .withColumn("__bh", F.col("shingle"))
-                .crossJoin(F.broadcast(bloom_row))
-                .where(
-                    F.expr(
-                        _bloom_probe_sql(
-                            "__bh", "__bloom_words", "__bloom_m", k
-                        )
-                    )
+        m = ScratchMeter(spark).start()
+        t0 = time.monotonic()
+        tr = (
+            tr_all.withColumn("__bh", F.col("shingle"))
+            .crossJoin(F.broadcast(bloom_row))
+            .where(
+                F.expr(
+                    _bloom_probe_sql("__bh", "__bloom_words", "__bloom_m", k)
                 )
-                .drop("__bh", "__bloom_words", "__bloom_m")
             )
-            n = (
-                tr.join(F.broadcast(ho), "shingle")
-                .groupBy("train_doc", "holdout_doc")
-                .agg(
-                    F.count(F.lit(1)).alias("shared_ngrams"),
-                    F.first("holdout_ngrams").alias("holdout_ngrams"),
-                )
-                .where(
-                    F.col("shared_ngrams") / F.col("holdout_ngrams") >= 0.2
-                )
-                .count()
+            .drop("__bh", "__bloom_words", "__bloom_m")
+        )
+        n = (
+            tr.join(F.broadcast(ho), "shingle")
+            .groupBy("train_doc", "holdout_doc")
+            .agg(
+                F.count(F.lit(1)).alias("shared_ngrams"),
+                F.first("holdout_ngrams").alias("holdout_ngrams"),
             )
-            stages[f"contam_bucket{i}"] = {
-                "rows": n,
-                "wall_s": round(time.monotonic() - t0, 1),
-                "peak_scratch_bytes": m.stop(),
-            }
-            total += n
-            _release(spark)
+            .where(F.col("shared_ngrams") / F.col("holdout_ngrams") >= 0.2)
+            .count()
+        )
+        stages["contam"] = {
+            "rows": n,
+            "wall_s": round(time.monotonic() - t0, 1),
+            "peak_scratch_bytes": m.stop(),
+        }
+        total += n
+        _release(spark)
         return total, stages
 
     def counted(name: str, sf_dir: str) -> int:
@@ -272,7 +285,7 @@ def main() -> int:
         res = {k: v for k, v in prior.items() if v.get("count_ok")}
     for name, scaling in QUERIES.items():
         if name in res:
-            print(name, "cached:", json.dumps(res[name]))
+            print(name, "cached:", json.dumps(res[name]), flush=True)
             continue
         if name == "ngram_jaccard":
             # expectation from the REAL query at 1x (unbucketed — it
@@ -300,7 +313,7 @@ def main() -> int:
                 "stages_1x": stages_1x,
                 "stages_100x": stages_100x,
             }
-            print(name, json.dumps(res[name]))
+            print(name, json.dumps(res[name]), flush=True)
             continue
         n1 = counted(name, SF_1X)
         _release(spark)
@@ -322,7 +335,7 @@ def main() -> int:
             "count_ok": ok,
             "wall_100x_sec": round(wall, 1),
         }
-        print(name, json.dumps(res[name]))
+        print(name, json.dumps(res[name]), flush=True)
     out = {
         "factor": FACTOR,
         "corpus": DIR_100X,
