@@ -157,6 +157,42 @@ ADDED_THIS_ROUND: list[str] = []
 QUIET_PY_LOOP = float(os.environ.get("SPARK_GRAFT_QUIET_PY_LOOP", "0.115"))
 MAX_LOAD1 = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD1", "2.0"))
 
+#: Per-leg disk-scratch ceilings (bytes), pinned the way QUIET_PY_LOOP is
+#: (VERDICT r9 #7): peak_scratch_bytes is RECORDED since r9, but nothing
+#: failed when it doubled. Pins are ~3x the r9 quiet measurement for the
+#: three legs whose scratch is materially above the noise floor; every
+#: other leg measured <17 MB, so a shared 64 MB default ceiling (sampled
+#: lower-bound meter — generous headroom over sampling jitter) catches a
+#: new shuffle materializing where none existed. A violation is a WARNING
+#: key in the artifact (like box_warnings), not an invalid stamp: scratch
+#: regressions need a code-diff look, not an artifact discard.
+SCRATCH_CEILING_BYTES = {
+    "ngram_jaccard": 750_000_000,       # r9: 237 MB (two-leg union)
+    "gopher_repetition": 350_000_000,   # r9: 111 MB (9-n explode pass)
+    "skew_median_hist": 128_000_000,    # r9: 36 MB
+}
+SCRATCH_CEILING_DEFAULT = 64_000_000
+
+
+def scratch_violations(
+    scratch: dict,
+    ceilings: dict | None = None,
+    default: int = SCRATCH_CEILING_DEFAULT,
+) -> list:
+    """Compare per-leg peak scratch bytes against the pinned ceilings;
+    return one human-readable violation string per exceeding leg
+    (pytest-covered in tests/test_bench_gates.py)."""
+    caps = SCRATCH_CEILING_BYTES if ceilings is None else ceilings
+    out = []
+    for name in sorted(scratch):
+        cap = caps.get(name, default)
+        if scratch[name] > cap:
+            out.append(
+                f"{name} peak_scratch_bytes {scratch[name]} > pinned "
+                f"ceiling {cap}"
+            )
+    return out
+
 
 def time_query(
     spark, fn, sf_dir: str, n_reps: int, build_timed: bool = False
@@ -253,7 +289,12 @@ def _box_gate() -> tuple[dict, list, list, int]:
 
     calib = box_calibration()
     retries = 0
-    while (_invalid(calib) or _warnings(calib)) and retries < 3:
+    # retry ONLY to clear the invalidating py_loop signal (ADVICE r9 #4):
+    # loadavg is warning-only and stays inflated for minutes on an
+    # otherwise-idle box, so sleeping on it burned 90 s before every run
+    # on a chronically loaded box even when py_loop was quiet. Record the
+    # loadavg warning immediately and move on.
+    while _invalid(calib) and retries < 3:
         time.sleep(30)
         calib = box_calibration()
         retries += 1
@@ -363,6 +404,7 @@ def main() -> None:
         "controls": controls,
         "rep_spread": spreads,
         "peak_scratch_bytes": scratch,
+        "scratch_warnings": scratch_violations(scratch),
         "n": N_REPS,
         "rep_override": REP_OVERRIDE,
         # measured before the Spark session starts AND after the last
@@ -376,6 +418,8 @@ def main() -> None:
             "quiet_py_loop_pin": QUIET_PY_LOOP,
             "max_load1": MAX_LOAD1,
             "sleep_retries": gate_retries,
+            "scratch_ceilings": SCRATCH_CEILING_BYTES,
+            "scratch_ceiling_default": SCRATCH_CEILING_DEFAULT,
         },
         "added_this_round": ADDED_THIS_ROUND,
         "like_for_like_total": like_for_like,
@@ -401,7 +445,12 @@ def main() -> None:
         "n": N_REPS,
         "like_for_like_total": like_for_like,
         "invalid_box": bool(invalid_reasons),
+        # the REASON must travel with the stamp (VERDICT r9 "wrong" #3):
+        # an invalid artifact whose why lives only in an uncommitted
+        # detail file is harder to adjudicate next round
+        "invalid_reasons": invalid_reasons,
         "box_warned": bool(box_warnings),
+        "scratch_warned": bool(scratch_violations(scratch)),
         "box": {
             "pre_py_loop": calib["py_loop_sec"],
             "post_py_loop": post["py_loop_sec"],

@@ -104,6 +104,22 @@ def flag_corpus(
     what to do with it (the pipeline filters AND observes; audits can
     inspect rejects).
 
+    **Output-semantics change (r9, flagged per ADVICE r9 #1):**
+    ``neardup_mode`` defaults to ``"star"``, which changed
+    ``pass_neardup`` for pre-r9 callers. Star mode feeds connected
+    components only (bucket-min, member) candidate edges — O(k) on a
+    hot near-identical clique where all-pairs is O(k²) and measured to
+    die at k=10⁴ (artifacts/hot_clique_gate.json). Every candidate is
+    still exact-Jaccard-verified, so star NEVER merges docs that pairs
+    would keep apart (no false merges); the one-sided recall loss is
+    that two similar bucket members whose shared bucket-min fails
+    verification against BOTH now stay separate keepers (input-
+    dependent; on transitively-similar corpora clusters are pytest- and
+    oracle-pinned equal, tests/test_llm_ops.py + the dedup_clusters
+    star fold). Callers needing the pre-r9 exact-recall pair semantics
+    pass ``neardup_mode="pairs"`` and accept the quadratic hot-clique
+    cost; downstream consumers of ``pass_neardup`` should re-baseline.
+
     ``max_top_bigram_share``: reject boilerplate/spam whose most frequent
     word bigram exceeds this share (textstats.repetition_stats).
     ``max_pii_hits``: reject docs with more than this many PII-shaped

@@ -62,6 +62,7 @@ def main() -> int:
 
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as entry_mod
+    from mapping_timeseries_spark.operators.dedup import dedup_cache_scope
     from mapping_timeseries_spark.session import get_spark
     from mapping_timeseries_spark.sources.readers import TPCH_TABLES
 
@@ -104,7 +105,12 @@ def main() -> int:
             continue
         t0 = time.time()
         try:
-            sdf = fn(spark, sf_dir).toPandas()
+            # r10: scope-release every _pin the query build registers
+            # (quality_score's scored corpus, corr_lag_grid's merged
+            # frame) so 50 back-to-back queries don't accumulate pinned
+            # frames for the session lifetime
+            with dedup_cache_scope():
+                sdf = fn(spark, sf_dir).toPandas()
         except Exception as exc:  # noqa: BLE001 — recorded, not swallowed
             failures += 1
             results[name] = {

@@ -128,25 +128,33 @@ def main(out_path: str) -> None:
         # all-pairs candidate count in a SUBPROCESS: its OOM at k=10⁴
         # must not take this gate's JVM down (module docstring)
         t0 = time.time()
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--pairs-count", str(k)],
-            capture_output=True,
-            text=True,
-            timeout=900,
-        )
-        t_pairs_cand = round(time.time() - t0, 2)
         cand_pairs = pairs_cand_died = None
-        for ln in proc.stdout.splitlines():
-            if ln.startswith("PAIRS_COUNT="):
-                cand_pairs = int(ln.split("=", 1)[1])
-        if cand_pairs is None:
-            tail = (proc.stdout + proc.stderr)[-4000:]
-            for marker in ("OutOfMemoryError", "SparkException"):
-                if marker in tail:
-                    pairs_cand_died = marker
-                    break
-            else:
-                pairs_cand_died = f"subprocess rc={proc.returncode}"
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--pairs-count", str(k)],
+                capture_output=True,
+                text=True,
+                timeout=900,
+            )
+        except subprocess.TimeoutExpired:
+            # a thrashing (rather than promptly-OOMing) all-pairs job must
+            # be RECORDED as a death, not crash the gate and lose every
+            # per-k result gathered so far (ADVICE r9 #2)
+            proc = None
+            pairs_cand_died = "timeout"
+        t_pairs_cand = round(time.time() - t0, 2)
+        if proc is not None:
+            for ln in proc.stdout.splitlines():
+                if ln.startswith("PAIRS_COUNT="):
+                    cand_pairs = int(ln.split("=", 1)[1])
+            if cand_pairs is None:
+                tail = (proc.stdout + proc.stderr)[-4000:]
+                for marker in ("OutOfMemoryError", "SparkException"):
+                    if marker in tail:
+                        pairs_cand_died = marker
+                        break
+                else:
+                    pairs_cand_died = f"subprocess rc={proc.returncode}"
 
         wall_star, shape_star = run_e2e(docs, "star")
         row = {
