@@ -293,8 +293,13 @@ def _box_gate() -> tuple[dict, list, list, int]:
     # loadavg is warning-only and stays inflated for minutes on an
     # otherwise-idle box, so sleeping on it burned 90 s before every run
     # on a chronically loaded box even when py_loop was quiet. Record the
-    # loadavg warning immediately and move on.
-    while _invalid(calib) and retries < 3:
+    # loadavg warning immediately and move on. Retry budget raised 3->10
+    # (VERDICT r9 #2): a box that just finished a 100x gate run needs
+    # more than 90 s to re-enter the pinned band (measured — r9's
+    # official bench stamped invalid after 3x30 s), and a quiet box pays
+    # zero sleeps either way now that warnings don't gate.
+    max_retries = int(os.environ.get("SPARK_GRAFT_GATE_RETRIES", "10"))
+    while _invalid(calib) and retries < max_retries:
         time.sleep(30)
         calib = box_calibration()
         retries += 1

@@ -42,7 +42,7 @@ import os
 import threading
 import time
 
-__all__ = ["spark_local_dirs", "scratch_bytes", "ScratchMeter"]
+__all__ = ["spark_local_dirs", "scratch_bytes", "drain", "ScratchMeter"]
 
 
 def spark_local_dirs(spark) -> list[str]:
@@ -66,6 +66,44 @@ def scratch_bytes(paths: list[str]) -> int:
                 except OSError:
                     pass
     return total
+
+
+def drain(
+    paths: list[str],
+    floor_bytes: int = 64 * 1024 * 1024,
+    stable_secs: float = 3.0,
+    timeout: float = 120.0,
+    interval: float = 0.5,
+) -> int:
+    """Block until the scratch dirs settle: bytes fall under
+    ``floor_bytes``, OR stop shrinking for ``stable_secs``, OR
+    ``timeout`` elapses. Returns the settled byte count.
+
+    Why (r10, VERDICT r9 "wrong" #2): ContextCleaner file deletion is
+    ASYNCHRONOUS — it runs after System.gc() on its own threads — so a
+    region started immediately after a GC kick can begin with gigabytes
+    of the PREVIOUS region's dying residue as its base. A high dying
+    base deflates peak_delta_bytes (the residue is deleted mid-region
+    while the region's own files grow into the freed space), which is
+    exactly how the r9 100x ngram gate recorded 18.7 GB for bucket 0
+    but 86-287 MB for the identically-shaped buckets 1-3: bucket 0
+    started on a clean base, the rest started on top of their
+    predecessor's dying files. Draining between regions gives every
+    region an honest near-zero base."""
+    deadline = time.monotonic() + timeout
+    last = scratch_bytes(paths)
+    last_change = time.monotonic()
+    while time.monotonic() < deadline:
+        if last <= floor_bytes:
+            return last
+        time.sleep(interval)
+        cur = scratch_bytes(paths)
+        if cur < last:
+            last_change = time.monotonic()
+        elif time.monotonic() - last_change >= stable_secs:
+            return cur
+        last = cur
+    return last
 
 
 class ScratchMeter:

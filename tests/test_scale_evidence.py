@@ -203,3 +203,30 @@ def test_scratch_meter_sees_shuffle_bytes(spark):
     # a 3M-row two-exchange shuffle writes megabytes; assert a loose
     # floor so cleaner timing can't flake the test
     assert m.peak_delta_bytes > 100_000, (m.base_bytes, m.peak_bytes)
+
+
+def test_scratch_drain_settles(tmp_path):
+    """drain() (r10, VERDICT r9 "wrong" #2) returns promptly when the
+    dirs are already under the floor, and returns the settled count
+    when bytes are static above it — the two paths the 100x gate's
+    between-region release takes. (The asynchronous-deletion path is
+    what the gate itself exercises; here we pin the termination
+    conditions so a refactor can't turn drain into a 120 s sleep.)"""
+    import time as _t
+
+    from mapping_timeseries_spark.scratch import drain
+
+    d = tmp_path / "scratch"
+    d.mkdir()
+    # under floor -> immediate
+    t0 = _t.monotonic()
+    assert drain([str(d)], floor_bytes=1024) == 0
+    assert _t.monotonic() - t0 < 1.0
+    # static above floor -> returns after stable_secs, not timeout
+    (d / "residue").write_bytes(b"x" * 4096)
+    t0 = _t.monotonic()
+    got = drain(
+        [str(d)], floor_bytes=1024, stable_secs=0.6, timeout=30, interval=0.1
+    )
+    assert got == 4096
+    assert _t.monotonic() - t0 < 5.0

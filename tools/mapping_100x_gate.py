@@ -78,6 +78,23 @@ def main() -> int:
         print(f"replicated in {time.monotonic() - t0:.0f}s")
 
     qs = dict(entry_mod.queries())
+
+    def _release():
+        """Between-query scratch release (same law as the text gate):
+        shuffle files outlive their action until GC lets ContextCleaner
+        delete them, and the deletion is asynchronous — so GC, then
+        DRAIN until the dirs settle, or the next query's meter starts
+        on a dying-residue base (deflated delta) and back-to-back 100x
+        actions can stack dead shuffle into the disk limit."""
+        import gc
+
+        from mapping_timeseries_spark.scratch import drain, spark_local_dirs
+
+        spark.catalog.clearCache()
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        drain(spark_local_dirs(spark))
+
     pre = box_calibration()
     res = {}
     if os.path.exists(out_json):
@@ -92,6 +109,7 @@ def main() -> int:
         wall1 = statistics.median(
             time_query(spark, qs[name], SF_1X, REPS_1X)
         )
+        _release()
         m = ScratchMeter(spark).start()
         n100 = qs[name](spark, DIR_100X).count()
         spark.catalog.clearCache()
@@ -108,7 +126,9 @@ def main() -> int:
             "wall_100x_sec": round(wall100, 1),
             "wall_ratio": round(wall100 / max(wall1, 1e-9), 1),
             "peak_scratch_bytes_100x": scratch100,
+            "base_scratch_bytes_100x": m.base_bytes,
         }
+        _release()
         print(name, json.dumps(res[name]), flush=True)
         with open(out_json, "w") as f:
             json.dump({"factor": FACTOR, "queries": res}, f, indent=1)

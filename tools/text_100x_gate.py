@@ -134,13 +134,20 @@ def main() -> int:
         dead shuffle unless the GC actually runs (measured: the 5-query
         loop filled the 63 GB free disk twice before this). Force the
         full chain: Python GC (drops py4j refs) -> JVM System.gc()
-        (lets ContextCleaner delete the files)."""
+        (lets ContextCleaner delete the files) -> DRAIN (r10, VERDICT
+        r9 "wrong" #2): the cleaner's deletion is asynchronous, so
+        without waiting for the dirs to settle the NEXT region starts
+        with the previous region's dying residue as its base — which
+        deflated buckets 1-3 to 86-287 MB in the r9 artifact while the
+        clean-based bucket 0 honestly read 18.7 GB."""
         import gc
+
+        from mapping_timeseries_spark.scratch import drain, spark_local_dirs
 
         spark.catalog.clearCache()
         gc.collect()
         spark.sparkContext._jvm.System.gc()
-        time.sleep(2)
+        drain(spark_local_dirs(spark))
 
     def staged_ngram_count(sf_dir: str, stage_root: str) -> tuple[int, dict]:
         """The ngram_jaccard count as a STAGED pipeline (r9, VERDICT r8
@@ -188,6 +195,9 @@ def main() -> int:
                 stages[name] = {
                     "wall_s": round(time.monotonic() - t0, 1),
                     "peak_scratch_bytes": m.stop(),
+                    # base travels with the peak so a dying-residue base
+                    # (which deflates the delta) is visible in the artifact
+                    "base_scratch_bytes": m.base_bytes,
                 }
                 _release(spark)
             return spark.read.parquet(path)
@@ -215,6 +225,7 @@ def main() -> int:
                 "rows": n,
                 "wall_s": round(time.monotonic() - t0, 1),
                 "peak_scratch_bytes": m.stop(),
+                "base_scratch_bytes": m.base_bytes,
             }
             total += n
             _release(spark)
@@ -267,6 +278,7 @@ def main() -> int:
             "rows": n,
             "wall_s": round(time.monotonic() - t0, 1),
             "peak_scratch_bytes": m.stop(),
+            "base_scratch_bytes": m.base_bytes,
         }
         total += n
         _release(spark)
