@@ -30,23 +30,35 @@ formulation (VERDICT r8 #2) attributes the wall per stage and fixes the
 r8 redundancy:
 
 - the shared upstream (per-doc hash sets, PPJoin prefix) is parquet-
-  checkpointed ONCE (11 s at 100x) — proving upstream recompute was
+  checkpointed ONCE (10.5 s at 100x) — proving upstream recompute was
   NEVER the 100x cost;
 - the NEAR leg stays split into 4 doc_a-residue bucket actions because
-  it is genuinely disk-bound: the scratch meter records ~18.7 GB
-  shuffle high-water per bucket (x4 in one action > the 63 GB free) —
-  60-89 s each at 100x;
-- the CONTAM leg runs as ONE action (~102 s, ZERO scratch): its only
+  it is genuinely disk-bound: ~18.2 GB shuffle high-water PER BUCKET
+  measured from a clean base (x4 in one action > the 63 GB free) —
+  52-63 s each at 100x;
+- the CONTAM leg runs as ONE action (~98 s, ZERO scratch): its only
   cost is probing the broadcast holdout relation — bucketing it (r8)
   just rebuilt the 15M-hash broadcast 4x (~105 s per build, measured);
 - zstd shuffle compression throughout (better ratio than lz4 on
   shingle-hash traffic).
 
-Result: 100x ngram wall 629 s (r8) -> 419 s, with the residue measured
-as disk/broadcast-bound, not compute-super-linear. On a real cluster
-the sum-of-exchanges residency is spread over the fleet's local disks —
-and 100 TB near-dup runs MinHash-LSH anyway, with this exact pass as
-the per-candidate verifier (SCALE.md posture).
+Result: 100x ngram wall 629 s (r8) -> 419 s (r9 staging) -> 364 s
+(r10 drained bases), with the residue measured as disk/broadcast-
+bound, not compute-super-linear.
+
+Scratch attribution (r10, VERDICT r9 "wrong" #2): the r9 artifact's
+"bucket 0 = 18.7 GB, buckets 1-3 = 86-287 MB" asymmetry was a METER
+artifact, not a workload one — every bucket's true volume is ~18 GB,
+but ContextCleaner deletion is asynchronous and SLOW (it trickles for
+minutes), so buckets 1-3 started on their predecessor's ~18 GB dying
+base and their own writes grew into the freed space (peak ~= base =>
+tiny delta). Every stage now records base_scratch_bytes beside the
+peak delta, so a dying base is visible in the artifact itself, and
+_release drains (scratch.drain) so each region starts as clean as the
+cleaner allows. On a real cluster the sum-of-exchanges residency is
+spread over the fleet's local disks — and 100 TB near-dup runs
+MinHash-LSH anyway, with this exact pass as the per-candidate verifier
+(SCALE.md posture).
 
 Usage: python tools/text_100x_gate.py [out.json]
 Writes artifacts/text_100x_gate.json; the 100x corpus lands under
