@@ -123,10 +123,12 @@ def _aligned_pairs(merged: DataFrame, max_lag: int) -> DataFrame:
     )
 
 
-def corr_moment_state(merged: DataFrame, max_lag: int = 6) -> DataFrame:
+def corr_moment_state(
+    merged: DataFrame, max_lag: int = 6, lattice_scale: int = 10_000
+) -> DataFrame:
     """Mergeable sufficient statistics for the lagged-correlation grid:
-    per (entity, lag) the sums ``(n, sx, sy, sxx, syy, sxy)`` over
-    positionally-aligned pairs.
+    per (entity, lag) the EXACT integer-lattice sums
+    ``(n, sx, sy, sxx, syy, sxy)`` over positionally-aligned pairs.
 
     The moments are ADDITIVE (and subtractive) across disjoint pair
     sets, which is what ``lag_correlation_grid`` itself is not: corr
@@ -136,16 +138,34 @@ def corr_moment_state(merged: DataFrame, max_lag: int = 6) -> DataFrame:
     it with :func:`merge_moment_states`, finish with
     :func:`corr_from_moments`.
 
-    Numerics: raw moments suffer catastrophic cancellation when
-    ``n*sxx ≈ sx²`` (near-constant series with large means). The engine's
-    money values live on a 1e-2 lattice, so the sums here are exact up to
-    double's 2^53 integer range (~45 M rows/entity at 1e4-scale cents —
-    far above any per-entity series length); beyond that, scale to the
-    integer lattice and sum as decimal(38,0) exactly as
-    ``_int_moments_std`` does for the one-shot path.
+    Numerics (r10 — found by the first sf0.1 run of the cross-engine
+    state gate): raw DOUBLE moments suffer catastrophic cancellation in
+    ``n*sxy - sx*sy`` / ``n*sxx - sx²`` whenever |corr| ≈ 1 or the
+    series mean dwarfs its variance — a perfectly anti-correlated
+    entity finished at -0.999985 from double moments where the grid's
+    two-pass ``F.corr`` (and the DuckDB twin) give exactly -1.0. The
+    engine's money values live EXACTLY on a 1e-4 lattice (every partial
+    sum of lattice-exact doubles below 2^53/scale is itself exact), so
+    the state scales to lattice integers and sums in decimal: every
+    moment is EXACT, the finishing cancellation happens in exact decimal
+    arithmetic (:func:`corr_from_moments`), and corr is scale-invariant
+    so ``lattice_scale`` divides out. This also makes the pytest-pinned
+    ``merge(state, delta) == state(full)`` invariant hold bitwise
+    (decimal addition is associative; double addition is not).
+
+    Preconditions (callers own them; :func:`lattice_residual` probes):
+    values on the 1/``lattice_scale`` lattice with ``|x*scale| < 1e18``
+    (decimal(18,0) multiplicands keep the product type at
+    decimal(37,0), under Spark's 38-digit cap, so nothing silently
+    loses precision). States merged together must share one scale.
+    STATE-FORMAT note: sums are decimal columns since r10 — a state
+    persisted by the pre-r10 double format fails the merge loudly
+    (unionByName type mismatch); re-bootstrap with init_corr_state.
     """
     pairs = _aligned_pairs(merged, max_lag)
     x, y = F.col("txn_amount"), F.col("rev")
+    kx = F.round(x * F.lit(lattice_scale)).cast("decimal(18,0)")
+    ky = F.round(y * F.lit(lattice_scale)).cast("decimal(18,0)")
     # BOTH sides must be non-null: F.corr in the one-shot grid skips a
     # pair when either value is null, and a null x here would count into
     # n while contributing nothing to sx/sxx/sxy — an internally
@@ -153,11 +173,11 @@ def corr_moment_state(merged: DataFrame, max_lag: int = 6) -> DataFrame:
     # (live repro: txn=[1,null,3,4] gave 0.9 vs the grid's 0.99587)
     return pairs.where(y.isNotNull() & x.isNotNull()).groupBy(KEY, "lag").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(x).alias("sx"),
-        F.sum(y).alias("sy"),
-        F.sum(x * x).alias("sxx"),
-        F.sum(y * y).alias("syy"),
-        F.sum(x * y).alias("sxy"),
+        F.sum(kx).alias("sx"),
+        F.sum(ky).alias("sy"),
+        F.sum(kx * kx).alias("sxx"),
+        F.sum(ky * ky).alias("syy"),
+        F.sum(kx * ky).alias("sxy"),
     )
 
 
@@ -179,11 +199,19 @@ def corr_from_moments(state: DataFrame) -> DataFrame:
     """Finish the state into ``(cus_code, lag, corr, n_pairs)`` — the
     lag_correlation_grid shape. Zero-variance sides yield NULL corr
     (the grid's NaN/null rows are filtered by every consumer anyway);
-    n < 1 rows cannot occur in a well-formed state."""
-    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
-    cov = n * F.col("sxy") - sx * sy
-    vx = n * F.col("sxx") - sx * sx
-    vy = n * F.col("syy") - sy * sy
+    n < 1 rows cannot occur in a well-formed state.
+
+    The cancellation-prone combinations (``n*sxy - sx*sy`` etc.) run in
+    EXACT decimal over the exact integer-lattice sums — the subtraction
+    that destroyed double moments at |corr| ≈ 1 (see
+    :func:`corr_moment_state` numerics) loses nothing here; only the
+    final sqrt/divide are IEEE double, the same two-op tail every
+    engine computes identically from identical inputs."""
+    n = F.col("n").cast("decimal(38,0)")
+    sx, sy = F.col("sx"), F.col("sy")
+    cov = (n * F.col("sxy") - sx * sy).cast("double")
+    vx = (n * F.col("sxx") - sx * sx).cast("double")
+    vy = (n * F.col("syy") - sy * sy).cast("double")
     denom = F.sqrt(vx * vy)
     return state.select(
         KEY,

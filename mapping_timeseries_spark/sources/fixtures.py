@@ -137,6 +137,14 @@ def synthetic_pair(
             rev[:lag] = 0.0
 
         rev = np.clip(rev + rng.normal(0, 3, num_months), 0, None)
+        # money lattice (r10): the engine's data model is money — the
+        # production tables (TPC-H totals, extendedprice*(1-discount)
+        # sums) live exactly on a 1e-2/1e-4 lattice, and the moment-state
+        # operators REQUIRE lattice inputs (corr_moment_state numerics).
+        # A fixture emitting raw float64 noise modeled data the engine
+        # never sees and silently exempted tests from that contract.
+        txn = np.round(txn, 2)
+        rev = np.round(rev, 2)
         for i, m in enumerate(months):
             rows1.append((cus, str(m), float(txn[i]), family))
             rows2.append((cus, str(m), float(rev[i]), family))
