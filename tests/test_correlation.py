@@ -252,3 +252,41 @@ def test_incremental_corr_moments_match_full_recompute(spark, merged):
             assert fc is None or np.isnan(fc), k
         else:
             assert fc == pytest.approx(c, rel=1e-7, abs=1e-9), k
+
+
+def test_moment_state_exact_at_perfect_anticorrelation(spark):
+    """r10 regression (found by the first sf0.1 run of the cross-engine
+    state gate): a perfectly anti-correlated entity must finish at
+    EXACTLY -1.0 through the bootstrap+append moment algebra. Raw double
+    moments lost the n*sxy - sx*sy cancellation at |corr| ~ 1 and
+    finished one live sf0.1 entity at -0.999985; the exact-lattice
+    decimal moments cannot (the subtraction is exact, and the final
+    sqrt/divide of cov=-sqrt(vx*vy) reproduces +/-1.0 bit-for-bit)."""
+    from mapping_timeseries_spark.operators.correlation import (
+        corr_from_moments,
+        corr_moment_state,
+        corr_moments_delta,
+        merge_moment_states,
+    )
+
+    # 2dp money lattice, revenue an exact NEGATIVE affine image of txn
+    rows = [
+        ("C1", f"2023-{m:02d}", round(50_000.00 + 137.25 * m, 2),
+         round(99_999.75 - 137.25 * m, 2))
+        for m in range(1, 10)
+    ]
+    merged = spark.createDataFrame(
+        rows, "cus_code string, month string, txn_amount double, revenue double"
+    )
+    history = merged.where(F.col("month") < "2023-07")
+    new_rows = merged.where(F.col("month") >= "2023-07")
+    tail = history.orderBy(F.col("month").desc()).limit(MAX_LAG)
+    state = merge_moment_states(
+        corr_moment_state(history, MAX_LAG),
+        corr_moments_delta(tail, new_rows, MAX_LAG),
+    )
+    lag0 = {
+        r["cus_code"]: r["corr"]
+        for r in corr_from_moments(state).where(F.col("lag") == 0).collect()
+    }
+    assert lag0["C1"] == -1.0  # exact, no approx
