@@ -364,6 +364,7 @@ def main() -> None:
     times: dict[str, float] = {}
     spreads: dict[str, float] = {}
     scratch: dict[str, int] = {}
+    scratch_base: dict[str, int] = {}
     for name in HEADLINE:
         if name not in qs:
             continue
@@ -382,6 +383,10 @@ def main() -> None:
             build_timed=name in DRIVER_LEGS,
         )
         scratch[name] = meter.stop()
+        # base travels with the peak delta (r10, same contract as the
+        # 100x gates): a large dying-residue base deflates the delta —
+        # recording it makes a deflated reading visible in the artifact
+        scratch_base[name] = meter.base_bytes
         med = statistics.median(reps)
         times[name] = round(med, 3)
         # rep-to-rep spread alongside the median, so a judge/reader can
@@ -409,6 +414,7 @@ def main() -> None:
         "controls": controls,
         "rep_spread": spreads,
         "peak_scratch_bytes": scratch,
+        "base_scratch_bytes": scratch_base,
         "scratch_warnings": scratch_violations(scratch),
         "n": N_REPS,
         "rep_override": REP_OVERRIDE,
