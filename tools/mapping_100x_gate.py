@@ -22,8 +22,17 @@ therefore exact:
   outside the timed region, noop sink, cache cleared between reps,
   median of REPS).
 
-Writes artifacts/mapping_100x_gate.json.
-Usage: python tools/mapping_100x_gate.py [out.json]
+Writes artifacts/mapping_<factor>x_gate.json.
+Usage: python tools/mapping_100x_gate.py [--factor N] [out.json]
+
+Factor generalization (r10): ``--factor 1000`` extends the evidence a
+THIRD decade out (sf100-equivalent: 600M lineitem rows). At that size
+the corpus is built with scale_stress.replicate_range (constant-size
+plan; the 1000-way union would not be) restricted to the two tables
+the mapping family reads (orders+lineitem — the text tables would
+triple the corpus for queries that never touch them), into its own
+``scale_stress_<N>x_mapping`` dir so the SHARED full corpus dir the
+text gate resumes from is never left half-populated.
 """
 
 from __future__ import annotations
@@ -38,43 +47,64 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF_1X = "/root/testdata/sf0.1"
-DIR_100X = os.path.join(REPO, "artifacts", "scale_stress_100x")
-FACTOR = 100
 QUERIES = ["merged_series", "corr_mapping", "dtw_mapping", "auto_mapping"]
 #: reps at each scale; medians via bench.time_query
 REPS_1X = 3
-REPS_100X = 1  # one rep at 100x: ~minutes per query, median-of-1 recorded
+REPS_NX = 1  # one rep at Nx: ~minutes per query, median-of-1 recorded
 
 
 def main() -> int:
+    argv = list(sys.argv[1:])
+    factor = 100
+    if "--factor" in argv:
+        i = argv.index("--factor")
+        factor = int(argv[i + 1])
+        del argv[i : i + 2]
     out_json = (
-        sys.argv[1]
-        if len(sys.argv) > 1
-        else os.path.join(REPO, "artifacts", "mapping_100x_gate.json")
+        argv[0]
+        if argv
+        else os.path.join(REPO, "artifacts", f"mapping_{factor}x_gate.json")
     )
+    # factor 100 shares the FULL corpus dir with the text gate (resume
+    # compatibility); other factors build a mapping-only corpus in their
+    # own dir so the shared one is never left partially populated.
+    if factor == 100:
+        corpus_dir = os.path.join(REPO, "artifacts", "scale_stress_100x")
+    else:
+        corpus_dir = os.path.join(
+            REPO, "artifacts", f"scale_stress_{factor}x_mapping"
+        )
     import __spark_entry__ as entry_mod
     from bench import box_calibration, time_query
     from mapping_timeseries_spark.scratch import ScratchMeter
     from mapping_timeseries_spark.session import get_spark
 
     spark = get_spark(
-        "mapping-100x-gate",
+        "mapping-scale-gate",
         master="local[32]",
-        shuffle_partitions=64,
+        # 64 shuffle partitions carry ~60M-row exchanges at 100x; at
+        # 1000x each would hold ~1 GB — quadruple so sort/join buffers
+        # stay in memory (AQE coalesces the ones that end up small)
+        shuffle_partitions=64 if factor <= 100 else 256,
         extra_conf={
-            "spark.driver.memory": "24g",
+            "spark.driver.memory": "24g" if factor <= 100 else "56g",
             "spark.io.compression.codec": "zstd",
         },
     )
     spark.range(1000).selectExpr("sum(id)").collect()
 
-    if not os.path.isdir(DIR_100X):
-        print(f"{DIR_100X} missing — replicating {FACTOR}x (one-time)")
+    if not os.path.isdir(corpus_dir):
+        print(f"{corpus_dir} missing — replicating {factor}x (one-time)")
         sys.path.insert(0, os.path.join(REPO, "tools"))
         import scale_stress
 
         t0 = time.monotonic()
-        scale_stress.replicate(spark, FACTOR, DIR_100X)
+        if factor == 100:
+            scale_stress.replicate(spark, factor, corpus_dir)
+        else:
+            scale_stress.replicate_range(
+                spark, factor, corpus_dir, tables=("orders", "lineitem")
+            )
         print(f"replicated in {time.monotonic() - t0:.0f}s")
 
     qs = dict(entry_mod.queries())
@@ -111,30 +141,30 @@ def main() -> int:
         )
         _release()
         m = ScratchMeter(spark).start()
-        n100 = qs[name](spark, DIR_100X).count()
+        nN = qs[name](spark, corpus_dir).count()
         spark.catalog.clearCache()
-        wall100 = statistics.median(
-            time_query(spark, qs[name], DIR_100X, REPS_100X)
+        wallN = statistics.median(
+            time_query(spark, qs[name], corpus_dir, REPS_NX)
         )
-        scratch100 = m.stop()
+        scratchN = m.stop()
         res[name] = {
             "rows_1x": n1,
-            "rows_100x": n100,
-            "expected_100x": n1 * FACTOR,
-            "count_ok": n100 == n1 * FACTOR,
+            f"rows_{factor}x": nN,
+            f"expected_{factor}x": n1 * factor,
+            "count_ok": nN == n1 * factor,
             "wall_1x_sec": round(wall1, 2),
-            "wall_100x_sec": round(wall100, 1),
-            "wall_ratio": round(wall100 / max(wall1, 1e-9), 1),
-            "peak_scratch_bytes_100x": scratch100,
-            "base_scratch_bytes_100x": m.base_bytes,
+            f"wall_{factor}x_sec": round(wallN, 1),
+            "wall_ratio": round(wallN / max(wall1, 1e-9), 1),
+            f"peak_scratch_bytes_{factor}x": scratchN,
+            f"base_scratch_bytes_{factor}x": m.base_bytes,
         }
         _release()
         print(name, json.dumps(res[name]), flush=True)
         with open(out_json, "w") as f:
-            json.dump({"factor": FACTOR, "queries": res}, f, indent=1)
+            json.dump({"factor": factor, "queries": res}, f, indent=1)
     out = {
-        "factor": FACTOR,
-        "corpus": DIR_100X,
+        "factor": factor,
+        "corpus": corpus_dir,
         "queries": res,
         "all_green": all(v["count_ok"] for v in res.values()),
         # linear-wall claim: per-entity series length is scale-invariant

@@ -94,6 +94,76 @@ def replicate(spark, factor: int, out_dir: str) -> None:
         )
 
 
+def replicate_range(
+    spark,
+    factor: int,
+    out_dir: str,
+    tables: tuple[str, ...] | None = None,
+    partitions: int = 64,
+) -> None:
+    """Constant-plan N-fold replication for LARGE factors: crossJoin each
+    table with a broadcast ``factor``-row replica index instead of a
+    factor-way ``unionByName`` — :func:`replicate`'s plan (and its codegen)
+    grows O(factor) and a 1000-way union is where Catalyst planning time
+    and generated-method size stop being free. Semantics are identical:
+    per-DOMAIN key offsets (replica 0 bit-identical to 1x), documents get
+    the per-word replica suffix for r > 0 (here via a column-valued
+    ``regexp_replace`` replacement, replica id baked into every token).
+
+    ``tables`` restricts which keyed tables are replicated (the mapping
+    1000x gate only needs orders+lineitem — replicating the text tables
+    1000x would triple the corpus for queries that never read them); the
+    small dimension tables are always copied through. The source is
+    repartitioned BEFORE the fan-out so ``partitions`` tasks each expand
+    their slice locally — replicated rows are never shuffled.
+    """
+    from pyspark.sql import functions as F
+
+    names = list(tables) if tables is not None else list(KEYED_TABLES)
+    os.makedirs(out_dir, exist_ok=True)
+    domain_max: dict[str, int] = {}
+    sources = {}
+    for name in names:
+        src = spark.read.parquet(os.path.join(SF_DIR, f"{name}.parquet"))
+        sources[name] = src
+        for col, domain in KEYED_TABLES[name]:
+            m = src.agg(F.max(col)).first()[0] or 0
+            domain_max[domain] = max(domain_max.get(domain, 0), m)
+    offsets = {d: m + 1 for d, m in domain_max.items()}
+
+    reps = F.broadcast(spark.range(factor).withColumnRenamed("id", "__r"))
+    for name in names:
+        src = sources[name]
+        out = src.repartition(partitions).crossJoin(reps)
+        for col, domain in KEYED_TABLES[name]:
+            out = out.withColumn(
+                col,
+                (F.col(col) + F.col("__r") * F.lit(offsets[domain])).cast(
+                    src.schema[col].dataType
+                ),
+            )
+        if name == "documents":
+            out = out.withColumn(
+                "text",
+                F.when(F.col("__r") == 0, F.col("text")).otherwise(
+                    F.regexp_replace(
+                        F.col("text"),
+                        F.lit(r"(\S+)"),
+                        F.concat(F.lit("$1·r"), F.col("__r").cast("string")),
+                    )
+                ),
+            )
+        out = out.select(*[f.name for f in src.schema.fields])
+        out.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"{name}.parquet")
+        )
+    for name in COPY_TABLES:
+        shutil.copyfile(
+            os.path.join(SF_DIR, f"{name}.parquet"),
+            os.path.join(out_dir, f"{name}.parquet"),
+        )
+
+
 def main() -> int:
     try:
         factor = int(sys.argv[1]) if len(sys.argv) > 1 else 4
