@@ -230,3 +230,33 @@ def test_scratch_drain_settles(tmp_path):
     )
     assert got == 4096
     assert _t.monotonic() - t0 < 5.0
+
+
+def test_replicate_range_matches_union_replicate(spark, tmp_path):
+    """The constant-plan corpus replicator (tools/scale_stress.
+    replicate_range, the 1000x gate's builder — a broadcast replica-index
+    crossJoin) is multiset-identical, schema included, to the N-way
+    unionByName replicate the 100x gates were measured on: per-domain key
+    offsets line up FK->PK inside every replica, replica 0 is bit-equal
+    to 1x, and documents get the per-word replica suffix for r > 0 (the
+    property that keeps cross-replica Jaccard at exactly 0)."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import scale_stress
+
+    old_sf = scale_stress.SF_DIR
+    scale_stress.SF_DIR = "/root/testdata/sf0.001"
+    try:
+        a = str(tmp_path / "union")
+        b = str(tmp_path / "range")
+        scale_stress.replicate(spark, 2, a)
+        scale_stress.replicate_range(spark, 2, b, partitions=4)
+        for t in ("orders", "lineitem", "documents"):
+            da = spark.read.parquet(os.path.join(a, f"{t}.parquet"))
+            db = spark.read.parquet(os.path.join(b, f"{t}.parquet"))
+            assert da.schema == db.schema, t
+            assert da.exceptAll(db).count() == 0, t
+            assert db.exceptAll(da).count() == 0, t
+    finally:
+        scale_stress.SF_DIR = old_sf
