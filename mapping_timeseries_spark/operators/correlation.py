@@ -361,38 +361,6 @@ def _lattice_mean_rounded(col: str, scale: int, dp: int):
     return sign * quot / F.lit(float(10**dp))
 
 
-def _entity_stats(
-    merged: DataFrame,
-    mean_lattice_scale: int | None = None,
-    mean_round_dp: int | None = None,
-) -> DataFrame:
-    """Per-entity row count and means (UDF output fields num_months,
-    txn_mean, rev_mean — mapping_engine.py:257-264).
-
-    ``mean_lattice_scale``: when the value columns are money on a 1/scale
-    lattice (e.g. 10000 for 4-dp amounts), computes the deterministic
-    lattice-exact mean instead of float ``avg`` — see ``_lattice_mean``.
-    ``mean_round_dp``: additionally round the lattice mean to this many
-    decimals with portable integer half-up arithmetic (requires
-    ``mean_lattice_scale``) — see ``_lattice_mean_rounded``.
-    """
-    if mean_lattice_scale is None:
-        if mean_round_dp is not None:
-            raise ValueError("mean_round_dp requires mean_lattice_scale")
-        txn_mean, rev_mean = F.avg("txn_amount"), F.avg("revenue")
-    elif mean_round_dp is None:
-        txn_mean = _lattice_mean("txn_amount", mean_lattice_scale)
-        rev_mean = _lattice_mean("revenue", mean_lattice_scale)
-    else:
-        txn_mean = _lattice_mean_rounded("txn_amount", mean_lattice_scale, mean_round_dp)
-        rev_mean = _lattice_mean_rounded("revenue", mean_lattice_scale, mean_round_dp)
-    return merged.groupBy(KEY).agg(
-        F.count(F.lit(1)).alias("num_months"),
-        txn_mean.alias("txn_mean"),
-        rev_mean.alias("rev_mean"),
-    )
-
-
 def best_lag_correlation(
     merged: DataFrame,
     max_lag: int = 6,
@@ -404,26 +372,95 @@ def best_lag_correlation(
     Output: ``cus_code, optimal_lag:int, correlation:double,
     num_months:long, txn_mean:double, rev_mean:double`` — the reference
     correlation-UDF result schema (mapping_engine.py:232-239).
-    ``mean_lattice_scale`` / ``mean_round_dp`` — see ``_entity_stats``.
+
+    ``mean_lattice_scale``: when the value columns are money on a 1/scale
+    lattice (e.g. 10000 for 4-dp amounts), computes the deterministic
+    lattice-exact mean instead of float ``avg`` — see ``_lattice_mean``.
+    ``mean_round_dp``: additionally round the lattice mean to this many
+    decimals with portable integer half-up arithmetic (requires
+    ``mean_lattice_scale``) — see ``_lattice_mean_rounded``.
     """
-    grid = lag_correlation_grid(merged, max_lag)
-    valid = grid.where(
+    # ONE linear pass over `merged` (r10): merged -> lead window ->
+    # explode -> agg(entity, lag) -> agg(entity). The per-entity stats
+    # ride the grid aggregation guarded by lag == 0 — the lag-0 slice of
+    # the pair stream is row-for-row the merged frame itself (lead 0 is
+    # the identity and the explode emits every row at every lag), so
+    # num_months and the means accumulate exactly the rows the old
+    # per-entity groupBy over `merged` read. That old shape consumed
+    # `merged` TWICE (grid + stats groupBys with different keys — no
+    # exchange reuse, and column pruning would specialize the two agg
+    # branches even if the keys matched), re-executing the whole
+    # upstream merge join once more per action whenever the caller had
+    # not cached it. Measured at the 1000x gate: corr_mapping 542 s vs
+    # auto_mapping's 287 s (auto caches merged), the delta being one
+    # extra execution of a 57M-row sort-merge join. The best-lag argmax
+    # is a struct-max in the second aggregation — (corr desc, lag asc)
+    # == lexicographic max of (corr, -lag) — replacing the row_number
+    # window + left join, so single-pass holds by construction, not by
+    # optimizer goodwill.
+    lag0 = F.col("lag") == 0
+    if mean_lattice_scale is None:
+        if mean_round_dp is not None:
+            raise ValueError("mean_round_dp requires mean_lattice_scale")
+        txn_mean = F.avg(F.when(lag0, F.col("txn_amount")))
+        rev_mean = F.avg(F.when(lag0, F.col("rev")))
+    elif mean_round_dp is None:
+        txn_mean = _lattice_mean(
+            F.when(lag0, F.col("txn_amount")), mean_lattice_scale
+        )
+        rev_mean = _lattice_mean(F.when(lag0, F.col("rev")), mean_lattice_scale)
+    else:
+        txn_mean = _lattice_mean_rounded(
+            F.when(lag0, F.col("txn_amount")), mean_lattice_scale, mean_round_dp
+        )
+        rev_mean = _lattice_mean_rounded(
+            F.when(lag0, F.col("rev")), mean_lattice_scale, mean_round_dp
+        )
+    g = (
+        _aligned_pairs(merged, max_lag)
+        .groupBy(KEY, "lag")
+        .agg(
+            F.corr("txn_amount", "rev").alias("corr"),
+            F.count(
+                F.when(
+                    F.col("txn_amount").isNotNull() & F.col("rev").isNotNull(),
+                    F.lit(1),
+                )
+            ).alias("n_pairs"),
+            F.count(F.when(lag0, F.lit(1))).alias("__n_rows"),
+            txn_mean.alias("__txn_mean"),
+            rev_mean.alias("__rev_mean"),
+        )
+    )
+    valid = (
         (F.col("n_pairs") >= 2)
         & F.col("corr").isNotNull()
         & ~F.isnan(F.col("corr"))
     )
-    w_best = Window.partitionBy(KEY).orderBy(F.col("corr").desc(), F.col("lag").asc())
-    best = (
-        valid.withColumn("__rn", F.row_number().over(w_best))
-        .where(F.col("__rn") == 1)
-        .select(KEY, F.col("lag").alias("__best_lag"), F.col("corr").alias("__best_corr"))
+    per_entity = g.groupBy(KEY).agg(
+        # lexicographic struct max == orderBy(corr desc, lag asc) row 1:
+        # highest corr first, then highest -lag (= lowest lag); NaN/null
+        # corr and n_pairs < 2 rows are nulled out and F.max skips them
+        F.max(
+            F.when(
+                valid,
+                F.struct(
+                    F.col("corr").alias("c"),
+                    (-F.col("lag")).alias("nl"),
+                ),
+            )
+        ).alias("__b"),
+        # the lag-0 group always exists for every entity with >= 1
+        # merged row, so each of these picks exactly one non-null value
+        F.max(F.when(lag0, F.col("__n_rows"))).alias("num_months"),
+        F.max(F.when(lag0, F.col("__txn_mean"))).alias("txn_mean"),
+        F.max(F.when(lag0, F.col("__rev_mean"))).alias("rev_mean"),
     )
-    stats = _entity_stats(merged, mean_lattice_scale, mean_round_dp)
-    return stats.join(best, on=KEY, how="left").select(
+    return per_entity.select(
         KEY,
-        F.coalesce(F.col("__best_lag"), F.lit(0)).cast("int").alias("optimal_lag"),
+        F.coalesce(-F.col("__b.nl"), F.lit(0)).cast("int").alias("optimal_lag"),
         F.coalesce(
-            F.col("__best_corr"),
+            F.col("__b.c"),
             F.when(F.col("num_months") >= 2, F.lit(-1.0)).otherwise(F.lit(0.0)),
         ).alias("correlation"),
         "num_months",
