@@ -252,6 +252,26 @@ def box_calibration() -> dict:
     }
 
 
+def jvm_calibration(spark) -> float:
+    """Fixed JVM-side probe (r10): median-of-3 codegen'd
+    ``range(50M).sum(id*id)``. Exists because py_loop is BLIND to
+    JVM-class drift — measured on a same-day box reboot: every JVM leg
+    of the suite ran 10-20% slower (bm25_topk +48%, ngram +20%,
+    UNCHANGED code) while py_loop read 0.108 pre / 0.097 post, squarely
+    inside the quiet band. A GIL-bound interpreter loop shares the CPU
+    but not the JVM's JIT tier, huge-page layout, or memory-bandwidth
+    profile, so cross-boot comparisons need a probe that lives where
+    the workload lives. Recorded (warning-free) in box_calibration as
+    ``jvm_loop_sec``; compare it across rounds the way py_loop is
+    compared before reading a total as a regression."""
+    reps = []
+    for _ in range(3):
+        t0 = time.time()
+        spark.range(50_000_000).selectExpr("sum(id * id)").collect()
+        reps.append(time.time() - t0)
+    return round(statistics.median(reps), 4)
+
+
 def _box_gate() -> tuple[dict, list, list, int]:
     """Pre-run load gate (VERDICT r7 #2a; recalibrated r9 per VERDICT r8
     #2): the PRIMARY signal is the py_loop probe — a GIL-bound
@@ -328,6 +348,7 @@ def main() -> None:
     # warmup: absorb JVM/codegen startup so per-query numbers are stable
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    calib["jvm_loop_sec"] = jvm_calibration(spark)
 
     qs = dict(entry_mod.queries())
     # bench-only variants that are deliberately outside the driver's
@@ -402,6 +423,7 @@ def main() -> None:
     total = round(sum(v for k, v in times.items() if k not in CONTROLS), 3)
     controls = {k: times.pop(k) for k in list(times) if k in CONTROLS}
     post = box_calibration()
+    post["jvm_loop_sec"] = jvm_calibration(spark)
     like_for_like = round(
         sum(v for k, v in times.items() if k not in ADDED_THIS_ROUND), 3
     )
