@@ -92,3 +92,74 @@ def test_artifact_carries_gate_keys():
         detail["gate"]["scratch_ceiling_default"]
         == bench.SCRATCH_CEILING_DEFAULT
     )
+
+
+def _soak_series(n=30, trigger_ms=1200, state=4000, removed=400, inp=250000):
+    return [
+        {
+            "trigger_ms": trigger_ms,
+            "state_rows": state,
+            "state_removed": removed,
+            "input_rows": inp,
+        }
+        for _ in range(n)
+    ]
+
+
+def test_streaming_soak_checks_green_on_healthy_series():
+    """The soak gate's pass arithmetic (tools/streaming_soak_gate.py
+    evaluate_checks — same separated-logic contract as the bench gate
+    helpers above): a healthy plateaued series passes all five."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from streaming_soak_gate import evaluate_checks
+
+    checks, metrics = evaluate_checks(
+        _soak_series(), emitted=10_000, exception=None
+    )
+    assert all(checks.values()), checks
+    assert metrics["state_rows_last_third_max"] == 4000
+
+
+def test_streaming_soak_checks_catch_failures():
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from streaming_soak_gate import evaluate_checks
+
+    # state leak: last third grows past tol * middle third
+    leak = _soak_series()
+    for i, s in enumerate(leak):
+        s["state_rows"] = 4000 + (i * 400 if i >= 20 else 0)
+    checks, _ = evaluate_checks(leak, emitted=10_000, exception=None)
+    assert not checks["state_plateau"]
+
+    # backlog: trigger wall exceeds the interval
+    checks, _ = evaluate_checks(
+        _soak_series(trigger_ms=9000), emitted=10_000, exception=None
+    )
+    assert not checks["keepup"]
+
+    # absolute ceiling backstop even when flat
+    checks, _ = evaluate_checks(
+        _soak_series(state=50_000), emitted=10_000, exception=None
+    )
+    assert not checks["state_plateau"]
+
+    # no emissions / dirty run
+    checks, _ = evaluate_checks(_soak_series(), emitted=0, exception=None)
+    assert not checks["emits"]
+    checks, _ = evaluate_checks(_soak_series(), emitted=10_000, exception="boom")
+    assert not checks["clean"]
+
+    # removals key present but eviction count implausibly low
+    checks, _ = evaluate_checks(
+        _soak_series(removed=0), emitted=10_000, exception=None
+    )
+    assert not checks["evicts"]
+    # removals key absent entirely -> eviction proven by plateau+emits
+    checks, _ = evaluate_checks(
+        _soak_series(removed=None), emitted=10_000, exception=None
+    )
+    assert checks["evicts"]

@@ -61,6 +61,52 @@ PLATEAU_TOL = 1.6     # last-third state max <= tol * middle-third max
 STATE_CEILING = 6 * COHORT  # absolute leak backstop
 
 
+def evaluate_checks(
+    series: list[dict],
+    emitted: int,
+    exception: str | None,
+    trigger_s: int = TRIGGER_S,
+    cohort: int = COHORT,
+    plateau_tol: float = PLATEAU_TOL,
+    state_ceiling: int = STATE_CEILING,
+) -> tuple[dict, dict]:
+    """The gate's pass/fail arithmetic, separated from the live stream so
+    pytest can pin it (same contract as bench.py's gate helpers): returns
+    (checks, metrics). Steady region drops the first third (startup and
+    the first closure wave); the plateau check compares the middle and
+    final thirds' state maxima and applies the absolute leak backstop."""
+    n = len(series)
+    steady = series[n // 3 :]
+    mid = series[n // 3 : 2 * n // 3]
+    last = series[2 * n // 3 :]
+    med_trigger_ms = statistics.median(
+        s["trigger_ms"] for s in steady if s["trigger_ms"] is not None
+    )
+    mid_state = max(s["state_rows"] or 0 for s in mid)
+    last_state = max(s["state_rows"] or 0 for s in last)
+    total_removed = sum(s["state_removed"] or 0 for s in series)
+    removed_known = any(s["state_removed"] is not None for s in series)
+    checks = {
+        "keepup": med_trigger_ms < trigger_s * 1000,
+        "state_plateau": last_state <= plateau_tol * max(mid_state, 1)
+        and last_state <= state_ceiling,
+        "emits": emitted > 2 * cohort,
+        # numRowsRemoved is version-dependent in the progress payload;
+        # when absent, eviction is still proven by plateau + emits
+        "evicts": (not removed_known) or total_removed > 2 * cohort,
+        "clean": exception is None
+        and sum(s["input_rows"] or 0 for s in series) > 0,
+    }
+    metrics = {
+        "median_trigger_ms_steady": med_trigger_ms,
+        "state_rows_mid_third_max": mid_state,
+        "state_rows_last_third_max": last_state,
+        "state_rows_removed_total": total_removed,
+        "closed_sessions_emitted": emitted,
+    }
+    return checks, metrics
+
+
 def main() -> int:
     out_json = (
         sys.argv[1]
@@ -153,28 +199,9 @@ def main() -> int:
     emitted = spark.table("soak_sessions").count()
     q.stop()
 
-    # steady region: drop the first third (startup, first closures)
-    n = len(series)
-    steady = series[n // 3 :]
-    mid = series[n // 3 : 2 * n // 3]
-    last = series[2 * n // 3 :]
-    med_trigger_ms = statistics.median(
-        s["trigger_ms"] for s in steady if s["trigger_ms"] is not None
+    checks, metrics = evaluate_checks(
+        series, emitted, str(exc) if exc else None
     )
-    mid_state = max(s["state_rows"] or 0 for s in mid)
-    last_state = max(s["state_rows"] or 0 for s in last)
-    total_removed = sum(s["state_removed"] or 0 for s in series)
-    removed_known = any(s["state_removed"] is not None for s in series)
-    checks = {
-        "keepup": med_trigger_ms < TRIGGER_S * 1000,
-        "state_plateau": last_state <= PLATEAU_TOL * max(mid_state, 1)
-        and last_state <= STATE_CEILING,
-        "emits": emitted > 2 * COHORT,
-        # numRowsRemoved is version-dependent in the progress payload;
-        # when absent, eviction is still proven by plateau + emits
-        "evicts": (not removed_known) or total_removed > 2 * COHORT,
-        "clean": exc is None and sum(s["input_rows"] or 0 for s in series) > 0,
-    }
     out = {
         "config": {
             "rows_per_sec": ROWS_PER_SEC,
@@ -189,11 +216,7 @@ def main() -> int:
             "state_ceiling_rows": STATE_CEILING,
         },
         "checks": checks,
-        "median_trigger_ms_steady": med_trigger_ms,
-        "state_rows_mid_third_max": mid_state,
-        "state_rows_last_third_max": last_state,
-        "state_rows_removed_total": total_removed,
-        "closed_sessions_emitted": emitted,
+        **metrics,
         "exception": str(exc) if exc else None,
         "progress_series": series,
         "all_green": all(checks.values()),
