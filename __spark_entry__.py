@@ -489,7 +489,10 @@ def q_recommendation_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     CASE model. Lattice-snapped input on both sides.
     """
     ensure_runtime_conf(spark)
-    merged = _merged_lattice(spark, sf_dir)
+    from mapping_timeseries_spark.operators.dedup import _pin as _scope_pin
+
+    # pinned (r10): merged feeds both the corr grid and the DTW summary
+    merged = _scope_pin(_merged_lattice(spark, sf_dir))
     corr = best_lag_correlation(merged, MAX_LAG)
     dtw = dtw_summary(merged)
     rec = recommendation_table(compare_methods(corr, dtw))
@@ -562,7 +565,14 @@ def q_production_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     t2 = monthly_revenue(spark, sf_dir).withColumn(
         "revenue", lattice_snap("revenue")
     )
-    merged = _merged_lattice(spark, sf_dir)
+    # pinned via the dedup cache-scope registry (r10 — the 1000x-gate
+    # lesson): merged feeds the corr grid, the DTW summary AND the routed
+    # mapping build; unpinned, each consumer re-executes the full
+    # spend/revenue merge join (the measured 57M-row-join overhead that
+    # made pre-fix corr_mapping 2.6x slower at 1000x)
+    from mapping_timeseries_spark.operators.dedup import _pin as _scope_pin
+
+    merged = _scope_pin(_merged_lattice(spark, sf_dir))
     corr = best_lag_correlation(merged, MAX_LAG)
     dtw = dtw_summary(merged)
     recs = recommendation_table(compare_methods(corr, dtw))
@@ -592,7 +602,10 @@ def q_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats rounded to 6 dp as usual.
     """
     ensure_runtime_conf(spark)
-    merged = _merged_lattice(spark, sf_dir)
+    from mapping_timeseries_spark.operators.dedup import _pin as _scope_pin
+
+    # pinned (r10): merged feeds both the corr grid and the DTW summary
+    merged = _scope_pin(_merged_lattice(spark, sf_dir))
     corr = best_lag_correlation(merged, MAX_LAG)
     dtw = dtw_summary(merged)
     comp = compare_methods(corr, dtw).select(
