@@ -47,7 +47,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF_1X = "/root/testdata/sf0.1"
-QUERIES = ["merged_series", "corr_mapping", "dtw_mapping", "auto_mapping"]
+QUERIES = [
+    "merged_series",
+    "corr_mapping",
+    "dtw_mapping",
+    "auto_mapping",
+    # r10 widening: the routing path (model -> route -> routed build)
+    # and the one-pass argmax — both per-entity, so exact at xN
+    "production_mapping",
+    "corr_best_lag",
+]
 #: reps at each scale; medians via bench.time_query
 REPS_1X = 3
 REPS_NX = 1  # one rep at Nx: ~minutes per query, median-of-1 recorded
