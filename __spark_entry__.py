@@ -373,8 +373,13 @@ def q_qa_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagship mapping: coverage, duplicates, lag stats, ratio stats,
     temporal violations."""
     ensure_runtime_conf(spark)
-    t1 = monthly_spend(spark, sf_dir)
-    t2 = monthly_revenue(spark, sf_dir)
+    from mapping_timeseries_spark.operators.dedup import _pin as _scope_pin
+
+    # pinned (r10): t1 feeds the merge, the mapping join AND the QA
+    # totals (three consumers), t2 the merge and the mapping join —
+    # unpinned, each consumer re-runs the fact-table aggregation
+    t1 = _scope_pin(monthly_spend(spark, sf_dir))
+    t2 = _scope_pin(monthly_revenue(spark, sf_dir))
     corr = best_lag_correlation(merge_series(t1, t2), MAX_LAG)
     mapped = build_correlation_mappings(t1, t2, corr, MIN_CORRELATION)
     qa = qa_invariants(mapped, t1)
@@ -569,10 +574,18 @@ def q_production_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lesson): merged feeds the corr grid, the DTW summary AND the routed
     # mapping build; unpinned, each consumer re-executes the full
     # spend/revenue merge join (the measured 57M-row-join overhead that
-    # made pre-fix corr_mapping 2.6x slower at 1000x)
+    # made pre-fix corr_mapping 2.6x slower at 1000x). merged is derived
+    # from the SAME pinned t1/t2 the routing build consumes (snap on the
+    # inputs == snap on the merge output: per-value, join keys
+    # untouched) instead of _merged_lattice's independent re-derivation,
+    # so orders aggregates once and lineitem joins once for the whole
+    # query — the 1000x gate measured this query's 44 GB scratch
+    # high-water, twice the family norm, with the doubled upstream.
     from mapping_timeseries_spark.operators.dedup import _pin as _scope_pin
 
-    merged = _scope_pin(_merged_lattice(spark, sf_dir))
+    t1 = _scope_pin(t1)
+    t2 = _scope_pin(t2)
+    merged = _scope_pin(merge_series(t1, t2))
     corr = best_lag_correlation(merged, MAX_LAG)
     dtw = dtw_summary(merged)
     recs = recommendation_table(compare_methods(corr, dtw))
