@@ -13,16 +13,21 @@ driver's 2000-char tail capture, leaving "parsed": null):
   dropped from the line automatically. The FULL detail (rep spreads,
   controls, 3dp, config echo) is written to artifacts/BENCH_detail_last.
   json instead of stdout.
-- LOAD GATE (r9, VERDICT r8 #2): the pre-run CPU probe is compared to
-  the pinned quiet-box value (QUIET_PY_LOOP, r6/r7 quiet band
-  0.104-0.123 s) — py_loop deviation > 15% after up to 3 sleep-retries
-  is the ONLY condition that stamps "invalid_box": true. loadavg_1m
-  above SPARK_GRAFT_BENCH_MAX_LOAD1 triggers the same sleep-retries but
-  then only records "box_warnings": the kernel load average stays
-  inflated for minutes after a finished Spark run while the CPUs are
-  idle (SCALE.md), so it cannot be an invalidation signal without
-  crying wolf on every back-to-back run (BENCH_r08.json did exactly
-  that: loadavg 4.08, both py_loop probes quiet, value corroborated).
+- LOAD GATE (r11, VERDICT r10 #1 — the absolute QUIET_PY_LOOP pin
+  false-invalidated three consecutive driver artifacts, the last on a
+  genuinely QUIET box that booted faster than the r8-era constant;
+  quiet boots measured r6-r10 span 0.092-0.130, wider than any +/-15%
+  absolute band): invalidation is now PER-BOOT and PER-RUN. First run
+  on a kernel boot_id self-pins a baseline (two probes 5 s apart must
+  agree within 10% — a contended box can't do that) into the committed
+  artifacts/box_baseline.json; later same-boot runs gate against that
+  pin (+/-15%, sleep-retries first). After the run, pre/post probe
+  stability > 25% also stamps invalid (the medians mixed two box
+  states). The historical absolute pin, loadavg_1m, and a slow JVM
+  boot class (jvm_boot_ratio > 1.35 vs the pinned fast-boot reference)
+  are "box_warnings" only: the kernel load average stays inflated for
+  minutes after a finished Spark run while the CPUs are idle (SCALE.md),
+  and cross-boot drift is a comparability note, not contention.
 
 Each query is fully materialized through the noop sink (executes the whole
 plan distributed, no driver collect). Every query runs N_REPS (4) times
@@ -150,12 +155,175 @@ REP_OVERRIDE = {"corr_best_lag": 8, "corr_mapping": 8}
 # like_for_like_total equals the r7 "value" scope.
 ADDED_THIS_ROUND: list[str] = []
 
-#: Pinned quiet-box single-core probe (sec): r6/r7 quiet measurements on
-#: this container class spanned 0.104-0.123. A pre-probe median outside
-#: +/-15% of the pin marks the artifact contention-suspect (override the
-#: pin via env when the hardware class changes).
+#: Historical quiet-box single-core probe (sec) — r11: DEMOTED to a
+#: WARNING (VERDICT r10 #1). Quiet boots measured across r6-r10 span
+#: 0.092-0.130 — wider than any defensible +/-15% absolute band, and the
+#: pin produced three consecutive false-invalid driver artifacts (r10's
+#: was a *quiet* box that happened to boot faster than the r8-era
+#: constant). The invalidation signals are now per-boot: a baseline
+#: pinned for THIS boot id (contention = deviation from the same boot's
+#: own quiet reading) plus pre/post run stability. The absolute value
+#: survives only as a cross-boot drift note in box_warnings.
 QUIET_PY_LOOP = float(os.environ.get("SPARK_GRAFT_QUIET_PY_LOOP", "0.115"))
 MAX_LOAD1 = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD1", "2.0"))
+
+#: Per-boot baseline store (committed): {boot_id: {"py_loop": s,
+#: "jvm_loop_post": s|None, "runs": n}}. The first bench run on a boot
+#: pins its own quiet value (guarded by a two-probe stability check —
+#: a contended box cannot produce two agreeing GIL-bound probes 5 s
+#: apart, measured spread under load is 2-5x); later runs on the same
+#: boot are gated against that pin, which IS an apples-to-apples
+#: constant in a way a cross-boot number never was.
+BOX_BASELINE_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)),
+    "artifacts",
+    "box_baseline.json",
+)
+#: Same-boot deviation bands. SELF_PIN: two fresh probes 5 s apart must
+#: agree this tightly to pin a new boot's baseline (quiet-box repeat
+#: spread measured <= 7%). BASELINE: later same-boot pre-probes must sit
+#: within this of the boot's pin (same-boot quiet drift is small; the
+#: cross-boot 0.092-0.145 spread does not apply within one boot).
+#: STABILITY: pre vs post bracketing the run — historical valid runs
+#: max at 17.7% (a1814cb), so 25% invalidates only a genuinely
+#: state-changed box while 15% warns.
+SELF_PIN_BAND = 0.10
+BASELINE_BAND = 0.15
+STABILITY_WARN_BAND = 0.15
+STABILITY_INVALID_BAND = 0.25
+#: Sanity range for a fresh self-pin: a probe outside this is not "a new
+#: boot class", it is a different hardware class or a pathological box —
+#: needs eyes, not a silent re-pin.
+PY_LOOP_SANITY = (0.04, 0.40)
+
+#: JVM boot-class reference (r11, VERDICT r10 #2): post-run jvm_loop_sec
+#: on the fastest boot class measured so far (r10 driver boot 0.1005;
+#: the same-day slow boot read 0.1178 — a 17% JVM-side gap invisible to
+#: py_loop). The artifact carries jvm_boot_ratio = post_jvm / REF so a
+#: +47% ngram swing on unchanged code is mechanically attributed to boot
+#: class instead of narratively; ratio > JVM_SLOW_WARN warns.
+JVM_LOOP_REF = float(os.environ.get("SPARK_GRAFT_JVM_LOOP_REF", "0.10"))
+JVM_SLOW_WARN = 1.35
+
+
+def _boot_id() -> str:
+    """Kernel boot id — the key that makes a py_loop pin comparable:
+    same boot = same JIT/huge-page/memory-bandwidth class."""
+    try:
+        with open("/proc/sys/kernel/random/boot_id") as f:
+            return f.read().strip()
+    except OSError:
+        return "unknown"
+
+
+def load_boot_baselines(path: str = BOX_BASELINE_PATH) -> dict:
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {}
+
+
+def save_boot_baselines(baselines: dict, path: str = BOX_BASELINE_PATH):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(baselines, f, indent=1, sort_keys=True)
+
+
+def rel_dev(a: float, b: float) -> float:
+    """Relative deviation of a from b (guarded)."""
+    return abs(a - b) / max(abs(b), 1e-9)
+
+
+def gate_decision(
+    probe1: float,
+    probe2: float | None,
+    boot_baseline: float | None,
+    quiet_pin: float = None,
+) -> tuple[list, list, float | None]:
+    """Pure gate arithmetic (pytest-covered): given the pre-run probe
+    (and, when no baseline exists for this boot, a second probe taken
+    5 s later), decide (invalid_reasons, warnings, new_pin_or_None).
+
+    - baseline exists  -> invalid iff probe1 deviates > BASELINE_BAND
+      from the boot's own pin (same-boot contention is real contention).
+    - no baseline      -> self-pin median(probe1, probe2) iff the two
+      agree within SELF_PIN_BAND and the pin is inside PY_LOOP_SANITY;
+      otherwise invalid (an unstable box cannot pin).
+    - the historical absolute pin only ever WARNS (cross-boot drift)."""
+    pin = QUIET_PY_LOOP if quiet_pin is None else quiet_pin
+    invalid, warnings = [], []
+    new_pin = None
+    if boot_baseline is not None:
+        if rel_dev(probe1, boot_baseline) > BASELINE_BAND:
+            invalid.append(
+                f"py_loop {probe1} outside +/-{BASELINE_BAND:.0%} of this "
+                f"boot's pinned baseline {boot_baseline}"
+            )
+        ref = boot_baseline
+    else:
+        assert probe2 is not None, "self-pin path needs a second probe"
+        if rel_dev(probe1, probe2) > SELF_PIN_BAND:
+            invalid.append(
+                f"py_loop unstable ({probe1} vs {probe2} 5s apart, "
+                f"> {SELF_PIN_BAND:.0%}): cannot pin a baseline for a "
+                "new boot on a non-quiet box"
+            )
+            ref = probe1
+        else:
+            new_pin = round(statistics.median([probe1, probe2]), 4)
+            if not (PY_LOOP_SANITY[0] <= new_pin <= PY_LOOP_SANITY[1]):
+                invalid.append(
+                    f"py_loop self-pin {new_pin} outside sanity range "
+                    f"{PY_LOOP_SANITY}: hardware class changed, re-pin "
+                    "QUIET_PY_LOOP/SANITY by hand"
+                )
+                new_pin = None
+            ref = new_pin if new_pin is not None else probe1
+    if rel_dev(ref, pin) > 0.15:
+        warnings.append(
+            f"py_loop boot class {ref} vs historical quiet pin {pin} "
+            "(warning only: cross-boot drift, r6-r10 quiet boots span "
+            "0.092-0.130 — compare totals against same-class rounds)"
+        )
+    return invalid, warnings, new_pin
+
+
+def stability_decision(pre: float, post: float) -> tuple[list, list]:
+    """Pure pre/post bracketing check (pytest-covered): the box must be
+    in the same state after the run as before it, else per-query medians
+    mixed two box states and the total is not a number."""
+    dev = rel_dev(post, pre)
+    if dev > STABILITY_INVALID_BAND:
+        return (
+            [
+                f"box changed state mid-run: post py_loop {post} vs pre "
+                f"{pre} ({dev:.0%} > {STABILITY_INVALID_BAND:.0%})"
+            ],
+            [],
+        )
+    if dev > STABILITY_WARN_BAND:
+        return [], [f"pre/post py_loop drift {dev:.0%} (warning band)"]
+    return [], []
+
+
+def jvm_boot_class(post_jvm: float | None) -> tuple[dict, list]:
+    """Boot-class ratio from the POST jvm_loop reading (the PRE includes
+    the probe's own codegen warmup — SCALE.md). Returns ({ratio, ref},
+    warnings)."""
+    if post_jvm is None:
+        return {"jvm_boot_ratio": None, "jvm_loop_ref": JVM_LOOP_REF}, []
+    ratio = round(post_jvm / JVM_LOOP_REF, 3)
+    warnings = []
+    if ratio > JVM_SLOW_WARN:
+        warnings.append(
+            f"slow JVM boot class: jvm_loop_post {post_jvm} = "
+            f"{ratio}x the fast-boot reference {JVM_LOOP_REF} — JVM-leg "
+            "times inflate 10-20% on this class at unchanged code "
+            "(SCALE.md boot-class table); compare against same-class "
+            "rounds"
+        )
+    return {"jvm_boot_ratio": ratio, "jvm_loop_ref": JVM_LOOP_REF}, warnings
 
 #: Per-leg disk-scratch ceilings (bytes), pinned the way QUIET_PY_LOOP is
 #: (VERDICT r9 #7): peak_scratch_bytes is RECORDED since r9, but nothing
@@ -272,33 +440,28 @@ def jvm_calibration(spark) -> float:
     return round(statistics.median(reps), 4)
 
 
-def _box_gate() -> tuple[dict, list, list, int]:
-    """Pre-run load gate (VERDICT r7 #2a; recalibrated r9 per VERDICT r8
-    #2): the PRIMARY signal is the py_loop probe — a GIL-bound
-    single-core loop whose time moves only with actual CPU contention.
-    loadavg is a RECORDED WARNING only: the kernel's 1-minute average
-    stays inflated for minutes after a finished Spark run while the CPUs
-    are idle (measured, SCALE.md), so invalidating on it makes the gate
-    cry wolf on every back-to-back run — exactly what happened to
-    BENCH_r08.json (loadavg 4.08, both py_loop probes inside the quiet
-    band, value corroborated by two independent quiet runs).
+def _box_gate() -> tuple[dict, list, list, int, float | None]:
+    """Pre-run load gate, r11 per-boot edition (VERDICT r10 #1: three
+    consecutive driver artifacts stamped invalid by the stale absolute
+    QUIET_PY_LOOP constant — r10's was a *quiet* box that booted faster
+    than the r8-era pin). The gate now compares like with like:
 
-    If EITHER signal is hot the gate sleep-retries (30 s, up to 3
-    times) to let a draining box settle; after that, py_loop deviation
-    > 15% from the pin stamps invalid_box, while a still-elevated
-    loadavg is emitted under "box_warnings".
-    Returns (calibration, invalid_reasons, warnings, retries)."""
+    - First run on a boot: SELF-PIN a baseline from two probes 5 s apart
+      (a contended box cannot produce two agreeing GIL-bound probes —
+      measured spread under load is 2-5x), persist it to the committed
+      artifacts/box_baseline.json keyed by kernel boot_id.
+    - Later runs on the same boot: pre-probe within BASELINE_BAND of
+      the boot's own pin, else sleep-retry then invalid (same-boot
+      deviation IS contention; cross-boot drift no longer invalidates).
+    - The historical absolute pin and loadavg are warnings only
+      (loadavg lags idle CPUs after a finished run — SCALE.md).
+    - main() adds the pre/post STABILITY check after the run (a box
+      that changed state mid-run produces medians from two box states).
 
-    def _invalid(c: dict) -> list:
-        dev = abs(c["py_loop_sec"] - QUIET_PY_LOOP) / QUIET_PY_LOOP
-        if dev > 0.15:
-            return [
-                f"py_loop {c['py_loop_sec']} outside +/-15% of pinned "
-                f"{QUIET_PY_LOOP}"
-            ]
-        return []
+    Returns (calibration, invalid_reasons, warnings, retries, pin) where
+    pin is the boot baseline in force (fresh or stored)."""
 
-    def _warnings(c: dict) -> list:
+    def _load_warnings(c: dict) -> list:
         if c["loadavg_1m"] > MAX_LOAD1:
             return [
                 f"loadavg_1m {c['loadavg_1m']} > {MAX_LOAD1} (warning "
@@ -307,29 +470,42 @@ def _box_gate() -> tuple[dict, list, list, int]:
             ]
         return []
 
-    calib = box_calibration()
-    retries = 0
-    # retry ONLY to clear the invalidating py_loop signal (ADVICE r9 #4):
-    # loadavg is warning-only and stays inflated for minutes on an
-    # otherwise-idle box, so sleeping on it burned 90 s before every run
-    # on a chronically loaded box even when py_loop was quiet. Record the
-    # loadavg warning immediately and move on. Retry budget raised 3->10
-    # (VERDICT r9 #2): a box that just finished a 100x gate run needs
-    # more than 90 s to re-enter the pinned band (measured — r9's
-    # official bench stamped invalid after 3x30 s), and a quiet box pays
-    # zero sleeps either way now that warnings don't gate.
+    boot = _boot_id()
+    baselines = load_boot_baselines()
+    stored = baselines.get(boot, {}).get("py_loop")
     max_retries = int(os.environ.get("SPARK_GRAFT_GATE_RETRIES", "10"))
-    while _invalid(calib) and retries < max_retries:
-        time.sleep(30)
+    retries = 0
+    while True:
         calib = box_calibration()
+        probe2 = None
+        if stored is None:
+            time.sleep(5)
+            probe2 = box_calibration()["py_loop_sec"]
+        invalid, warnings, new_pin = gate_decision(
+            calib["py_loop_sec"], probe2, stored
+        )
+        if not invalid or retries >= max_retries:
+            break
+        time.sleep(30)
         retries += 1
-    return calib, _invalid(calib), _warnings(calib), retries
+    pin = stored if stored is not None else new_pin
+    if new_pin is not None:
+        entry = baselines.setdefault(boot, {})
+        entry["py_loop"] = new_pin
+        entry["runs"] = entry.get("runs", 0) + 1
+        try:
+            save_boot_baselines(baselines)
+        except OSError:
+            warnings.append("could not persist boot baseline (read-only?)")
+    calib["boot_id"] = boot
+    calib["boot_baseline_py_loop"] = pin
+    return calib, invalid, warnings + _load_warnings(calib), retries, pin
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    calib, invalid_reasons, box_warnings, gate_retries = _box_gate()
+    calib, invalid_reasons, box_warnings, gate_retries, boot_pin = _box_gate()
 
     import __spark_entry__ as entry_mod
     from mapping_timeseries_spark.session import get_spark
@@ -424,6 +600,26 @@ def main() -> None:
     controls = {k: times.pop(k) for k in list(times) if k in CONTROLS}
     post = box_calibration()
     post["jvm_loop_sec"] = jvm_calibration(spark)
+    # r11: pre/post stability is an INVALIDATION signal (the run itself
+    # bracketed by two probes — a box that changed state mid-run mixed
+    # two box states into the medians), and the post jvm_loop reading
+    # classifies the boot for cross-round comparison (SCALE.md table).
+    stab_invalid, stab_warn = stability_decision(
+        calib["py_loop_sec"], post["py_loop_sec"]
+    )
+    invalid_reasons = invalid_reasons + stab_invalid
+    box_warnings = box_warnings + stab_warn
+    jvm_class, jvm_warn = jvm_boot_class(post["jvm_loop_sec"])
+    box_warnings = box_warnings + jvm_warn
+    # persist the boot's post-run jvm reading so the boot-class table
+    # accumulates (VERDICT r10 #3)
+    try:
+        baselines = load_boot_baselines()
+        entry = baselines.setdefault(calib.get("boot_id", "unknown"), {})
+        entry["jvm_loop_post"] = post["jvm_loop_sec"]
+        save_boot_baselines(baselines)
+    except OSError:
+        pass
     like_for_like = round(
         sum(v for k, v in times.items() if k not in ADDED_THIS_ROUND), 3
     )
@@ -448,11 +644,16 @@ def main() -> None:
         "invalid_reasons": invalid_reasons,
         "box_warnings": box_warnings,
         "gate": {
-            "quiet_py_loop_pin": QUIET_PY_LOOP,
+            "boot_id": calib.get("boot_id"),
+            "boot_baseline_py_loop": boot_pin,
+            "baseline_band": BASELINE_BAND,
+            "stability_bands": [STABILITY_WARN_BAND, STABILITY_INVALID_BAND],
+            "historical_quiet_py_loop": QUIET_PY_LOOP,
             "max_load1": MAX_LOAD1,
             "sleep_retries": gate_retries,
             "scratch_ceilings": SCRATCH_CEILING_BYTES,
             "scratch_ceiling_default": SCRATCH_CEILING_DEFAULT,
+            **jvm_class,
         },
         "added_this_round": ADDED_THIS_ROUND,
         "like_for_like_total": like_for_like,
@@ -488,6 +689,8 @@ def main() -> None:
             "pre_py_loop": calib["py_loop_sec"],
             "post_py_loop": post["py_loop_sec"],
             "loadavg_1m": calib["loadavg_1m"],
+            "boot_pin": boot_pin,
+            "jvm_boot_ratio": jvm_class["jvm_boot_ratio"],
         },
         "queries": {k: round(v, 2) for k, v in times.items()},
         "detail": "artifacts/BENCH_detail_last.json",

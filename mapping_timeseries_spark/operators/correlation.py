@@ -8,8 +8,12 @@ Pearson — so the whole UDF collapses to native, whole-stage-codegen'd
 DataFrame ops:
 
     lead(revenue, lag) OVER (PARTITION BY cus_code ORDER BY month)
-    ... GROUP BY cus_code, lag ... corr(txn_amount, rev_lagged)
-    ... row_number() OVER (ORDER BY corr DESC, lag ASC) = 1
+    ... explode(lags) ... GROUP BY cus_code, lag
+    ... GROUP BY cus_code: max(struct(corr, -lag)) picks the winner
+
+(one linear plan — the r10 one-pass refactor replaced the earlier
+row_number window + self-join argmax; tests/test_scale_evidence.py
+asserts the plan shape so the two-pass form cannot silently return).
 
 Semantics matched to the reference exactly:
 
@@ -30,14 +34,17 @@ Semantics matched to the reference exactly:
 
 Scale notes
 -----------
-ONE shuffle for the whole computation: the window exchange hash-partitions
-by cus_code; the lag-grid groupBy(cus_code, lag), the per-entity stats
-groupBy(cus_code), the best-lag row_number window and the final join are all
-satisfied by that partitioning (HashPartitioning(cus_code) satisfies
-ClusteredDistribution for every superset grouping), so Catalyst inserts no
-further exchanges and reuses the first one across both branches. Per-entity
-state is O(max_lag) aggregation buffers — no per-entity materialized series,
-so skew is bounded by months-per-entity, not entity count.
+ONE shuffle and ONE pass for the whole computation (r10 shape, plan-
+asserted): the lead window's exchange hash-partitions by cus_code; the
+exploded lag-grid groupBy(cus_code, lag) and the per-entity argmax
+groupBy(cus_code) — a lexicographic max(struct(corr, -lag)) with the
+n<2 / no-valid-lag fallbacks folded in as guarded aggregate expressions
+— are both satisfied by that partitioning (HashPartitioning(cus_code)
+satisfies ClusteredDistribution for every superset grouping), so
+Catalyst inserts no further exchanges: no second window, no self-join,
+three scans total across the consumer queries. Per-entity state is
+O(max_lag) aggregation buffers — no per-entity materialized series, so
+skew is bounded by months-per-entity, not entity count.
 """
 
 from __future__ import annotations

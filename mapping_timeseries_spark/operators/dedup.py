@@ -60,6 +60,7 @@ from ..sources.readers import ensure_parallel, release_checkpoint
 
 __all__ = [
     "dedup_cache_scope",
+    "scoped_pin",
     "exact_dedup",
     "content_hash_dedup",
     "ngram_jaccard_pairs",
@@ -91,14 +92,21 @@ __all__ = [
 _CACHE_SCOPES: list[list[DataFrame]] = []
 
 
-def _pin(df: DataFrame) -> DataFrame:
+def scoped_pin(df: DataFrame) -> DataFrame:
     """persist() + register with the innermost dedup_cache_scope (no-op
     registration outside any scope — the documented bench/clearCache
-    contract applies there)."""
+    contract applies there). PUBLIC (ADVICE r10 #3): entry queries that
+    pin reused frames must use this name, and their callers must consume
+    inside dedup_cache_scope() (or clearCache between actions, as the
+    bench does) or the persisted frames live for the session."""
     df = df.persist()
     if _CACHE_SCOPES:
         _CACHE_SCOPES[-1].append(df)
     return df
+
+
+# internal shorthand used throughout this module
+_pin = scoped_pin
 
 
 # shared with the sources layer (writers retire their pre-overwrite

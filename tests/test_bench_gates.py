@@ -163,3 +163,96 @@ def test_streaming_soak_checks_catch_failures():
         _soak_series(removed=None), emitted=10_000, exception=None
     )
     assert checks["evicts"]
+
+
+# ---- r11 per-boot calibration gate (VERDICT r10 #1) ----------------------
+
+
+def test_gate_decision_same_boot_quiet_passes():
+    inv, warn, pin = bench.gate_decision(0.101, None, boot_baseline=0.100)
+    assert inv == [] and pin is None
+
+
+def test_gate_decision_same_boot_contention_invalidates():
+    inv, _, _ = bench.gate_decision(0.130, None, boot_baseline=0.100)
+    assert len(inv) == 1 and "boot's pinned baseline" in inv[0]
+
+
+def test_gate_decision_fresh_boot_self_pins_median():
+    inv, _, pin = bench.gate_decision(0.092, 0.096, boot_baseline=None)
+    assert inv == []
+    assert pin == round((0.092 + 0.096) / 2, 4)
+
+
+def test_gate_decision_fresh_boot_unstable_cannot_pin():
+    """A contended box (probe spread 2-5x measured) must not pin a
+    baseline — the r10 failure mode inverted (pinning a noisy value
+    would make every later quiet run on this boot stamp invalid)."""
+    inv, _, pin = bench.gate_decision(0.10, 0.25, boot_baseline=None)
+    assert pin is None
+    assert len(inv) == 1 and "unstable" in inv[0]
+
+
+def test_gate_decision_sanity_range_guards_hardware_swap():
+    inv, _, pin = bench.gate_decision(0.9, 0.91, boot_baseline=None)
+    assert pin is None and "sanity range" in inv[0]
+
+
+def test_gate_decision_absolute_pin_is_warning_only():
+    """The exact r10 false-invalid scenario: a quiet fast boot
+    (0.0919/0.0984 measured) far from the 0.115 constant must PASS,
+    with the cross-boot drift recorded as a warning."""
+    inv, warn, pin = bench.gate_decision(0.0919, 0.0984, boot_baseline=None)
+    assert inv == []
+    assert pin is not None
+    assert any("historical quiet pin" in w for w in warn)
+
+
+def test_stability_decision_bands():
+    assert bench.stability_decision(0.10, 0.105) == ([], [])
+    inv, warn = bench.stability_decision(0.10, 0.118)  # 18% -> warn
+    assert inv == [] and len(warn) == 1
+    inv, warn = bench.stability_decision(0.10, 0.14)  # 40% -> invalid
+    assert len(inv) == 1 and "changed state mid-run" in inv[0]
+    # historical valid max (a1814cb: 0.1201 -> 0.1413, 17.7%) stays valid
+    inv, _ = bench.stability_decision(0.1201, 0.1413)
+    assert inv == []
+
+
+def test_jvm_boot_class_ratio_and_warning():
+    info, warn = bench.jvm_boot_class(0.1005)
+    assert abs(info["jvm_boot_ratio"] - 1.005) < 1e-9 and warn == []
+    info, warn = bench.jvm_boot_class(0.1178)  # r10 slow boot: no warn yet
+    assert warn == []
+    info, warn = bench.jvm_boot_class(0.150)
+    assert len(warn) == 1 and "boot class" in warn[0]
+    info, warn = bench.jvm_boot_class(None)
+    assert info["jvm_boot_ratio"] is None and warn == []
+
+
+def test_boot_baseline_roundtrip(tmp_path):
+    p = str(tmp_path / "box_baseline.json")
+    assert bench.load_boot_baselines(p) == {}
+    bench.save_boot_baselines({"boot-x": {"py_loop": 0.1}}, p)
+    assert bench.load_boot_baselines(p) == {"boot-x": {"py_loop": 0.1}}
+
+
+def test_streaming_soak_degenerate_run_fails_without_crashing():
+    """ADVICE r10 #1: a dead stream (no progress entries, or all-None
+    trigger_ms) must return all-False checks with a note, not raise
+    StatisticsError/ValueError and skip the artifact."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from streaming_soak_gate import evaluate_checks
+
+    checks, metrics = evaluate_checks([], emitted=0, exception=None)
+    assert not any(checks.values())
+    assert "no progress recorded" in metrics["note"]
+
+    dead = _soak_series(n=6)
+    for s in dead:
+        s["trigger_ms"] = None
+    checks, metrics = evaluate_checks(dead, emitted=0, exception="died")
+    assert not any(checks.values())
+    assert metrics["exception"] == "died"

@@ -73,3 +73,23 @@ def test_queries_survive_hostile_session_defaults(spark):
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
+
+
+def test_production_mapping_staged_equals_unstaged(spark, tmp_path, monkeypatch):
+    """VERDICT r10 #2: the mid-plan routed-table checkpoint
+    (SPARK_GRAFT_STAGE_DIR) exists to halve the 1000x scratch high-water;
+    it must be a pure execution-strategy change — results bitwise equal."""
+    monkeypatch.delenv("SPARK_GRAFT_STAGE_DIR", raising=False)
+    plain = entry_mod.q_production_mapping(spark, SF_DIR)
+    rows_plain = sorted(map(tuple, plain.collect()))
+    spark.catalog.clearCache()
+    monkeypatch.setenv("SPARK_GRAFT_STAGE_DIR", str(tmp_path))
+    staged = entry_mod.q_production_mapping(spark, SF_DIR)
+    rows_staged = sorted(map(tuple, staged.collect()))
+    spark.catalog.clearCache()
+    assert staged.columns == plain.columns
+    assert rows_staged == rows_plain
+    # the staging actually wrote (the env path was honored)
+    import os as _os
+
+    assert any(d.startswith("routed_") for d in _os.listdir(tmp_path))

@@ -66,10 +66,33 @@ def _queries():
             "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
         )
 
+    def q_clusters_scale(spark, sf_dir):
+        # the clustering CONSUMER at scale (VERDICT r10 #5): star
+        # candidates (linear on hot cliques) -> exact-Jaccard verify ->
+        # large-star/small-star CC. Output grain is one row per doc, so
+        # rows_Nx == N * rows_1x is an IDENTITY even though the edge set
+        # is stochastic — the gate proves convergence + linear cost at
+        # 5M docs; membership/purity checks live in
+        # tools/neardup_composed_gate.py.
+        from mapping_timeseries_spark.operators.dedup import (
+            dedup_clusters_star,
+        )
+
+        ensure_runtime_conf(spark)
+        docs = read_table(spark, sf_dir, "documents")
+        pairs = minhash_lsh_pairs(
+            docs, threshold=0.5, portable=False, mode="star"
+        )
+        return dedup_clusters_star(docs, pairs)
+
+    # (fn, gate kind, build_timed): CC runs its convergence probes while
+    # BUILDING, so its leg times construction inside the timed region
+    # (bench DRIVER_LEGS contract)
     return {
-        "exact_dedup": (entry_mod.q_exact_dedup, "exact"),
-        "text_stats_core": (entry_mod.q_text_stats_core, "exact"),
-        "minhash_pairs_scale": (q_minhash_scale, "band"),
+        "exact_dedup": (entry_mod.q_exact_dedup, "exact", False),
+        "text_stats_core": (entry_mod.q_text_stats_core, "exact", False),
+        "minhash_pairs_scale": (q_minhash_scale, "band", False),
+        "dedup_clusters_scale": (q_clusters_scale, "exact", True),
     }
 
 
@@ -128,20 +151,29 @@ def main() -> int:
     res = {}
     if os.path.exists(out_json):
         with open(out_json) as f:
-            prior = json.load(f).get("queries", {})
-        res = {k: v for k, v in prior.items() if v.get("count_ok")}
-    for name, (fn, kind) in _queries().items():
+            prior_doc = json.load(f)
+        # resume only a SAME-FACTOR artifact (ADVICE r10 #4): reusing
+        # count_ok rows recorded at a different factor would silently
+        # mix scales in all_green
+        if prior_doc.get("factor") == factor:
+            prior = prior_doc.get("queries", {})
+            res = {k: v for k, v in prior.items() if v.get("count_ok")}
+    for name, (fn, kind, build_timed) in _queries().items():
         if name in res:
             print(name, "cached:", json.dumps(res[name]), flush=True)
             continue
         n1 = fn(spark, SF_1X).count()
-        wall1 = statistics.median(time_query(spark, fn, SF_1X, REPS_1X))
+        wall1 = statistics.median(
+            time_query(spark, fn, SF_1X, REPS_1X, build_timed=build_timed)
+        )
         _release()
         m = ScratchMeter(spark).start()
         nN = fn(spark, corpus_dir).count()
         spark.catalog.clearCache()
         wallN = statistics.median(
-            time_query(spark, fn, corpus_dir, REPS_NX)
+            time_query(
+                spark, fn, corpus_dir, REPS_NX, build_timed=build_timed
+            )
         )
         scratchN = m.stop()
         expected = n1 * factor
@@ -163,6 +195,49 @@ def main() -> int:
         }
         _release()
         print(name, json.dumps(res[name]), flush=True)
+        with open(out_json, "w") as f:
+            json.dump({"factor": factor, "queries": res}, f, indent=1)
+
+    # VERDICT r10 #6: per-stage breakdown of the minhash leg at Nx — the
+    # 392x observed wall ratio at the x1000 step needs attributing (band
+    # join vs verify) before a hypothetical fourth decade makes it
+    # ambiguous. Each stage's upstream is pinned, so a stage wall times
+    # that stage's work only.
+    stage_key = f"stages_{factor}x"
+    if "minhash_pairs_scale" in res and stage_key not in res[
+        "minhash_pairs_scale"
+    ]:
+        from mapping_timeseries_spark.operators import dedup as D
+        from mapping_timeseries_spark.sources.readers import read_table
+
+        docs_nx = read_table(spark, corpus_dir, "documents")
+        stages = {}
+        with D.dedup_cache_scope():
+            t0 = time.monotonic()
+            sh = D.scoped_pin(D._shingled(docs_nx, "text", 2))
+            sh = sh.where(sh.n_shingles > 0)
+            banded = D.scoped_pin(D._band_frame(sh, 32, 8, False))
+            n_banded = banded.count()
+            stages["shingle_band"] = {
+                "wall_sec": round(time.monotonic() - t0, 1),
+                "band_rows": n_banded,
+            }
+            t0 = time.monotonic()
+            cand = D.scoped_pin(D._lsh_candidates(banded, "pairs"))
+            n_cand = cand.count()
+            stages["band_join_candidates"] = {
+                "wall_sec": round(time.monotonic() - t0, 1),
+                "candidate_pairs": n_cand,
+            }
+            t0 = time.monotonic()
+            n_ver = D._verify_jaccard(cand, sh, 0.5).count()
+            stages["exact_jaccard_verify"] = {
+                "wall_sec": round(time.monotonic() - t0, 1),
+                "verified_pairs": n_ver,
+            }
+        res["minhash_pairs_scale"][stage_key] = stages
+        _release()
+        print("minhash stage breakdown:", json.dumps(stages), flush=True)
         with open(out_json, "w") as f:
             json.dump({"factor": factor, "queries": res}, f, indent=1)
     out = {

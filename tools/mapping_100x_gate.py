@@ -138,24 +138,46 @@ def main() -> int:
     res = {}
     if os.path.exists(out_json):
         with open(out_json) as f:
-            prior = json.load(f).get("queries", {})
-        res = {k: v for k, v in prior.items() if v.get("count_ok")}
+            prior_doc = json.load(f)
+        # resume only a SAME-FACTOR artifact (ADVICE r10 #4 twin): rows
+        # cached under another factor would silently mix scales
+        if prior_doc.get("factor") == factor:
+            prior = prior_doc.get("queries", {})
+            res = {k: v for k, v in prior.items() if v.get("count_ok")}
+    # production_mapping runs with the mid-plan routed-table checkpoint
+    # (VERDICT r10 #2): the staging write is part of the query's work,
+    # so its build runs INSIDE the timed region (bench DRIVER_LEGS
+    # contract) and the staged parquet lands in a per-gate scratch dir.
+    import shutil as _sh
+    import tempfile
+
+    stage_root = tempfile.mkdtemp(prefix="routed_stage_")
+    os.environ["SPARK_GRAFT_STAGE_DIR"] = stage_root
+    build_timed = {"production_mapping"}
     for name in QUERIES:
         if name in res:
             print(name, "cached:", json.dumps(res[name]), flush=True)
             continue
         n1 = qs[name](spark, SF_1X).count()
         wall1 = statistics.median(
-            time_query(spark, qs[name], SF_1X, REPS_1X)
+            time_query(
+                spark, qs[name], SF_1X, REPS_1X,
+                build_timed=name in build_timed,
+            )
         )
         _release()
         m = ScratchMeter(spark).start()
         nN = qs[name](spark, corpus_dir).count()
         spark.catalog.clearCache()
         wallN = statistics.median(
-            time_query(spark, qs[name], corpus_dir, REPS_NX)
+            time_query(
+                spark, qs[name], corpus_dir, REPS_NX,
+                build_timed=name in build_timed,
+            )
         )
         scratchN = m.stop()
+        for d in os.listdir(stage_root):
+            _sh.rmtree(os.path.join(stage_root, d), ignore_errors=True)
         res[name] = {
             "rows_1x": n1,
             f"rows_{factor}x": nN,
@@ -186,6 +208,8 @@ def main() -> int:
         json.dump(out, f, indent=1)
     print(json.dumps({k: v for k, v in out.items() if k != "queries"}))
     print(f"wrote {out_json} all_green={out['all_green']}")
+    os.environ.pop("SPARK_GRAFT_STAGE_DIR", None)
+    _sh.rmtree(stage_root, ignore_errors=True)
     spark.stop()
     return 0 if out["all_green"] else 1
 

@@ -113,9 +113,16 @@ def replicate_range(
     ``tables`` restricts which keyed tables are replicated (the mapping
     1000x gate only needs orders+lineitem — replicating the text tables
     1000x would triple the corpus for queries that never read them); the
-    small dimension tables are always copied through. The source is
-    repartitioned BEFORE the fan-out so ``partitions`` tasks each expand
-    their slice locally — replicated rows are never shuffled.
+    small dimension tables are always copied through, and (ADVICE r10
+    #5) the NON-replicated keyed tables are copied through at 1x too, so
+    every registry query finds its parquet — but a cross-SCALE join
+    (replicated orders against 1x customer) only matches replica 0 and
+    is out of contract. Key offsets are computed over ALL keyed tables
+    regardless of the restriction, so a future split replication (e.g.
+    orders without customer) cannot mis-offset a shared key domain. The
+    source is repartitioned BEFORE the fan-out so ``partitions`` tasks
+    each expand their slice locally — replicated rows are never
+    shuffled.
     """
     from pyspark.sql import functions as F
 
@@ -123,9 +130,10 @@ def replicate_range(
     os.makedirs(out_dir, exist_ok=True)
     domain_max: dict[str, int] = {}
     sources = {}
-    for name in names:
+    for name in KEYED_TABLES:
         src = spark.read.parquet(os.path.join(SF_DIR, f"{name}.parquet"))
-        sources[name] = src
+        if name in names:
+            sources[name] = src
         for col, domain in KEYED_TABLES[name]:
             m = src.agg(F.max(col)).first()[0] or 0
             domain_max[domain] = max(domain_max.get(domain, 0), m)
@@ -157,7 +165,10 @@ def replicate_range(
         out.write.mode("overwrite").parquet(
             os.path.join(out_dir, f"{name}.parquet")
         )
-    for name in COPY_TABLES:
+    passthrough = list(COPY_TABLES) + [
+        n for n in KEYED_TABLES if n not in names
+    ]
+    for name in passthrough:
         shutil.copyfile(
             os.path.join(SF_DIR, f"{name}.parquet"),
             os.path.join(out_dir, f"{name}.parquet"),

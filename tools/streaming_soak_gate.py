@@ -79,9 +79,30 @@ def evaluate_checks(
     steady = series[n // 3 :]
     mid = series[n // 3 : 2 * n // 3]
     last = series[2 * n // 3 :]
-    med_trigger_ms = statistics.median(
+    # Degenerate-run guard (ADVICE r10 #1): a stream that dies before
+    # any progress entry (or whose trigger_ms is all-None) must produce
+    # a FAILING artifact, not a StatisticsError/ValueError traceback
+    # with no artifact at all.
+    trigger_vals = [
         s["trigger_ms"] for s in steady if s["trigger_ms"] is not None
-    )
+    ]
+    if not trigger_vals or not mid or not last:
+        checks = {
+            "keepup": False,
+            "state_plateau": False,
+            "emits": False,
+            "evicts": False,
+            "clean": False,
+        }
+        metrics = {
+            "note": "no progress recorded: stream died before the steady "
+            "region or every trigger_ms was None",
+            "progress_entries": n,
+            "closed_sessions_emitted": emitted,
+            "exception": exception,
+        }
+        return checks, metrics
+    med_trigger_ms = statistics.median(trigger_vals)
     mid_state = max(s["state_rows"] or 0 for s in mid)
     last_state = max(s["state_rows"] or 0 for s in last)
     total_removed = sum(s["state_removed"] or 0 for s in series)
