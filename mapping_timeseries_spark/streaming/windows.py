@@ -197,6 +197,8 @@ def stream_to_versioned(
     output_mode: str = "complete",
     note_prefix: str = "stream",
     vacuum_keep: int | None = None,
+    processing_time: str | None = None,
+    run_seconds: float | None = None,
 ) -> None:
     """Continuously refresh a versioned table (sources/versioned.py) from
     a streaming aggregation: each micro-batch is staged as a new immutable
@@ -229,7 +231,17 @@ def stream_to_versioned(
     (default) when older versions must stay time-travelable — vacuum
     then belongs on a separate maintenance schedule. The pointed-at
     version is never vacuumed, so a drain whose last batch failed QA
-    keeps its published (older) version intact."""
+    keeps its published (older) version intact.
+
+    ``processing_time``: None (default) drains available data once
+    (availableNow trigger — the batch-refresh shape); a duration string
+    (e.g. ``"2 seconds"``) runs a CONTINUOUS refresh on that trigger
+    interval. ``run_seconds`` bounds a continuous run: stop the query
+    (and run the optional vacuum) after that many seconds; a qa_check
+    that RAISES fails the query, and the StreamingQueryException
+    propagates — restarting from the same checkpoint redelivers the
+    failed batch (the at-least-once contract above; soak-gated with
+    injected failures in tools/versioned_refresh_soak_gate.py)."""
     from ..sources.versioned import (
         publish_version,
         vacuum_versions,
@@ -248,13 +260,25 @@ def stream_to_versioned(
         if qa_check is None or qa_check(batch_df):
             publish_version(root, version)
 
-    query = (
+    writer = (
         stream_df.writeStream.foreachBatch(_stage_and_publish)
         .outputMode(output_mode)
         .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
     )
-    query.awaitTermination()
+    if processing_time is None:
+        query = writer.trigger(availableNow=True).start()
+        query.awaitTermination()
+    else:
+        query = writer.trigger(processingTime=processing_time).start()
+        if run_seconds is None:
+            query.awaitTermination()
+        else:
+            # awaitTermination(timeout) RAISES if the query failed (a
+            # qa_check exception inside foreachBatch) — propagate that;
+            # on a clean timeout, stop and wait for the in-flight
+            # trigger to finish.
+            query.awaitTermination(run_seconds)
+            query.stop()
+            query.awaitTermination()
     if vacuum_keep is not None:
         vacuum_versions(root, keep_last=vacuum_keep)
