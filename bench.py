@@ -338,6 +338,11 @@ SCRATCH_CEILING_BYTES = {
     "ngram_jaccard": 750_000_000,       # r9: 237 MB (two-leg union)
     "gopher_repetition": 350_000_000,   # r9: 111 MB (9-n explode pass)
     "skew_median_hist": 128_000_000,    # r9: 36 MB
+    # r11: the mapping pair's sampled readings jitter 13-33 MB across
+    # boots on unchanged code (dying-residue bases, SCALE.md) — own pins
+    # so the 2x-headroom pytest doesn't trip on meter noise
+    "corr_mapping": 128_000_000,        # r10: 13 MB; r11 boot: 33 MB
+    "auto_mapping": 128_000_000,        # r10: 27 MB
 }
 SCRATCH_CEILING_DEFAULT = 64_000_000
 

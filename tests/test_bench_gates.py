@@ -87,7 +87,11 @@ def test_artifact_carries_gate_keys():
     if "scratch_warnings" not in detail:
         return  # pre-r10 artifact still committed; refreshed this round
     assert isinstance(detail["scratch_warnings"], list)
-    assert detail["gate"]["scratch_ceilings"] == bench.SCRATCH_CEILING_BYTES
+    # pins may be ADDED between bench runs (the artifact predates them);
+    # a pin the artifact ran with must still exist with the same value —
+    # silently loosening or dropping one would orphan the recorded gate
+    for leg, cap in detail["gate"]["scratch_ceilings"].items():
+        assert bench.SCRATCH_CEILING_BYTES.get(leg) == cap, (leg, cap)
     assert (
         detail["gate"]["scratch_ceiling_default"]
         == bench.SCRATCH_CEILING_DEFAULT
@@ -256,3 +260,36 @@ def test_streaming_soak_degenerate_run_fails_without_crashing():
     checks, metrics = evaluate_checks(dead, emitted=0, exception="died")
     assert not any(checks.values())
     assert metrics["exception"] == "died"
+
+
+def test_versioned_soak_checks_arithmetic():
+    """The versioned-refresh soak gate's pass/fail logic (pure, no
+    stream): healthy run passes; each failure mode flips its check."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from versioned_refresh_soak_gate import evaluate_checks as ev
+
+    healthy = dict(
+        observed={1, 2, 3, 5},
+        gated={4, 6},
+        read_errors=[],
+        violations=[],
+        phase1_exc="StreamingQueryException: injected",
+        max_pub_at_crash=3,
+        max_version=5,
+        orphans_on_disk=[4, 6],
+    )
+    assert all(ev(**healthy).values())
+
+    # a reader observed a QA-vetoed version -> two-phase publish broken
+    assert not ev(**{**healthy, "observed": {1, 2, 4}})["qa_gated"]
+    # torn read
+    assert not ev(**{**healthy, "read_errors": ["boom"]})["clean_reads"]
+    # snapshot mutated / pointer regressed / counts shrank
+    assert not ev(**{**healthy, "violations": ["v3 mutated"]})["no_partial"]
+    # crash never happened, or restart published nothing new
+    assert not ev(**{**healthy, "phase1_exc": None})["resumed_after_crash"]
+    assert not ev(**{**healthy, "max_version": 3})["resumed_after_crash"]
+    # a gated snapshot was vacuumed/lost -> forensics incomplete
+    assert not ev(**{**healthy, "orphans_on_disk": [4]})["forensic_orphans"]

@@ -122,6 +122,29 @@ class Reader(threading.Thread):
                 self.observed[v] = (rows, total)
 
 
+def evaluate_checks(
+    observed: set,
+    gated: set,
+    read_errors: list,
+    violations: list,
+    phase1_exc: str | None,
+    max_pub_at_crash: int,
+    max_version: int,
+    orphans_on_disk: list,
+) -> dict:
+    """The gate's pass/fail arithmetic, separated from the live stream
+    so pytest can pin it (same contract as the sessionizer soak's
+    evaluate_checks and bench.py's gate helpers)."""
+    return {
+        "clean_reads": not read_errors,
+        "no_partial": not violations,
+        "qa_gated": not (observed & gated),
+        "resumed_after_crash": phase1_exc is not None
+        and max_version > max_pub_at_crash,
+        "forensic_orphans": len(orphans_on_disk) == len(gated),
+    }
+
+
 def main() -> int:
     out_json = (
         sys.argv[1]
@@ -226,14 +249,16 @@ def main() -> int:
         and v not in observed
     ]
 
-    checks = {
-        "clean_reads": not reader.errors,
-        "no_partial": not reader.violations,
-        "qa_gated": not (observed & set(gated)),
-        "resumed_after_crash": phase1_exc is not None
-        and reader.max_version > max_pub_after_crash,
-        "forensic_orphans": len(on_disk_orphans) == len(gated),
-    }
+    checks = evaluate_checks(
+        observed,
+        set(gated),
+        reader.errors,
+        reader.violations,
+        phase1_exc,
+        max_pub_after_crash,
+        reader.max_version,
+        on_disk_orphans,
+    )
     out = {
         "rows_per_sec": ROWS_PER_SEC,
         "keys": KEYS,
