@@ -710,7 +710,17 @@ def _band_frame(
         sig = minhash_signature(F.col("shingles"), num_hashes)
 
         def bucket_key(band: int):
-            return F.hash(
+            # xxhash64, NOT F.hash (r11): F.hash is 32-bit Murmur3, and
+            # the bucket-key space saturates by the birthday bound —
+            # measured at the x10000 gate (50M docs): C(50M,2)*8/2^32
+            # ~= 2.3M spurious candidates predicted, +2.1M observed
+            # (7.87M vs ~5.8M true; map_stage_10000x_gate.json). All
+            # verification-killed (Jaccard ~0), so correctness never
+            # moved — but at 5B docs the spurious volume would be ~1e15
+            # pairs, a dead job. 64-bit keys push the birthday bound to
+            # ~0.7 spurious pairs at 5B docs/band. MUST stay in lockstep
+            # with _band_frame_carrying (index/batch band-key parity).
+            return F.xxhash64(
                 *[
                     F.col("sig")[band * rows_per_band + r]
                     for r in range(rows_per_band)
@@ -1193,7 +1203,10 @@ def _band_frame_carrying(
         sig = minhash_signature(F.col("shingles"), num_hashes)
 
         def bucket_key(band: int):
-            return F.hash(
+            # xxhash64 in lockstep with _band_frame (r11 32-bit
+            # saturation fix there) — the incremental new-vs-index join
+            # requires identical band keys on both paths
+            return F.xxhash64(
                 *[
                     F.col("sig")[band * rows_per_band + r]
                     for r in range(rows_per_band)

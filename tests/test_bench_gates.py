@@ -293,3 +293,31 @@ def test_versioned_soak_checks_arithmetic():
     assert not ev(**{**healthy, "max_version": 3})["resumed_after_crash"]
     # a gated snapshot was vacuumed/lost -> forensics incomplete
     assert not ev(**{**healthy, "orphans_on_disk": [4]})["forensic_orphans"]
+
+
+def test_neardup_composed_checks_arithmetic():
+    """The composed near-dup gate's pass/fail logic (pure): exactness
+    and band checks flip independently."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from neardup_composed_gate import evaluate_checks as ev
+
+    rows = [(1, 1, 1), (2, 1, 0)]
+    healthy = dict(
+        rep0_rows=rows,
+        ref_rows=rows,
+        max_replicas_per_cluster=1,
+        n_edges=990,
+        n_edges_1x=1,
+        n_clusters=1010,
+        n_clusters_1x=1,
+        factor=1000,
+    )
+    assert all(ev(**healthy).values())
+    assert not ev(**{**healthy, "rep0_rows": rows[:1]})["replica0_exact"]
+    assert not ev(**{**healthy, "max_replicas_per_cluster": 2})["purity_exact"]
+    assert not ev(**{**healthy, "n_edges": 880})["edges_band"]  # >10% off
+    assert not ev(**{**healthy, "n_clusters": 1200})["clusters_band"]
+    # band is inclusive at the edge
+    assert ev(**{**healthy, "n_edges": 900})["edges_band"]

@@ -75,10 +75,30 @@ def _pipeline_frames(docs, threshold=THRESHOLD):
     return sh, banded, star_edges
 
 
-def _replica_of(df, offset):
-    from pyspark.sql import functions as F
-
-    return df.withColumn("replica", (F.col("doc_id") / offset).cast("long"))
+def evaluate_checks(
+    rep0_rows,
+    ref_rows,
+    max_replicas_per_cluster: int,
+    n_edges: int,
+    n_edges_1x: int,
+    n_clusters: int,
+    n_clusters_1x: int,
+    factor: int,
+    band: float = BAND,
+) -> dict:
+    """The gate's pass/fail arithmetic, separated from the live run so
+    pytest can pin it (same contract as the soak gates' evaluate_checks
+    and bench.py's gate helpers). ``rep0_rows``/``ref_rows`` are the
+    sorted (doc_id, cluster_id, is_keeper) tuples of the Nx run's
+    replica-0 restriction and the independent 1x run."""
+    return {
+        "replica0_exact": rep0_rows == ref_rows,
+        "purity_exact": max_replicas_per_cluster == 1,
+        "edges_band": abs(n_edges - factor * n_edges_1x)
+        <= band * factor * n_edges_1x,
+        "clusters_band": abs(n_clusters - factor * n_clusters_1x)
+        <= band * factor * n_clusters_1x,
+    }
 
 
 def main() -> int:
@@ -216,14 +236,16 @@ def main() -> int:
         }
     _release()
 
-    checks = {
-        "replica0_exact": rep0 == ref_rows,
-        "purity_exact": max_repl == 1,
-        "edges_band": abs(n_edges - factor * n_edges_1x)
-        <= BAND * factor * n_edges_1x,
-        "clusters_band": abs(n_clusters_nx - factor * n_clusters_1x)
-        <= BAND * factor * n_clusters_1x,
-    }
+    checks = evaluate_checks(
+        rep0,
+        ref_rows,
+        max_repl,
+        n_edges,
+        n_edges_1x,
+        n_clusters_nx,
+        n_clusters_1x,
+        factor,
+    )
     out = {
         "factor": factor,
         "corpus": corpus_dir,
