@@ -2313,3 +2313,42 @@ def test_lsh_star_edges_are_verified_subset(spark, noisy_docs):
     }
     assert star <= allp
     assert star  # non-trivial on the planted-twin fixture
+
+
+def test_band_keys_lockstep_and_64bit(spark):
+    """r11 bucket-saturation fix guards: (1) _band_frame and
+    _band_frame_carrying produce IDENTICAL (doc_id, band, bucket) sets
+    — the incremental new-vs-index join and the stream==batch pin both
+    depend on band-key parity, so the two bucket_key expressions must
+    never drift apart; (2) the non-portable bucket key is 64-bit (a
+    32-bit key saturates by the birthday bound at ~50M docs — measured,
+    map_stage_10000x_gate.json)."""
+    from mapping_timeseries_spark.operators.dedup import (
+        _band_frame,
+        _band_frame_carrying,
+        _shingled,
+    )
+
+    docs = _hot_clique_corpus(spark, 30)
+    sh = _shingled(docs, "text", 2).where(F.col("n_shingles") > 0).persist()
+    for portable in (False, True):
+        a = {
+            (r["doc_id"], r["band"], r["bucket"])
+            for r in _band_frame(sh, 32, 8, portable).collect()
+        }
+        b = {
+            (r["doc_id"], r["band"], r["bucket"])
+            for r in _band_frame_carrying(sh, 32, 8, portable)
+            .select("doc_id", "band", "bucket")
+            .collect()
+        }
+        assert a == b, f"band-key drift (portable={portable})"
+    # 64-bit check: with 55 docs x 8 bands the xxhash64 bucket strings
+    # must leave the 32-bit range somewhere (P(all 440 draws inside
+    # 2^32 of a 2^64 space) ~ 0); a regression to F.hash cannot pass
+    buckets = [
+        int(r["bucket"])
+        for r in _band_frame(sh, 32, 8, False).select("bucket").collect()
+    ]
+    assert any(abs(v) > 2**31 for v in buckets), "bucket keys look 32-bit"
+    sh.unpersist()
