@@ -195,6 +195,15 @@ STABILITY_INVALID_BAND = 0.25
 #: boot class", it is a different hardware class or a pathological box —
 #: needs eyes, not a silent re-pin.
 PY_LOOP_SANITY = (0.04, 0.40)
+#: Self-pin guard vs STEADY load (r11 review): two probes 5 s apart
+#: agree under a constant background job just as well as on a quiet box
+#: — the stability check only defeats BURSTY contention. A fresh pin
+#: must also sit within this relative band of the historical quiet
+#: constant (quiet boots measured 0.092-0.145 = within 26% of 0.115;
+#: 45% rejects a 0.19 steady-load reading while leaving room for a
+#: genuinely faster/slower container class). A true hardware change is
+#: the documented override: SPARK_GRAFT_QUIET_PY_LOOP.
+PIN_VS_HISTORICAL_BAND = 0.45
 
 #: JVM boot-class reference (r11, VERDICT r10 #2): post-run jvm_loop_sec
 #: on the fastest boot class measured so far (r10 driver boot 0.1005;
@@ -224,7 +233,18 @@ def load_boot_baselines(path: str = BOX_BASELINE_PATH) -> dict:
         return {}
 
 
+#: Retained boot entries: on ephemeral containers every run is a fresh
+#: boot_id, so without a cap the committed file grows one dead entry
+#: per boot forever. Pruning drops the oldest by pinned_at.
+MAX_BOOT_BASELINES = 12
+
+
 def save_boot_baselines(baselines: dict, path: str = BOX_BASELINE_PATH):
+    if len(baselines) > MAX_BOOT_BASELINES:
+        keep = sorted(
+            baselines, key=lambda b: baselines[b].get("pinned_at", 0.0)
+        )[-MAX_BOOT_BASELINES:]
+        baselines = {b: baselines[b] for b in keep}
     os.makedirs(os.path.dirname(path), exist_ok=True)
     with open(path, "w") as f:
         json.dump(baselines, f, indent=1, sort_keys=True)
@@ -277,6 +297,19 @@ def gate_decision(
                     f"py_loop self-pin {new_pin} outside sanity range "
                     f"{PY_LOOP_SANITY}: hardware class changed, re-pin "
                     "QUIET_PY_LOOP/SANITY by hand"
+                )
+                new_pin = None
+            elif rel_dev(new_pin, pin) > PIN_VS_HISTORICAL_BAND:
+                # steady (non-bursty) load defeats the two-probe
+                # agreement check — refuse to commit a pin far from the
+                # historical quiet class (a bad pin would make every
+                # later QUIET run on this boot stamp invalid, the r10
+                # bug inverted)
+                invalid.append(
+                    f"py_loop self-pin candidate {new_pin} is "
+                    f">{PIN_VS_HISTORICAL_BAND:.0%} from the historical "
+                    f"quiet class {pin}: steady background load, or a "
+                    "hardware change (override SPARK_GRAFT_QUIET_PY_LOOP)"
                 )
                 new_pin = None
             ref = new_pin if new_pin is not None else probe1
@@ -497,6 +530,7 @@ def _box_gate() -> tuple[dict, list, list, int, float | None]:
     if new_pin is not None:
         entry = baselines.setdefault(boot, {})
         entry["py_loop"] = new_pin
+        entry["pinned_at"] = round(time.time(), 0)
         entry["runs"] = entry.get("runs", 0) + 1
         try:
             save_boot_baselines(baselines)

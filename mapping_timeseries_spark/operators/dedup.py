@@ -957,6 +957,12 @@ def build_minhash_index(
         "bands": bands,
         "portable": portable,
         "text_col": text_col,
+        # bucket-key GENERATION (r11): the non-portable bucket hash
+        # changed 32-bit F.hash -> xxhash64 (saturation fix). Bucket
+        # keys from different generations never collide, which a join
+        # reads as "no duplicates" rather than an error — so the
+        # generation is committed with the index and enforced on load.
+        "bucket_hash": "band-values" if portable else "xxhash64",
     }
     with open(os.path.join(path, "meta.json"), "w") as f:
         json.dump(meta, f)
@@ -975,6 +981,20 @@ def load_minhash_index(spark, path: str):
         )
     with open(meta_path) as f:
         meta = json.load(f)
+    # Non-portable bucket keys changed generation in r11 (32-bit F.hash
+    # -> xxhash64): an index banded under the old generation would join
+    # with ZERO candidates against newly-banded batches — silent
+    # missed-duplicate ingestion, not an error. Refuse to load it.
+    # Portable indexes are exempt: their keys are the band VALUES
+    # themselves (concat), which never changed derivation.
+    if not meta.get("portable", True):
+        if meta.get("bucket_hash") != "xxhash64":
+            raise ValueError(
+                f"index at {path} was built with a previous non-portable "
+                f"bucket-key generation ({meta.get('bucket_hash', '32-bit F.hash')!r}); "
+                "its keys cannot collide with xxhash64-banded batches — "
+                "rebuild the index (build_minhash_index)"
+            )
     return (
         spark.read.parquet(os.path.join(path, "bands")),
         spark.read.parquet(os.path.join(path, "shingles")),

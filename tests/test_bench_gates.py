@@ -321,3 +321,53 @@ def test_neardup_composed_checks_arithmetic():
     assert not ev(**{**healthy, "n_clusters": 1200})["clusters_band"]
     # band is inclusive at the edge
     assert ev(**{**healthy, "n_edges": 900})["edges_band"]
+
+
+def test_gate_decision_steady_load_cannot_self_pin():
+    """r11 review: two probes agreeing under STEADY background load
+    defeat the stability heuristic — the pin must also sit near the
+    historical quiet class or be refused."""
+    inv, _, pin = bench.gate_decision(0.19, 0.192, boot_baseline=None)
+    assert pin is None
+    assert len(inv) == 1 and "steady background load" in inv[0]
+    # a genuinely faster container class within the band still pins
+    inv, _, pin = bench.gate_decision(0.085, 0.088, boot_baseline=None)
+    assert inv == [] and pin is not None
+
+
+def test_boot_baseline_pruned_to_cap(tmp_path):
+    """Ephemeral containers mint a fresh boot_id per run; the committed
+    file must not grow unboundedly."""
+    p = str(tmp_path / "b.json")
+    many = {
+        f"boot-{i}": {"py_loop": 0.1, "pinned_at": float(i)}
+        for i in range(bench.MAX_BOOT_BASELINES + 9)
+    }
+    bench.save_boot_baselines(many, p)
+    kept = bench.load_boot_baselines(p)
+    assert len(kept) == bench.MAX_BOOT_BASELINES
+    # newest survive
+    assert f"boot-{bench.MAX_BOOT_BASELINES + 8}" in kept
+    assert "boot-0" not in kept
+
+
+def test_versioned_soak_requires_injected_crash():
+    """r11 review: an unrelated phase-1 death (exception present, but
+    the QA sabotage never fired) must NOT satisfy resumed_after_crash."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from versioned_refresh_soak_gate import evaluate_checks as ev
+
+    base = dict(
+        observed={1, 2},
+        gated=set(),
+        read_errors=[],
+        violations=[],
+        phase1_exc="Py4JError: port clash at batch 2",
+        max_pub_at_crash=1,
+        max_version=5,
+        orphans_on_disk=[],
+    )
+    assert not ev(**base, crash_injected=False)["resumed_after_crash"]
+    assert ev(**base, crash_injected=True)["resumed_after_crash"]

@@ -2352,3 +2352,44 @@ def test_band_keys_lockstep_and_64bit(spark):
     ]
     assert any(abs(v) > 2**31 for v in buckets), "bucket keys look 32-bit"
     sh.unpersist()
+
+
+def test_index_refuses_previous_bucket_key_generation(spark, tmp_path, noisy_docs):
+    """r11 bucket-saturation fix: a non-portable index banded under the
+    old 32-bit F.hash generation joins with ZERO candidates against
+    xxhash64-banded batches — silent missed duplicates, not an error.
+    meta.json now commits the generation and load refuses a mismatch;
+    portable indexes (band-value keys, derivation unchanged) are exempt."""
+    import json as _json
+
+    from mapping_timeseries_spark.operators.dedup import (
+        build_minhash_index,
+        load_minhash_index,
+    )
+
+    path = str(tmp_path / "idx")
+    build_minhash_index(noisy_docs, path, portable=False)
+    # fresh index carries the generation and loads fine
+    _, _, meta = load_minhash_index(spark, path)
+    assert meta["bucket_hash"] == "xxhash64"
+
+    # simulate a pre-fix index: old meta had no bucket_hash field
+    mp = f"{path}/meta.json"
+    with open(mp) as f:
+        old_meta = _json.load(f)
+    del old_meta["bucket_hash"]
+    with open(mp, "w") as f:
+        _json.dump(old_meta, f)
+    with pytest.raises(ValueError, match="bucket-key generation"):
+        load_minhash_index(spark, path)
+
+    # portable index: exempt even without the field (keys never changed)
+    ppath = str(tmp_path / "pidx")
+    build_minhash_index(noisy_docs, ppath, portable=True)
+    mp = f"{ppath}/meta.json"
+    with open(mp) as f:
+        pm = _json.load(f)
+    del pm["bucket_hash"]
+    with open(mp, "w") as f:
+        _json.dump(pm, f)
+    load_minhash_index(spark, ppath)  # no raise

@@ -43,6 +43,7 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))  # tools/ for lsh_stages
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF_1X = "/root/testdata/sf0.1"
@@ -207,6 +208,8 @@ def main() -> int:
     if "minhash_pairs_scale" in res and stage_key not in res[
         "minhash_pairs_scale"
     ]:
+        import lsh_stages
+
         from mapping_timeseries_spark.operators import dedup as D
         from mapping_timeseries_spark.sources.readers import read_table
 
@@ -214,23 +217,21 @@ def main() -> int:
         stages = {}
         with D.dedup_cache_scope():
             t0 = time.monotonic()
-            sh = D.scoped_pin(D._shingled(docs_nx, "text", 2))
-            sh = sh.where(sh.n_shingles > 0)
-            banded = D.scoped_pin(D._band_frame(sh, 32, 8, False))
+            sh, banded = lsh_stages.staged_frames(docs_nx)
             n_banded = banded.count()
             stages["shingle_band"] = {
                 "wall_sec": round(time.monotonic() - t0, 1),
                 "band_rows": n_banded,
             }
             t0 = time.monotonic()
-            cand = D.scoped_pin(D._lsh_candidates(banded, "pairs"))
+            cand = D.scoped_pin(lsh_stages.candidates(banded, "pairs"))
             n_cand = cand.count()
             stages["band_join_candidates"] = {
                 "wall_sec": round(time.monotonic() - t0, 1),
                 "candidate_pairs": n_cand,
             }
             t0 = time.monotonic()
-            n_ver = D._verify_jaccard(cand, sh, 0.5).count()
+            n_ver = lsh_stages.verify(cand, sh).count()
             stages["exact_jaccard_verify"] = {
                 "wall_sec": round(time.monotonic() - t0, 1),
                 "verified_pairs": n_ver,

@@ -38,6 +38,7 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))  # tools/ for lsh_stages
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF_1X = "/root/testdata/sf0.1"
@@ -108,21 +109,24 @@ def main() -> int:
     pre = box_calibration()
 
     def run(sf_dir, label):
+        import lsh_stages
+
         docs = read_table(spark, sf_dir, "documents")
         out = {}
         with D.dedup_cache_scope():
             m = ScratchMeter(spark).start()
             t0 = time.monotonic()
-            sh = D._shingled(docs, "text", 2)
-            sh = sh.where(sh.n_shingles > 0)
-            banded = D.scoped_pin(D._band_frame(sh, 32, 8, False))
+            # pin_shingles=False: this gate never runs the verifier, and
+            # 50M docs' shingle sets are tens of GB of cache for a frame
+            # read once (see lsh_stages.staged_frames)
+            _sh, banded = lsh_stages.staged_frames(docs, pin_shingles=False)
             out["band_rows"] = banded.count()
             out["stage_a_wall_sec"] = round(time.monotonic() - t0, 1)
             out["stage_a_peak_scratch_bytes"] = m.stop()
 
             m = ScratchMeter(spark).start()
             t0 = time.monotonic()
-            out["candidate_pairs"] = D._lsh_candidates(
+            out["candidate_pairs"] = lsh_stages.candidates(
                 banded, "pairs"
             ).count()
             out["stage_b_wall_sec"] = round(time.monotonic() - t0, 1)

@@ -35,8 +35,12 @@ builds shingles+bands (the map-heavy half), stage B generates star
 candidates and verifies exact Jaccard (the join-heavy half), stage C
 runs star CC to a fixed point (the iterative half, timed build-inside
 because CC runs its convergence probes during construction). Scratch
-high-water per stage via ScratchMeter, drained between stages so bases
-are honest (SCALE.md dying-base semantics).
+high-water per stage via ScratchMeter; stages share ONE cache scope
+(draining mid-scope would delete live pinned blocks), so each stage's
+base_scratch_bytes — recorded beside the peak — carries the prior
+stages' residue and makes any deflated delta visible in the artifact
+(SCALE.md dying-base semantics); the full drain runs between the 1x
+and Nx runs.
 
 Writes artifacts/neardup_composed_gate.json.
 Usage: python tools/neardup_composed_gate.py [--factor N] [out.json]
@@ -50,6 +54,7 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))  # tools/ for lsh_stages
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF_1X = "/root/testdata/sf0.1"
@@ -58,19 +63,19 @@ THRESHOLD = 0.5
 
 
 def _pipeline_frames(docs, threshold=THRESHOLD):
-    """The composed pipeline's stage frames, built from the SAME
-    operator internals the production entry uses (no gate-only
-    reimplementation): returns (shingled, banded, star_edges_fn,
-    clusters_fn) where the fns close over the pinned upstreams."""
-    from mapping_timeseries_spark.operators import dedup as D
+    """The composed pipeline's stage frames via the SHARED stage module
+    (tools/lsh_stages — one definition for all three scale gates):
+    returns (shingled, banded, star_edges_fn) where star_edges_fn
+    closes over the pinned upstreams; CC runs on its result via
+    dedup_clusters_star at the call site."""
+    import lsh_stages
 
-    sh = D.scoped_pin(D._shingled(docs, "text", 2))
-    sh = sh.where(sh.n_shingles > 0)
-    banded = D.scoped_pin(D._band_frame(sh, 32, 8, False))
+    sh, banded = lsh_stages.staged_frames(docs)
 
     def star_edges():
-        cand = D._lsh_candidates(banded, "star")
-        return D._verify_jaccard(cand, sh, threshold)
+        return lsh_stages.verify(
+            lsh_stages.candidates(banded, "star"), sh, threshold
+        )
 
     return sh, banded, star_edges
 
