@@ -61,11 +61,13 @@ from ..sources.readers import ensure_parallel, release_checkpoint
 __all__ = [
     "dedup_cache_scope",
     "scoped_pin",
+    "scoped_cleanup",
     "exact_dedup",
     "content_hash_dedup",
     "ngram_jaccard_pairs",
     "ngram_decontaminate",
     "minhash_lsh_pairs",
+    "narrow_sets_to_participants",
     "minhash_index_frames",
     "build_minhash_index",
     "load_minhash_index",
@@ -90,6 +92,22 @@ __all__ = [
 #: single-threaded per session in this engine's usage, and a stack keeps
 #: nested scopes correct.
 _CACHE_SCOPES: list[list[DataFrame]] = []
+
+#: Parallel stack of zero-arg cleanup callables (r12, ADVICE r11): the
+#: staged-checkpoint paths (production_mapping's routed_<uuid> parquet
+#: dir) need a best-effort delete AFTER the final action consumes them —
+#: the same lifetime the cache scope already manages for pins.
+_SCOPE_CLEANUPS: list[list] = []
+
+
+def scoped_cleanup(fn) -> None:
+    """Register a zero-arg callable to run (best-effort, exceptions
+    swallowed) when the innermost dedup_cache_scope exits. No-op outside
+    any scope — callers that stage scratch outside a scope own the
+    documented per-build leak (see q_production_mapping's
+    SPARK_GRAFT_STAGE_DIR contract)."""
+    if _SCOPE_CLEANUPS:
+        _SCOPE_CLEANUPS[-1].append(fn)
 
 
 def scoped_pin(df: DataFrame) -> DataFrame:
@@ -121,16 +139,24 @@ def dedup_cache_scope():
     contract (a long-lived service wraps each corpus pass; see module
     docstring). Consume results INSIDE the scope."""
     pinned: list[DataFrame] = []
+    cleanups: list = []
     _CACHE_SCOPES.append(pinned)
+    _SCOPE_CLEANUPS.append(cleanups)
     try:
         yield
     finally:
         _CACHE_SCOPES.pop()
+        _SCOPE_CLEANUPS.pop()
         for df in pinned:
             df.unpersist()
             # checkpoint-backed frames (dedup_clusters results) need the
             # raw-RDD release; no-op for ordinary persisted frames
             _release_checkpoint(df)
+        for fn in cleanups:
+            try:
+                fn()
+            except Exception:
+                pass  # best-effort scratch cleanup only
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -198,6 +224,35 @@ def _verify_jaccard(
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def narrow_sets_to_participants(
+    sets_df: DataFrame, candidates: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Restrict a per-doc set frame (string shingles or hashed sets) to
+    the docs that actually appear in a candidate pair list, via a
+    BROADCAST left-semi join over the distinct participant ids.
+
+    The verifier only ever reads set rows for docs present in
+    ``candidates`` (both its joins are inner on doc_a/doc_b), so this is
+    candidate-removing-only — verify(narrow(sh, cand), cand) is
+    row-identical to verify(sh, cand) (pytest-pinned). What it buys at
+    scale: the corpus-sized set frame is filtered MAP-SIDE (broadcast
+    semi-join, no Exchange of the big side) before the verify joins, so
+    their shuffles move |participants| rows instead of |corpus| rows.
+    The r12 x10000 gate measured the difference directly: at 50M docs
+    the un-narrowed verify must shuffle all 50M string-shingle rows
+    (tens of GB), while star-candidate participants are ~1% of the
+    corpus. Boundary: the broadcast carries the distinct participant-id
+    list (~8 B each, ~80 MB at 10M participants); past ~100M
+    participants switch to a Bloom-filter semi-join or let AQE pick the
+    strategy by dropping the explicit broadcast hint."""
+    ids = (
+        candidates.select(F.col("doc_a").alias(id_col))
+        .unionByName(candidates.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    return sets_df.join(F.broadcast(ids), id_col, "left_semi")
 
 
 def _verify_jaccard_hashed(

@@ -92,6 +92,29 @@ def _mappings_for_route(
     return corr_part.unionByName(dtw_part)
 
 
+def _stage_entity_table(spark, df: DataFrame, stage_dir: str, label: str) -> DataFrame:
+    """Mid-plan checkpoint for an entity-sized frame (r12, VERDICT r11
+    #6): write it to parquet — that action runs the frame's whole
+    upstream (training/routing) half on its own — and return a plan
+    that READS it back, so the final mapping action no longer holds the
+    training exchanges concurrently with the routed build's (the ×1000
+    gate measured 30–44 GB scratch unstaged vs 20.9 GB staged on the
+    entry twin). Pure execution-strategy change: results bitwise equal
+    (pytest). The staged dir is registered for best-effort deletion
+    with the innermost dedup_cache_scope; OUTSIDE any scope it must
+    outlive the returned lazy plan, so the caller owns vacuuming the
+    scratch dir (same contract as q_production_mapping's
+    SPARK_GRAFT_STAGE_DIR)."""
+    import shutil
+
+    from ..operators.dedup import scoped_cleanup
+
+    path = os.path.join(stage_dir, f"{label}_{uuid.uuid4().hex}")
+    df.write.mode("overwrite").parquet(path)
+    scoped_cleanup(lambda p=path: shutil.rmtree(p, ignore_errors=True))
+    return spark.read.parquet(path)
+
+
 def run_pipeline(
     spark,
     table1: DataFrame,
@@ -107,6 +130,7 @@ def run_pipeline(
     on_alert: Any = None,
     versioned_root: str | None = None,
     model: DataFrame | None = None,
+    scratch_dir: str | None = None,
 ) -> PipelineResult:
     """End-to-end production run. With ``recommendations=None`` the model
     is trained inline (best-lag correlation over the merged frame), which
@@ -135,6 +159,15 @@ def run_pipeline(
     partitioned mappings sink under it is gated by the same QA pass —
     the "readers never consume a QA-failed table" guarantee covers both
     sinks, not just the version pointer.
+
+    ``scratch_dir``: when configured, the entity-sized model/routing
+    table is STAGED to parquet there before the mapping build — the
+    default-on form (r12, VERDICT r11 #6) of the checkpoint that was
+    previously opt-in via SPARK_GRAFT_STAGE_DIR only (a 100× user got
+    the worse 30–44 GB-scratch plan unless they knew the env var). The
+    env var still overrides the directory when set. Results are bitwise
+    identical either way (pytest); staged dirs are vacuumed on
+    dedup_cache_scope exit, else they are the caller's scratch to clean.
     """
     cfg = config or MappingConfig()
     run_id = run_id or uuid.uuid4().hex[:12]
@@ -151,7 +184,7 @@ def run_pipeline(
         return _run_pipeline_body(
             spark, table1, table2, recommendations, key_col, time_col,
             value1_col, value2_col, output_path, cfg, run_id, on_alert,
-            versioned_root, model,
+            versioned_root, model, scratch_dir,
         )
     except Exception as exc:  # noqa: BLE001 — failure path mirrors reference
         import traceback
@@ -188,8 +221,14 @@ def _run_pipeline_body(
     on_alert: Any,
     versioned_root: str | None = None,
     model: DataFrame | None = None,
+    scratch_dir: str | None = None,
 ) -> PipelineResult:
     t_start = time.time()
+
+    # default-on staging (r12): the env var keeps its override role for
+    # the entry twin and the gates, the pipeline arg makes the better
+    # plan the default for anyone who configured scratch at all
+    stage_dir = os.environ.get("SPARK_GRAFT_STAGE_DIR") or scratch_dir
 
     t1 = canonicalize(table1, key_col, time_col, value1_col, VALUE1, "table1")
     t2 = canonicalize(table2, key_col, time_col, value2_col, VALUE2, "table2")
@@ -205,11 +244,19 @@ def _run_pipeline_body(
         corr = model if model is not None else best_lag_correlation(
             merged, cfg.max_lag
         )
+        if stage_dir and model is None:
+            # the inline-trained model holds the full corr-grid window
+            # stack upstream; staging the entity-sized result detaches
+            # those exchanges from the mapping join's action (a
+            # caller-supplied model is already detached — no stage)
+            corr = _stage_entity_table(spark, corr, stage_dir, "model")
         mapped = build_correlation_mappings(t1, t2, corr, cfg.min_correlation).select(
             KEY, "time1", "value1", "time2", "value2", "lag_offset", "method"
         )
     else:
         routed = route_entities(t1.select(KEY).distinct(), recommendations)
+        if stage_dir:
+            routed = _stage_entity_table(spark, routed, stage_dir, "routed")
         # one tiny agg over the per-entity routed frame: the
         # manual_review bucket produces ZERO mapping rows by design, and
         # an unexplained coverage dip is the alternative to counting it

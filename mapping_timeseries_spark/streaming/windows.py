@@ -275,8 +275,13 @@ def stream_to_versioned(
         else:
             # awaitTermination(timeout) RAISES if the query failed (a
             # qa_check exception inside foreachBatch) — propagate that;
-            # on a clean timeout, stop and wait for the in-flight
-            # trigger to finish.
+            # on a clean timeout, stop(). NOTE stop() may INTERRUPT the
+            # in-flight batch (it does not drain it): a foreachBatch cut
+            # between staging and checkpoint commit is safely REDELIVERED
+            # on restart — safety comes from checkpoint redelivery plus
+            # the two-phase stage-then-publish, not from graceful
+            # drain — but orphaned staged-unpublished version dirs are
+            # expected debris and are vacuumable (vacuum_versions).
             query.awaitTermination(run_seconds)
             query.stop()
             query.awaitTermination()

@@ -2393,3 +2393,46 @@ def test_index_refuses_previous_bucket_key_generation(spark, tmp_path, noisy_doc
     with open(mp, "w") as f:
         _json.dump(pm, f)
     load_minhash_index(spark, ppath)  # no raise
+
+
+def test_narrowed_verify_row_identical(spark):
+    """r12 (VERDICT r11 #4): narrow_sets_to_participants is
+    candidate-removing-only — the verifier joins inner on doc_a/doc_b,
+    so restricting the shingle frame to candidate participants (the
+    broadcast map-side filter the x10000 gate runs) must leave the
+    verified edge set row-identical, while actually narrowing (the
+    fixture has non-candidate docs)."""
+    from mapping_timeseries_spark.operators.dedup import (
+        _band_frame,
+        _lsh_candidates,
+        _shingled,
+        _verify_jaccard,
+        narrow_sets_to_participants,
+    )
+    from mapping_timeseries_spark.sources.readers import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents").limit(200)
+    sh = _shingled(docs, "text", 2).where(F.col("n_shingles") > 0).persist()
+    banded = _band_frame(sh, 32, 8, False).persist()
+    cand = _lsh_candidates(banded, "star").persist()
+    try:
+        full = sorted(map(tuple, _verify_jaccard(cand, sh, 0.5).collect()))
+        narrowed = narrow_sets_to_participants(sh, cand)
+        nv = sorted(
+            map(tuple, _verify_jaccard(cand, narrowed, 0.5).collect())
+        )
+        assert nv == full and full, "narrowed verify changed the edge set"
+        n_narrow, n_full = narrowed.count(), sh.count()
+        assert n_narrow < n_full, "fixture must have non-candidate docs"
+        # the narrowed frame is exactly the participant set
+        participants = {
+            r[0]
+            for r in cand.select("doc_a").union(cand.select("doc_b"))
+            .distinct()
+            .collect()
+        }
+        assert n_narrow == len(participants)
+    finally:
+        sh.unpersist()
+        banded.unpersist()
+        cand.unpersist()

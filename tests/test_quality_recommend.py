@@ -516,3 +516,74 @@ def test_pipeline_alerts_on_result(spark, pair):
     # healthy synthetic pair: all SLA gates green, no alerts
     assert result.stats["sla_met"]
     assert result.alerts == []
+
+
+def test_pipeline_scratch_dir_stages_and_results_equal(spark, pair, tmp_path, monkeypatch):
+    """r12 (VERDICT r11 #6): staging is default-on under
+    run_pipeline(scratch_dir=...) — previously opt-in via the
+    SPARK_GRAFT_STAGE_DIR env var only. Pure execution-strategy change:
+    results bitwise equal on BOTH branches (supplied recommendations /
+    inline-trained model), the stage dir actually gets written, and the
+    dedup_cache_scope vacuums it."""
+    import os as _os
+
+    from mapping_timeseries_spark.operators.dedup import dedup_cache_scope
+
+    monkeypatch.delenv("SPARK_GRAFT_STAGE_DIR", raising=False)
+    t1, t2 = pair
+    merged = merge_series(
+        canonicalize(t1, "cus_code", "month", "txn_amount", VALUE1),
+        canonicalize(t2, "cus_code", "month", "revenue", VALUE2),
+    )
+    recs = recommendation_table(
+        compare_methods(best_lag_correlation(merged, 6), dtw_summary(merged))
+    )
+    scratch = str(tmp_path / "scratch")
+
+    def rows(result):
+        # processed_at is a wall-clock stamp; run_id is pinned equal
+        return sorted(
+            map(tuple, result.mapped.drop("processed_at").collect())
+        )
+
+    for recommendations in (recs, None):
+        plain = run_pipeline(
+            spark, t1, t2, recommendations,
+            "cus_code", "month", "txn_amount", "revenue", run_id="stagecmp",
+        )
+        with dedup_cache_scope():
+            staged = run_pipeline(
+                spark, t1, t2, recommendations,
+                "cus_code", "month", "txn_amount", "revenue",
+                run_id="stagecmp", scratch_dir=scratch,
+            )
+            label = "routed_" if recommendations is not None else "model_"
+            assert any(
+                d.startswith(label) for d in _os.listdir(scratch)
+            ), "scratch_dir was configured but nothing staged"
+            assert rows(staged) == rows(plain)
+        # scope exit vacuumed the staged dirs (best-effort delete)
+        assert _os.listdir(scratch) == []
+
+
+def test_pipeline_supplied_model_not_staged(spark, pair, tmp_path, monkeypatch):
+    """A caller-supplied model is already detached from the training
+    exchanges — staging it would be a pointless extra write; the
+    scratch dir must stay empty on that path."""
+    import os as _os
+
+    monkeypatch.delenv("SPARK_GRAFT_STAGE_DIR", raising=False)
+    t1, t2 = pair
+    merged = merge_series(
+        canonicalize(t1, "cus_code", "month", "txn_amount", VALUE1),
+        canonicalize(t2, "cus_code", "month", "revenue", VALUE2),
+    )
+    model = best_lag_correlation(merged, 6)
+    scratch = str(tmp_path / "scratch2")
+    result = run_pipeline(
+        spark, t1, t2, None,
+        "cus_code", "month", "txn_amount", "revenue",
+        model=model, scratch_dir=scratch,
+    )
+    assert result.stats["total_mappings"] > 0
+    assert not _os.path.exists(scratch) or _os.listdir(scratch) == []

@@ -1,0 +1,329 @@
+"""Gate the FULL composed corpus pipeline at x1000 = 5M docs (r12,
+VERDICT r11 #3): every stage of ``run_corpus_pipeline`` ON
+(canonicalize NFC, corpus line-dedup, PII redaction, exact dedup,
+MinHash star+CC near-dup, n-gram benchmark decontamination with the
+Bloom prefilter, quality, Gopher repetition, bigram-LM perplexity, NB
+classifier, DSIR selection, shard export + manifest), run ONCE as the
+single composition a 100 TB user actually executes. The component
+stages were individually gated at 5M docs across r10-r11; the
+composition itself was gated only at 10x (corpus_pipeline_stress.json,
+50k docs).
+
+Corpus: the shared ``scale_stress_1000x_dedup`` dir (replicate_range,
+documents only — per-word ``·rN`` renaming on replicas r>0, replica 0
+bit-identical to 1x).
+
+Design deltas vs the 10x stress gate, both scale-honest:
+
+- HOLDOUT IS FIXED at the 1x corpus' src0 docs for BOTH scales. A
+  benchmark holdout does not grow with the training corpus (that is
+  the real-world shape), and a 1000x holdout would put ~250k docs
+  behind the decontamination broadcast. Consequence: only replica-0
+  docs can match it (replicas r>0 are per-word renamed), so the
+  CONTAMINATED count — not the pass ratio — is the exact invariant:
+  fails(x1000) == fails(1x).
+- Model stages (bigram-LM ppl, NB, DSIR) remain corpus-global BY
+  DESIGN (a model trained on 1000x data IS a different model — the
+  10x gate's documented discipline), so they are reported and k-gated
+  (DSIR pass == dsir_keep at each scale), never replica-0-gated. The
+  trainers are safe at 1000x vocabulary because their models are lazy
+  vocab frames / dense 4096-bucket tables — nothing corpus-sized hits
+  the driver (textmodels module contract).
+- The replica-0 slice of every PER-DOC stage (exact, neardup, clean,
+  quality, gopher) must equal the 1x counts EXACTLY — including
+  neardup: replica 0 holds the globally smallest doc_ids, so star
+  hubs of mixed buckets stay replica-0 docs, cross-replica edges are
+  verification-killed (disjoint shingles), and the replica-0 verified
+  edge set is bit-identical to 1x (the argument the composed gate
+  proved bit-for-bit at this factor).
+- Composition linearity: the x1000 wall must not exceed factor x the
+  1x wall (fixed costs amortize; nothing in the stack is super-linear
+  — the per-stage gates measured ratios 11.8-392 at this factor).
+  Scratch high-water per timed run via ScratchMeter.
+
+The stats come from the pipeline's single Observation (no per-stage
+re-runs); the replica-0 slice is ONE extra evaluation of the flag plan
+(untimed), same shape as the 10x gate.
+
+Writes artifacts/corpus_pipeline_1000x_gate.json.
+Usage: python tools/corpus_pipeline_1000x_gate.py [--factor N] [out.json]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF_1X = "/root/testdata/sf0.1"
+
+# same non-vacuous thresholds as the 10x stress gate (its docstring has
+# the 1x-distribution derivation)
+MAX_PPL = 30.8
+MIN_NB_LOG_ODDS = -3.1
+MIN_QUALITY = 0.7
+DSIR_KEEP_1X = 100
+
+#: banded stages: exact dedup keeps one keeper per cross-replica
+#: rewrite-collapse group (measured 0.018% at 10x — gate 0.1%);
+#: neardup keepers ride per-replica LSH draws whose per-pair recall at
+#: the corpus' J-distribution is ~0.9998, so a handful of the 999 fresh
+#: replicas may each drift by a keeper — 1% is generous, 10% would hide
+#: a bucket-key-class bug
+EXACT_BAND = 0.001
+NEARDUP_BAND = 0.01
+
+REPLICA0_STAGES = (
+    "n_pass_exact",
+    "n_pass_neardup",
+    "n_pass_clean",
+    "n_pass_quality",
+    "n_pass_gopher",
+)
+
+
+def evaluate_checks(
+    s1: dict,
+    sN: dict,
+    rep0: dict,
+    factor: int,
+    wall_1x: float,
+    wall_nx: float,
+    manifest_rows_1x: int,
+    manifest_rows_nx: int,
+) -> dict:
+    """Pass/fail arithmetic, pure for pytest. ``s1``/``sN`` are the
+    pipeline Observation stats at 1x / Nx; ``rep0`` the Nx flag counts
+    restricted to replica 0."""
+    fails_clean_1 = s1["n_input"] - s1["n_pass_clean"]
+    fails_clean_n = sN["n_input"] - sN["n_pass_clean"]
+    return {
+        "input_exact": sN["n_input"] == factor * s1["n_input"],
+        "exact_dedup_band": abs(sN["n_pass_exact"] - factor * s1["n_pass_exact"])
+        <= EXACT_BAND * factor * s1["n_pass_exact"],
+        "neardup_band": abs(
+            sN["n_pass_neardup"] - factor * s1["n_pass_neardup"]
+        )
+        <= NEARDUP_BAND * factor * s1["n_pass_neardup"],
+        "clean_fails_exact": fails_clean_n == fails_clean_1,
+        "replica0_slice_equals_1x": all(
+            rep0.get(k) == s1.get(k) for k in ("n_input",) + REPLICA0_STAGES
+        ),
+        "dsir_pass_equals_k": (
+            s1.get("n_pass_dsir") == DSIR_KEEP_1X
+            and sN.get("n_pass_dsir") == DSIR_KEEP_1X * factor
+        ),
+        "manifest_rows_match": (
+            manifest_rows_1x == s1["n_retained"]
+            and manifest_rows_nx == sN["n_retained"]
+        ),
+        "wall_linear": wall_nx <= factor * wall_1x,
+    }
+
+
+def _pipeline_kwargs(docs, holdout_1x, scale: int, nb_model: dict) -> dict:
+    return dict(
+        min_quality=MIN_QUALITY,
+        portable_hashes=True,
+        lm_ref=docs.where(F.col("source") != "src0"),
+        max_ppl=MAX_PPL,
+        nb_model=nb_model,
+        min_nb_log_odds=MIN_NB_LOG_ODDS,
+        canonicalize="NFC",
+        line_dedup_mode="keep_first",
+        redact=True,
+        gopher_filter=True,
+        dsir_target=docs.where(F.col("source") == "src0"),
+        dsir_keep=DSIR_KEEP_1X * scale,
+    )
+
+
+def main() -> int:
+    argv = list(sys.argv[1:])
+    factor = 1000
+    if "--factor" in argv:
+        i = argv.index("--factor")
+        factor = int(argv[i + 1])
+        del argv[i : i + 2]
+    out_json = (
+        argv[0]
+        if argv
+        else os.path.join(REPO, "artifacts", "corpus_pipeline_1000x_gate.json")
+    )
+    corpus_dir = os.path.join(REPO, "artifacts", f"scale_stress_{factor}x_dedup")
+
+    from bench import box_calibration
+    from mapping_timeseries_spark.operators.dedup import dedup_cache_scope
+    from mapping_timeseries_spark.operators.textmodels import nb_train
+    from mapping_timeseries_spark.plans.corpus_pipeline import (
+        flag_corpus,
+        run_corpus_pipeline,
+    )
+    from mapping_timeseries_spark.scratch import (
+        ScratchMeter,
+        drain,
+        spark_local_dirs,
+    )
+    from mapping_timeseries_spark.session import ensure_runtime_conf, get_spark
+    from mapping_timeseries_spark.sources.writers import verify_shard_manifest
+
+    spark = get_spark(
+        "corpus-pipeline-1000x",
+        master="local[32]",
+        shuffle_partitions=256,
+        extra_conf={
+            "spark.driver.memory": "48g",
+            "spark.io.compression.codec": "zstd",
+        },
+    )
+    ensure_runtime_conf(spark)
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    if not os.path.isdir(corpus_dir):
+        print(f"{corpus_dir} missing — replicating {factor}x (one-time)")
+        import scale_stress
+
+        t0 = time.monotonic()
+        scale_stress.replicate_range(
+            spark, factor, corpus_dir, tables=("documents",)
+        )
+        print(f"replicated in {time.monotonic() - t0:.0f}s")
+
+    def _release():
+        import gc
+
+        spark.catalog.clearCache()
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        drain(spark_local_dirs(spark))
+
+    pre = box_calibration()
+    docs_1x = spark.read.parquet(os.path.join(SF_1X, "documents.parquet"))
+    offset = docs_1x.agg(F.max("doc_id")).first()[0] + 1
+    # FIXED holdout (module docstring): the 1x src0 docs at both scales
+    holdout = docs_1x.where(F.col("source") == "src0").select("doc_id", "text")
+
+    def _nb(docs):
+        return nb_train(
+            docs.withColumn("__y", (F.col("source") == "src0").cast("int")),
+            "__y",
+        )
+
+    def run_once(sf_dir: str, scale: int, out_path: str) -> dict:
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        m = ScratchMeter(spark).start()
+        with dedup_cache_scope():
+            t0 = time.monotonic()
+            res = run_corpus_pipeline(
+                docs,
+                holdout,
+                out_path,
+                n_shards=16,
+                **_pipeline_kwargs(docs, holdout, scale, _nb(docs)),
+            )
+            wall = time.monotonic() - t0
+        peak = m.stop()
+        manifest = verify_shard_manifest(spark, out_path)
+        n_written = spark.read.parquet(out_path).count()
+        _release()
+        stats = {k: int(v) for k, v in res.stats.items()}
+        assert n_written == stats["n_retained"], (n_written, stats)
+        return {
+            "wall_sec": round(wall, 1),
+            "peak_scratch_bytes": peak,
+            "stats": stats,
+            "manifest_rows": sum(
+                v["n_rows"] for v in manifest.get("shards", {}).values()
+            ),
+            "rows_written": n_written,
+        }
+
+    def replica0_counts(sf_dir: str, scale: int) -> dict:
+        """Nx flag counts restricted to replica 0 (one extra untimed
+        evaluation of the flag plan — the 10x gate's shape)."""
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        with dedup_cache_scope():
+            flagged = flag_corpus(
+                docs, holdout, **_pipeline_kwargs(docs, holdout, scale, _nb(docs))
+            )
+            row = (
+                flagged.where(F.col("doc_id") < offset)
+                .agg(
+                    F.count(F.lit(1)).alias("n_input"),
+                    *[
+                        F.sum(c).alias(f"n_{c}")
+                        for c in flagged.columns
+                        if c.startswith("pass_")
+                    ],
+                )
+                .first()
+                .asDict()
+            )
+        _release()
+        return {k: int(v) for k, v in row.items()}
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        # untimed 1x warm-up absorbs JVM/codegen compilation
+        run_once(SF_1X, 1, os.path.join(tmp, "warm"))
+        r1 = run_once(SF_1X, 1, os.path.join(tmp, "s1"))
+        print("1x:", json.dumps(r1), flush=True)
+        rN = run_once(corpus_dir, factor, os.path.join(tmp, "sN"))
+        print(f"{factor}x:", json.dumps(rN), flush=True)
+        rep0 = replica0_counts(corpus_dir, factor)
+        print("replica0:", json.dumps(rep0), flush=True)
+
+    checks = evaluate_checks(
+        r1["stats"],
+        rN["stats"],
+        rep0,
+        factor,
+        r1["wall_sec"],
+        rN["wall_sec"],
+        r1["manifest_rows"],
+        rN["manifest_rows"],
+    )
+    out = {
+        "factor": factor,
+        "corpus": corpus_dir,
+        "config": {
+            "min_quality": MIN_QUALITY,
+            "max_ppl": MAX_PPL,
+            "min_nb_log_odds": MIN_NB_LOG_ODDS,
+            "dsir_keep_1x": DSIR_KEEP_1X,
+            "holdout": "FIXED 1x src0 (benchmarks do not scale with the corpus)",
+            "stages": "canonicalize=NFC, line_dedup=keep_first, redact, "
+            "exact, minhash(star)+CC, decontam(bloom), quality, gopher, "
+            "lm_ppl, nb, dsir, shard export(16)+manifest",
+        },
+        "1x": r1,
+        f"{factor}x": rN,
+        "replica0_slice": rep0,
+        "stage_count_ratios": {
+            k: round(rN["stats"][k] / max(r1["stats"][k], 1), 4)
+            for k in r1["stats"]
+        },
+        "wall_ratio": round(rN["wall_sec"] / max(r1["wall_sec"], 1e-9), 1),
+        "checks": checks,
+        "all_green": all(checks.values()),
+        "box_calibration": {"pre": pre, "post": box_calibration()},
+    }
+    os.makedirs(os.path.dirname(out_json), exist_ok=True)
+    with open(out_json, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps({k: v for k, v in out.items() if k not in ("1x", f"{factor}x")}))
+    print(f"wrote {out_json} all_green={out['all_green']}")
+    spark.stop()
+    return 0 if out["all_green"] else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -50,3 +50,23 @@ def verify(cand, sh, threshold: float = THRESHOLD):
     from mapping_timeseries_spark.operators import dedup as D
 
     return D._verify_jaccard(cand, sh, threshold)
+
+
+def narrowed_verify(cand, sh_unpinned, threshold: float = THRESHOLD):
+    """Stage B second half, participant-narrowed form (r12, VERDICT r11
+    #4): the UN-pinned shingle frame is broadcast-semi-joined down to
+    the candidate participants (map-side filter — no Exchange of the
+    corpus-sized side), the narrowed frame is pinned, and the same
+    production verifier runs against it. Row-identical to
+    verify(cand, sh) by the candidate-removing-only argument on
+    narrow_sets_to_participants (pytest-pinned); exists because pinning
+    50M docs' string shingle sets for a verifier that reads ~1% of them
+    is the x10000 scale wall. Returns (verified_edges, narrowed_pinned)
+    so the caller's scope can account for the pin."""
+    from mapping_timeseries_spark.operators import dedup as D
+
+    cand = D.scoped_pin(cand)
+    narrowed = D.scoped_pin(
+        D.narrow_sets_to_participants(sh_unpinned, cand)
+    )
+    return D._verify_jaccard(cand, narrowed, threshold), narrowed

@@ -43,7 +43,15 @@ stages' residue and makes any deflated delta visible in the artifact
 and Nx runs.
 
 Writes artifacts/neardup_composed_gate.json.
-Usage: python tools/neardup_composed_gate.py [--factor N] [out.json]
+Usage: python tools/neardup_composed_gate.py [--factor N] [--narrow]
+       [--rm-corpus] [out.json]
+
+r12 flags (VERDICT r11 #4 — the x10000 run): ``--narrow`` switches the
+verify stage to the participant-narrowed form (row-identical, pytest:
+test_narrowed_verify_row_identical; recorded as "narrowed_verify" in
+the artifact) so the corpus-wide string-shingle pin is never built;
+``--rm-corpus`` deletes the replicated corpus afterwards (the x10000
+corpus is ~8 GB the box cannot keep between rounds).
 """
 
 from __future__ import annotations
@@ -62,20 +70,32 @@ BAND = 0.10
 THRESHOLD = 0.5
 
 
-def _pipeline_frames(docs, threshold=THRESHOLD):
+def _pipeline_frames(docs, threshold=THRESHOLD, narrow=False):
     """The composed pipeline's stage frames via the SHARED stage module
     (tools/lsh_stages — one definition for all three scale gates):
     returns (shingled, banded, star_edges_fn) where star_edges_fn
     closes over the pinned upstreams; CC runs on its result via
-    dedup_clusters_star at the call site."""
+    dedup_clusters_star at the call site.
+
+    ``narrow=True`` (r12, VERDICT r11 #4 — the x10000 run): the shingle
+    frame is NOT pinned corpus-wide; the verifier gets the
+    participant-narrowed pinned frame instead (lsh_stages.
+    narrowed_verify — broadcast semi-join, row-identical by pytest).
+    Pinning 50M docs' string shingle sets for a verifier that touches
+    ~1% of them is the fourth decade's memory wall; at 100 TB the same
+    narrowing is how the verify stage avoids shuffling the corpus."""
     import lsh_stages
 
-    sh, banded = lsh_stages.staged_frames(docs)
+    sh, banded = lsh_stages.staged_frames(docs, pin_shingles=not narrow)
 
     def star_edges():
-        return lsh_stages.verify(
-            lsh_stages.candidates(banded, "star"), sh, threshold
-        )
+        cand = lsh_stages.candidates(banded, "star")
+        if narrow:
+            edges, _narrowed = lsh_stages.narrowed_verify(
+                cand, sh, threshold
+            )
+            return edges
+        return lsh_stages.verify(cand, sh, threshold)
 
     return sh, banded, star_edges
 
@@ -113,6 +133,13 @@ def main() -> int:
         i = argv.index("--factor")
         factor = int(argv[i + 1])
         del argv[i : i + 2]
+    narrow = "--narrow" in argv
+    if narrow:
+        argv.remove("--narrow")
+    # the x10000 corpus is ~8 GB the box cannot keep between rounds
+    rm_corpus = "--rm-corpus" in argv
+    if rm_corpus:
+        argv.remove("--rm-corpus")
     out_json = (
         argv[0]
         if argv
@@ -171,7 +198,7 @@ def main() -> int:
 
     # ---- 1x reference run (composed, single scope) -----------------------
     with D.dedup_cache_scope():
-        sh1, banded1, star1 = _pipeline_frames(docs_1x)
+        sh1, banded1, star1 = _pipeline_frames(docs_1x, narrow=narrow)
         edges_1x = star1()
         n_edges_1x = edges_1x.count()
         clusters_1x = D.dedup_clusters_star(docs_1x, edges_1x)
@@ -192,7 +219,7 @@ def main() -> int:
     with D.dedup_cache_scope():
         m = ScratchMeter(spark).start()
         t0 = time.monotonic()
-        sh, banded, star = _pipeline_frames(docs_nx)
+        sh, banded, star = _pipeline_frames(docs_nx, narrow=narrow)
         # materialize the pinned stage-A frames (shingle+band signatures)
         n_banded = banded.count()
         stages["A_shingle_band"] = {
@@ -254,6 +281,7 @@ def main() -> int:
     out = {
         "factor": factor,
         "corpus": corpus_dir,
+        "narrowed_verify": narrow,
         "threshold": THRESHOLD,
         "band": BAND,
         "docs_1x": docs_1x.count(),
@@ -278,6 +306,11 @@ def main() -> int:
     print(json.dumps(stages, indent=1))
     print(f"wrote {out_json} all_green={out['all_green']}")
     spark.stop()
+    if rm_corpus and not os.environ.get("KEEP_STRESS_DATA"):
+        import shutil
+
+        shutil.rmtree(corpus_dir, ignore_errors=True)
+        print(f"removed {corpus_dir}")
     return 0 if out["all_green"] else 1
 
 
