@@ -1346,30 +1346,37 @@ def append_minhash_index(new_docs: DataFrame, path: str) -> None:
 
     spark = new_docs.sparkSession
     _, index_shingles, meta = load_minhash_index(spark, path)
+    # pinned ONCE: the shingle pass feeds the clash check, the shingles
+    # write AND the band write. r12 (index_append_gate at 5M docs): the
+    # previous form wrote the batch, then RE-READ the whole shingles
+    # parquet and semi-joined it back down to the batch ids — an
+    # O(index) scan+shuffle that made a 10% append 2.7x SLOWER than a
+    # full rebuild (247 s vs 93 s); persist() gets the same
+    # compute-tokenize-once guarantee at O(batch) cost (post-fix walls
+    # and the unchanged hash-sums: artifacts/index_append_gate.json).
     sh = _shingled(new_docs, meta["text_col"], meta["n"]).where(
         F.col("n_shingles") > 0
-    )
-    clash = (
-        sh.select("doc_id")
-        .join(index_shingles.select("doc_id"), "doc_id", "left_semi")
-        .limit(1)
-        .count()
-    )
-    if clash:
-        raise ValueError(
-            f"append_minhash_index: batch contains doc_ids already in the "
-            f"index at {path}"
+    ).persist()
+    try:
+        # broadcast the batch ids: the clash probe then filters the
+        # stored doc_id column map-side instead of shuffling it
+        clash = (
+            index_shingles.select("doc_id")
+            .join(F.broadcast(sh.select("doc_id")), "doc_id", "left_semi")
+            .limit(1)
+            .count()
         )
-    sh.write.mode("append").parquet(os.path.join(path, "shingles"))
-    # band from the just-written parquet for the same
-    # no-double-computation reason as build_minhash_index; restrict to
-    # this batch's ids via the batch frame (cheap broadcast semi-join)
-    sh_stored = spark.read.parquet(os.path.join(path, "shingles")).join(
-        sh.select("doc_id"), "doc_id", "left_semi"
-    )
-    _band_frame(
-        sh_stored, meta["num_hashes"], meta["bands"], meta["portable"]
-    ).write.mode("append").parquet(os.path.join(path, "bands"))
+        if clash:
+            raise ValueError(
+                f"append_minhash_index: batch contains doc_ids already "
+                f"in the index at {path}"
+            )
+        sh.write.mode("append").parquet(os.path.join(path, "shingles"))
+        _band_frame(
+            sh, meta["num_hashes"], meta["bands"], meta["portable"]
+        ).write.mode("append").parquet(os.path.join(path, "bands"))
+    finally:
+        sh.unpersist()
 
 
 def simhash_fingerprints(
