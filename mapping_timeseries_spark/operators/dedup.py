@@ -874,6 +874,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     portable: bool = False,
     mode: str = "pairs",
+    narrow_verify: bool = False,
 ) -> DataFrame:
     """MinHash + LSH near-dup candidates, Jaccard-verified.
 
@@ -906,6 +907,16 @@ def minhash_lsh_pairs(
     than the pair list itself; see :func:`_lsh_candidates` for the exact
     recall semantics and :func:`dedup_clusters` / the corpus pipeline
     for the consumer wiring.
+
+    ``narrow_verify`` (r12): restrict the verifier's shingle frame to
+    the candidate participants via :func:`narrow_sets_to_participants`
+    (broadcast semi-join) before the two verify joins — row-identical
+    output (pytest), but the verify shuffles move |participants| rows
+    instead of |corpus| rows. The scale knob for star-mode corpora
+    where participants are a small corpus fraction (the x10000
+    composed gate runs this path at 50M docs); leave OFF when
+    candidates span most of the corpus (the broadcast id list would be
+    corpus-sized — the boundary documented on the helper).
     """
     if bands < 1 or num_hashes % bands != 0:
         # a silent truncation changes the S-curve 1-(1-J^r)^b the
@@ -930,6 +941,9 @@ def minhash_lsh_pairs(
     # persisted: the self-join (or hub join) would otherwise recompute
     # the full signature pipeline once per side
     cand = _lsh_candidates(banded, mode)
+    if narrow_verify:
+        cand = _pin(cand)
+        sh = _pin(narrow_sets_to_participants(sh, cand))
     return _verify_jaccard(cand, sh, threshold)
 
 

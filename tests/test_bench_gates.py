@@ -480,18 +480,19 @@ def test_corpus_pipeline_1000x_checks_arithmetic():
     s1 = dict(
         n_input=5000, n_pass_exact=4500, n_pass_neardup=4600,
         n_pass_clean=4900, n_pass_quality=3000, n_pass_gopher=4800,
-        n_pass_dsir=100, n_retained=80,
+        n_pass_ppl=4700, n_pass_dsir=500, n_retained=80,
     )
     sN = dict(
         n_input=5_000_000, n_pass_exact=4_499_100,  # -0.02% collapse
         n_pass_neardup=4_599_700,                   # a few LSH re-rolls
         n_pass_clean=4_999_900,                     # fails 100 == 1x fails
         n_pass_quality=2_500_000, n_pass_gopher=4_700_000,
-        n_pass_dsir=100_000, n_retained=70_000,
+        n_pass_ppl=200_000, n_pass_dsir=500_000, n_retained=70_000,
     )
     rep0 = dict(
         n_input=5000, n_pass_exact=4500, n_pass_neardup=4600,
         n_pass_clean=4900, n_pass_quality=3000, n_pass_gopher=4800,
+        n_pass_ppl=4700,
     )
     ok = ev(s1, sN, rep0, 1000, 10.0, 5000.0, 80, 70_000)
     assert all(ok.values()), ok

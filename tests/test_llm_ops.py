@@ -2436,3 +2436,30 @@ def test_narrowed_verify_row_identical(spark):
         sh.unpersist()
         banded.unpersist()
         cand.unpersist()
+
+
+def test_minhash_lsh_pairs_narrow_verify_row_identical(spark):
+    """The production narrow_verify knob is a pure execution-strategy
+    change: same verified pair set, both modes."""
+    from mapping_timeseries_spark.operators.dedup import (
+        dedup_cache_scope,
+        minhash_lsh_pairs,
+    )
+    from mapping_timeseries_spark.sources.readers import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents").limit(200)
+    for mode in ("star", "pairs"):
+        with dedup_cache_scope():
+            plain = sorted(
+                map(tuple, minhash_lsh_pairs(docs, mode=mode).collect())
+            )
+        with dedup_cache_scope():
+            narrowed = sorted(
+                map(
+                    tuple,
+                    minhash_lsh_pairs(
+                        docs, mode=mode, narrow_verify=True
+                    ).collect(),
+                )
+            )
+        assert narrowed == plain and plain, mode

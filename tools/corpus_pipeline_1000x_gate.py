@@ -22,13 +22,16 @@ Design deltas vs the 10x stress gate, both scale-honest:
   docs can match it (replicas r>0 are per-word renamed), so the
   CONTAMINATED count — not the pass ratio — is the exact invariant:
   fails(x1000) == fails(1x).
-- Model stages (bigram-LM ppl, NB, DSIR) remain corpus-global BY
-  DESIGN (a model trained on 1000x data IS a different model — the
-  10x gate's documented discipline), so they are reported and k-gated
-  (DSIR pass == dsir_keep at each scale), never replica-0-gated. The
-  trainers are safe at 1000x vocabulary because their models are lazy
-  vocab frames / dense 4096-bucket tables — nothing corpus-sized hits
-  the driver (textmodels module contract).
+- The bigram-LM reference is FIXED at 1x too (threshold note below:
+  a per-scale lm_ref made n_pass_ppl collapse to 0.16% at x1000), so
+  ppl becomes per-doc deterministic and joins the replica-0 identity
+  stages. NB and DSIR remain corpus-global BY DESIGN (a model trained
+  on 1000x data IS a different model — the 10x gate's documented
+  discipline): reported and k-gated (DSIR pass == dsir_keep at each
+  scale), never replica-0-gated. The trainers are safe at 1000x
+  vocabulary because their models are lazy vocab frames / dense
+  4096-bucket tables — nothing corpus-sized hits the driver
+  (textmodels module contract).
 - The replica-0 slice of every PER-DOC stage (exact, neardup, clean,
   quality, gopher) must equal the 1x counts EXACTLY — including
   neardup: replica 0 holds the globally smallest doc_ids, so star
@@ -64,12 +67,26 @@ from pyspark.sql import functions as F  # noqa: E402
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF_1X = "/root/testdata/sf0.1"
 
-# same non-vacuous thresholds as the 10x stress gate (its docstring has
-# the 1x-distribution derivation)
-MAX_PPL = 30.8
-MIN_NB_LOG_ODDS = -3.1
+# Thresholds: quality stays at the 10x gate's 0.7 (per-doc stage,
+# replica-0-gated); ppl 31.5 ~ the 1x p95, NB -3.5 ~ the 1x p10
+# (looser than the 10x gate's cuts). DSIR keeps 10% (500 x scale).
+# Measured reasons, two failed x1000 runs deep: (1) with the 10x
+# cuts the all-stage intersection came out EMPTY (n_retained 0) — an
+# empty export exercises neither the shard writer nor the manifest;
+# (2) with a PER-SCALE lm_ref the x1000-trained LM's vocabulary is
+# 1000x (every replica renames every word), the smoothing mass
+# collapses and n_pass_ppl fell to 8,000 of 5M — no absolute cut is
+# scale-invariant under a corpus-global model on this corpus. The
+# published CCNet pattern trains the quality LM on a TRUSTED
+# REFERENCE corpus (Wikipedia) that does not grow with the crawl, so
+# lm_ref is FIXED at the 1x non-src0 docs for both scales — which
+# also makes ppl per-doc deterministic, so it joins the replica-0
+# identity stages below. Every check is threshold-independent;
+# non-vacuity is a check of its own.
+MAX_PPL = 31.5
+MIN_NB_LOG_ODDS = -3.5
 MIN_QUALITY = 0.7
-DSIR_KEEP_1X = 100
+DSIR_KEEP_1X = 500
 
 #: banded stages: exact dedup keeps one keeper per cross-replica
 #: rewrite-collapse group (measured 0.018% at 10x — gate 0.1%);
@@ -86,6 +103,9 @@ REPLICA0_STAGES = (
     "n_pass_clean",
     "n_pass_quality",
     "n_pass_gopher",
+    # fixed 1x lm_ref (module docstring) => the LM is identical at both
+    # scales and ppl is per-doc deterministic
+    "n_pass_ppl",
 )
 
 
@@ -125,14 +145,19 @@ def evaluate_checks(
             and manifest_rows_nx == sN["n_retained"]
         ),
         "wall_linear": wall_nx <= factor * wall_1x,
+        # the export path must actually be exercised at scale (the
+        # first x1000 run produced an empty intersection — see the
+        # threshold note above)
+        "export_nonempty_at_scale": sN["n_retained"] > 0
+        and s1["n_retained"] > 0,
     }
 
 
-def _pipeline_kwargs(docs, holdout_1x, scale: int, nb_model: dict) -> dict:
+def _pipeline_kwargs(docs, lm_ref_1x, scale: int, nb_model: dict) -> dict:
     return dict(
         min_quality=MIN_QUALITY,
         portable_hashes=True,
-        lm_ref=docs.where(F.col("source") != "src0"),
+        lm_ref=lm_ref_1x,
         max_ppl=MAX_PPL,
         nb_model=nb_model,
         min_nb_log_odds=MIN_NB_LOG_ODDS,
@@ -207,8 +232,10 @@ def main() -> int:
     pre = box_calibration()
     docs_1x = spark.read.parquet(os.path.join(SF_1X, "documents.parquet"))
     offset = docs_1x.agg(F.max("doc_id")).first()[0] + 1
-    # FIXED holdout (module docstring): the 1x src0 docs at both scales
+    # FIXED holdout and FIXED LM reference (module docstring): the 1x
+    # src0 docs / 1x non-src0 docs at both scales
     holdout = docs_1x.where(F.col("source") == "src0").select("doc_id", "text")
+    lm_ref_1x = docs_1x.where(F.col("source") != "src0")
 
     def _nb(docs):
         return nb_train(
@@ -226,12 +253,17 @@ def main() -> int:
                 holdout,
                 out_path,
                 n_shards=16,
-                **_pipeline_kwargs(docs, holdout, scale, _nb(docs)),
+                **_pipeline_kwargs(docs, lm_ref_1x, scale, _nb(docs)),
             )
             wall = time.monotonic() - t0
         peak = m.stop()
         manifest = verify_shard_manifest(spark, out_path)
-        n_written = spark.read.parquet(out_path).count()
+        try:
+            n_written = spark.read.parquet(out_path).count()
+        except Exception:
+            # an all-rejected corpus writes no parquet files at all —
+            # record 0 and let export_nonempty_at_scale fail the gate
+            n_written = 0
         _release()
         stats = {k: int(v) for k, v in res.stats.items()}
         assert n_written == stats["n_retained"], (n_written, stats)
@@ -251,7 +283,9 @@ def main() -> int:
         docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
         with dedup_cache_scope():
             flagged = flag_corpus(
-                docs, holdout, **_pipeline_kwargs(docs, holdout, scale, _nb(docs))
+                docs,
+                holdout,
+                **_pipeline_kwargs(docs, lm_ref_1x, scale, _nb(docs)),
             )
             row = (
                 flagged.where(F.col("doc_id") < offset)
@@ -300,6 +334,8 @@ def main() -> int:
             "min_nb_log_odds": MIN_NB_LOG_ODDS,
             "dsir_keep_1x": DSIR_KEEP_1X,
             "holdout": "FIXED 1x src0 (benchmarks do not scale with the corpus)",
+            "lm_ref": "FIXED 1x non-src0 (CCNet trains on a trusted "
+            "reference corpus that does not scale with the crawl)",
             "stages": "canonicalize=NFC, line_dedup=keep_first, redact, "
             "exact, minhash(star)+CC, decontam(bloom), quality, gopher, "
             "lm_ppl, nb, dsir, shard export(16)+manifest",
