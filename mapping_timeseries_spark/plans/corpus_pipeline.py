@@ -94,6 +94,7 @@ def flag_corpus(
     dsir_target: DataFrame | None = None,
     dsir_keep: int | None = None,
     neardup_mode: str = "star",
+    neardup_narrow_verify: bool = False,
 ) -> DataFrame:
     """The lazy flagged-corpus frame: input columns + one int flag per
     stage (`pass_exact`, `pass_neardup`, `pass_clean`, `pass_quality`,
@@ -173,6 +174,14 @@ def flag_corpus(
     on the full corpus, not a cascade over prior survivors — the
     retained count can therefore be below ``dsir_keep`` when other
     stages reject selected docs.
+    ``neardup_narrow_verify``: restrict the near-dup verifier's
+    shingle frame to candidate participants before its joins
+    (dedup.narrow_sets_to_participants — broadcast semi-join,
+    row-identical by pytest). The scale knob for star-mode corpora
+    where participants are a small corpus fraction (the x10000
+    composed gate runs it at 50M docs); leave OFF when candidates
+    span most of the corpus — the broadcast id list would be
+    corpus-sized (boundary documented on the helper).
     ``neardup_mode`` ('star' default | 'pairs'): candidate generator
     for the near-dup clustering stage. 'star' verifies only
     (bucket-min, member) edges — linear candidates even on a hot
@@ -274,6 +283,7 @@ def flag_corpus(
         threshold=minhash_threshold,
         portable=portable_hashes,
         mode=neardup_mode,
+        narrow_verify=neardup_narrow_verify,
     )
     clusters = dedup_clusters(docs, pairs).select(
         "doc_id", F.col("is_keeper").alias("pass_neardup")
@@ -424,6 +434,7 @@ def run_corpus_pipeline(
     dsir_target: DataFrame | None = None,
     dsir_keep: int | None = None,
     neardup_mode: str = "star",
+    neardup_narrow_verify: bool = False,
 ) -> CorpusPipelineResult:
     """Run the full preprocessing pipeline and export training shards.
 
@@ -454,6 +465,7 @@ def run_corpus_pipeline(
             corpus_vecs, holdout_vecs, semantic_contam_threshold,
             canonicalize, line_dedup_mode, redact, gopher_filter,
             dsir_target, dsir_keep, neardup_mode,
+            neardup_narrow_verify,
         )
 
 
@@ -464,6 +476,7 @@ def _run_corpus_pipeline_inner(
     nb_model, min_nb_log_odds, corpus_vecs, holdout_vecs,
     semantic_contam_threshold, canonicalize, line_dedup_mode, redact,
     gopher_filter, dsir_target, dsir_keep, neardup_mode,
+    neardup_narrow_verify=False,
 ) -> CorpusPipelineResult:
     flagged = flag_corpus(
         docs,
@@ -491,6 +504,7 @@ def _run_corpus_pipeline_inner(
         dsir_target=dsir_target,
         dsir_keep=dsir_keep,
         neardup_mode=neardup_mode,
+        neardup_narrow_verify=neardup_narrow_verify,
     )
     flag_cols = [c for c in flagged.columns if c.startswith("pass_")]
     keep_all = None

@@ -2463,3 +2463,26 @@ def test_minhash_lsh_pairs_narrow_verify_row_identical(spark):
                 )
             )
         assert narrowed == plain and plain, mode
+
+
+def test_flag_corpus_narrow_verify_flags_identical(spark):
+    """The pipeline-surface neardup_narrow_verify knob must not move a
+    single flag (the narrowing is candidate-removing-only)."""
+    from mapping_timeseries_spark.operators.dedup import dedup_cache_scope
+    from mapping_timeseries_spark.plans.corpus_pipeline import flag_corpus
+    from mapping_timeseries_spark.sources.readers import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents").limit(300)
+    holdout = docs.limit(10).select("doc_id", "text")
+
+    def flags(narrow):
+        with dedup_cache_scope():
+            f = flag_corpus(
+                docs, holdout, neardup_narrow_verify=narrow
+            )
+            cols = ["doc_id"] + sorted(
+                c for c in f.columns if c.startswith("pass_")
+            )
+            return sorted(map(tuple, f.select(*cols).collect()))
+
+    assert flags(True) == flags(False)
