@@ -612,25 +612,25 @@ def q_production_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Lifetime contract (ADVICE r11): each staged build writes ONE
     # routed_<uuid> dir under SPARK_GRAFT_STAGE_DIR. When the caller
     # consumes inside dedup_cache_scope() (the pipeline/gate pattern),
-    # the dir is best-effort deleted on scope exit via scoped_cleanup;
-    # OUTSIDE any scope the dir must outlive this function (the returned
-    # plan reads from it lazily), so it is the CALLER'S to vacuum — the
-    # gates (mapping_100x_gate) delete their stage dirs, and a
-    # long-lived service should wrap builds in the scope.
+    # the dir is best-effort deleted on scope exit via scoped_cleanup —
+    # consuming the returned plan AFTER the scope then raises
+    # FileNotFoundError (the scope's consume-inside contract; see
+    # _stage_entity_table). OUTSIDE any scope the dir must outlive this
+    # function (the returned plan reads from it lazily), so it is the
+    # CALLER'S to vacuum — the gates (mapping_100x_gate) delete their
+    # stage dirs, and a long-lived service should wrap builds in the
+    # scope. The write/read-back/cleanup sequence is the SHARED
+    # pipeline helper (one definition, r12 review); only the lineage
+    # release below is entry-specific.
     stage_dir = os.environ.get("SPARK_GRAFT_STAGE_DIR", "")
     if stage_dir:
         import gc
-        import shutil
-        import uuid
 
-        from mapping_timeseries_spark.operators.dedup import scoped_cleanup
-
-        stage_path = os.path.join(stage_dir, f"routed_{uuid.uuid4().hex}")
-        routed.write.mode("overwrite").parquet(stage_path)
-        routed = spark.read.parquet(stage_path)
-        scoped_cleanup(
-            lambda p=stage_path: shutil.rmtree(p, ignore_errors=True)
+        from mapping_timeseries_spark.plans.pipeline import (
+            _stage_entity_table,
         )
+
+        routed = _stage_entity_table(spark, routed, stage_dir, "routed")
         del corr, dtw, recs
         gc.collect()
         spark.sparkContext._jvm.System.gc()

@@ -164,7 +164,15 @@ ADDED_THIS_ROUND: list[str] = []
 #: pinned for THIS boot id (contention = deviation from the same boot's
 #: own quiet reading) plus pre/post run stability. The absolute value
 #: survives only as a cross-boot drift note in box_warnings.
-QUIET_PY_LOOP = float(os.environ.get("SPARK_GRAFT_QUIET_PY_LOOP", "0.115"))
+#: The shipped default the QUIET_PY_SPAN constants were measured
+#: against — the span scales by (effective pin / this) when the pin is
+#: overridden for a hardware change, so the override moves the span
+#: with it instead of leaving it warning on the new hardware's quiet
+#: readings forever.
+_QUIET_PY_DEFAULT = 0.115
+QUIET_PY_LOOP = float(
+    os.environ.get("SPARK_GRAFT_QUIET_PY_LOOP", str(_QUIET_PY_DEFAULT))
+)
 #: Measured quiet-boot py_loop span (r6-r12 committed artifacts; the
 #: r12 anchor boot pinned 0.0972). The cross-boot drift NOTE fires only
 #: OUTSIDE this span (r12 fix): the r11 form warned at >15% from the
@@ -383,9 +391,14 @@ def gate_decision(
             ref = new_pin if new_pin is not None else probe1
     # cross-boot drift note: only OUTSIDE the measured quiet span (r12 —
     # the point-constant ±15% form warned for readings inside the span
-    # its own message documented as quiet). When quiet_pin is overridden
-    # (tests/hardware change), scale the span by the same factor.
-    scale = pin / QUIET_PY_LOOP if QUIET_PY_LOOP else 1.0
+    # its own message documented as quiet). When the quiet pin is
+    # overridden (SPARK_GRAFT_QUIET_PY_LOOP on a hardware change, or
+    # quiet_pin in tests), scale the span by pin / the SHIPPED default
+    # the span was measured against — NOT pin / QUIET_PY_LOOP, which is
+    # the same env-overridden value and made the scale identically 1.0
+    # (r12 review): the documented override would then warn forever on
+    # the new hardware's quiet readings.
+    scale = pin / _QUIET_PY_DEFAULT
     lo, hi = QUIET_PY_SPAN[0] * scale, QUIET_PY_SPAN[1] * scale
     if not lo <= ref <= hi:
         warnings.append(

@@ -911,12 +911,16 @@ def minhash_lsh_pairs(
     ``narrow_verify`` (r12): restrict the verifier's shingle frame to
     the candidate participants via :func:`narrow_sets_to_participants`
     (broadcast semi-join) before the two verify joins — row-identical
-    output (pytest), but the verify shuffles move |participants| rows
-    instead of |corpus| rows. The scale knob for star-mode corpora
-    where participants are a small corpus fraction (the x10000
-    composed gate runs this path at 50M docs); leave OFF when
-    candidates span most of the corpus (the broadcast id list would be
-    corpus-sized — the boundary documented on the helper).
+    output (pytest). Two scale effects, both matching the x10000 gate
+    path exactly (lsh_stages pin_shingles=False + narrowed_verify):
+    the verify shuffles move |participants| rows instead of |corpus|
+    rows, AND the corpus-wide shingle pin is never built — only the
+    participant-narrowed frame is cached, at the cost of a second
+    map-side evaluation of the tokenize+shingle pipeline (body
+    comment). The knob for star-mode corpora where participants are a
+    small corpus fraction (the gate runs it at 50M docs); leave OFF
+    when candidates span most of the corpus (the broadcast id list
+    would be corpus-sized — the boundary documented on the helper).
     """
     if bands < 1 or num_hashes % bands != 0:
         # a silent truncation changes the S-curve 1-(1-J^r)^b the
@@ -935,7 +939,17 @@ def minhash_lsh_pairs(
     # scan, evaluating the whole tokenize+shingle expression serially
     # there and AGAIN in the projection (measured 0.55 s -> 7 s at
     # sf0.1 before this ordering).
-    sh = _pin(_shingled(docs, text_col, n))
+    # narrow_verify: the corpus-wide shingle frame is deliberately NOT
+    # pinned — avoiding that pin (tens of GB at 50M docs, mostly rows
+    # the verifier never reads) is the knob's whole point, and matches
+    # the x10000 gate path (lsh_stages.staged_frames pin_shingles=False)
+    # exactly. The trade: the tokenize+shingle pipeline evaluates twice
+    # (once under the banding action, once map-side under the narrowing
+    # filter) instead of once-from-cache — a second pure map pass, paid
+    # so executors never hold the corpus-wide cache.
+    sh = _shingled(docs, text_col, n)
+    if not narrow_verify:
+        sh = _pin(sh)
     sh = sh.where(F.col("n_shingles") > 0)
     banded = _pin(_band_frame(sh, num_hashes, bands, portable))
     # persisted: the self-join (or hub join) would otherwise recompute
@@ -1372,11 +1386,15 @@ def append_minhash_index(new_docs: DataFrame, path: str) -> None:
         F.col("n_shingles") > 0
     ).persist()
     try:
-        # broadcast the batch ids: the clash probe then filters the
-        # stored doc_id column map-side instead of shuffling it
+        # no broadcast hint on the clash probe (r12 review): the batch
+        # id set has no size bound — a 10% batch of a 1B-doc index is
+        # ~100M ids, past the broadcast cap — and the un-hinted
+        # semi-join of two bare doc_id columns (8 B/row) is size-safe
+        # at any scale; AQE may still pick broadcast when the batch is
+        # genuinely small
         clash = (
             index_shingles.select("doc_id")
-            .join(F.broadcast(sh.select("doc_id")), "doc_id", "left_semi")
+            .join(sh.select("doc_id"), "doc_id", "left_semi")
             .limit(1)
             .count()
         )

@@ -104,7 +104,12 @@ def _stage_entity_table(spark, df: DataFrame, stage_dir: str, label: str) -> Dat
     with the innermost dedup_cache_scope; OUTSIDE any scope it must
     outlive the returned lazy plan, so the caller owns vacuuming the
     scratch dir (same contract as q_production_mapping's
-    SPARK_GRAFT_STAGE_DIR)."""
+    SPARK_GRAFT_STAGE_DIR). EXPLICIT failure mode (r12 review): a
+    returned plan consumed AFTER its enclosing scope exits raises
+    FileNotFoundError — the scope deleted the parquet the plan reads.
+    That is the scope's documented consume-inside contract, but unlike
+    an unpersisted pin (which silently recomputes) this one is a hard
+    error; collect or write results inside the scope."""
     import shutil
 
     from ..operators.dedup import scoped_cleanup

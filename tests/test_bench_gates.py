@@ -515,3 +515,22 @@ def test_corpus_pipeline_1000x_checks_arithmetic():
     assert not ev(s1, badC, rep0, 1000, 10.0, 5000.0, 80, 70_000)[
         "clean_fails_exact"
     ]
+
+
+def test_quiet_span_scales_with_pin_override():
+    """r12 review: the drift-note span must move with an overridden
+    quiet pin (hardware change), else the documented override warns
+    forever on the new hardware's quiet readings. scale = pin / the
+    SHIPPED default — not pin / the overridden value (identically 1)."""
+    # new-hardware pin 0.23 (2x the shipped 0.115): quiet readings ~0.20
+    # self-pin cleanly with NO drift note (span scaled to ~[0.184, 0.29])
+    inv, warn, pin = bench.gate_decision(
+        0.20, 0.205, boot_baseline=None, quiet_pin=0.23
+    )
+    assert inv == [] and pin is not None
+    assert warn == []
+    # while under the DEFAULT pin the same reading cannot even self-pin
+    # (the steady-load guard: >45% from the historical class) — the
+    # override is the documented path to a clean run on new hardware
+    inv, _, cand = bench.gate_decision(0.20, 0.205, boot_baseline=None)
+    assert cand is None and len(inv) == 1

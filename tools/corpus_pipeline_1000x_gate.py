@@ -237,11 +237,23 @@ def main() -> int:
     holdout = docs_1x.where(F.col("source") == "src0").select("doc_id", "text")
     lm_ref_1x = docs_1x.where(F.col("source") != "src0")
 
-    def _nb(docs):
-        return nb_train(
-            docs.withColumn("__y", (F.col("source") == "src0").cast("int")),
-            "__y",
-        )
+    # NB model handling (r12 review): nb_train is a full-corpus
+    # aggregation pass and deterministic. Every TIMED run trains fresh
+    # (the wall must include model training symmetrically at both
+    # scales — the measured thing is what a user pays); the untimed
+    # replica-0 slice REUSES the model its corpus' timed run trained,
+    # instead of re-paying a 5M-doc pass for an identical model.
+    _nb_cache: dict = {}
+
+    def _nb(docs, key, fresh):
+        if fresh or key not in _nb_cache:
+            _nb_cache[key] = nb_train(
+                docs.withColumn(
+                    "__y", (F.col("source") == "src0").cast("int")
+                ),
+                "__y",
+            )
+        return _nb_cache[key]
 
     def run_once(sf_dir: str, scale: int, out_path: str) -> dict:
         docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
@@ -253,7 +265,9 @@ def main() -> int:
                 holdout,
                 out_path,
                 n_shards=16,
-                **_pipeline_kwargs(docs, lm_ref_1x, scale, _nb(docs)),
+                **_pipeline_kwargs(
+                    docs, lm_ref_1x, scale, _nb(docs, sf_dir, fresh=True)
+                ),
             )
             wall = time.monotonic() - t0
         peak = m.stop()
@@ -285,7 +299,9 @@ def main() -> int:
             flagged = flag_corpus(
                 docs,
                 holdout,
-                **_pipeline_kwargs(docs, lm_ref_1x, scale, _nb(docs)),
+                **_pipeline_kwargs(
+                    docs, lm_ref_1x, scale, _nb(docs, sf_dir, fresh=False)
+                ),
             )
             row = (
                 flagged.where(F.col("doc_id") < offset)
