@@ -148,10 +148,18 @@ def dedup_cache_scope():
         _CACHE_SCOPES.pop()
         _SCOPE_CLEANUPS.pop()
         for df in pinned:
-            df.unpersist()
-            # checkpoint-backed frames (dedup_clusters results) need the
-            # raw-RDD release; no-op for ordinary persisted frames
-            _release_checkpoint(df)
+            # per-frame guard (ADVICE r12): one failed unpersist (e.g. a
+            # torn-down session's py4j gateway) must not abort the rest
+            # of the teardown — the old unguarded loop leaked every
+            # remaining pin AND every registered scratch cleanup on the
+            # first exception
+            try:
+                df.unpersist()
+                # checkpoint-backed frames (dedup_clusters results) need
+                # the raw-RDD release; no-op for ordinary persisted frames
+                _release_checkpoint(df)
+            except Exception:
+                pass
         for fn in cleanups:
             try:
                 fn()
@@ -224,6 +232,38 @@ def _verify_jaccard(
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+#: Auto narrow_verify threshold (r13, VERDICT r12 #3): narrow the
+#: verifier iff the distinct candidate participants are at most this
+#: fraction of the shingled corpus. Rationale for 0.25: narrowing pays
+#: one extra map-side pass of the tokenize+shingle pipeline and one
+#: broadcast of the participant-id list, and buys verify shuffles of
+#: |participants| rows instead of |corpus| rows plus never building the
+#: corpus-wide shingle pin — at <=25% participation the shuffle saving
+#: is >=4x and the broadcast is bounded by a quarter of the corpus ids
+#: (~8 B each), while past it the saving shrinks toward parity and the
+#: broadcast grows toward the corpus-sized list the helper's boundary
+#: note warns about.
+NARROW_VERIFY_MAX_FRACTION = 0.25
+
+#: Observability for the auto decision (tests + operators read it):
+#: set by minhash_lsh_pairs whenever narrow_verify=None resolved itself.
+LAST_NARROW_VERIFY_DECISION: dict | None = None
+
+
+def should_narrow_verify(
+    n_participants: int,
+    n_docs: int,
+    max_fraction: float = NARROW_VERIFY_MAX_FRACTION,
+) -> bool:
+    """Pure auto-narrow decision (pytest-pinned): narrow iff candidate
+    participants are at most ``max_fraction`` of the shingled corpus.
+    Both counts may be approx_count_distinct readings (~2% rsd) — fine
+    for a 4x-margin threshold decision, never used for results."""
+    if n_docs <= 0:
+        return False
+    return n_participants <= max_fraction * n_docs
 
 
 def narrow_sets_to_participants(
@@ -874,7 +914,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     portable: bool = False,
     mode: str = "pairs",
-    narrow_verify: bool = False,
+    narrow_verify: bool | None = None,
 ) -> DataFrame:
     """MinHash + LSH near-dup candidates, Jaccard-verified.
 
@@ -908,19 +948,29 @@ def minhash_lsh_pairs(
     recall semantics and :func:`dedup_clusters` / the corpus pipeline
     for the consumer wiring.
 
-    ``narrow_verify`` (r12): restrict the verifier's shingle frame to
-    the candidate participants via :func:`narrow_sets_to_participants`
-    (broadcast semi-join) before the two verify joins — row-identical
-    output (pytest). Two scale effects, both matching the x10000 gate
-    path exactly (lsh_stages pin_shingles=False + narrowed_verify):
-    the verify shuffles move |participants| rows instead of |corpus|
-    rows, AND the corpus-wide shingle pin is never built — only the
-    participant-narrowed frame is cached, at the cost of a second
-    map-side evaluation of the tokenize+shingle pipeline (body
-    comment). The knob for star-mode corpora where participants are a
-    small corpus fraction (the gate runs it at 50M docs); leave OFF
-    when candidates span most of the corpus (the broadcast id list
-    would be corpus-sized — the boundary documented on the helper).
+    ``narrow_verify`` (r12; auto since r13, VERDICT r12 #3): restrict
+    the verifier's shingle frame to the candidate participants via
+    :func:`narrow_sets_to_participants` (broadcast semi-join) before
+    the two verify joins — row-identical output (pytest). Two scale
+    effects, both matching the x10000 gate path exactly (lsh_stages
+    pin_shingles=False + narrowed_verify): the verify shuffles move
+    |participants| rows instead of |corpus| rows, AND the corpus-wide
+    shingle pin is never built — only the participant-narrowed frame
+    is cached, at the cost of a second map-side evaluation of the
+    tokenize+shingle pipeline (body comment). Wrong on corpora where
+    candidates span most of the corpus: the broadcast id list would be
+    corpus-sized (boundary documented on the helper). The default
+    ``None`` therefore AUTO-selects: the candidate frame is pinned
+    before the decision anyway, so two approx-distinct counts read
+    from cache (participants; shingled docs from the banded pin) pick
+    the narrow path iff participants <= NARROW_VERIFY_MAX_FRACTION of
+    the corpus (:func:`should_narrow_verify`; decision recorded in
+    LAST_NARROW_VERIFY_DECISION). Pass True/False to override — e.g.
+    the x10000 gate passes True because its planted duplication rate
+    is known up front. Auto-wide pays one extra map pass of the
+    shingle pipeline vs explicit False (the corpus pin is built only
+    after the decision, so banding ran uncached); auto-narrow costs
+    the two cached counts only.
     """
     if bands < 1 or num_hashes % bands != 0:
         # a silent truncation changes the S-curve 1-(1-J^r)^b the
@@ -947,16 +997,48 @@ def minhash_lsh_pairs(
     # (once under the banding action, once map-side under the narrowing
     # filter) instead of once-from-cache — a second pure map pass, paid
     # so executors never hold the corpus-wide cache.
+    auto = narrow_verify is None
     sh = _shingled(docs, text_col, n)
-    if not narrow_verify:
+    if narrow_verify is False:
         sh = _pin(sh)
     sh = sh.where(F.col("n_shingles") > 0)
     banded = _pin(_band_frame(sh, num_hashes, bands, portable))
     # persisted: the self-join (or hub join) would otherwise recompute
     # the full signature pipeline once per side
     cand = _lsh_candidates(banded, mode)
-    if narrow_verify:
+    if auto or narrow_verify:
+        # pinned either way: the auto counts AND the verify joins both
+        # consume the candidate frame
         cand = _pin(cand)
+    if auto:
+        # both counts are cache-served (cand pin; banded pin for the
+        # shingled-corpus denominator — docs with zero shingles can
+        # never be verify rows, so they belong in neither count)
+        n_docs = int(
+            banded.agg(
+                F.approx_count_distinct("doc_id").alias("n")
+            ).collect()[0]["n"]
+        )
+        n_part = int(
+            cand.select(F.explode(F.array("doc_a", "doc_b")).alias("id"))
+            .agg(F.approx_count_distinct("id").alias("n"))
+            .collect()[0]["n"]
+        )
+        narrow_verify = should_narrow_verify(n_part, n_docs)
+        global LAST_NARROW_VERIFY_DECISION
+        LAST_NARROW_VERIFY_DECISION = {
+            "n_participants": n_part,
+            "n_docs": n_docs,
+            "fraction": round(n_part / n_docs, 4) if n_docs else None,
+            "max_fraction": NARROW_VERIFY_MAX_FRACTION,
+            "narrow": narrow_verify,
+        }
+        if not narrow_verify:
+            # wide decision: build the corpus-set pin NOW for the two
+            # verify joins (banding already ran uncached — the one
+            # extra map pass auto mode pays on this side)
+            sh = _pin(sh)
+    if narrow_verify:
         sh = _pin(narrow_sets_to_participants(sh, cand))
     return _verify_jaccard(cand, sh, threshold)
 

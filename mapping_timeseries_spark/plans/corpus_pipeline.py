@@ -94,7 +94,7 @@ def flag_corpus(
     dsir_target: DataFrame | None = None,
     dsir_keep: int | None = None,
     neardup_mode: str = "star",
-    neardup_narrow_verify: bool = False,
+    neardup_narrow_verify: bool | None = None,
 ) -> DataFrame:
     """The lazy flagged-corpus frame: input columns + one int flag per
     stage (`pass_exact`, `pass_neardup`, `pass_clean`, `pass_quality`,
@@ -177,11 +177,13 @@ def flag_corpus(
     ``neardup_narrow_verify``: restrict the near-dup verifier's
     shingle frame to candidate participants before its joins
     (dedup.narrow_sets_to_participants — broadcast semi-join,
-    row-identical by pytest). The scale knob for star-mode corpora
-    where participants are a small corpus fraction (the x10000
-    composed gate runs it at 50M docs); leave OFF when candidates
-    span most of the corpus — the broadcast id list would be
-    corpus-sized (boundary documented on the helper).
+    row-identical by pytest). Default ``None`` = AUTO (r13): the
+    operator counts candidate participants against the shingled
+    corpus from frames it pins anyway and narrows iff the fraction is
+    <= dedup.NARROW_VERIFY_MAX_FRACTION — see minhash_lsh_pairs. Pass
+    True (the x10000 composed gate's setting — known ~1%
+    participation at 50M docs) or False (candidates span most of the
+    corpus: the broadcast id list would be corpus-sized) to override.
     ``neardup_mode`` ('star' default | 'pairs'): candidate generator
     for the near-dup clustering stage. 'star' verifies only
     (bucket-min, member) edges — linear candidates even on a hot
@@ -434,7 +436,7 @@ def run_corpus_pipeline(
     dsir_target: DataFrame | None = None,
     dsir_keep: int | None = None,
     neardup_mode: str = "star",
-    neardup_narrow_verify: bool = False,
+    neardup_narrow_verify: bool | None = None,
 ) -> CorpusPipelineResult:
     """Run the full preprocessing pipeline and export training shards.
 
@@ -476,7 +478,7 @@ def _run_corpus_pipeline_inner(
     nb_model, min_nb_log_odds, corpus_vecs, holdout_vecs,
     semantic_contam_threshold, canonicalize, line_dedup_mode, redact,
     gopher_filter, dsir_target, dsir_keep, neardup_mode,
-    neardup_narrow_verify=False,
+    neardup_narrow_verify=None,
 ) -> CorpusPipelineResult:
     flagged = flag_corpus(
         docs,

@@ -79,6 +79,39 @@ def test_dedup_cache_scope_releases_pins(spark, noisy_docs):
     spark.catalog.clearCache()  # release the bare run's pins
 
 
+def test_cache_scope_teardown_survives_failed_release(spark):
+    """ADVICE r12: one failed unpersist must not abort the rest of the
+    scope teardown — every remaining pin is still released and every
+    registered scratch cleanup still runs."""
+    from mapping_timeseries_spark.operators.dedup import (
+        dedup_cache_scope,
+        scoped_cleanup,
+        scoped_pin,
+    )
+
+    events = []
+
+    class FakeFrame:
+        def __init__(self, name, explode):
+            self.name, self.explode = name, explode
+
+        def persist(self):
+            return self
+
+        def unpersist(self):
+            if self.explode:
+                raise RuntimeError("gateway torn down")
+            events.append(f"unpersist:{self.name}")
+            return self
+
+    with dedup_cache_scope():
+        scoped_pin(FakeFrame("bad", explode=True))
+        scoped_pin(FakeFrame("good", explode=False))
+        scoped_cleanup(lambda: events.append("cleanup"))
+    assert "unpersist:good" in events, "release after the failure skipped"
+    assert "cleanup" in events, "scratch cleanup skipped after a failure"
+
+
 def test_ngram_decontaminate_planted_containment(spark):
     """A long training doc embedding a benchmark item verbatim scores
     containment 1.0 (where symmetric Jaccard would dilute it); partial
@@ -2467,7 +2500,8 @@ def test_minhash_lsh_pairs_narrow_verify_row_identical(spark):
 
 def test_flag_corpus_narrow_verify_flags_identical(spark):
     """The pipeline-surface neardup_narrow_verify knob must not move a
-    single flag (the narrowing is candidate-removing-only)."""
+    single flag (the narrowing is candidate-removing-only) — across
+    explicit True, explicit False, AND the r13 auto default."""
     from mapping_timeseries_spark.operators.dedup import dedup_cache_scope
     from mapping_timeseries_spark.plans.corpus_pipeline import flag_corpus
     from mapping_timeseries_spark.sources.readers import read_table
@@ -2485,4 +2519,63 @@ def test_flag_corpus_narrow_verify_flags_identical(spark):
             )
             return sorted(map(tuple, f.select(*cols).collect()))
 
-    assert flags(True) == flags(False)
+    assert flags(True) == flags(False) == flags(None)
+
+
+def test_should_narrow_verify_pure_decision():
+    """Pure auto-narrow arithmetic (VERDICT r12 #3)."""
+    from mapping_timeseries_spark.operators.dedup import (
+        NARROW_VERIFY_MAX_FRACTION,
+        should_narrow_verify,
+    )
+
+    assert NARROW_VERIFY_MAX_FRACTION == 0.25
+    assert should_narrow_verify(10, 100)           # 10% -> narrow
+    assert should_narrow_verify(25, 100)           # boundary inclusive
+    assert not should_narrow_verify(26, 100)       # 26% -> wide
+    assert not should_narrow_verify(0, 0)          # degenerate corpus
+    assert should_narrow_verify(40, 100, max_fraction=0.5)  # override
+
+
+def test_minhash_narrow_verify_auto_both_sides(spark):
+    """The r13 auto default picks narrow on a low-participation corpus
+    and wide on a high-duplication one, and BOTH auto outcomes are
+    row-identical to both explicit settings."""
+    from mapping_timeseries_spark import operators
+    from mapping_timeseries_spark.operators import dedup as dd
+
+    rng = np.random.default_rng(23)
+
+    def mkdocs(n_distinct, dup_pairs):
+        rows, doc_id = [], 0
+        for _ in range(n_distinct):
+            rows.append((doc_id, " ".join(rng.choice(WORDS, 30))))
+            doc_id += 1
+        for i in range(dup_pairs):  # exact twins -> guaranteed bucket hits
+            rows.append((doc_id, rows[i][1]))
+            doc_id += 1
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    # 4 participants-ish out of ~104 docs -> ~4% <= 25% -> narrow
+    sparse = mkdocs(100, 2)
+    # every doc has a twin -> ~100% participation -> wide
+    dense = mkdocs(20, 20)
+
+    for docs, expect_narrow in ((sparse, True), (dense, False)):
+        runs = {}
+        for knob in (None, True, False):
+            with dd.dedup_cache_scope():
+                runs[knob] = sorted(
+                    map(
+                        tuple,
+                        dd.minhash_lsh_pairs(
+                            docs, mode="star", narrow_verify=knob
+                        ).collect(),
+                    )
+                )
+            if knob is None:
+                decision = dd.LAST_NARROW_VERIFY_DECISION
+                assert decision is not None
+                assert decision["narrow"] is expect_narrow, decision
+        assert runs[None] == runs[True] == runs[False]
+        assert runs[None], "fixture must produce verified pairs"
