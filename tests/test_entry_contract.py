@@ -93,3 +93,25 @@ def test_production_mapping_staged_equals_unstaged(spark, tmp_path, monkeypatch)
     import os as _os
 
     assert any(d.startswith("routed_") for d in _os.listdir(tmp_path))
+
+
+def test_production_mapping_staged_guarded_after_scope(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r12 #3: a staged q_production_mapping plan consumed after
+    its enclosing dedup_cache_scope exits now raises
+    StagedScopeExpiredError naming the vacuumed path, instead of the
+    pre-r13 bare executor FileNotFoundError."""
+    import pytest as _pytest
+
+    from mapping_timeseries_spark.operators.dedup import dedup_cache_scope
+    from mapping_timeseries_spark.plans.pipeline import (
+        StagedScopeExpiredError,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_STAGE_DIR", str(tmp_path))
+    with dedup_cache_scope():
+        staged = entry_mod.q_production_mapping(spark, SF_DIR)
+        assert staged.limit(1).count() >= 0  # live inside the scope
+    with _pytest.raises(StagedScopeExpiredError, match="vacuumed"):
+        staged.count()

@@ -566,6 +566,89 @@ def test_pipeline_scratch_dir_stages_and_results_equal(spark, pair, tmp_path, mo
         assert _os.listdir(scratch) == []
 
 
+def test_staged_frame_expires_with_clear_error(spark, pair, tmp_path):
+    """VERDICT r12 #7: a scope-staged plan touched after its scope
+    vacuumed the dir raises StagedScopeExpiredError (path + contract in
+    the message) instead of the old bare executor FileNotFoundError —
+    and works normally while the scope is live."""
+    import pytest as _pytest
+
+    from mapping_timeseries_spark.operators.dedup import dedup_cache_scope
+    from mapping_timeseries_spark.plans.pipeline import (
+        StagedScopeExpiredError,
+        _stage_entity_table,
+    )
+
+    t1, _ = pair
+    with dedup_cache_scope():
+        staged = _stage_entity_table(
+            spark, t1.limit(5), str(tmp_path), "model"
+        )
+        n_inside = staged.count()  # live inside the scope
+        assert n_inside == 5
+    with _pytest.raises(StagedScopeExpiredError, match="vacuumed"):
+        staged.count()
+    with _pytest.raises(StagedScopeExpiredError, match="consume-inside|INSIDE"):
+        staged.select("cus_code")  # transformations fail fast too
+
+
+def test_pipeline_sink_branch_vacuums_scratch(spark, pair, tmp_path, monkeypatch):
+    """ADVICE r12: with a sink configured, run_pipeline re-points
+    result.mapped at the WRITTEN sink and vacuums its own staged dirs —
+    no scope needed, no leak, and the returned frame is byte-consistent
+    with the sink (same rows, same schema as the unstaged run)."""
+    import os as _os
+
+    monkeypatch.delenv("SPARK_GRAFT_STAGE_DIR", raising=False)
+    t1, t2 = pair
+    scratch = str(tmp_path / "scratch")
+    out = str(tmp_path / "out")
+    result = run_pipeline(
+        spark, t1, t2, None,
+        "cus_code", "month", "txn_amount", "revenue",
+        output_path=out, run_id="sinkvac", scratch_dir=scratch,
+    )
+    # the pipeline vacuumed its own staging — nothing left to leak
+    assert not _os.path.exists(scratch) or _os.listdir(scratch) == []
+    sink = spark.read.parquet(_os.path.join(out, "mappings"))
+    got = sorted(map(tuple, result.mapped.collect()))
+    want_rows = sink.select(*result.mapped.columns).collect()
+    assert got == sorted(
+        tuple(r[c] for c in result.mapped.columns) for r in want_rows
+    )
+    plain = run_pipeline(
+        spark, t1, t2, None,
+        "cus_code", "month", "txn_amount", "revenue", run_id="sinkvac",
+    )
+    assert [
+        (f.name, f.dataType) for f in result.mapped.schema.fields
+    ] == [(f.name, f.dataType) for f in plain.mapped.schema.fields]
+
+
+def test_pipeline_sinkless_staged_result_guarded(spark, pair, tmp_path, monkeypatch):
+    """Sinkless + scratch_dir keeps the documented lazy-leak contract,
+    but the returned frame is now guarded: consuming it after the
+    enclosing scope vacuumed the staging raises StagedScopeExpiredError
+    instead of a bare FileNotFoundError."""
+    import pytest as _pytest
+
+    from mapping_timeseries_spark.operators.dedup import dedup_cache_scope
+    from mapping_timeseries_spark.plans.pipeline import StagedScopeExpiredError
+
+    monkeypatch.delenv("SPARK_GRAFT_STAGE_DIR", raising=False)
+    t1, t2 = pair
+    scratch = str(tmp_path / "scratch")
+    with dedup_cache_scope():
+        result = run_pipeline(
+            spark, t1, t2, None,
+            "cus_code", "month", "txn_amount", "revenue",
+            run_id="guardrun", scratch_dir=scratch,
+        )
+        assert result.mapped.count() > 0  # consume-inside path still fine
+    with _pytest.raises(StagedScopeExpiredError, match="vacuumed"):
+        result.mapped.count()
+
+
 def test_pipeline_supplied_model_not_staged(spark, pair, tmp_path, monkeypatch):
     """A caller-supplied model is already detached from the training
     exchanges — staging it would be a pointless extra write; the
