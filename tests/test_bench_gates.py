@@ -419,12 +419,40 @@ def test_gate_decision_faster_without_second_probe_invalid():
 
 
 def test_gate_decision_slower_than_pin_still_invalidates():
-    """Re-pinning is one-directional: contention only ever SLOWS a
-    GIL-bound loop, so slower-side deviation keeps invalidating even
-    with an agreeing second probe."""
+    """Slower-side deviation whose stable pair medians OUTSIDE the
+    measured quiet span is real contention (contention only ever SLOWS
+    a GIL-bound loop) — invalid even with an agreeing second probe."""
     inv, _, pin = bench.gate_decision(0.150, 0.152, boot_baseline=0.120)
     assert pin is None
     assert len(inv) == 1 and "slower than this boot's pinned" in inv[0]
+    assert "outside the quiet span" in inv[0]
+
+
+def test_gate_decision_slower_than_pin_repins_upward_inside_span():
+    """ADVICE r12 #4: a transient fast pair must not lower the pin for
+    the boot's lifetime — a later STABLE pair that medians inside the
+    measured quiet span re-pins UPWARD with a warning instead of
+    stamping every genuinely quiet reading invalid."""
+    # pin 0.095 (transient-fast); quiet readings back at ~0.115
+    inv, warn, pin = bench.gate_decision(0.114, 0.116, boot_baseline=0.095)
+    assert inv == []
+    assert pin == round((0.114 + 0.116) / 2, 4)
+    assert any("re-pinned UPWARD" in w for w in warn)
+
+
+def test_gate_decision_slower_than_pin_unstable_still_invalid():
+    """An unstable slower pair cannot re-pin upward — same stability
+    rule as every other pin path."""
+    inv, _, pin = bench.gate_decision(0.114, 0.140, boot_baseline=0.095)
+    assert pin is None and len(inv) == 1
+
+
+def test_gate_decision_slower_without_second_probe_invalid():
+    """The upward re-pin needs the confirming probe (the caller takes
+    one whenever the first probe deviates either side of the band)."""
+    inv, _, pin = bench.gate_decision(0.114, None, boot_baseline=0.095)
+    assert pin is None and len(inv) == 1
+    assert "slower than this boot's pinned" in inv[0]
 
 
 def test_gate_decision_repin_candidate_sanity_guarded():
@@ -459,6 +487,7 @@ def test_index_append_gate_checks_arithmetic():
         (20, "9"), (20, "9"), 10.0, 60.0, 2.0, 8.0,
     )
     assert all(ok.values())
+    assert "bm25_postings_equal" not in ok  # r12 shape, no bm25 leg
     bad = ev(
         (100, "7"), (100, "8"), (50, "3"), (49, "3"),
         (20, "9"), (20, "9"), 70.0, 60.0, 2.0, 8.0,
@@ -468,14 +497,48 @@ def test_index_append_gate_checks_arithmetic():
     assert bad["ivf_lists_equal"]
     assert not bad["minhash_append_cheaper"]
     assert bad["ivf_append_cheaper"]
+    # r13 bm25 leg (VERDICT r12 #5): same exact-equality + value-claim
+    # arithmetic on postings/dl
+    ok3 = ev(
+        (100, "7"), (100, "7"), (50, "3"), (50, "3"),
+        (20, "9"), (20, "9"), 10.0, 60.0, 2.0, 8.0,
+        bm25_postings=(900, "11"), bm25_postings_rebuild=(900, "11"),
+        bm25_dl=(100, "5"), bm25_dl_rebuild=(100, "5"),
+        bm25_append_wall=5.0, bm25_rebuild_wall=30.0,
+    )
+    assert all(ok3.values())
+    assert {"bm25_postings_equal", "bm25_dl_equal", "bm25_append_cheaper"} <= set(ok3)
+    bad3 = ev(
+        (100, "7"), (100, "7"), (50, "3"), (50, "3"),
+        (20, "9"), (20, "9"), 10.0, 60.0, 2.0, 8.0,
+        bm25_postings=(900, "11"), bm25_postings_rebuild=(901, "11"),
+        bm25_dl=(100, "5"), bm25_dl_rebuild=(100, "6"),
+        bm25_append_wall=40.0, bm25_rebuild_wall=30.0,
+    )
+    assert not bad3["bm25_postings_equal"]
+    assert not bad3["bm25_dl_equal"]
+    assert not bad3["bm25_append_cheaper"]
+    import pytest as _pytest
+
+    with _pytest.raises(AssertionError, match="partial bm25"):
+        ev(
+            (1, "1"), (1, "1"), (1, "1"), (1, "1"),
+            (1, "1"), (1, "1"), 1.0, 2.0, 1.0, 2.0,
+            bm25_postings=(1, "1"),
+        )
 
 
 def test_corpus_pipeline_1000x_checks_arithmetic():
-    """r12 full-pipeline x1000 gate: exact input, banded exact/neardup,
-    fixed-holdout contaminated-count equality, replica-0 identity,
-    DSIR k, manifest identity, wall linearity."""
+    """r12 full-pipeline x1000 gate (r13 shared-vocab checks): exact
+    input, banded exact/neardup, chance-banded contaminated count,
+    ~linear ppl, replica-0 identity, DSIR k, manifest identity, wall
+    linearity."""
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
-    from corpus_pipeline_1000x_gate import evaluate_checks as ev
+    from corpus_pipeline_1000x_gate import (
+        CLEAN_CHANCE_BAND,
+        PPL_BAND,
+        evaluate_checks as ev,
+    )
 
     s1 = dict(
         n_input=5000, n_pass_exact=4500, n_pass_neardup=4600,
@@ -485,9 +548,13 @@ def test_corpus_pipeline_1000x_checks_arithmetic():
     sN = dict(
         n_input=5_000_000, n_pass_exact=4_499_100,  # -0.02% collapse
         n_pass_neardup=4_599_700,                   # a few LSH re-rolls
-        n_pass_clean=4_999_900,                     # fails 100 == 1x fails
+        # fails 5000 = 1x fails (100) + chance fails on the 4_995_000
+        # replicated docs (rate ~0.001, inside CLEAN_CHANCE_BAND)
+        n_pass_clean=4_995_000,
         n_pass_quality=2_500_000, n_pass_gopher=4_700_000,
-        n_pass_ppl=200_000, n_pass_dsir=500_000, n_retained=70_000,
+        # ppl ~linear under the shared vocab: within PPL_BAND of
+        # factor * 4700
+        n_pass_ppl=4_500_000, n_pass_dsir=500_000, n_retained=70_000,
     )
     rep0 = dict(
         n_input=5000, n_pass_exact=4500, n_pass_neardup=4600,
@@ -510,11 +577,32 @@ def test_corpus_pipeline_1000x_checks_arithmetic():
     assert not ev(s1, sN, rep0, 1000, 10.0, 10_001.0, 80, 70_000)[
         "wall_linear"
     ]
-    # contaminated-count drift fails (fixed holdout)
-    badC = dict(sN, n_pass_clean=4_999_000)
+    # contaminated count above the chance band fails (rate 2x the band)
+    n_replicated = sN["n_input"] - s1["n_input"]
+    badC = dict(
+        sN,
+        n_pass_clean=sN["n_input"]
+        - 100
+        - int(2 * CLEAN_CHANCE_BAND * n_replicated),
+    )
     assert not ev(s1, badC, rep0, 1000, 10.0, 5000.0, 80, 70_000)[
-        "clean_fails_exact"
+        "clean_fails_band"
     ]
+    # FEWER fails than 1x is impossible (replica-0 identity) -> fails
+    badC2 = dict(sN, n_pass_clean=sN["n_input"] - 50)  # 1x had 100 fails
+    assert not ev(s1, badC2, rep0, 1000, 10.0, 5000.0, 80, 70_000)[
+        "clean_fails_band"
+    ]
+    # the r12 disjoint-vocab collapse (0.25% pass at scale) now FAILS
+    badP = dict(sN, n_pass_ppl=12_740)
+    assert not ev(s1, badP, rep0, 1000, 10.0, 5000.0, 80, 70_000)[
+        "ppl_linear_band"
+    ]
+    # and a rate just past the band fails symmetrically
+    lim = int((1 + PPL_BAND) * 1000 * s1["n_pass_ppl"])
+    assert not ev(
+        s1, dict(sN, n_pass_ppl=lim + 1), rep0, 1000, 10.0, 5000.0, 80, 70_000
+    )["ppl_linear_band"]
 
 
 def test_quiet_span_scales_with_pin_override():

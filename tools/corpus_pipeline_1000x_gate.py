@@ -10,18 +10,26 @@ composition itself was gated only at 10x (corpus_pipeline_stress.json,
 50k docs).
 
 Corpus: the shared ``scale_stress_1000x_dedup`` dir (replicate_range,
-documents only — per-word ``·rN`` renaming on replicas r>0, replica 0
-bit-identical to 1x).
+documents only), SHARED-VOCAB variant since r13 (VERDICT r12 #4):
+replicas r>0 permute the corpus' FIXED vocabulary via a per-replica
+bijection instead of the old per-word ``·rN`` rename; replica 0 stays
+bit-identical to 1x. The rename variant made every scaled doc OOV to
+the fixed LM reference and holdout, so the ppl/NB stages filtered at
+scale on a vocabulary pathology no real crawl has (r12 VERDICT
+missing #2) — under shared vocab the fixed models score replicas over
+the exact table they were trained on and n_pass_ppl scales ~linearly
+(checked by ``ppl_linear_band``).
 
 Design deltas vs the 10x stress gate, both scale-honest:
 
 - HOLDOUT IS FIXED at the 1x corpus' src0 docs for BOTH scales. A
   benchmark holdout does not grow with the training corpus (that is
   the real-world shape), and a 1000x holdout would put ~250k docs
-  behind the decontamination broadcast. Consequence: only replica-0
-  docs can match it (replicas r>0 are per-word renamed), so the
-  CONTAMINATED count — not the pass ratio — is the exact invariant:
-  fails(x1000) == fails(1x).
+  behind the decontamination broadcast. Consequence (shared-vocab
+  corpus): replica-0 fails reproduce the 1x fails exactly (the
+  replica-0 identity check), and docs beyond replica 0 can only add
+  chance-level holdout collisions — ``clean_fails_band`` bounds the
+  extra fails per replicated doc at CLEAN_CHANCE_BAND.
 - The bigram-LM reference is FIXED at 1x too (threshold note below:
   a per-scale lm_ref made n_pass_ppl collapse to 0.16% at x1000), so
   ppl becomes per-doc deterministic and joins the replica-0 identity
@@ -97,6 +105,29 @@ DSIR_KEEP_1X = 500
 EXACT_BAND = 0.001
 NEARDUP_BAND = 0.01
 
+#: r13 (VERDICT r12 #4) — the corpus is now the SHARED-VOCAB variant
+#: (scale_stress.text_mode='shared_vocab': replicas permute the fixed
+#: 31-word vocabulary instead of renaming every word), so the fixed 1x
+#: LM/holdout see in-vocabulary replicas. Two consequences the checks
+#: must band instead of assuming away:
+#: - decontamination: permuted replicas share chance-level bigrams with
+#:   the fixed holdout, so the contaminated count is >= the 1x count
+#:   (replica-0 identity) plus a chance term — CLEAN_CHANCE_BAND bounds
+#:   the chance fails PER REPLICATED DOC (docs beyond replica 0);
+#: - ppl: replica docs score over the SAME transition table the
+#:   reference was trained on, so n_pass_ppl must finally scale
+#:   ~linearly (the r12 disjoint-vocab corpus collapsed it to 0.25%);
+#:   permutation shifts each doc's transitions to differently-weighted
+#:   cells of the same table, so replicas pass at a rate NEAR but not
+#:   equal to the 1x rate — PPL_BAND bounds |sN - factor*s1| relative
+#:   to factor*s1.
+#: Band values calibrated from the factor-10 shared-vocab run of THIS
+#: gate (artifacts/corpus_pipeline_10x_sharedvocab.json, r13): chance
+#: clean-fail rate and replicas/1x ppl pass ratio measured there, each
+#: banded with >=3x margin.
+CLEAN_CHANCE_BAND = 0.03
+PPL_BAND = 0.25
+
 REPLICA0_STAGES = (
     "n_pass_exact",
     "n_pass_neardup",
@@ -124,6 +155,8 @@ def evaluate_checks(
     restricted to replica 0."""
     fails_clean_1 = s1["n_input"] - s1["n_pass_clean"]
     fails_clean_n = sN["n_input"] - sN["n_pass_clean"]
+    extra_clean_fails = fails_clean_n - fails_clean_1
+    n_replicated = sN["n_input"] - s1["n_input"]  # docs beyond replica 0
     return {
         "input_exact": sN["n_input"] == factor * s1["n_input"],
         "exact_dedup_band": abs(sN["n_pass_exact"] - factor * s1["n_pass_exact"])
@@ -132,7 +165,15 @@ def evaluate_checks(
             sN["n_pass_neardup"] - factor * s1["n_pass_neardup"]
         )
         <= NEARDUP_BAND * factor * s1["n_pass_neardup"],
-        "clean_fails_exact": fails_clean_n == fails_clean_1,
+        # shared-vocab corpus (r13): replica-0 fails reproduce the 1x
+        # fails exactly (identity check below covers the slice); docs
+        # beyond replica 0 can only add CHANCE-level holdout collisions
+        "clean_fails_band": 0 <= extra_clean_fails
+        <= CLEAN_CHANCE_BAND * n_replicated,
+        # the whole point of the shared-vocab fix: ppl must scale
+        # ~linearly once replicas are in-vocabulary for the fixed LM
+        "ppl_linear_band": abs(sN["n_pass_ppl"] - factor * s1["n_pass_ppl"])
+        <= PPL_BAND * factor * s1["n_pass_ppl"],
         "replica0_slice_equals_1x": all(
             rep0.get(k) == s1.get(k) for k in ("n_input",) + REPLICA0_STAGES
         ),
@@ -211,13 +252,29 @@ def main() -> int:
     ensure_runtime_conf(spark)
     spark.range(1000).selectExpr("sum(id)").collect()
 
-    if not os.path.isdir(corpus_dir):
-        print(f"{corpus_dir} missing — replicating {factor}x (one-time)")
+    # this gate REQUIRES the shared-vocab text variant (module
+    # docstring): a dir replicated under the old disjoint mode makes
+    # every replica OOV to the fixed LM/holdout — regenerate it
+    marker = os.path.join(corpus_dir, "_corpus_variant.json")
+    want_mode = "shared_vocab"
+    have_mode = None
+    if os.path.isfile(marker):
+        with open(marker) as f:
+            have_mode = json.load(f).get("text_mode")
+    if not os.path.isdir(corpus_dir) or have_mode != want_mode:
+        why = "missing" if not os.path.isdir(corpus_dir) else (
+            f"text variant {have_mode!r} != {want_mode!r}"
+        )
+        print(f"{corpus_dir} {why} — replicating {factor}x (one-time)")
+        import shutil
+
         import scale_stress
 
+        shutil.rmtree(corpus_dir, ignore_errors=True)
         t0 = time.monotonic()
         scale_stress.replicate_range(
-            spark, factor, corpus_dir, tables=("documents",)
+            spark, factor, corpus_dir, tables=("documents",),
+            text_mode=want_mode,
         )
         print(f"replicated in {time.monotonic() - t0:.0f}s")
 
@@ -349,6 +406,10 @@ def main() -> int:
             "max_ppl": MAX_PPL,
             "min_nb_log_odds": MIN_NB_LOG_ODDS,
             "dsir_keep_1x": DSIR_KEEP_1X,
+            "corpus_variant": "shared_vocab (replicas permute the fixed "
+            "vocabulary; replica 0 bit-identical to 1x)",
+            "clean_chance_band": CLEAN_CHANCE_BAND,
+            "ppl_band": PPL_BAND,
             "holdout": "FIXED 1x src0 (benchmarks do not scale with the corpus)",
             "lm_ref": "FIXED 1x non-src0 (CCNet trains on a trusted "
             "reference corpus that does not scale with the crawl)",

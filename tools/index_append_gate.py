@@ -62,18 +62,37 @@ def evaluate_checks(
     mh_rebuild_wall: float,
     ivf_append_wall: float,
     ivf_rebuild_wall: float,
+    bm25_postings: tuple[int, str] | None = None,
+    bm25_postings_rebuild: tuple[int, str] | None = None,
+    bm25_dl: tuple[int, str] | None = None,
+    bm25_dl_rebuild: tuple[int, str] | None = None,
+    bm25_append_wall: float | None = None,
+    bm25_rebuild_wall: float | None = None,
 ) -> dict:
     """Pass/fail arithmetic, pure for pytest (the soak-gate pattern).
     Each frame is summarized as (row_count, decimal_hash_sum_str); the
     append path must equal the rebuild path exactly, and each append
-    wall must undercut its rebuild wall."""
-    return {
+    wall must undercut its rebuild wall. The BM25 leg (r13, VERDICT
+    r12 #5 — the last append path that had only fixture-scale pins) is
+    optional-None for the r12-artifact shape but REQUIRED whenever any
+    bm25 argument is given."""
+    checks = {
         "minhash_bands_equal": mh_bands == mh_bands_rebuild,
         "minhash_shingles_equal": mh_shingles == mh_shingles_rebuild,
         "ivf_lists_equal": ivf_lists == ivf_lists_rebuild,
         "minhash_append_cheaper": mh_append_wall < mh_rebuild_wall,
         "ivf_append_cheaper": ivf_append_wall < ivf_rebuild_wall,
     }
+    bm25_args = (
+        bm25_postings, bm25_postings_rebuild, bm25_dl, bm25_dl_rebuild,
+        bm25_append_wall, bm25_rebuild_wall,
+    )
+    if any(a is not None for a in bm25_args):
+        assert all(a is not None for a in bm25_args), "partial bm25 leg"
+        checks["bm25_postings_equal"] = bm25_postings == bm25_postings_rebuild
+        checks["bm25_dl_equal"] = bm25_dl == bm25_dl_rebuild
+        checks["bm25_append_cheaper"] = bm25_append_wall < bm25_rebuild_wall
+    return checks
 
 
 def main() -> int:
@@ -199,6 +218,56 @@ def main() -> int:
     shutil.rmtree(mh_reb, ignore_errors=True)
     _release()
 
+    # ---- BM25 leg at 5M docs (r13, VERDICT r12 #5) -----------------------
+    # the last incremental-index path that carried only fixture-scale
+    # append==rebuild pins — the exact class where the MinHash O(index)
+    # append re-scan hid until r12's value-claim gate. Same protocol:
+    # build on the 90% base, append the 10% batch, independently rebuild
+    # from the full corpus; stored frames must be EXACTLY equal
+    # (count + order-free decimal hash-sum) and append wall < rebuild.
+    from mapping_timeseries_spark.operators import search as SE
+
+    bm_app = os.path.join(work, "bm25_append")
+    bm_reb = os.path.join(work, "bm25_rebuild")
+    t0 = time.monotonic()
+    SE.bm25_index_write(base, bm_app)
+    out["bm25_build_base_wall_sec"] = round(time.monotonic() - t0, 1)
+    _release()
+    t0 = time.monotonic()
+    SE.bm25_index_append(batch, bm_app)
+    out["bm25_append_wall_sec"] = round(time.monotonic() - t0, 1)
+    _release()
+    t0 = time.monotonic()
+    SE.bm25_index_write(docs, bm_reb)
+    out["bm25_rebuild_wall_sec"] = round(time.monotonic() - t0, 1)
+    _release()
+
+    def bm_summary(path):
+        idx = SE.bm25_index_load(spark, path)  # validates meta counts
+        p = (
+            idx["postings"].count(),
+            dec_sum(idx["postings"], F.xxhash64("wh", "doc_id", "tf")),
+        )
+        d = (
+            idx["dl"].count(),
+            dec_sum(idx["dl"], F.xxhash64("doc_id", "dl")),
+        )
+        return p, d
+
+    bm_post_a, bm_dl_a = bm_summary(bm_app)
+    bm_post_r, bm_dl_r = bm_summary(bm_reb)
+    out["bm25_postings"] = {"append": bm_post_a, "rebuild": bm_post_r}
+    out["bm25_dl"] = {"append": bm_dl_a, "rebuild": bm_dl_r}
+    out["bm25_wall_ratio_rebuild_over_append"] = round(
+        out["bm25_rebuild_wall_sec"]
+        / max(out["bm25_append_wall_sec"], 1e-9),
+        1,
+    )
+    print("bm25 leg:", json.dumps({k: v for k, v in out.items() if k.startswith("bm25")}), flush=True)
+    shutil.rmtree(bm_app, ignore_errors=True)
+    shutil.rmtree(bm_reb, ignore_errors=True)
+    _release()
+
     # ---- IVF leg at 2M vectors -------------------------------------------
     emb_1x = read_table(spark, SF_1X, "embeddings")
     vec_off = emb_1x.agg(F.max("vec_id")).first()[0] + 1
@@ -253,10 +322,33 @@ def main() -> int:
         out["minhash_rebuild_wall_sec"],
         out["ivf_append_wall_sec"],
         out["ivf_rebuild_wall_sec"],
+        bm25_postings=bm_post_a,
+        bm25_postings_rebuild=bm_post_r,
+        bm25_dl=bm_dl_a,
+        bm25_dl_rebuild=bm_dl_r,
+        bm25_append_wall=out["bm25_append_wall_sec"],
+        bm25_rebuild_wall=out["bm25_rebuild_wall_sec"],
     )
     out["checks"] = checks
     out["all_green"] = all(checks.values())
-    out["box_calibration"] = {"pre": pre, "post": box_calibration()}
+    post = box_calibration()
+    out["box_calibration"] = {"pre": pre, "post": post}
+    # r13 (VERDICT r12 #6): the r12 artifact's anomalous IVF base-build
+    # wall (324.8 s on 90% vs 145.5 s full rebuild) was taken in a
+    # loadavg 22-27 bracket and carried no note — a reader comparing
+    # build vs rebuild walls would conclude the build path regressed.
+    # Stamp the bracket mechanically so contended-run walls can't be
+    # misread as code behavior.
+    load_hw = max(pre.get("loadavg_1m", 0.0), post.get("loadavg_1m", 0.0))
+    if load_hw > 8:
+        out["contention_note"] = (
+            f"loadavg_1m peaked at {load_hw} during this gate — wall "
+            "clocks are upper bounds under contention; the EQUALITY "
+            "checks are load-independent, the append-cheaper checks "
+            "compare walls taken under the same bracket, but absolute "
+            "walls (esp. base-build vs rebuild) must not be compared "
+            "across runs without this note"
+        )
     os.makedirs(os.path.dirname(out_json), exist_ok=True)
     with open(out_json, "w") as f:
         json.dump(out, f, indent=1)

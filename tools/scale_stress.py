@@ -29,6 +29,7 @@ Workload-shape fidelity:
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import statistics
@@ -94,12 +95,77 @@ def replicate(spark, factor: int, out_dir: str) -> None:
         )
 
 
+def shared_vocab_permutations(spark, factor: int):
+    """Per-replica permutations of the corpus' FIXED word vocabulary
+    (r13, VERDICT r12 #4): replica ``r`` maps token ``w`` to
+    ``vocab[sigma_r(idx(w))]`` where ``sigma_r`` orders the vocabulary
+    by ``xxhash64(word, r)`` — a deterministic, replica-distinct
+    bijection of the SHARED vocabulary (the sf0.1 documents corpus has
+    31 distinct tokens), instead of the per-word ``·rN`` rename whose
+    1000x vocabulary made every scaled doc OOV to a fixed 1x-trained
+    reference model.
+
+    Why this shape keeps every gate invariant honest:
+    - exact-dup structure per replica is preserved EXACTLY (a bijection
+      applied uniformly maps identical texts to identical texts,
+      distinct to distinct);
+    - within-replica Jaccard is preserved EXACTLY (shingle sets are
+      renamed bijectively), so the near-dup graph is still N copies of
+      the 1x graph up to per-replica LSH re-rolls;
+    - cross-replica shingle overlap drops to random-pair levels (two
+      independent permutations agree on a bigram with p ~ 1/V², and
+      random 54-token docs over a 31-word vocab already share ~5%
+      containment) — far below near-dup thresholds, though NOT exactly
+      zero the way the rename variant was: chance-level decontamination
+      hits at scale are expected and banded by the gate, not assumed
+      away;
+    - every replica token is IN the 1x vocabulary, so a FIXED bigram-LM
+      or NB reference scores scaled docs over the same 31x31 transition
+      table it was trained on — the fix for the r12 gate's degenerate
+      0.25% ppl pass rate at 1000x.
+
+    Returns (vocab, perm_rows) where perm_rows is a list of
+    (replica_id, permuted_vocab_array) for replicas 1..factor-1
+    (replica 0 keeps original text)."""
+    import pyspark.sql.functions as F
+    import struct as _struct
+    import hashlib
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    vocab = sorted(
+        r[0]
+        for r in docs.select(
+            F.explode(F.split(F.col("text"), " ")).alias("w")
+        )
+        .where(F.col("w") != "")
+        .distinct()
+        .collect()
+    )
+
+    def _h(word: str, r: int) -> int:
+        # driver-side stand-in for a seeded 64-bit hash (md5 prefix —
+        # deterministic across runs/platforms, unlike PYTHONHASHSEED)
+        d = hashlib.md5(f"{word}\x1f{r}".encode()).digest()
+        return _struct.unpack("<Q", d[:8])[0]
+
+    perm_rows = []
+    for r in range(1, factor):
+        order = sorted(range(len(vocab)), key=lambda i: _h(vocab[i], r))
+        # entry i = image of vocab word i under sigma_r
+        image = [None] * len(vocab)
+        for newpos, i in enumerate(order):
+            image[i] = vocab[newpos]
+        perm_rows.append((r, image))
+    return vocab, perm_rows
+
+
 def replicate_range(
     spark,
     factor: int,
     out_dir: str,
     tables: tuple[str, ...] | None = None,
     partitions: int = 64,
+    text_mode: str = "disjoint",
 ) -> None:
     """Constant-plan N-fold replication for LARGE factors: crossJoin each
     table with a broadcast ``factor``-row replica index instead of a
@@ -126,8 +192,22 @@ def replicate_range(
     """
     from pyspark.sql import functions as F
 
+    if text_mode not in ("disjoint", "shared_vocab"):
+        raise ValueError(
+            f"text_mode must be 'disjoint' or 'shared_vocab', got {text_mode!r}"
+        )
     names = list(tables) if tables is not None else list(KEYED_TABLES)
     os.makedirs(out_dir, exist_ok=True)
+    perm_df = idx_map = None
+    if text_mode == "shared_vocab" and "documents" in names:
+        vocab, perm_rows = shared_vocab_permutations(spark, factor)
+        perm_df = spark.createDataFrame(
+            perm_rows, "__pr long, __perm array<string>"
+        )
+        idx_entries = []
+        for i, w in enumerate(vocab):
+            idx_entries += [F.lit(w), F.lit(i + 1)]
+        idx_map = F.create_map(*idx_entries)
     domain_max: dict[str, int] = {}
     sources = {}
     for name in KEYED_TABLES:
@@ -150,7 +230,36 @@ def replicate_range(
                     src.schema[col].dataType
                 ),
             )
-        if name == "documents":
+        if name == "documents" and text_mode == "shared_vocab":
+            # shared-vocab mode (r13): permute the fixed vocabulary per
+            # replica instead of renaming it — broadcast join pulls the
+            # replica's permuted-vocab array (replica 0 has no row and
+            # keeps its text bit-identical to 1x), then a pure map-side
+            # transform rewrites each token via the tiny literal
+            # word->index map + an array index. try_element_at: ANSI-safe
+            # null on an unexpected token, coalesced back to itself.
+            out = out.join(
+                F.broadcast(perm_df), out["__r"] == perm_df["__pr"], "left"
+            )
+            permuted = F.concat_ws(
+                " ",
+                F.transform(
+                    F.split(F.col("text"), " "),
+                    lambda w: F.coalesce(
+                        F.try_element_at(
+                            F.col("__perm"), F.try_element_at(idx_map, w)
+                        ),
+                        w,
+                    ),
+                ),
+            )
+            out = out.withColumn(
+                "text",
+                F.when(F.col("__perm").isNull(), F.col("text")).otherwise(
+                    permuted
+                ),
+            ).drop("__pr", "__perm")
+        elif name == "documents":
             out = out.withColumn(
                 "text",
                 F.when(F.col("__r") == 0, F.col("text")).otherwise(
@@ -173,6 +282,12 @@ def replicate_range(
             os.path.join(SF_DIR, f"{name}.parquet"),
             os.path.join(out_dir, f"{name}.parquet"),
         )
+    # variant marker (r13): consumers that depend on the TEXT variant
+    # (the corpus-pipeline gate needs shared_vocab) check this instead
+    # of guessing from dir existence — a dir replicated under the other
+    # mode is regenerated, not silently consumed
+    with open(os.path.join(out_dir, "_corpus_variant.json"), "w") as f:
+        json.dump({"text_mode": text_mode, "factor": factor}, f)
 
 
 def main() -> int:
