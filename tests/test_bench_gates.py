@@ -535,30 +535,31 @@ def test_corpus_pipeline_1000x_checks_arithmetic():
     linearity."""
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
     from corpus_pipeline_1000x_gate import (
-        CLEAN_CHANCE_BAND,
-        PPL_BAND,
+        CLEAN_FAIL_REPLICA_SPAN,
+        PPL_REPLICA_RATE_SPAN,
         evaluate_checks as ev,
     )
 
     s1 = dict(
         n_input=5000, n_pass_exact=4500, n_pass_neardup=4600,
-        n_pass_clean=4900, n_pass_quality=3000, n_pass_gopher=4800,
+        n_pass_clean=1400, n_pass_quality=3000, n_pass_gopher=4800,
         n_pass_ppl=4700, n_pass_dsir=500, n_retained=80,
     )
+    n_repl = 4_995_000  # docs beyond replica 0
     sN = dict(
         n_input=5_000_000, n_pass_exact=4_499_100,  # -0.02% collapse
         n_pass_neardup=4_599_700,                   # a few LSH re-rolls
-        # fails 5000 = 1x fails (100) + chance fails on the 4_995_000
-        # replicated docs (rate ~0.001, inside CLEAN_CHANCE_BAND)
-        n_pass_clean=4_995_000,
+        # fails = 1x fails (3600) + measured-chance fails on the
+        # replicated docs (rate 0.68, inside CLEAN_FAIL_REPLICA_SPAN)
+        n_pass_clean=5_000_000 - 3600 - int(0.68 * n_repl),
         n_pass_quality=2_500_000, n_pass_gopher=4_700_000,
-        # ppl ~linear under the shared vocab: within PPL_BAND of
-        # factor * 4700
-        n_pass_ppl=4_500_000, n_pass_dsir=500_000, n_retained=70_000,
+        # replicas pass ppl at the measured ensemble rate (0.30)
+        n_pass_ppl=4700 + int(0.30 * n_repl),
+        n_pass_dsir=500_000, n_retained=70_000,
     )
     rep0 = dict(
         n_input=5000, n_pass_exact=4500, n_pass_neardup=4600,
-        n_pass_clean=4900, n_pass_quality=3000, n_pass_gopher=4800,
+        n_pass_clean=1400, n_pass_quality=3000, n_pass_gopher=4800,
         n_pass_ppl=4700,
     )
     ok = ev(s1, sN, rep0, 1000, 10.0, 5000.0, 80, 70_000)
@@ -577,32 +578,27 @@ def test_corpus_pipeline_1000x_checks_arithmetic():
     assert not ev(s1, sN, rep0, 1000, 10.0, 10_001.0, 80, 70_000)[
         "wall_linear"
     ]
-    # contaminated count above the chance band fails (rate 2x the band)
-    n_replicated = sN["n_input"] - s1["n_input"]
-    badC = dict(
-        sN,
-        n_pass_clean=sN["n_input"]
-        - 100
-        - int(2 * CLEAN_CHANCE_BAND * n_replicated),
-    )
-    assert not ev(s1, badC, rep0, 1000, 10.0, 5000.0, 80, 70_000)[
-        "clean_fails_band"
-    ]
-    # FEWER fails than 1x is impossible (replica-0 identity) -> fails
-    badC2 = dict(sN, n_pass_clean=sN["n_input"] - 50)  # 1x had 100 fails
-    assert not ev(s1, badC2, rep0, 1000, 10.0, 5000.0, 80, 70_000)[
-        "clean_fails_band"
-    ]
+    # chance clean-fail rate outside the measured span fails both ways
+    lo, hi = CLEAN_FAIL_REPLICA_SPAN
+    for rate in (lo * 0.9, hi * 1.1):
+        badC = dict(
+            sN, n_pass_clean=sN["n_input"] - 3600 - int(rate * n_repl)
+        )
+        assert not ev(s1, badC, rep0, 1000, 10.0, 5000.0, 80, 70_000)[
+            "clean_fails_band"
+        ], rate
     # the r12 disjoint-vocab collapse (0.25% pass at scale) now FAILS
     badP = dict(sN, n_pass_ppl=12_740)
     assert not ev(s1, badP, rep0, 1000, 10.0, 5000.0, 80, 70_000)[
         "ppl_linear_band"
     ]
-    # and a rate just past the band fails symmetrically
-    lim = int((1 + PPL_BAND) * 1000 * s1["n_pass_ppl"])
-    assert not ev(
-        s1, dict(sN, n_pass_ppl=lim + 1), rep0, 1000, 10.0, 5000.0, 80, 70_000
-    )["ppl_linear_band"]
+    # and a replica rate just past either span edge fails symmetrically
+    plo, phi = PPL_REPLICA_RATE_SPAN
+    for rate in (plo * 0.9, phi * 1.1):
+        badP2 = dict(sN, n_pass_ppl=4700 + int(rate * n_repl))
+        assert not ev(s1, badP2, rep0, 1000, 10.0, 5000.0, 80, 70_000)[
+            "ppl_linear_band"
+        ], rate
 
 
 def test_quiet_span_scales_with_pin_override():

@@ -27,9 +27,10 @@ Design deltas vs the 10x stress gate, both scale-honest:
   the real-world shape), and a 1000x holdout would put ~250k docs
   behind the decontamination broadcast. Consequence (shared-vocab
   corpus): replica-0 fails reproduce the 1x fails exactly (the
-  replica-0 identity check), and docs beyond replica 0 can only add
-  chance-level holdout collisions — ``clean_fails_band`` bounds the
-  extra fails per replicated doc at CLEAN_CHANCE_BAND.
+  replica-0 identity check), and docs beyond replica 0 add holdout
+  collisions at the measured chance rate of the permutation ensemble —
+  ``clean_fails_band`` gates the per-replicated-doc rate against the
+  two-sided CLEAN_FAIL_REPLICA_SPAN (constants note).
 - The bigram-LM reference is FIXED at 1x too (threshold note below:
   a per-scale lm_ref made n_pass_ppl collapse to 0.16% at x1000), so
   ppl becomes per-doc deterministic and joins the replica-0 identity
@@ -110,23 +111,34 @@ NEARDUP_BAND = 0.01
 #: 31-word vocabulary instead of renaming every word), so the fixed 1x
 #: LM/holdout see in-vocabulary replicas. Two consequences the checks
 #: must band instead of assuming away:
+#: Replica r's permutation depends only on r, never on the factor, so
+#: every replica's per-doc flags are FACTOR-INDEPENDENT: rates measured
+#: on replicas 1-9 at factor 10 transfer exactly to the same replicas
+#: at factor 1000, and replicas 10..999 are fresh draws from the same
+#: deterministic ensemble. Both checks therefore gate the PER-REPLICA
+#: rate (count beyond replica 0, divided by docs beyond replica 0)
+#: against a two-sided span measured at factor 10 (r13 calibration run
+#: + a per-replica breakdown, artifacts/corpus_pipeline_10x_sharedvocab.json):
+#:
 #: - decontamination: permuted replicas share chance-level bigrams with
-#:   the fixed holdout, so the contaminated count is >= the 1x count
-#:   (replica-0 identity) plus a chance term — CLEAN_CHANCE_BAND bounds
-#:   the chance fails PER REPLICATED DOC (docs beyond replica 0);
-#: - ppl: replica docs score over the SAME transition table the
-#:   reference was trained on, so n_pass_ppl must finally scale
-#:   ~linearly (the r12 disjoint-vocab corpus collapsed it to 0.25%);
-#:   permutation shifts each doc's transitions to differently-weighted
-#:   cells of the same table, so replicas pass at a rate NEAR but not
-#:   equal to the 1x rate — PPL_BAND bounds |sN - factor*s1| relative
-#:   to factor*s1.
-#: Band values calibrated from the factor-10 shared-vocab run of THIS
-#: gate (artifacts/corpus_pipeline_10x_sharedvocab.json, r13): chance
-#: clean-fail rate and replicas/1x ppl pass ratio measured there, each
-#: banded with >=3x margin.
-CLEAN_CHANCE_BAND = 0.03
-PPL_BAND = 0.25
+#:   the fixed holdout — and on this corpus (31-word vocab, ~54-token
+#:   docs, so each doc covers ~6% of the 961 possible bigrams and the
+#:   holdout union covers most of them) chance containment >= 0.2 vs
+#:   SOME holdout doc is the COMMON case: measured per-replica
+#:   clean-fail rate 0.668-0.702 (mean 0.6834, 9 replicas). Span =
+#:   mean +-10% — generous vs the measured +-2.5% replica spread.
+#: - ppl: replicas score over the SAME transition table the reference
+#:   was trained on (the whole point of the shared-vocab fix — the r12
+#:   disjoint-vocab corpus collapsed the at-scale pass rate to 0.25%),
+#:   but the ensemble is HEAVY-TAILED: 8 of 9 measured replicas pass
+#:   at 0.218-0.233 while replica 5 passes at 0.946 (its permutation
+#:   happens to map hot transitions onto hot transitions; no simple
+#:   rank structure — measured). With 999 draws the mean concentrates,
+#:   but 9 samples bound the high-mode probability only loosely, so
+#:   the span is [low mode x ~0.9, mix up to ~45% high mode]. Still
+#:   ~2 orders of magnitude above the r12 collapse it exists to catch.
+CLEAN_FAIL_REPLICA_SPAN = (0.615, 0.752)
+PPL_REPLICA_RATE_SPAN = (0.20, 0.60)
 
 REPLICA0_STAGES = (
     "n_pass_exact",
@@ -167,13 +179,21 @@ def evaluate_checks(
         <= NEARDUP_BAND * factor * s1["n_pass_neardup"],
         # shared-vocab corpus (r13): replica-0 fails reproduce the 1x
         # fails exactly (identity check below covers the slice); docs
-        # beyond replica 0 can only add CHANCE-level holdout collisions
-        "clean_fails_band": 0 <= extra_clean_fails
-        <= CLEAN_CHANCE_BAND * n_replicated,
-        # the whole point of the shared-vocab fix: ppl must scale
-        # ~linearly once replicas are in-vocabulary for the fixed LM
-        "ppl_linear_band": abs(sN["n_pass_ppl"] - factor * s1["n_pass_ppl"])
-        <= PPL_BAND * factor * s1["n_pass_ppl"],
+        # beyond replica 0 fail at the measured chance rate of the
+        # permutation ensemble (two-sided — module constants)
+        "clean_fails_band": n_replicated > 0
+        and CLEAN_FAIL_REPLICA_SPAN[0]
+        <= extra_clean_fails / n_replicated
+        <= CLEAN_FAIL_REPLICA_SPAN[1],
+        # the whole point of the shared-vocab fix: replicas must pass
+        # ppl at the measured ensemble rate (factor-independent per
+        # replica), i.e. n_pass_ppl scales ~linearly in the replica
+        # count instead of collapsing the way the disjoint-vocab
+        # corpus did (0.25% at x1000, r12)
+        "ppl_linear_band": n_replicated > 0
+        and PPL_REPLICA_RATE_SPAN[0]
+        <= (sN["n_pass_ppl"] - s1["n_pass_ppl"]) / n_replicated
+        <= PPL_REPLICA_RATE_SPAN[1],
         "replica0_slice_equals_1x": all(
             rep0.get(k) == s1.get(k) for k in ("n_input",) + REPLICA0_STAGES
         ),
@@ -408,8 +428,8 @@ def main() -> int:
             "dsir_keep_1x": DSIR_KEEP_1X,
             "corpus_variant": "shared_vocab (replicas permute the fixed "
             "vocabulary; replica 0 bit-identical to 1x)",
-            "clean_chance_band": CLEAN_CHANCE_BAND,
-            "ppl_band": PPL_BAND,
+            "clean_fail_replica_span": CLEAN_FAIL_REPLICA_SPAN,
+            "ppl_replica_rate_span": PPL_REPLICA_RATE_SPAN,
             "holdout": "FIXED 1x src0 (benchmarks do not scale with the corpus)",
             "lm_ref": "FIXED 1x non-src0 (CCNet trains on a trusted "
             "reference corpus that does not scale with the crawl)",
