@@ -339,15 +339,18 @@ def main() -> int:
     # build vs rebuild walls would conclude the build path regressed.
     # Stamp the bracket mechanically so contended-run walls can't be
     # misread as code behavior.
-    load_hw = max(pre.get("loadavg_1m", 0.0), post.get("loadavg_1m", 0.0))
-    if load_hw > 8:
+    # PRE reading only: the POST loadavg is dominated by the gate's own
+    # 32-thread Spark work (measured ~25 on an otherwise-idle box), so
+    # keying the note on it would stamp every run as "contended"
+    pre_load = pre.get("loadavg_1m", 0.0)
+    if pre_load > 8:
         out["contention_note"] = (
-            f"loadavg_1m peaked at {load_hw} during this gate — wall "
-            "clocks are upper bounds under contention; the EQUALITY "
-            "checks are load-independent, the append-cheaper checks "
-            "compare walls taken under the same bracket, but absolute "
-            "walls (esp. base-build vs rebuild) must not be compared "
-            "across runs without this note"
+            f"loadavg_1m read {pre_load} BEFORE this gate started — "
+            "wall clocks are upper bounds under external contention; "
+            "the EQUALITY checks are load-independent, the "
+            "append-cheaper checks compare walls taken under the same "
+            "bracket, but absolute walls (esp. base-build vs rebuild) "
+            "must not be compared across runs without this note"
         )
     os.makedirs(os.path.dirname(out_json), exist_ok=True)
     with open(out_json, "w") as f:
