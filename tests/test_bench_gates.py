@@ -618,3 +618,22 @@ def test_quiet_span_scales_with_pin_override():
     # override is the documented path to a clean run on new hardware
     inv, _, cand = bench.gate_decision(0.20, 0.205, boot_baseline=None)
     assert cand is None and len(inv) == 1
+
+
+def test_paired_bench_summary_arithmetic():
+    """r13 paired same-boot protocol: per-leg A-B deltas on the common
+    legs, one-sided legs listed (never silently dropped), common-leg
+    totals and delta consistent."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from paired_bench import paired_summary
+
+    a = {"x": 1.0, "y": 2.5, "new_leg": 0.4}
+    b = {"x": 1.2, "y": 2.0, "old_leg": 9.9}
+    s = paired_summary(a, b)
+    assert s["legs"]["x"]["delta"] == -0.2
+    assert s["legs"]["y"]["delta"] == 0.5
+    # sorted by |delta| descending
+    assert list(s["legs"]) == ["y", "x"]
+    assert s["only_in_a"] == ["new_leg"] and s["only_in_b"] == ["old_leg"]
+    assert s["total_a_common"] == 3.5 and s["total_b_common"] == 3.2
+    assert abs(s["delta_common"] - 0.3) < 1e-9
