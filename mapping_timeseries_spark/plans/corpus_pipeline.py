@@ -66,6 +66,11 @@ __all__ = ["CorpusPipelineResult", "run_corpus_pipeline"]
 class CorpusPipelineResult:
     out_path: str
     stats: dict[str, Any]
+    #: r13: which near-dup verify path ran — the auto decision record
+    #: (participants/docs/fraction/narrow) or {"narrow": <override>,
+    #: "override": True} when the caller forced it. Not a stats entry:
+    #: stats values are integer counts by contract.
+    narrow_verify_decision: dict[str, Any] | None = None
 
 
 def flag_corpus(
@@ -542,4 +547,21 @@ def _run_corpus_pipeline_inner(
             .asDict()
         )
         stats = {k: (0 if v is None else v) for k, v in row.items()}
-    return CorpusPipelineResult(out_path=out_path, stats=stats)
+    # r13 observability: which verify path the near-dup stage actually
+    # took. The auto decision (narrow_verify=None) runs its counts at
+    # flag-plan BUILD time (minhash_lsh_pairs body), so by now the
+    # module-level record is this run's decision; an explicit True/False
+    # never writes one, so report the override instead. A separate
+    # result field, NOT a stats entry — stats values are integer counts
+    # by contract (gates int()-coerce every one).
+    from ..operators import dedup as _dd
+
+    decision = (
+        dict(_dd.LAST_NARROW_VERIFY_DECISION)
+        if neardup_narrow_verify is None
+        and _dd.LAST_NARROW_VERIFY_DECISION is not None
+        else {"narrow": neardup_narrow_verify, "override": True}
+    )
+    return CorpusPipelineResult(
+        out_path=out_path, stats=stats, narrow_verify_decision=decision
+    )

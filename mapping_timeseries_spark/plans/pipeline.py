@@ -113,7 +113,15 @@ class StagedScopeExpiredError(RuntimeError):
 _EXPIRED_STAGED_PATHS: set[str] = set()
 
 
-from pyspark.sql.classic.dataframe import DataFrame as _ClassicDataFrame
+try:
+    # classic (JVM-backed) runtime: the guard shadows _jdf below.
+    from pyspark.sql.classic.dataframe import DataFrame as _ClassicDataFrame
+except ImportError:  # pragma: no cover — Connect-only runtime
+    # Spark Connect has no _jdf to shadow; guard_staged degrades to a
+    # pass-through (the scope contract still holds, its violation just
+    # surfaces as the raw read error again) rather than taking the
+    # whole pipeline module down with an ImportError.
+    _ClassicDataFrame = object
 
 
 class _StagedFrame(_ClassicDataFrame):
@@ -159,7 +167,14 @@ def guard_staged(df: DataFrame, staged_path: str) -> DataFrame:
     """Re-wrap a plan that (directly or transitively) reads
     ``staged_path`` so post-vacuum consumption raises
     :class:`StagedScopeExpiredError` instead of a bare executor
-    FileNotFoundError. Zero-cost pass-through while the path is live."""
+    FileNotFoundError. Zero-cost pass-through while the path is live.
+    On a runtime without ``_jdf`` to shadow (Spark Connect) the frame
+    is returned unwrapped with ``_staged_path`` attached — the scope
+    contract still holds, its violation just surfaces as the raw read
+    error (import-fallback note above)."""
+    if _ClassicDataFrame is object or not hasattr(df, "_jdf"):
+        df._staged_path = staged_path
+        return df
     return _StagedFrame(df._jdf, df.sparkSession, staged_path)
 
 
