@@ -1317,8 +1317,26 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     training-side/corpus doc, doc_b the matched doc; score is Jaccard or
     holdout-containment respectively."""
     ensure_runtime_conf(spark)
+    from mapping_timeseries_spark.operators.dedup import (
+        _ngram_hsets,
+        scoped_pin as _scope_pin,
+    )
+
     docs = read_table(spark, sf_dir, "documents")
-    near = ngram_jaccard_pairs(docs, threshold=0.5).select(
+    # r13 (guide §1.2): ONE shared tokenize+shingle+hash pass for both
+    # halves. The PPJoin near-dup half and the decontamination half both
+    # start from per-doc shingle-hash sets over the same corpus; before,
+    # each built its own (the contam side re-tokenized 98% of the corpus
+    # — its stage alone was ~10 s of executor time at sf0.1). `source`
+    # rides the hsets so the train/holdout split is a filter on the
+    # pinned frame, not a corpus join. Results are identical: shingles
+    # are distinct per doc, so exploding the sorted-hash array is the
+    # same multiset the string path hashes row by row (hash-gate
+    # re-verified vs the unchanged DuckDB oracle).
+    hsets = _scope_pin(_ngram_hsets(docs, "text", 2, keep_cols=("source",)))
+    near = ngram_jaccard_pairs(
+        docs, threshold=0.5, hsets=hsets
+    ).select(
         F.lit("neardup").alias("kind"),
         "doc_a",
         "doc_b",
@@ -1328,6 +1346,8 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.where(F.col("source") != "src0"),
         docs.where(F.col("source") == "src0"),
         min_overlap=0.2,
+        train_hsets=hsets.where(F.col("source") != "src0"),
+        holdout_hsets=hsets.where(F.col("source") == "src0"),
     ).select(
         F.lit("contam").alias("kind"),
         F.col("train_doc").alias("doc_a"),

@@ -91,17 +91,56 @@ def lag_correlation_grid(merged: DataFrame, max_lag: int = 6) -> DataFrame:
     aggregates — so the ``n_pairs >= 2`` gate can never pass on fewer
     real pairs than corr itself saw (a bare ``count(rev)`` would
     overcount when the x side carries nulls).
+
+    Shape (r13, guide §2.3 "aggregate before you shuffle/explode"): the
+    grid aggregates the UN-EXPLODED windowed frame — one ``corr(x,
+    __rev_lag_j)`` + one pair count per lag as (max_lag+1) aggregate
+    expression pairs over groupBy(entity) — and explodes the per-entity
+    7-struct array AFTER aggregation. The pre-r13 shape exploded every
+    merged row (max_lag+1)x BEFORE aggregating, pushing 7x the rows
+    through the aggregation hash map (measured: the explode+agg stage
+    was 8-11 s of executor time in every corr-family leg at sf0.1).
+    Results are identical: each (entity, lag) corr/count aggregates the
+    same pair stream in the same month order — the lag is a column
+    choice instead of an exploded row tag.
     """
-    pairs = _aligned_pairs(merged, max_lag)
-    return pairs.groupBy(KEY, "lag").agg(
-        F.corr("txn_amount", "rev").alias("corr"),
-        F.count(
-            F.when(
-                F.col("txn_amount").isNotNull() & F.col("rev").isNotNull(),
-                F.lit(1),
+    g = _grid_wide(merged, max_lag)
+    return g.select(
+        KEY,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(lag).alias("lag"),
+                        F.col(f"__c_{lag}").alias("corr"),
+                        F.col(f"__n_{lag}").alias("n_pairs"),
+                    )
+                    for lag in range(max_lag + 1)
+                ]
             )
-        ).alias("n_pairs"),
-    )
+        ).alias("p"),
+    ).select(KEY, "p.lag", "p.corr", "p.n_pairs")
+
+
+def _grid_wide(
+    merged: DataFrame, max_lag: int, extra_aggs: list | None = None
+) -> DataFrame:
+    """One-aggregation wide grid: per entity, ``__c_j``/``__n_j`` for
+    every lag j (plus any caller aggregates) over the lead-windowed
+    frame. The window's hash partitioning on the entity key satisfies
+    the groupBy's distribution, so the whole grid is ONE exchange."""
+    windowed = _with_lagged_revenue(merged, max_lag)
+    x = F.col("txn_amount")
+    aggs = []
+    for lag in range(max_lag + 1):
+        y = F.col(f"__rev_lag_{lag}")
+        aggs.append(F.corr(x, y).alias(f"__c_{lag}"))
+        aggs.append(
+            F.count(
+                F.when(x.isNotNull() & y.isNotNull(), F.lit(1))
+            ).alias(f"__n_{lag}")
+        )
+    return windowed.groupBy(KEY).agg(*aggs, *(extra_aggs or []))
 
 
 _MOMENT_COLS = ("n", "sx", "sy", "sxx", "syy", "sxy")
@@ -387,82 +426,53 @@ def best_lag_correlation(
     decimals with portable integer half-up arithmetic (requires
     ``mean_lattice_scale``) — see ``_lattice_mean_rounded``.
     """
-    # ONE linear pass over `merged` (r10): merged -> lead window ->
-    # explode -> agg(entity, lag) -> agg(entity). The per-entity stats
-    # ride the grid aggregation guarded by lag == 0 — the lag-0 slice of
-    # the pair stream is row-for-row the merged frame itself (lead 0 is
-    # the identity and the explode emits every row at every lag), so
-    # num_months and the means accumulate exactly the rows the old
-    # per-entity groupBy over `merged` read. That old shape consumed
-    # `merged` TWICE (grid + stats groupBys with different keys — no
-    # exchange reuse, and column pruning would specialize the two agg
-    # branches even if the keys matched), re-executing the whole
-    # upstream merge join once more per action whenever the caller had
-    # not cached it. Measured at the 1000x gate: corr_mapping 542 s vs
-    # auto_mapping's 287 s (auto caches merged), the delta being one
-    # extra execution of a 57M-row sort-merge join. The best-lag argmax
-    # is a struct-max in the second aggregation — (corr desc, lag asc)
-    # == lexicographic max of (corr, -lag) — replacing the row_number
-    # window + left join, so single-pass holds by construction, not by
-    # optimizer goodwill.
-    lag0 = F.col("lag") == 0
+    # ONE linear pass over `merged` (r10; r13 shape): merged -> lead
+    # window -> ONE groupBy(entity) computing every lag's corr and pair
+    # count as column aggregates over the UN-EXPLODED windowed frame
+    # (see lag_correlation_grid's r13 note — the old explode pushed 7x
+    # the rows through the aggregation), plus num_months and the means
+    # directly (the lag-0 pair stream IS the merged frame, so no lag==0
+    # guards are needed any more). The per-lag argmax then happens
+    # ROW-LOCALLY via greatest() over the (corr_j, -j) structs —
+    # lexicographic max == orderBy(corr desc, lag asc) row 1; invalid
+    # lags (n_pairs < 2, null/NaN corr) are nulled out and greatest()
+    # skips nulls, exactly as F.max skipped the nulled exploded rows.
+    # Single-pass and single-exchange hold by construction: the window
+    # and the aggregation share the entity hash partitioning.
+    x = F.col("txn_amount")
+    rev0 = F.col("revenue")
     if mean_lattice_scale is None:
         if mean_round_dp is not None:
             raise ValueError("mean_round_dp requires mean_lattice_scale")
-        txn_mean = F.avg(F.when(lag0, F.col("txn_amount")))
-        rev_mean = F.avg(F.when(lag0, F.col("rev")))
+        txn_mean = F.avg(x)
+        rev_mean = F.avg(rev0)
     elif mean_round_dp is None:
-        txn_mean = _lattice_mean(
-            F.when(lag0, F.col("txn_amount")), mean_lattice_scale
-        )
-        rev_mean = _lattice_mean(F.when(lag0, F.col("rev")), mean_lattice_scale)
+        txn_mean = _lattice_mean(x, mean_lattice_scale)
+        rev_mean = _lattice_mean(rev0, mean_lattice_scale)
     else:
-        txn_mean = _lattice_mean_rounded(
-            F.when(lag0, F.col("txn_amount")), mean_lattice_scale, mean_round_dp
-        )
-        rev_mean = _lattice_mean_rounded(
-            F.when(lag0, F.col("rev")), mean_lattice_scale, mean_round_dp
-        )
-    g = (
-        _aligned_pairs(merged, max_lag)
-        .groupBy(KEY, "lag")
-        .agg(
-            F.corr("txn_amount", "rev").alias("corr"),
-            F.count(
-                F.when(
-                    F.col("txn_amount").isNotNull() & F.col("rev").isNotNull(),
-                    F.lit(1),
-                )
-            ).alias("n_pairs"),
-            F.count(F.when(lag0, F.lit(1))).alias("__n_rows"),
-            txn_mean.alias("__txn_mean"),
-            rev_mean.alias("__rev_mean"),
-        )
+        txn_mean = _lattice_mean_rounded(x, mean_lattice_scale, mean_round_dp)
+        rev_mean = _lattice_mean_rounded(rev0, mean_lattice_scale, mean_round_dp)
+    g = _grid_wide(
+        merged,
+        max_lag,
+        extra_aggs=[
+            F.count(F.lit(1)).alias("num_months"),
+            txn_mean.alias("txn_mean"),
+            rev_mean.alias("rev_mean"),
+        ],
     )
-    valid = (
-        (F.col("n_pairs") >= 2)
-        & F.col("corr").isNotNull()
-        & ~F.isnan(F.col("corr"))
-    )
-    per_entity = g.groupBy(KEY).agg(
-        # lexicographic struct max == orderBy(corr desc, lag asc) row 1:
-        # highest corr first, then highest -lag (= lowest lag); NaN/null
-        # corr and n_pairs < 2 rows are nulled out and F.max skips them
-        F.max(
-            F.when(
-                valid,
-                F.struct(
-                    F.col("corr").alias("c"),
-                    (-F.col("lag")).alias("nl"),
-                ),
-            )
-        ).alias("__b"),
-        # the lag-0 group always exists for every entity with >= 1
-        # merged row, so each of these picks exactly one non-null value
-        F.max(F.when(lag0, F.col("__n_rows"))).alias("num_months"),
-        F.max(F.when(lag0, F.col("__txn_mean"))).alias("txn_mean"),
-        F.max(F.when(lag0, F.col("__rev_mean"))).alias("rev_mean"),
-    )
+
+    def cand(lag: int):
+        c, n = F.col(f"__c_{lag}"), F.col(f"__n_{lag}")
+        valid = (n >= 2) & c.isNotNull() & ~F.isnan(c)
+        return F.when(
+            valid,
+            F.struct(c.alias("c"), F.lit(-lag).alias("nl")),
+        )
+
+    cands = [cand(lag) for lag in range(max_lag + 1)]
+    best = F.greatest(*cands) if len(cands) > 1 else cands[0]
+    per_entity = g.select(KEY, best.alias("__b"), "num_months", "txn_mean", "rev_mean")
     return per_entity.select(
         KEY,
         F.coalesce(-F.col("__b.nl"), F.lit(0)).cast("int").alias("optimal_lag"),

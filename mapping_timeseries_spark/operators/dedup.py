@@ -346,15 +346,35 @@ def _verify_jaccard_hashed(
     )
 
 
-def _ngram_hsets(docs: DataFrame, text_col: str, n: int) -> DataFrame:
+def _ngram_hsets(
+    docs: DataFrame, text_col: str, n: int, keep_cols: tuple = ()
+) -> DataFrame:
     """PPJoin stage 1: per-doc SORTED arrays of 64-bit shingle hashes
     ``(doc_id, n_shingles, __hset)`` — the compact frame both the
     posting explode and the exact verifier read. Split out (r9, VERDICT
     r8 #2) so the 100x staging harness (tools/text_100x_gate.py) can
     checkpoint each stage to parquet once instead of re-paying the
-    shingle pass per bucketed action."""
-    return _shingled(docs, text_col, n).select(
+    shingle pass per bucketed action.
+
+    ``keep_cols`` (r13): extra doc columns carried through unchanged —
+    lets one shared hsets pass serve consumers that partition the
+    corpus by a metadata column (q_ngram_jaccard splits on ``source``
+    for the decontamination half) without a corpus-sized join to
+    re-attach it."""
+    extra = [F.col(c) for c in keep_cols]
+    sh = (
+        _ensure_parallel(docs)
+        .select("doc_id", *extra, tokens(F.col(text_col)).alias("__toks"))
+        .select(
+            "doc_id",
+            *extra,
+            word_shingles_from_tokens(F.col("__toks"), n).alias("shingles"),
+        )
+        .withColumn("n_shingles", F.size("shingles"))
+    )
+    return sh.select(
         "doc_id",
+        *extra,
         "n_shingles",
         F.array_sort(
             F.transform("shingles", lambda s: F.xxhash64(s))
@@ -484,6 +504,7 @@ def ngram_jaccard_pairs(
     n: int = 2,
     threshold: float = 0.5,
     candidates_only: bool = False,
+    hsets: DataFrame | None = None,
 ) -> DataFrame:
     """Word-n-gram Jaccard pairs with J >= threshold (doc_a < doc_b).
 
@@ -534,8 +555,13 @@ def ngram_jaccard_pairs(
     # caching the 50x-larger exploded frame and scanning it from the
     # cache was measured ~2.4x slower end-to-end than re-running the
     # (cheap) explode against the cached arrays (interleaved A/B at
-    # sf0.1: 9.0 s vs 3.7 s min-of-4)
-    hsets = _pin(_ngram_hsets(docs, text_col, n))
+    # sf0.1: 9.0 s vs 3.7 s min-of-4).
+    # ``hsets`` (r13): a caller that also runs decontamination over the
+    # same corpus passes ONE shared (already-pinned) hsets frame so the
+    # tokenize+shingle+hash pass runs once for both operators; the
+    # caller then owns the pin's lifetime.
+    if hsets is None:
+        hsets = _pin(_ngram_hsets(docs, text_col, n))
     prefix = _pin(_ngram_prefix(hsets, threshold))
     cand = _ngram_candidates(prefix, threshold)
     if candidates_only:
@@ -667,6 +693,8 @@ def ngram_decontaminate(
     n: int = 2,
     min_overlap: float = 0.2,
     bloom_bits_per_key: int | None = 12,
+    train_hsets: DataFrame | None = None,
+    holdout_hsets: DataFrame | None = None,
 ) -> DataFrame:
     """Benchmark decontamination: training documents that reproduce a
     holdout/benchmark document's content, measured by word-n-gram
@@ -733,18 +761,38 @@ def ngram_decontaminate(
     # shared_ngrams by 1 with probability ~V^2/2^65 — the DuckDB oracle
     # stays the exact string formulation and the registry gate
     # hash-compares against it.
-    tr = _shingled(train, text_col, n).select(
-        F.col("doc_id").alias("train_doc"),
-        F.explode("shingles").alias("__s"),
-    ).select("train_doc", F.xxhash64("__s").alias("shingle"))
-    ho_sh = _pin(_shingled(holdout, text_col, n))
-    ho = ho_sh.select(
-        F.col("doc_id").alias("holdout_doc"),
-        F.col("n_shingles").alias("holdout_ngrams"),
-        F.explode("shingles").alias("__s"),
-    ).select(
-        "holdout_doc", "holdout_ngrams", F.xxhash64("__s").alias("shingle")
-    )
+    # r13 (guide §1.2 "don't compute things twice"): callers that have
+    # already paid the shingle pass (q_ngram_jaccard shares the PPJoin
+    # half's pinned hsets) pass ``*_hsets`` frames in `_ngram_hsets`
+    # shape; shingles are DISTINCT per doc (word_shingles_from_tokens
+    # ends in array_distinct), so exploding the sorted-hash array
+    # yields exactly the xxhash64 stream the string path computes —
+    # one tokenize+shingle+hash pass over the corpus instead of two.
+    if train_hsets is not None:
+        tr = train_hsets.select(
+            F.col("doc_id").alias("train_doc"),
+            F.explode("__hset").alias("shingle"),
+        )
+    else:
+        tr = _shingled(train, text_col, n).select(
+            F.col("doc_id").alias("train_doc"),
+            F.explode("shingles").alias("__s"),
+        ).select("train_doc", F.xxhash64("__s").alias("shingle"))
+    if holdout_hsets is not None:
+        ho = holdout_hsets.select(
+            F.col("doc_id").alias("holdout_doc"),
+            F.col("n_shingles").alias("holdout_ngrams"),
+            F.explode("__hset").alias("shingle"),
+        )
+    else:
+        ho_sh = _pin(_shingled(holdout, text_col, n))
+        ho = ho_sh.select(
+            F.col("doc_id").alias("holdout_doc"),
+            F.col("n_shingles").alias("holdout_ngrams"),
+            F.explode("shingles").alias("__s"),
+        ).select(
+            "holdout_doc", "holdout_ngrams", F.xxhash64("__s").alias("shingle")
+        )
     if bloom_bits_per_key is not None:
         bloom_row, k = _bloom_frame(
             ho.select(F.col("shingle").alias("__h")).distinct(),

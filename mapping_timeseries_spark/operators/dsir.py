@@ -55,12 +55,19 @@ def dsir_feature_counts(
     codegen'd ``slice``/``array_join`` — no higher-order-function
     lambdas, which evaluate interpreted (the measured 6x of the Gopher
     operator, SCALE.md); counts collapse map-side."""
+    # r13: same single-scan-partition fix as gopher_repetition (guide
+    # §2.5) — the unigram+bigram explode is expression-heavy per-row
+    # work that a one-partition local scan serializes onto one core;
+    # round-robin the docs across cores first (no-op on a wide scan).
+    from ..sources.readers import ensure_parallel
+
     t, n_col = F.col("__t"), F.col("__n")
     positions = F.when(
         F.size(t) >= n_col, F.sequence(F.lit(1), F.size(t) - n_col + 1)
     ).otherwise(F.array().cast("array<int>"))
     return (
-        docs.select("doc_id", tokens(F.col(text_col)).alias("__t"))
+        ensure_parallel(docs)
+        .select("doc_id", tokens(F.col(text_col)).alias("__t"))
         .select(
             "doc_id",
             "__t",

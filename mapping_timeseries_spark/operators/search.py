@@ -71,13 +71,23 @@ def bm25_index(docs: DataFrame, text_col: str = "text") -> dict:
         .select("doc_id", F.explode(tokens(F.col(text_col))).alias("__w"))
         .select("doc_id", portable_hash64(F.col("__w")).alias("wh"))
     )
-    words = _pin(words)
     postings = words.groupBy("wh", "doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("tf")
     )
     postings = _pin(postings)
-    dl = words.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("dl")
+    # r13 (guide §2.3 "aggregate before you shuffle"): dl derives from
+    # POSTINGS (sum of per-term tf per doc == the doc's token count —
+    # identical bigint arithmetic), not from the raw token stream. The
+    # exploded corpus-token frame then has exactly ONE consumer, so its
+    # pin is gone: before, `words` (corpus-token-sized, the largest
+    # frame in the operator) was persisted just to feed two groupBys;
+    # now the only frame ever cached or re-read is the vocabulary×doc
+    # bounded postings table. At 100 TB that removes a corpus-scale
+    # cache and replaces a second full-token aggregation with one over
+    # the much smaller postings. Results bitwise identical
+    # (append==rebuild and query pins unchanged, pytest).
+    dl = postings.groupBy("doc_id").agg(
+        F.sum("tf").cast("bigint").alias("dl")
     )
     totals = dl.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),

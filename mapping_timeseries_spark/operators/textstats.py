@@ -439,8 +439,18 @@ def gopher_repetition(docs: DataFrame, text_col: str = "text") -> DataFrame:
     # carry zero char length, so every fraction still reads 0); docs
     # shorter than n simply have no (n, pos) rows — frac() coalesces
     # the absent n to 0, same result as the r7 null-gram rows.
+    # r13 (guide §2.5 input skew / §1.2 algorithm first): the 9-n gram
+    # expansion below is the most expression-heavy per-row pass in the
+    # suite, and a small local parquet arrives as ONE scan partition —
+    # profiled at sf0.1, the whole tokenize+explode+hash stage ran as a
+    # single 6.0 s task (90% of the leg's wall) while 31 cores idled.
+    # ensure_parallel round-robins the doc rows across cores first (a
+    # 0.6 MB shuffle buys 32x parallelism on the gram pass); on a real
+    # cluster the scan is already wide and this is a no-op.
+    from ..sources.readers import ensure_parallel
+
     max_n = max(all_ns)
-    toks = docs.select(
+    toks = ensure_parallel(docs).select(
         "doc_id",
         F.greatest(F.length(F.col(text_col)), F.lit(1)).alias("__chars"),
         tokens(F.col(text_col)).alias("__t"),

@@ -28,6 +28,23 @@ RUNTIME_CONF: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # r13 (guide §2.2/§2.4): let AQE re-optimize CACHED plans too. By
+    # default Spark compiles persist()-ed subplans WITHOUT AQE so the
+    # cached partitioning is stable, which leaves every pinned frame
+    # (scoped_pin in the dedup/bm25/mapping paths) materialized at the
+    # raw spark.sql.shuffle.partitions count and every downstream stage
+    # running that many tasks regardless of data size — measured at
+    # sf0.1: 32-task stages throughout corr_mapping/auto_mapping while
+    # the unpinned corr_best_lag coalesced to 2-8 tasks. With this on,
+    # cached plans get the same AQE coalescing/skew handling as the
+    # rest of the query (partitioning only — results unchanged;
+    # interleaved A/B min-of-8: corr_mapping -36%, bm25_topk -25%,
+    # auto_mapping -15%, ngram_jaccard -14%, nothing slower). Scale
+    # posture: this is the scale-ADAPTIVE choice (cached partition
+    # count follows data volume instead of a constant), not a local[32]
+    # tune; the trade is that a cached plan's output partitioning may
+    # change across runs, which nothing in this engine relies on.
+    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.ansi.enabled": "false",
     # pandas-written parquet carries TIMESTAMP(NANOS), which the Spark
