@@ -28,23 +28,25 @@ RUNTIME_CONF: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
-    # r13 (guide §2.2/§2.4): let AQE re-optimize CACHED plans too. By
-    # default Spark compiles persist()-ed subplans WITHOUT AQE so the
-    # cached partitioning is stable, which leaves every pinned frame
-    # (scoped_pin in the dedup/bm25/mapping paths) materialized at the
-    # raw spark.sql.shuffle.partitions count and every downstream stage
-    # running that many tasks regardless of data size — measured at
-    # sf0.1: 32-task stages throughout corr_mapping/auto_mapping while
-    # the unpinned corr_best_lag coalesced to 2-8 tasks. With this on,
-    # cached plans get the same AQE coalescing/skew handling as the
-    # rest of the query (partitioning only — results unchanged;
-    # interleaved A/B min-of-8: corr_mapping -36%, bm25_topk -25%,
-    # auto_mapping -15%, ngram_jaccard -14%, nothing slower). Scale
-    # posture: this is the scale-ADAPTIVE choice (cached partition
-    # count follows data volume instead of a constant), not a local[32]
-    # tune; the trade is that a cached plan's output partitioning may
-    # change across runs, which nothing in this engine relies on.
-    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
+    # r13 note: spark.sql.optimizer.canChangeCachedPlanOutputPartitioning
+    # (AQE re-optimizing CACHED plans) was trialled here mid-round. On
+    # the pre-rework operators it measured as a clear win (interleaved
+    # A/B min-of-8: corr_mapping -36%, bm25_topk -25%, auto_mapping
+    # -15% — the pinned frames materialized at the raw shuffle-partition
+    # count and AQE coalescing fixed that), but after the r13 operator
+    # restructures (un-exploded corr grid, bm25 dl-from-postings, shared
+    # ngram hsets) the same interleaved A/B on the SAME legs showed the
+    # default (off) faster almost everywhere: dsir_select -30%,
+    # bm25_topk -15%, dtw_summary -10%, ngram_jaccard -8%, auto_mapping
+    # -7%, corr_mapping -3%, only dtw_mapping +9% the other way. The
+    # mechanism inverted: AQE coalesces a cached frame by its BYTE size,
+    # and the round's reworked operators leave only small cached frames
+    # whose downstream work (shingle explode, Arrow-batched DP) is far
+    # more expensive per byte than a shuffle — coalescing them
+    # serializes that work. Left at the Spark default (false); the
+    # expansion-heavy consumers get their parallelism explicitly via
+    # ensure_parallel, which scales with input size instead of cached
+    # plan bytes.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.ansi.enabled": "false",
     # pandas-written parquet carries TIMESTAMP(NANOS), which the Spark
