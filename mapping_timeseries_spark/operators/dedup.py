@@ -560,6 +560,17 @@ def ngram_jaccard_pairs(
     # same corpus passes ONE shared (already-pinned) hsets frame so the
     # tokenize+shingle+hash pass runs once for both operators; the
     # caller then owns the pin's lifetime.
+    # NOTE (r13, measured and REJECTED): a cold pin here is materialized
+    # concurrently by every consumer's first stage (profiled at sf0.1:
+    # one cold action ran the tokenize+shingle+sort pass up to SIX times
+    # in parallel, ~28 s of duplicated executor time). Routing all
+    # consumers through one `repartition(doc_id)` gate does dedupe the
+    # materialization via AQE stage reuse — but the gate exchange moves
+    # the full shingle-hash arrays (~1 GB shuffle at sf0.1 vs ~100 MB
+    # without), and the full-bench median regressed 6.3 s -> 16.7 s:
+    # on cold reps the serialized exchange costs far more than the
+    # duplicated map work that idle cores absorb. Keep the duplicate
+    # materialization; it is bounded by consumer count, not data size.
     if hsets is None:
         hsets = _pin(_ngram_hsets(docs, text_col, n))
     prefix = _pin(_ngram_prefix(hsets, threshold))

