@@ -381,13 +381,17 @@ def q_qa_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagship mapping: coverage, duplicates, lag stats, ratio stats,
     temporal violations."""
     ensure_runtime_conf(spark)
-    from mapping_timeseries_spark.operators.dedup import scoped_pin as _scope_pin
-
-    # pinned (r10): t1 feeds the merge, the mapping join AND the QA
-    # totals (three consumers), t2 the merge and the mapping join —
-    # unpinned, each consumer re-runs the fact-table aggregation
-    t1 = _scope_pin(monthly_spend(spark, sf_dir))
-    t2 = _scope_pin(monthly_revenue(spark, sf_dir))
+    # r13 (guide §2.4, replacing the r10 pins): t1 feeds the merge, the
+    # mapping join AND the QA totals (three consumers), t2 the merge and
+    # the mapping join. The reuse point is one hash exchange on the
+    # entity key instead of a scoped_pin: a cold pin was materialized
+    # concurrently by every consumer (duplicate lineitem scans profiled
+    # in this leg), while the exchange computes each aggregation subtree
+    # exactly once and its partitioning feeds the downstream per-entity
+    # windows/joins. Interleaved A/B at sf0.1 (tools/r13_pin_shape_ab.py,
+    # rows identical): pin 4.29 s median -> entity-key gate 3.11 s.
+    t1 = monthly_spend(spark, sf_dir).repartition(F.col("cus_code"))
+    t2 = monthly_revenue(spark, sf_dir).repartition(F.col("cus_code"))
     corr = best_lag_correlation(merge_series(t1, t2), MAX_LAG)
     mapped = build_correlation_mappings(t1, t2, corr, MIN_CORRELATION)
     qa = qa_invariants(mapped, t1)

@@ -66,18 +66,21 @@ def map_tables(
     if cfg.cache_intermediate and cfg.method != "dtw":
         # correlation/auto consume each canonical series twice: once
         # through the merged frame feeding the correlation grid, once as
-        # a side of the lag join; persisting turns two full upstream
-        # scans into one. NOTE the cost honestly: canonicalize is a pure
-        # projection, so what gets pinned is INPUT-cardinality data (the
-        # engine API contract is that inputs are already (entity, month)
-        # series tables — small next to the fact tables they derive
-        # from, but not free). The blocks back the lazily-returned
-        # result, so they cannot be unpersisted here; long-lived
-        # sessions calling map_tables repeatedly should
-        # spark.catalog.clearCache() between runs (same contract as the
-        # dedup operators).
-        t1 = t1.persist()
-        t2 = t2.persist()
+        # a side of the lag join. r13 (guide §2.4): the reuse point is
+        # ONE hash exchange on the entity key, not a persist — a cold
+        # persist is materialized CONCURRENTLY by every consumer's
+        # first stage (duplicate upstream scans, "Block already exists"
+        # races, profiled in the qa/bm25 legs), while an exchange is
+        # planned once and its shuffle files are read by all consumers;
+        # downstream per-entity windows/joins/groupBys reuse the same
+        # partitioning (the entity key is a subset of the merge-join
+        # key, which co-partitions the join under the default subset
+        # rule). Same-session interleaved A/B at sf0.1, results
+        # identical: corr leg median 3.24->3.00 s, auto leg 3.76->2.88 s
+        # (tools/r13_map_shape_ab.py); no executor memory pinned, no
+        # clearCache contract for long-lived sessions.
+        t1 = t1.repartition(F.col(KEY))
+        t2 = t2.repartition(F.col(KEY))
     merged = merge_series(t1, t2)
     if cfg.shuffle_partitions is not None:
         # the caller pinned an explicit parallelism for the per-entity
@@ -94,11 +97,22 @@ def map_tables(
     elif cfg.method == "dtw":
         result = build_dtw_mappings(merged, cfg.window_size, cfg.normalize)
     else:  # auto — one correlation pass, route entities on it
-        if cfg.cache_intermediate:
-            merged = merged.cache()
+        if cfg.cache_intermediate and cfg.shuffle_partitions is None:
+            # same exchange-as-reuse-point trick as t1/t2 above: merged
+            # feeds the corr grid AND the DTW semi-join; one KEY
+            # exchange computes the merge join exactly once (a
+            # caller-pinned shuffle_partitions already inserted this
+            # exchange two lines up). The measured winner is gating
+            # merged AND corr with NO caches (shape D in
+            # tools/r13_map_shape_ab.py: 3.76 -> 2.88 s median);
+            # mixing gates with caches was the worst shape (4.62 s).
+            merged = merged.repartition(F.col(KEY))
         corr = best_lag_correlation(merged, cfg.max_lag)
         if cfg.cache_intermediate:
-            corr = corr.cache()
+            # corr's subtree is the whole correlation-grid window stack,
+            # consumed twice (simple/complex routing split) — the gate
+            # dedupes it for the cost of an entity-sized exchange
+            corr = corr.repartition(F.col(KEY))
         # the routing split is the MAX of the auto threshold and the
         # caller's min_correlation: with min_correlation > 0.7, an
         # entity in [0.7, min_correlation) would otherwise route to the
