@@ -222,15 +222,16 @@ def q_corr_lag_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from mapping_timeseries_spark.plans.incremental import _tail
 
-    # pinned via the dedup cache-scope registry (ADVICE r9 #3): the grid,
-    # the bootstrap state, the tail, and the delta all read `merged`, so an
-    # unpersisted frame re-executes the monthly_spend/monthly_revenue join
-    # subtree ~4x per action — inflating a headline bench leg. _pin caches
-    # it; compare_oracle wraps each query action in dedup_cache_scope() so
-    # the pin releases per query, and bench.py clearCache()s between reps.
-    from mapping_timeseries_spark.operators.dedup import scoped_pin as _scope_pin
-
-    merged = _scope_pin(_merged(spark, sf_dir))
+    # r13 (guide §2.4, replacing the r9 pin): the grid, the bootstrap
+    # state, the tail, and the delta all read `merged` — a naked frame
+    # re-executes the monthly_spend/monthly_revenue join subtree ~4x per
+    # action, and a cold PIN is still materialized concurrently by those
+    # same consumers. One entity-key exchange is the reuse point: the
+    # merge subtree computes exactly once, all four consumers read its
+    # shuffle files, the per-entity grid windows reuse the partitioning,
+    # and no executor memory is pinned (same measured pattern as
+    # qa_invariants, tools/r13_pin_shape_ab.py).
+    merged = _merged(spark, sf_dir).repartition(F.col("cus_code"))
     grid = lag_correlation_grid(merged, MAX_LAG)
     corr = F.when(F.isnan("corr"), F.lit(None)).otherwise(F.col("corr"))
     # fixed split inside the TPC-H date range: every sf dir has months
@@ -506,10 +507,11 @@ def q_recommendation_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     CASE model. Lattice-snapped input on both sides.
     """
     ensure_runtime_conf(spark)
-    from mapping_timeseries_spark.operators.dedup import scoped_pin as _scope_pin
-
-    # pinned (r10): merged feeds both the corr grid and the DTW summary
-    merged = _scope_pin(_merged_lattice(spark, sf_dir))
+    # r13 (guide §2.4, replacing the r10 pin): merged feeds both the corr
+    # grid and the DTW summary — one entity-key exchange is the shared
+    # reuse point (merge subtree computes once, both consumers are
+    # entity-keyed), no cache race, no pinned memory
+    merged = _merged_lattice(spark, sf_dir).repartition(F.col("cus_code"))
     corr = best_lag_correlation(merged, MAX_LAG)
     dtw = dtw_summary(merged)
     rec = recommendation_table(compare_methods(corr, dtw))
@@ -582,22 +584,35 @@ def q_production_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     t2 = monthly_revenue(spark, sf_dir).withColumn(
         "revenue", lattice_snap("revenue")
     )
-    # pinned via the dedup cache-scope registry (r10 — the 1000x-gate
-    # lesson): merged feeds the corr grid, the DTW summary AND the routed
-    # mapping build; unpinned, each consumer re-executes the full
-    # spend/revenue merge join (the measured 57M-row-join overhead that
-    # made pre-fix corr_mapping 2.6x slower at 1000x). merged is derived
-    # from the SAME pinned t1/t2 the routing build consumes (snap on the
-    # inputs == snap on the merge output: per-value, join keys
-    # untouched) instead of _merged_lattice's independent re-derivation,
-    # so orders aggregates once and lineitem joins once for the whole
-    # query — the 1000x gate measured this query's 44 GB scratch
-    # high-water, twice the family norm, with the doubled upstream.
-    from mapping_timeseries_spark.operators.dedup import scoped_pin as _scope_pin
+    # Shared-intermediate reuse (r10 lesson, r13 mechanism): merged feeds
+    # the corr grid, the DTW summary AND the routed mapping build; a
+    # naked frame re-executes the full spend/revenue merge join per
+    # consumer (the measured 57M-row-join overhead that made pre-fix
+    # corr_mapping 2.6x slower at 1000x). merged is derived from the
+    # SAME t1/t2 the routing build consumes (snap on the inputs == snap
+    # on the merge output: per-value, join keys untouched), so orders
+    # aggregates once and lineitem joins once for the whole query.
+    # r13 (guide §2.4): in the single-action flow the reuse point is one
+    # entity-key exchange per frame (subtree computes once, consumers
+    # read its shuffle files, no cold-pin materialization race, no
+    # pinned executor memory — measured on the qa/corr/auto twins,
+    # tools/r13_map_shape_ab.py). The STAGED flow (SPARK_GRAFT_STAGE_DIR)
+    # keeps scoped_pin: it runs TWO actions (the routed-model build,
+    # then the mapping build), and shuffle files are not reused across
+    # actions — only a cache survives into the second action.
+    stage_dir = os.environ.get("SPARK_GRAFT_STAGE_DIR", "")
+    if stage_dir:
+        from mapping_timeseries_spark.operators.dedup import (
+            scoped_pin as _scope_pin,
+        )
 
-    t1 = _scope_pin(t1)
-    t2 = _scope_pin(t2)
-    merged = _scope_pin(merge_series(t1, t2))
+        t1 = _scope_pin(t1)
+        t2 = _scope_pin(t2)
+        merged = _scope_pin(merge_series(t1, t2))
+    else:
+        t1 = t1.repartition(F.col("cus_code"))
+        t2 = t2.repartition(F.col("cus_code"))
+        merged = merge_series(t1, t2).repartition(F.col("cus_code"))
     corr = best_lag_correlation(merged, MAX_LAG)
     dtw = dtw_summary(merged)
     recs = recommendation_table(compare_methods(corr, dtw))
@@ -626,7 +641,6 @@ def q_production_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scope. The write/read-back/cleanup sequence is the SHARED
     # pipeline helper (one definition, r12 review); only the lineage
     # release below is entry-specific.
-    stage_dir = os.environ.get("SPARK_GRAFT_STAGE_DIR", "")
     if stage_dir:
         import gc
 
@@ -673,10 +687,9 @@ def q_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats rounded to 6 dp as usual.
     """
     ensure_runtime_conf(spark)
-    from mapping_timeseries_spark.operators.dedup import scoped_pin as _scope_pin
-
-    # pinned (r10): merged feeds both the corr grid and the DTW summary
-    merged = _scope_pin(_merged_lattice(spark, sf_dir))
+    # r13 (guide §2.4, replacing the r10 pin): same entity-key exchange
+    # reuse point as q_recommendation_table — see that query's comment
+    merged = _merged_lattice(spark, sf_dir).repartition(F.col("cus_code"))
     corr = best_lag_correlation(merged, MAX_LAG)
     dtw = dtw_summary(merged)
     comp = compare_methods(corr, dtw).select(
@@ -1659,14 +1672,19 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ppl_bucket_sketch cuts at the log-decade-histogram quantile
     # thresholds (pure bigint bucketing + one IEEE double rank product,
     # so the DuckDB twin recomputes identical thresholds)
-    # pinned via the dedup cache-scope registry (not a bare persist):
-    # the rank+sketch bucket join reads lm_scored twice, but a session
-    # that wraps its passes in dedup_cache_scope gets the cache released
-    # on scope exit instead of pinning the scored corpus for the session
-    # lifetime (ADVICE r8 #1)
-    from mapping_timeseries_spark.operators.dedup import scoped_pin as _scope_pin
-
-    lm_scored = _scope_pin(lm_perplexity(docs, lm_model, k=0.5))
+    # r13 (guide §2.4, replacing the r8 pin): the rank+sketch bucket
+    # join reads lm_scored twice. One doc-key exchange is the reuse
+    # point — the expensive subtree (corpus tokenization + LM scoring)
+    # computes exactly once while the exchange moves only the narrow
+    # per-doc score row (6 numeric cols), and nothing is pinned in
+    # executor memory (the old scoped_pin raced its cold
+    # materialization across both consumers). Same cost model as the
+    # mapping-family gate swap (tools/r13_pin_shape_ab.py); the ngram
+    # hsets pin stays a pin because its payload (shingle-hash arrays)
+    # is the OPPOSITE profile — fat rows, cheap subtree.
+    lm_scored = lm_perplexity(docs, lm_model, k=0.5).repartition(
+        F.col("doc_id")
+    )
     lm = (
         ppl_buckets(lm_scored, mode="rank")
         .join(
