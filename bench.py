@@ -551,8 +551,17 @@ SCRATCH_CEILING_BYTES = {
     # r11: the mapping pair's sampled readings jitter 13-33 MB across
     # boots on unchanged code (dying-residue bases, SCALE.md) — own pins
     # so the 2x-headroom pytest doesn't trip on meter noise
-    "corr_mapping": 128_000_000,        # r10: 13 MB; r11 boot: 33 MB
-    "auto_mapping": 128_000_000,        # r10: 27 MB
+    # r13opt: the pin->exchange reuse swaps moved the mapping family's
+    # shared intermediates from executor memory into shuffle files by
+    # design (OPTIMIZATION_r13.md "gate" sites), so their sampled
+    # scratch is higher AND more boot-variable than the r10/r11 pinned
+    # era (the meter is a sampled lower bound: the same tree read
+    # auto_mapping at 0, 86 and 67 MB across three r13opt runs). Pins
+    # re-seated at ~3x the highest r13opt reading, same convention.
+    "corr_mapping": 256_000_000,        # r13opt: 33-73 MB across boots
+    "auto_mapping": 256_000_000,        # r13opt: 0-86 MB across boots
+    "corr_best_lag": 128_000_000,       # r13opt: 12-28 MB (gate swap)
+    "merged_series": 128_000_000,       # r13opt: 23 MB (exchange set)
     # r12 anchor boot: 37 MB (same dying-residue meter jitter family —
     # the r11 runs read it under 17 MB on unchanged code)
     "qa_invariants": 128_000_000,
