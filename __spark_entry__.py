@@ -1350,7 +1350,30 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # are distinct per doc, so exploding the sorted-hash array is the
     # same multiset the string path hashes row by row (hash-gate
     # re-verified vs the unchanged DuckDB oracle).
-    hsets = _scope_pin(_ngram_hsets(docs, "text", 2, keep_cols=("source",)))
+    # r14 (VERDICT r13 #3): a COLD pin is materialized concurrently by
+    # every consumer's first stage — profiled at sf0.1, one cold action
+    # ran the tokenize+shingle+sort pass up to SIX times in parallel
+    # (~28 s duplicated executor time; locally idle cores absorb it, at
+    # 100 TB it is 6x a full corpus tokenize). The shuffle-gate fix the
+    # mapping legs use was measured and REJECTED here in r13 (fat
+    # shingle-hash arrays: the gate exchange serialized ~1 GB and the
+    # leg regressed 6.3 -> 16.7 s). The scale answer is the SAME
+    # two-action staging contract q_production_mapping already has:
+    # with SPARK_GRAFT_STAGE_DIR set, hsets is written to parquet once
+    # (that action runs the tokenize+shingle pass exactly once) and
+    # every consumer reads the files — no pin, no race, no in-plan
+    # array shuffle. Results bitwise identical (pytest); the bench
+    # times the default unstaged plan as ever (it unsets the env var).
+    _stage_dir = os.environ.get("SPARK_GRAFT_STAGE_DIR", "")
+    _hsets_plan = _ngram_hsets(docs, "text", 2, keep_cols=("source",))
+    if _stage_dir:
+        from mapping_timeseries_spark.plans.pipeline import (
+            _stage_entity_table,
+        )
+
+        hsets = _stage_entity_table(spark, _hsets_plan, _stage_dir, "ngram_hsets")
+    else:
+        hsets = _scope_pin(_hsets_plan)
     near = ngram_jaccard_pairs(
         docs, threshold=0.5, hsets=hsets
     ).select(
@@ -1371,7 +1394,16 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("holdout_doc").alias("doc_b"),
         F.round("overlap", 6).alias("score"),
     )
-    return near.unionByName(contam)
+    out = near.unionByName(contam)
+    if _stage_dir:
+        # same post-scope guard as q_production_mapping: consuming the
+        # returned plan after the enclosing dedup_cache_scope vacuumed
+        # the staged dir raises StagedScopeExpiredError, not a bare
+        # executor FileNotFoundError
+        from mapping_timeseries_spark.plans.pipeline import guard_staged
+
+        out = guard_staged(out, hsets._staged_path)
+    return out
 
 
 def _minhash_sel(p: DataFrame, tag: str) -> DataFrame:

@@ -556,7 +556,9 @@ SCRATCH_CEILING_BYTES = {
     # design (OPTIMIZATION_r13.md "gate" sites), so their sampled
     # scratch is higher AND more boot-variable than the r10/r11 pinned
     # era (the meter is a sampled lower bound: the same tree read
-    # auto_mapping at 0, 86 and 67 MB across three r13opt runs). Pins
+    # auto_mapping at 0, 86 and 62 MB across three r13opt runs —
+    # BENCH_anchor/confirm/closeout_r13opt.json; ADVICE r13 corrected
+    # the third figure to the committed artifact's reading). Pins
     # re-seated at ~3x the highest r13opt reading, same convention.
     "corr_mapping": 256_000_000,        # r13opt: 33-73 MB across boots
     "auto_mapping": 256_000_000,        # r13opt: 0-86 MB across boots
@@ -567,6 +569,118 @@ SCRATCH_CEILING_BYTES = {
     "qa_invariants": 128_000_000,
 }
 SCRATCH_CEILING_DEFAULT = 64_000_000
+
+#: Quiet-box reference readings for the run-level TENANCY FACTOR (r14,
+#: VERDICT r13 #1: both driver comparison runs were box_warned and the
+#: per-leg medians mixed host-tenancy into code deltas — "implement the
+#: control-normalized total as an ADDITIVE field next to the unchanged
+#: headline_total"). Keyed by (sf, cpus) because every signal scales
+#: with data size and core count. Signals are only things the
+#: optimization rounds are forbidden to touch: the three frozen
+#: anti-pattern/control legs plus the fixed jvm/shuffle probes.
+#: Provenance (committed artifacts, all valid+unwarned, this hardware
+#: class): sf0.1/32 = per-signal MEDIAN over BENCH_anchor_r13opt,
+#: BENCH_closeout_r13opt, BENCH_confirm_r13opt and BENCH_r14_open_quiet
+#: (four quiet runs across three boots); sf0.1/8 = the single
+#: BENCH_cpus8_r13opt run (n=1 — lower confidence, same convention as
+#: JVM_LOOP_REF's single-boot pin). Re-pin on a hardware change the way
+#: QUIET_PY_LOOP is re-pinned.
+TENANCY_REFS = {
+    ("0.1", "32"): {
+        "skew_agg_plain": 0.1465,
+        "skew_median_buffered": 1.1215,
+        "skew_median_hist": 1.337,
+        "jvm_loop_post": 0.1075,
+        "shuffle_loop_min_pre": 0.9878,
+        "shuffle_loop_min_post": 0.6918,
+    },
+    ("0.1", "8"): {
+        "skew_agg_plain": 0.212,
+        "skew_median_buffered": 1.15,
+        "skew_median_hist": 1.251,
+        "jvm_loop_post": 0.1612,
+        "shuffle_loop_min_pre": 0.5987,
+        "shuffle_loop_min_post": 0.4614,
+    },
+}
+#: Minimum control signals for a factor to be reported: a single noisy
+#: control must not steer the normalization (the quiet anchors
+#: themselves wobble ±20% on the short control legs; the MEDIAN over
+#: >=4 signals is what converges).
+TENANCY_MIN_SIGNALS = 4
+
+
+def tenancy_normalization(now: dict, refs: dict | None) -> dict:
+    """Pure run-level tenancy factor (pytest-covered): the MEDIAN of
+    now/ref over the available frozen-control signals. factor > 1 means
+    the box ran the frozen workloads slower than the pinned quiet class
+    (sustained tenancy/slow boot); dividing each leg's median by it
+    recovers a quiet-box-comparable number. Symmetric by design — a
+    faster-than-reference box yields factor < 1 and normalization
+    adjusts totals UP — so the field cannot flatter one direction.
+
+    LIMIT (documented, measured r14 open): this corrects SUSTAINED
+    contention only. The r13 driver run's poison was BURSTY — probes
+    and controls read quiet while individual legs caught a host burst —
+    which run-level signals cannot see; the per-leg steady-state MIN
+    (``queries_min``) and per-leg box stamps (``leg_box``) are the
+    instruments for that failure mode. Read all three together.
+    """
+    if not refs:
+        return {
+            "factor": None,
+            "ratios": {},
+            "n_signals": 0,
+            "note": "no quiet-box reference pinned for this (sf, cpus)",
+        }
+    ratios = {
+        k: round(now[k] / refs[k], 3)
+        for k in sorted(refs)
+        if now.get(k) is not None and refs[k] > 0
+    }
+    if len(ratios) < TENANCY_MIN_SIGNALS:
+        return {
+            "factor": None,
+            "ratios": ratios,
+            "n_signals": len(ratios),
+            "note": (
+                f"only {len(ratios)} control signals available "
+                f"(< {TENANCY_MIN_SIGNALS}): factor withheld"
+            ),
+        }
+    return {
+        "factor": round(statistics.median(ratios.values()), 3),
+        "ratios": ratios,
+        "n_signals": len(ratios),
+    }
+
+
+def _steal_snapshot() -> tuple[int, int] | None:
+    """(steal_jiffies, total_jiffies) from /proc/stat — the hypervisor's
+    own host-contention counter. Deltas across a leg attribute a slow
+    rep to the host mechanically (a code regression cannot raise steal).
+    None where unavailable (non-Linux)."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        if len(vals) < 8:
+            return None
+        return vals[7], sum(vals[:8])
+    except (OSError, ValueError):
+        return None
+
+
+def _py_loop_once() -> float:
+    """One rep of the GIL-bound interpreter probe (the box_calibration
+    workload without the median-of-5) — cheap enough (~0.1 s) to stamp
+    the box state before every leg."""
+    t0 = time.time()
+    acc = 0
+    for i in range(2_000_000):
+        acc += i * i
+    assert acc > 0
+    return round(time.time() - t0, 4)
 
 
 def scratch_violations(
@@ -877,11 +991,26 @@ def main() -> None:
 
     times: dict[str, float] = {}
     spreads: dict[str, float] = {}
+    mins: dict[str, float] = {}
+    rep_lists: dict[str, list] = {}
+    leg_box: dict[str, dict] = {}
     scratch: dict[str, int] = {}
     scratch_base: dict[str, int] = {}
     for name in HEADLINE:
         if name not in qs:
             continue
+        # per-leg box stamp (r14, VERDICT r13 #2: the driver's 6.4x
+        # text_stats reading happened inside a run whose RUN-level
+        # probes read quiet — bursty host tenancy needs PER-LEG
+        # attribution): one interpreter-probe rep + loadavg before the
+        # leg, and the /proc/stat steal delta across it. Outside every
+        # timed region (~0.1 s between legs).
+        try:
+            _load1 = round(os.getloadavg()[0], 2)
+        except OSError:
+            _load1 = -1.0
+        stamp = {"py1": _py_loop_once(), "load1": _load1}
+        steal_a = _steal_snapshot()
         # disk-residency meter (VERDICT r8 #4): per-leg peak scratch
         # bytes over the leg's reps — the sum-of-exchanges shuffle
         # high-water that regressions should show up in as a JSON diff,
@@ -897,6 +1026,13 @@ def main() -> None:
             build_timed=name in DRIVER_LEGS,
         )
         scratch[name] = meter.stop()
+        steal_b = _steal_snapshot()
+        if steal_a is not None and steal_b is not None:
+            d_total = max(steal_b[1] - steal_a[1], 1)
+            stamp["steal_pct"] = round(
+                100.0 * (steal_b[0] - steal_a[0]) / d_total, 2
+            )
+        leg_box[name] = stamp
         # base travels with the peak delta (r10, same contract as the
         # 100x gates): a large dying-residue base deflates the delta —
         # recording it makes a deflated reading visible in the artifact
@@ -912,6 +1048,15 @@ def main() -> None:
         spreads[name] = round(
             (max(steady) - min(steady)) / max(med, 1e-9), 3
         )
+        # steady-state MIN (r14): on a fixed deterministic workload all
+        # noise is additive (co-scheduling, host bursts, GC), so the min
+        # estimates the box's uncontended capability for the leg — the
+        # same argument that added shuffle_loop_min_sec in r13. The
+        # MEDIAN stays the headline stat (methodology unchanged); the
+        # min is the burst-robust per-leg number a reader should prefer
+        # when rep_spread is wide.
+        mins[name] = round(min(steady), 3)
+        rep_lists[name] = [round(r, 3) for r in reps]
 
     total = round(sum(v for k, v in times.items() if k not in CONTROLS), 3)
     controls = {k: times.pop(k) for k in list(times) if k in CONTROLS}
@@ -949,6 +1094,36 @@ def main() -> None:
     like_for_like = round(
         sum(v for k, v in times.items() if k not in ADDED_THIS_ROUND), 3
     )
+    # r14 tenancy block (VERDICT r13 #1): run-level factor from the
+    # frozen controls + fixed probes vs the pinned quiet references,
+    # with control-normalized totals as ADDITIVE fields — value /
+    # headline_total / queries are untouched, so round-over-round
+    # comparability is preserved and the normalization is auditable
+    # (every input signal and pinned ref travels in the artifact).
+    min_total = round(sum(v for k, v in mins.items() if k not in CONTROLS), 3)
+    controls_min = {k: mins.pop(k) for k in list(mins) if k in CONTROLS}
+    tenancy_now = {
+        "skew_agg_plain": controls.get("skew_agg_plain"),
+        "skew_median_buffered": controls.get("skew_median_buffered"),
+        "skew_median_hist": times.get("skew_median_hist"),
+        "jvm_loop_post": post.get("jvm_loop_sec"),
+        "shuffle_loop_min_pre": calib.get("shuffle_loop_min_sec"),
+        "shuffle_loop_min_post": post.get("shuffle_loop_min_sec"),
+    }
+    tenancy_refs = TENANCY_REFS.get((f"{sf:g}", str(cpus)))
+    tenancy = tenancy_normalization(tenancy_now, tenancy_refs)
+    tenancy["signals"] = tenancy_now
+    tenancy["refs"] = tenancy_refs
+    _factor = tenancy.get("factor")
+    if _factor:
+        tenancy["normalized_total"] = round(total / _factor, 3)
+        tenancy["normalized_min_total"] = round(min_total / _factor, 3)
+        tenancy["normalized_queries"] = {
+            k: round(v / _factor, 3) for k, v in times.items()
+        }
+    else:
+        tenancy["normalized_total"] = None
+        tenancy["normalized_min_total"] = None
     detail = {
         "metric": "headline_total",
         "value": total,
@@ -957,6 +1132,13 @@ def main() -> None:
         "queries": times,
         "controls": controls,
         "rep_spread": spreads,
+        # r14 per-leg robust stats + box stamps (see tenancy block)
+        "queries_min": mins,
+        "controls_min": controls_min,
+        "min_total": min_total,
+        "queries_reps": rep_lists,
+        "leg_box": leg_box,
+        "tenancy": tenancy,
         "peak_scratch_bytes": scratch,
         "base_scratch_bytes": scratch_base,
         "scratch_warnings": scratch_violations(scratch),
@@ -1013,6 +1195,13 @@ def main() -> None:
         "invalid_reasons": invalid_reasons,
         "box_warned": bool(box_warnings),
         "scratch_warned": bool(scratch_violations(scratch)),
+        # r14 additive fields (VERDICT r13 #1): the burst-robust
+        # steady-min total, and the control-normalized totals with the
+        # factor they used; "value" above stays the raw median total.
+        "min_total": min_total,
+        "tenancy_factor": _factor,
+        "normalized_total": tenancy["normalized_total"],
+        "normalized_min_total": tenancy["normalized_min_total"],
         "box": {
             "pre_py_loop": calib["py_loop_sec"],
             "post_py_loop": post["py_loop_sec"],
@@ -1022,12 +1211,17 @@ def main() -> None:
             "shuffle_boot_ratio": shuffle_class["shuffle_boot_ratio"],
         },
         "queries": {k: round(v, 2) for k, v in times.items()},
+        "queries_min": {k: round(v, 2) for k, v in mins.items()},
         "detail": "artifacts/BENCH_detail_last.json",
     }
     line = json.dumps(compact, separators=(",", ":"))
-    if len(line) > 1800:  # future-proofing: totals always fit
-        compact.pop("queries")
-        line = json.dumps(compact, separators=(",", ":"))
+    # size fallback chain (VERDICT r7 #2b: the line must fit a 2000-char
+    # tail window): the r14 additive per-leg min map is dropped FIRST so
+    # the historical "queries" medians survive longest
+    for drop in ("queries_min", "queries"):
+        if len(line) > 1800:
+            compact.pop(drop)
+            line = json.dumps(compact, separators=(",", ":"))
     print(line)
     spark.stop()
 

@@ -637,3 +637,60 @@ def test_paired_bench_summary_arithmetic():
     assert s["only_in_a"] == ["new_leg"] and s["only_in_b"] == ["old_leg"]
     assert s["total_a_common"] == 3.5 and s["total_b_common"] == 3.2
     assert abs(s["delta_common"] - 0.3) < 1e-9
+
+
+# ---- r14 tenancy normalization (VERDICT r13 #1) ----------------------
+
+
+def test_tenancy_normalization_quiet_box_factor_near_one():
+    refs = bench.TENANCY_REFS[("0.1", "32")]
+    # a quiet box reads the controls at the pinned refs -> factor 1.0
+    now = dict(refs)
+    out = bench.tenancy_normalization(now, refs)
+    assert out["factor"] == 1.0
+    assert out["n_signals"] == len(refs)
+
+
+def test_tenancy_normalization_contended_box_factor_up():
+    refs = bench.TENANCY_REFS[("0.1", "32")]
+    now = {k: v * 1.5 for k, v in refs.items()}
+    out = bench.tenancy_normalization(now, refs)
+    assert out["factor"] == 1.5
+
+
+def test_tenancy_normalization_median_robust_to_one_outlier():
+    refs = {"a": 1.0, "b": 1.0, "c": 1.0, "d": 1.0, "e": 1.0}
+    now = {"a": 1.0, "b": 1.0, "c": 1.0, "d": 1.0, "e": 9.0}
+    out = bench.tenancy_normalization(now, refs)
+    assert out["factor"] == 1.0  # the single burst signal cannot steer
+
+
+def test_tenancy_normalization_withholds_without_enough_signals():
+    refs = {"a": 1.0, "b": 1.0, "c": 1.0, "d": 1.0}
+    now = {"a": 1.2, "b": None, "c": None, "d": None}
+    out = bench.tenancy_normalization(now, refs)
+    assert out["factor"] is None
+    assert out["n_signals"] == 1
+    assert "withheld" in out["note"]
+
+
+def test_tenancy_normalization_no_refs_is_explicit():
+    out = bench.tenancy_normalization({"a": 1.0}, None)
+    assert out["factor"] is None
+    assert "no quiet-box reference" in out["note"]
+
+
+def test_tenancy_normalization_symmetric_fast_box():
+    # faster-than-reference box: factor < 1, normalization adjusts UP —
+    # the field cannot deflate only in the flattering direction
+    refs = {"a": 1.0, "b": 1.0, "c": 1.0, "d": 1.0}
+    now = {"a": 0.8, "b": 0.8, "c": 0.8, "d": 0.8}
+    out = bench.tenancy_normalization(now, refs)
+    assert out["factor"] == 0.8
+
+
+def test_steal_snapshot_shape():
+    snap = bench._steal_snapshot()
+    if snap is not None:  # Linux
+        steal, total = snap
+        assert 0 <= steal <= total
