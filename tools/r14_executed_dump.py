@@ -17,16 +17,21 @@ Reads $SPARK_GRAFT_SF_DIR / $SPARK_GRAFT_CPUS exactly like bench.py.
 
 from __future__ import annotations
 
-import io
+import json
 import os
 import sys
-from contextlib import redirect_stdout
+import urllib.request
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from r13_explain_dump import bench_query_map  # noqa: E402
 
 from mapping_timeseries_spark.session import get_spark  # noqa: E402
+
+
+def _rest(base: str, path: str):
+    with urllib.request.urlopen(base + path, timeout=30) as r:
+        return json.loads(r.read())
 
 
 def main() -> None:
@@ -44,8 +49,19 @@ def main() -> None:
         "r14_executed_dump",
         master=f"local[{cpus}]",
         shuffle_partitions=int(cpus),
-        extra_conf={"spark.driver.memory": "16g"},
+        extra_conf={
+            "spark.driver.memory": "16g",
+            "spark.ui.enabled": "true",
+            "spark.ui.port": "4048",
+            # the SQL UI store truncates planDescription at 1000 chars
+            # by default — these plans run to tens of KB
+            "spark.sql.ui.explainMode": "formatted",
+            "spark.sql.maxMetadataStringLength": "10000",
+        },
     )
+    sc = spark.sparkContext
+    base = f"http://localhost:{sc.uiWebUrl.rsplit(':', 1)[1]}"
+    app_id = sc.applicationId
     qs = bench_query_map()
     from mapping_timeseries_spark.operators.dedup import dedup_cache_scope
 
@@ -53,23 +69,45 @@ def main() -> None:
         if name not in qs:
             print(f"unknown query {name}", file=sys.stderr)
             continue
+        try:
+            pre_execs = {
+                e["id"] for e in _rest(base, f"/api/v1/applications/{app_id}/sql")
+            }
+        except Exception:
+            pre_execs = set()
         with dedup_cache_scope():
             df = qs[name](spark, sf_dir)
-            spark.sparkContext.setJobDescription(f"executed_dump:{name}")
+            sc.setJobDescription(f"executed_dump:{name}")
             df.write.format("noop").mode("overwrite").save()
-            spark.sparkContext.setJobDescription(None)
-            buf = io.StringIO()
-            with redirect_stdout(buf):
-                df.explain("formatted")
+            sc.setJobDescription(None)
+            # the noop write is its own QueryExecution — the df object's
+            # explain() would show the UN-executed initial plan. The SQL
+            # UI store holds each execution's FINAL formatted plan
+            # (AQE-finalized: ReusedExchange / AQEShuffleRead visible).
+            # Dump EVERY execution the leg ran (plan-build actions like
+            # localCheckpoint / staged writes run their own executions —
+            # the expensive subtrees can live there, not in the final
+            # write; measured on method_agreement, whose comp frame is
+            # localCheckpointed inside the operator).
+            execs = _rest(base, f"/api/v1/applications/{app_id}/sql")
+            mine = [e for e in execs if e["id"] not in pre_execs]
+            parts = []
+            for e in mine:
+                parts.append(
+                    f"#### execution id={e['id']} "
+                    f"description={e.get('description','')!r}\n"
+                    + e["planDescription"]
+                )
+            txt = "\n\n".join(parts)
         spark.catalog.clearCache()
         path = os.path.join(out_dir, f"{name}_{suffix}.txt")
         with open(path, "w") as f:
-            f.write(buf.getvalue())
-        txt = buf.getvalue()
+            f.write(txt + "\n")
         print(
             f"dumped {name}_{suffix}.txt reused_exchanges="
             f"{txt.count('ReusedExchange')} "
-            f"inmemory_scans={txt.count('InMemoryTableScan')}",
+            f"inmemory_scans={txt.count('InMemoryTableScan')} "
+            f"final={'Final Plan' in txt}",
             file=sys.stderr,
         )
     spark.stop()
