@@ -578,13 +578,14 @@ SCRATCH_CEILING_DEFAULT = 64_000_000
 #: with data size and core count. Signals are only things the
 #: optimization rounds are forbidden to touch: the three frozen
 #: anti-pattern/control legs plus the fixed jvm/shuffle probes.
-#: Provenance (committed artifacts, all valid+unwarned, this hardware
-#: class): sf0.1/32 = per-signal MEDIAN over BENCH_anchor_r13opt,
-#: BENCH_closeout_r13opt, BENCH_confirm_r13opt and BENCH_r14_open_quiet
-#: (four quiet runs across three boots); sf0.1/8 = the single
-#: BENCH_cpus8_r13opt run (n=1 — lower confidence, same convention as
-#: JVM_LOOP_REF's single-boot pin). Re-pin on a hardware change the way
-#: QUIET_PY_LOOP is re-pinned.
+#: Provenance (committed artifacts, this hardware class): sf0.1/32 =
+#: per-signal MEDIAN over BENCH_anchor_r13opt, BENCH_closeout_r13opt,
+#: BENCH_confirm_r13opt and BENCH_r14_open_quiet (four valid+unwarned
+#: runs across three boots); sf0.1/8 = the single BENCH_cpus8_r13opt
+#: run (n=1 AND jvm-boot-warned — lower confidence; re-pin from the
+#: first quiet 8-core run, same convention as JVM_LOOP_REF's
+#: single-boot pin). Re-pin on a hardware change the way QUIET_PY_LOOP
+#: is re-pinned.
 TENANCY_REFS = {
     ("0.1", "32"): {
         "skew_agg_plain": 0.1465,
